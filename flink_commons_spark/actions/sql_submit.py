@@ -1,0 +1,361 @@
+"""The ``sql-submit`` action: run a SQL script on Spark, batch or streaming.
+
+Re-expresses the reference's core (``SQLSubmitAction.java:50-83``) on
+Spark: ordered fail-fast statement execution with the same routing —
+``SET`` → config translation, ``SELECT`` → execute-and-print,
+``UNSET``/``EXPLAIN``/``UNKNOWN`` → warn-and-skip, everything else →
+the SQL engine. Three Spark-specific layers are added on top:
+
+1. a **connector DDL interceptor**: Flink-style ``CREATE TABLE ... WITH
+   ('connector' = ...)`` statements (which Spark's parser rejects) are
+   parsed into :class:`TableSpec`s and registered as temp views /
+   sink specs (``flink_commons_spark.plans.ddl``);
+2. an **identifier rewriter**: 3-part Flink identifiers
+   (```default_catalog`.`default_database`.`t```, ``test.sql:14`` style)
+   are rewritten to the registered view names;
+3. a **streaming orchestrator** mirroring Flink's execution semantics
+   (``SURVEY.md §3.2``): ``INSERT`` into a sink from a streaming source
+   starts an *async* StreamingQuery (like Flink's async ``executeSql``),
+   a streaming ``SELECT`` starts a console query and *blocks* (like
+   Flink's blocking ``print()``); at script end all active queries are
+   awaited.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+import tempfile
+
+from flink_commons_spark.actions.base import Action, ActionFactory, MultiParams, register_factory
+from flink_commons_spark.conf import RunnerConfig, apply_set, parse_set_statement
+from flink_commons_spark.plans.ddl import TableSpec, is_connector_ddl, parse_create_table
+from flink_commons_spark.plans.dialect import adapt_sql
+from flink_commons_spark.plans.script import load_statements, load_statements_from_text
+from flink_commons_spark.plans.statements import StatementType
+from flink_commons_spark.sources import registry as connectors
+
+log = logging.getLogger(__name__)
+
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+(?:INTO|OVERWRITE)\s+(?P<target>(?:`[^`]+`|[\w.]+)+)\s*"
+    r"(?:\((?P<cols>[^)]*)\))?\s*(?P<query>SELECT.+|VALUES.+|FROM.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_COUNT_DISTINCT_RE = re.compile(r"\bCOUNT\s*\(\s*DISTINCT\b", re.IGNORECASE)
+_GROUP_BY_RE = re.compile(r"\bGROUP\s+BY\b", re.IGNORECASE)
+
+
+class SqlSubmitAction(Action):
+    """Programmatic + CLI entry for SQL-script execution.
+
+    Library embedding mirrors the reference's ``new
+    SQLSubmitAction(path).withVariables(map).run()`` pattern
+    (``SQLSubmitAction.java:41-48``, ``SURVEY.md §3.3``); an existing
+    ``SparkSession`` can be injected for testability.
+    """
+
+    def __init__(
+        self,
+        sql_file: str | None = None,
+        variables: dict[str, str] | None = None,
+        *,
+        sql_text: str | None = None,
+        spark=None,
+        strict_compat: bool = False,
+        await_streams: bool = True,
+        stream_timeout_s: float | None = None,
+    ) -> None:
+        if (sql_file is None) == (sql_text is None):
+            raise ValueError("Provide exactly one of sql_file / sql_text")
+        self.sql_file = sql_file
+        self.sql_text = sql_text
+        self.variables = dict(variables or {})
+        self.spark = spark
+        self.strict_compat = strict_compat
+        self.await_streams = await_streams
+        self.stream_timeout_s = stream_timeout_s
+        self.config = RunnerConfig()
+        self.tables: dict[str, TableSpec] = {}
+        self._rewrites: list[tuple[re.Pattern[str], str]] = []
+        self._started_queries: list = []
+
+    def with_variables(self, variables: dict[str, str]) -> "SqlSubmitAction":
+        self.variables.update(variables)
+        return self
+
+    # ------------------------------------------------------------------ run
+
+    def run(self) -> None:
+        """Ordered, fail-fast statement loop (``SQLSubmitAction.java:55-82``)."""
+        if self.sql_file is not None:
+            statements = load_statements(self.sql_file, self.variables, self.strict_compat)
+        else:
+            statements = load_statements_from_text(self.sql_text, self.variables, self.strict_compat)
+
+        spark = self._get_spark()
+        for stype, stmt in statements:
+            log.info("Executing [%s]: %s", stype.type_name, stmt)
+            try:
+                self._dispatch(spark, stype, stmt)
+            except Exception as exc:
+                # per-statement error wrapping, SQLSubmitAction.java:78-81
+                raise RuntimeError(f"Error to execute sql: {stmt}") from exc
+        if self.await_streams:
+            self._await_active_queries(spark)
+
+    def _get_spark(self):
+        if self.spark is not None:
+            return self.spark
+        from flink_commons_spark.session import get_session
+
+        self.spark = get_session(app_name=self.config.pipeline_name or "sql-submit")
+        return self.spark
+
+    # ------------------------------------------------------------- dispatch
+
+    def _dispatch(self, spark, stype: StatementType, stmt: str) -> None:
+        if stype is StatementType.SET:
+            key, value = parse_set_statement(stmt)
+            apply_set(self.config, spark, key, value)
+        elif stype is StatementType.SELECT:
+            self._run_select(spark, stmt)
+        elif stype in (StatementType.UNSET, StatementType.EXPLAIN, StatementType.UNKNOWN):
+            # warn-and-skip, SQLSubmitAction.java:69-73
+            log.warning("Unsupported operation [%s], ignored: %s", stype.type_name, stmt)
+        elif stype is StatementType.CREATE and is_connector_ddl(stmt):
+            self._register_connector_table(spark, stmt)
+        elif stype is StatementType.INSERT:
+            self._run_insert(spark, stmt)
+        elif stype is StatementType.DROP:
+            self._run_drop(spark, stmt)
+        elif stype is StatementType.PRINT:
+            print(re.sub(r"^\s*PRINT\s+", "", stmt, flags=re.IGNORECASE).strip("'\" "))
+        elif stype in (StatementType.LOAD, StatementType.UNLOAD):
+            log.warning("Flink module statement has no Spark analog, ignored: %s", stmt)
+        elif stype is StatementType.ADD:
+            spark.sql(re.sub(r"^\s*ADD\s+CUSTOMJAR", "ADD JAR", stmt, flags=re.IGNORECASE))
+        else:
+            # generic executeSql path, SQLSubmitAction.java:74-76 (result
+            # intentionally discarded, matching the reference)
+            spark.sql(self._rewrite(stmt))
+
+    # ------------------------------------------------------------ rewriting
+
+    def _register_rewrites(self, spec: TableSpec) -> None:
+        for ident in spec.full_identifiers:
+            if ident == spec.name:
+                continue
+            escaped = re.escape(ident)
+            pattern = re.compile(
+                rf"(?<![\w`]){escaped}(?![\w`])" if "`" not in ident else escaped
+            )
+            self._rewrites.append((pattern, f"`{spec.name}`"))
+
+    def _rewrite(self, stmt: str) -> str:
+        """Registered-identifier rewriting + Flink→Spark dialect adaptation."""
+        for pattern, replacement in self._rewrites:
+            stmt = pattern.sub(replacement, stmt)
+        return adapt_sql(stmt)
+
+    # ------------------------------------------------------------------ DDL
+
+    def _register_connector_table(self, spark, stmt: str) -> None:
+        spec = parse_create_table(stmt)
+        if spec.name in self.tables and spec.if_not_exists:
+            log.info("Table %s already registered; IF NOT EXISTS → skip", spec.name)
+            return
+        self.tables[spec.name] = spec
+        self._register_rewrites(spec)
+        if connectors.is_source_connector(spec):
+            try:
+                df = connectors.build_source(spark, spec, streaming=self.config.is_streaming)
+                df.createOrReplaceTempView(spec.name)
+            except Exception:
+                if spec.connector in connectors.SINK_CONNECTORS:
+                    log.info("Table %s registered as sink-only (source read failed)", spec.name)
+                else:
+                    raise
+
+    # ---------------------------------------------------------------- DROP
+
+    def _run_drop(self, spark, stmt: str) -> None:
+        m = re.match(
+            r"^\s*DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(?P<name>(?:`[^`]+`|[\w.])+)",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            bare = m.group("name").replace("`", "").split(".")[-1]
+            if bare in self.tables:
+                del self.tables[bare]
+                spark.catalog.dropTempView(bare)
+                return
+        spark.sql(self._rewrite(stmt))
+
+    # -------------------------------------------------------------- SELECT
+
+    def _run_select(self, spark, stmt: str) -> None:
+        """SELECT → execute and print (``SQLSubmitAction.java:65-67``).
+
+        Batch results print like Flink's blocking ``TableResult.print()``;
+        a streaming result starts a console sink and blocks until it
+        terminates, matching Flink's semantics (``SURVEY.md §3.2``).
+        """
+        df = spark.sql(self._adapt_streaming_sql(self._rewrite(stmt)))
+        if not df.isStreaming:
+            max_rows = int(self.config.raw.get("flinkcommons.select.max-rows", "1000"))
+            df.show(n=max_rows, truncate=False)
+            return
+        query = (
+            df.writeStream.format("console")
+            .outputMode(self._infer_output_mode(stmt))
+            .queryName(self._query_name("select"))
+            .trigger(**self._trigger())
+            .option("checkpointLocation", self._checkpoint_dir("select"))
+            .option("truncate", "false")
+            .start()
+        )
+        self._started_queries.append(query)
+        timeout = self._timeout()
+        query.awaitTermination(timeout)
+        if timeout is not None and query.isActive:
+            query.stop()
+
+    # -------------------------------------------------------------- INSERT
+
+    def _run_insert(self, spark, stmt: str) -> None:
+        """INSERT routing.
+
+        Into a registered sink spec: evaluate the query part; batch →
+        immediate write, streaming → async ``StreamingQuery`` start (the
+        analog of Flink's async ``executeSql(INSERT)``,
+        ``SURVEY.md §3.2``). Into a regular table: pass through.
+        """
+        rewritten = self._rewrite(stmt)
+        m = _INSERT_RE.match(rewritten)
+        target = m.group("target").replace("`", "").split(".")[-1] if m else None
+        if target and target in self.tables:
+            spec = self.tables[target]
+            query_sql = self._adapt_streaming_sql(m.group("query"))
+            df = spark.sql(query_sql)
+            if spec.columns:
+                df = df.toDF(*[c for c, _ in spec.columns])
+            if df.isStreaming:
+                query = connectors.start_stream_sink(
+                    df,
+                    spec,
+                    query_name=self._query_name(target),
+                    output_mode=self._infer_output_mode(query_sql),
+                    trigger=self._trigger(),
+                    checkpoint=self._checkpoint_dir(target),
+                )
+                self._started_queries.append(query)
+            else:
+                connectors.write_batch_sink(df, spec)
+            return
+        spark.sql(rewritten)
+
+    # ----------------------------------------------------- streaming bits
+
+    def _adapt_streaming_sql(self, sql: str) -> str:
+        """Close known streaming-SQL gaps before handing to Catalyst.
+
+        Spark disallows exact distinct aggregates on streaming
+        DataFrames; in streaming mode ``COUNT(DISTINCT x)`` is rewritten
+        to ``approx_count_distinct(x)`` (HLL++) unless
+        ``flinkcommons.streaming.count-distinct = error`` is set. Exact
+        distinct counting is available as the dedicated operator in
+        ``flink_commons_spark.streaming.distinct`` (``SURVEY.md §7.4``).
+        """
+        if not self.config.is_streaming or not _COUNT_DISTINCT_RE.search(sql):
+            return sql
+        mode = self.config.raw.get("flinkcommons.streaming.count-distinct", "approx")
+        if mode == "error":
+            return sql
+        log.warning(
+            "Streaming COUNT(DISTINCT) rewritten to approx_count_distinct "
+            "(set flinkcommons.streaming.count-distinct=error to disable)"
+        )
+        out = []
+        i = 0
+        for m in _COUNT_DISTINCT_RE.finditer(sql):
+            out.append(sql[i : m.start()])
+            out.append("approx_count_distinct(")
+            i = m.end()
+        out.append(sql[i:])
+        return "".join(out)
+
+    def _infer_output_mode(self, sql: str) -> str:
+        override = self.config.raw.get("flinkcommons.output-mode")
+        if override:
+            return override
+        # Unwindowed streaming aggregation must emit updates (Flink's
+        # retract stream); plain projections append.
+        return "update" if _GROUP_BY_RE.search(sql) else "append"
+
+    def _trigger(self) -> dict:
+        if self.config.raw.get("flinkcommons.trigger", "").lower() == "availablenow":
+            return {"availableNow": True}
+        if self.config.trigger_interval_s:
+            return {"processingTime": f"{self.config.trigger_interval_s} seconds"}
+        return {}
+
+    def _timeout(self) -> float | None:
+        """Effective stream wait bound: constructor arg, else the
+        ``SET 'flinkcommons.stream.timeout' = '30s'`` script key (handy
+        for self-terminating test scripts)."""
+        if self.stream_timeout_s is not None:
+            return self.stream_timeout_s
+        raw = self.config.raw.get("flinkcommons.stream.timeout")
+        if raw:
+            from flink_commons_spark.conf import parse_duration_seconds
+
+            return parse_duration_seconds(raw)
+        return None
+
+    def _query_name(self, suffix: str) -> str:
+        base = self.config.pipeline_name or "sql-submit"
+        return f"{base}-{suffix}"
+
+    def _checkpoint_dir(self, suffix: str) -> str:
+        root = self.config.raw.get(
+            "flinkcommons.checkpoint.dir", tempfile.mkdtemp(prefix="fcs-ckpt-")
+        )
+        return f"{root}/{self._query_name(suffix)}"
+
+    def _await_active_queries(self, spark) -> None:
+        """Script-end policy: wait for every started query (Flink jobs
+        outlive the submitter; our analog is draining them before exit)."""
+        timeout = self._timeout()
+        for query in self._started_queries:
+            if query.isActive:
+                query.awaitTermination(timeout)
+                if timeout is not None and query.isActive:
+                    query.stop()
+
+
+class SqlSubmitActionFactory(ActionFactory):
+    """CLI factory (``SQLSubmitActionFactory.java:13-44``)."""
+
+    identifier = "sql-submit"
+
+    def create(self, params: MultiParams) -> SqlSubmitAction:
+        sql_file = params.get_required("sql-file")  # ActionFactory.java:81-84
+        variables = params.optional_config_map("var")
+        return SqlSubmitAction(sql_file, variables)
+
+    def show_help(self) -> None:
+        print(
+            "Action: sql-submit\n"
+            "  Submits a SQL script to Spark (batch or Structured Streaming).\n\n"
+            "Syntax:\n"
+            "  python -m flink_commons_spark sql-submit --sql-file <path> "
+            "[--var k1=v1 [--var k2=v2 ...]]\n\n"
+            "Options:\n"
+            "  --sql-file   local path, file:// or hdfs:// URI of the SQL script\n"
+            "  --var        ${name} template bindings, repeatable\n"
+        )
+
+
+register_factory(SqlSubmitActionFactory())

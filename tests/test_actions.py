@@ -1,0 +1,100 @@
+"""Action framework tests: discovery, CLI parsing, multi-value options."""
+
+import pytest
+
+from flink_commons_spark.actions.base import (
+    FactoryError,
+    MultiParams,
+    create_action,
+    discover_action_factory,
+    parse_key_value_string,
+)
+from flink_commons_spark.actions.sql_submit import SqlSubmitAction
+
+
+def test_discover_registered():
+    factory = discover_action_factory("sql-submit")
+    assert factory.identifier == "sql-submit"
+
+
+def test_discover_unknown_raises():
+    # FactoryUtil.java:23-26 → FactoryException
+    with pytest.raises(FactoryError, match="Could not find any factories"):
+        discover_action_factory("no-such-action")
+
+
+def test_create_action_builds_sql_submit(tmp_path):
+    p = tmp_path / "x.sql"
+    p.write_text("SELECT 1;")
+    action = create_action(
+        ["sql-submit", "--sql-file", str(p), "--var", "a=1", "--var", "b=2"]
+    )
+    assert isinstance(action, SqlSubmitAction)
+    assert action.sql_file == str(p)
+    assert action.variables == {"a": "1", "b": "2"}
+
+
+def test_create_action_case_insensitive_name(tmp_path):
+    p = tmp_path / "x.sql"
+    p.write_text("SELECT 1;")
+    action = create_action(["SQL-SUBMIT", "--sql-file", str(p)])
+    assert isinstance(action, SqlSubmitAction)
+
+
+def test_help_returns_none(capsys):
+    assert create_action(["--help"]) is None
+    assert "sql-submit" in capsys.readouterr().out
+    assert create_action(["sql-submit", "--help"]) is None
+    assert "--sql-file" in capsys.readouterr().out
+
+
+def test_missing_required_arg():
+    with pytest.raises(ValueError, match="--sql-file"):
+        create_action(["sql-submit"])
+
+
+class TestMultiParams:
+    def test_multi_values(self):
+        p = MultiParams(["--var", "a=1", "--var", "b=2", "--flag"])
+        assert p.optional_config_map("var") == {"a": "1", "b": "2"}
+        assert p.has("flag")
+        assert p.get("flag") is None
+
+    def test_comma_separated(self):
+        p = MultiParams(["--conf", "a=1,b=2"])
+        assert p.comma_separated_key_values("conf") == {"a": "1", "b": "2"}
+
+    def test_malformed_kv_raises(self):
+        # ActionFactory.java:100-107
+        target = {}
+        with pytest.raises(ValueError, match="Invalid key-value string"):
+            parse_key_value_string(target, "novalue")
+
+    def test_kv_splits_on_first_equals(self):
+        target = {}
+        parse_key_value_string(target, "key=a=b")
+        assert target == {"key": "a=b"}
+
+    def test_kv_trims(self):
+        target = {}
+        parse_key_value_string(target, "  key = value ")
+        assert target == {"key": "value"}
+
+
+def test_set_statement_parsing():
+    from flink_commons_spark.conf import parse_set_statement
+
+    assert parse_set_statement("SET pipeline.name = test-sql") == ("pipeline.name", "test-sql")
+    assert parse_set_statement("set a.b=c") == ("a.b", "c")
+    with pytest.raises(ValueError, match="not a valid SET"):
+        parse_set_statement("SET novalue")
+
+
+def test_duration_parsing():
+    from flink_commons_spark.conf import parse_duration_seconds
+
+    assert parse_duration_seconds("5s") == 5
+    assert parse_duration_seconds("3 s") == 3
+    assert parse_duration_seconds("500ms") == 0.5
+    assert parse_duration_seconds("2min") == 120
+    assert parse_duration_seconds("10") == 10
