@@ -1,0 +1,105 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+The headline set covers every operator family (scan-agg, multi-join,
+window, sessionization, as-of, text, dedup, similarity, multimodal,
+streaming) — the same callables the driver's correctness gate checks,
+so benchmarked code is verified code.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_top_customers",
+    "q_rollup",
+    "q_setops",
+    "q_semi_anti",
+    "q_window_running",
+    "q_sessionize",
+    "q_minute_agg",
+    "q_scalar_gauntlet",
+    "q_json_kpis",
+    "q_above_brand_avg",
+    "q_asof_join",
+    "text_stats",
+    "text_quality_filter",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "knn_brute",
+    "ann_lsh",
+    "emb_centroid_stats",
+    "multimodal_features",
+    "stream_minute_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(Path(sf_dir).name.replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from pyspark.sql import SparkSession
+
+    from flink_commons_spark import catalog
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("flink-commons-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = catalog.QUERIES[name]
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+        except Exception as exc:  # keep benching; a failed query reads as -1
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"bench: {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+        # per-query isolation: drop persisted RDDs an operator may have
+        # pinned (e.g. the minhash shingle table) before timing the next
+        spark.catalog.clearCache()
+
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

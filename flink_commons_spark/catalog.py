@@ -1,0 +1,1005 @@
+"""Query catalog: every operator exposed through the driver contract.
+
+Each entry pairs an idiomatic-PySpark implementation (DataFrame API,
+Catalyst-optimized, shuffle-conscious) with an equivalent ANSI-SQL
+oracle that DuckDB runs on the same parquet tables. Column names and
+value rounding are aligned on both sides so the driver's
+order-insensitive value-hash comparison passes.
+
+Determinism rules used throughout:
+
+- money/quantity sums go through ``decimal(18,6)`` so they are exact and
+  order-independent, then cast to double and rounded;
+- float similarity scores are rounded before being used for ranking;
+- every ranking has a total order (explicit tie-break columns);
+- timestamps are compared/exported as epoch seconds via ``floor`` (both
+  engines truncate identically);
+- all text hashing is md5-based (portable across engines).
+
+The reference delegates all of this to Flink SQL (``SURVEY.md §2.5``);
+here the relational queries exercise the same delegated surface on
+Catalyst, and the dedup/similarity/text/multimodal entries are the
+north-star LLM-pipeline extensions (``SURVEY.md §7.1`` step 7).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from flink_commons_spark.operators import dedup as D
+from flink_commons_spark.operators import multimodal as MM
+from flink_commons_spark.operators import similarity as S
+from flink_commons_spark.operators import text as T
+from flink_commons_spark.operators.asof import asof_join
+from flink_commons_spark.operators.sessionize import session_stats
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the driver tables store events.ts as parquet TIMESTAMP(NANOS), which
+    # Spark only reads via the nanosAsLong escape hatch; normalize to a
+    # microsecond TimestampType column (truncation — matches DuckDB).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parallel load: testdata tables are single-row-group parquet files
+    (unsplittable → 1 scan partition), which would serialize every
+    downstream compute-heavy operator. One cheap round-robin repartition
+    restores parallelism, sized by input bytes (compute-heavy operators
+    want ~256 KB per partition at test scale) and capped at the cluster
+    parallelism. On a real 100 TB lakehouse the scan itself is already
+    parallel and this helper becomes unnecessary."""
+    import os
+
+    size = os.path.getsize(f"{sf_dir}/{name}.parquet")
+    parts = max(4, min(spark.sparkContext.defaultParallelism, size // 262144 + 1))
+    return _t(spark, sf_dir, name).repartition(int(parts))
+
+
+def _dec(col: Column) -> Column:
+    return col.cast("decimal(18,6)")
+
+
+def _epoch(col: Column) -> Column:
+    # TIMESTAMP_NTZ columns (parquet isAdjustedToUTC=false) cannot cast
+    # straight to double; route via TimestampType (identity under UTC tz).
+    return F.floor(col.cast("timestamp").cast("double")).cast("bigint")
+
+
+# =====================================================================
+# Relational core (TPC-H-style)
+# =====================================================================
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter → hash aggregate. One shuffle on the
+    (tiny-cardinality) group key; decimal partial aggregation map-side."""
+    l = _t(spark, sf_dir, "lineitem").where("l_shipdate <= timestamp'1998-09-02 00:00:00'")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec(F.col("l_quantity"))).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(_dec(F.col("l_extendedprice"))).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(_dec(disc_price)).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(_dec(charge)).cast("double"), 2).alias("sum_charge"),
+            F.round(F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(_dec(F.col("l_discount"))).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round((sum(l_quantity::decimal(18,6)))::double, 2) AS sum_qty,
+       round((sum(l_extendedprice::decimal(18,6)))::double, 2) AS sum_base_price,
+       round((sum((l_extendedprice * (1 - l_discount))::decimal(18,6)))::double, 2) AS sum_disc_price,
+       round((sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::decimal(18,6)))::double, 2) AS sum_charge,
+       round((sum(l_quantity::decimal(18,6)))::double / count(*), 6) AS avg_qty,
+       round((sum(l_discount::decimal(18,6)))::double / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dim-filtered 3-way join → agg → top-k.
+
+    customer is broadcast (small side); lineitem↔orders shuffle on the
+    order key. Top-10 with a total order (revenue desc, orderkey asc).
+    """
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where("o_orderdate < timestamp'1999-01-01 00:00:00'")
+    l = _t(spark, sf_dir, "lineitem").where("l_shipdate > timestamp'1996-01-01 00:00:00'")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(_dec(revenue)).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", _epoch(F.col("o_orderdate")).alias("orderdate_epoch"))
+    )
+
+
+_Q3_ORACLE = """
+SELECT o_orderkey,
+       round((sum((l_extendedprice * (1 - l_discount))::decimal(18,6)))::double, 2) AS revenue,
+       floor(epoch(o_orderdate))::bigint AS orderdate_epoch
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join with three broadcast dims.
+
+    region/nation/supplier broadcast; the only real shuffles are
+    lineitem↔orders (order key) and the final tiny aggregate.
+    """
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        "o_orderdate >= timestamp'1996-01-01 00:00:00' AND o_orderdate < timestamp'1998-01-01 00:00:00'"
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(_dec(revenue)).cast("double"), 2).alias("revenue"))
+    )
+
+
+_Q5_ORACLE = """
+SELECT r_name, n_name,
+       round((sum((l_extendedprice * (1 - l_discount))::decimal(18,6)))::double, 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY r_name, n_name
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 spenders per market segment (dense_rank)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum(_dec(F.col("o_totalprice"))).cast("double"), 2).alias("spend")
+    )
+    joined = c.join(spend, F.col("c_custkey") == F.col("o_custkey"))
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("spend"), F.asc("c_custkey"))
+    return (
+        joined.withColumn("rnk", F.dense_rank().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("c_mktsegment", "rnk", "c_custkey", "spend")
+    )
+
+
+_TOP_CUSTOMERS_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, round((sum(o_totalprice::decimal(18,6)))::double, 2) AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_mktsegment,
+       dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY spend DESC, c_custkey ASC) AS rnk,
+       c_custkey, spend
+FROM customer JOIN spend ON c_custkey = o_custkey
+QUALIFY rnk <= 3
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — Catalyst's Expand operator; grand totals +
+    subtotals in one pass."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_dec(F.col("l_quantity"))).cast("double"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n,
+       round((sum(l_quantity::decimal(18,6)))::double, 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT in one tagged result."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("k"))
+    b = o.where(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("k"))
+    tag = lambda df, t: df.withColumn("op", F.lit(t))  # noqa: E731
+    return (
+        tag(a.union(b).distinct(), "union")
+        .unionByName(tag(a.intersect(b), "intersect"))
+        .unionByName(tag(a.exceptAll(b.distinct()).distinct(), "except"))
+        .select("op", "k")
+    )
+
+
+_SETOPS_ORACLE = """
+WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+     b AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT 'union' AS op, k FROM (SELECT k FROM a UNION SELECT k FROM b)
+UNION ALL
+SELECT 'intersect' AS op, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+UNION ALL
+SELECT 'except' AS op, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+"""
+
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi / left-anti joins (EXISTS / NOT EXISTS shape)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_with_orders"))
+    )
+    without = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_without"))
+    )
+    return (
+        with_orders.join(without, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce(F.col("n_with_orders"), F.lit(0)).alias("n_with_orders"),
+            F.coalesce(F.col("n_without"), F.lit(0)).alias("n_without"),
+        )
+    )
+
+
+_SEMI_ANTI_ORACLE = """
+WITH w AS (
+  SELECT c_mktsegment, count(*) AS n_with_orders
+  FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY c_mktsegment
+), wo AS (
+  SELECT c_mktsegment, count(*) AS n_without
+  FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY c_mktsegment
+)
+SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+       coalesce(n_with_orders, 0) AS n_with_orders,
+       coalesce(n_without, 0) AS n_without
+FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+"""
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: row_number, running sum, lag — one shuffle on
+    user_id shared by all three (same window frame partitioning)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.round(F.sum(_dec(F.col("value"))).over(wsum).cast("double"), 4).alias("running_value"),
+        F.coalesce(
+            _epoch(F.col("ts")) - _epoch(F.lag("ts").over(w)), F.lit(-1)
+        ).alias("gap_s"),
+    )
+
+
+_WINDOW_RUNNING_ORACLE = """
+SELECT event_id, user_id,
+       row_number() OVER w AS rn,
+       round((sum(value::decimal(18,6)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::double, 4) AS running_value,
+       coalesce(floor(epoch(ts))::bigint - floor(epoch(lag(ts) OVER w))::bigint, -1) AS gap_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) → per-session stats."""
+    e = _t(spark, sf_dir, "events")
+    return session_stats(e, "user_id", "ts", 30.0, order_tiebreak="event_id")
+
+
+_SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR (epoch(ts) - epoch(lag(ts) OVER w)) > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no,
+       count(*) AS n_events,
+       floor(epoch(min(ts)))::bigint AS start_epoch,
+       floor(epoch(max(ts)))::bigint AS end_epoch,
+       floor(epoch(max(ts)) - epoch(min(ts)))::bigint AS span_s
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+
+def q_minute_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship parity query — the reference demo's aggregation
+    (``test.sql:47-60``: pv, uv, sum/max/min per group per minute) over
+    the events table in batch mode."""
+    e = _t(spark, sf_dir, "events")
+    minute = F.floor(F.col("ts").cast("double") / 60).cast("bigint")
+    return (
+        e.groupBy(F.col("event_type").alias("dim"), minute.alias("window_start"))
+        .agg(
+            F.count("*").alias("pv"),
+            F.countDistinct("user_id").alias("uv"),
+            F.round(F.sum(_dec(F.col("value"))).cast("double"), 4).alias("sum_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+        )
+    )
+
+
+_MINUTE_AGG_ORACLE = """
+SELECT event_type AS dim,
+       floor(epoch(ts) / 60)::bigint AS window_start,
+       count(*) AS pv,
+       count(DISTINCT user_id) AS uv,
+       round((sum(value::decimal(18,6)))::double, 4) AS sum_value,
+       round(max(value), 4) AS max_value,
+       round(min(value), 4) AS min_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_scalar_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math scalar-function coverage — all whole-stage-codegen."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.col("p_name")).alias("name_upper"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.concat_ws("-", F.col("p_brand"), F.col("p_size").cast("string")).alias("brand_code"),
+        F.round(F.col("p_retailprice"), 1).alias("price_r"),
+        F.floor(F.col("p_retailprice") / 100).cast("bigint").alias("price_bucket"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.substring(F.col("p_type"), 1, 4).alias("type_head"),
+        F.when(F.col("p_size") > 25, 1).otherwise(0).alias("is_big"),
+        F.round(F.sqrt(F.col("p_size")), 6).alias("size_sqrt"),
+        F.round(F.log(F.col("p_retailprice")), 6).alias("price_ln"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.translate(F.col("p_type"), "AEIOU", "aeiou").alias("type_tr"),
+    )
+
+
+_SCALAR_ORACLE = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       length(p_name) AS name_len,
+       p_brand || '-' || p_size::varchar AS brand_code,
+       round(p_retailprice, 1) AS price_r,
+       floor(p_retailprice / 100)::bigint AS price_bucket,
+       p_size % 7 AS size_mod,
+       substr(p_type, 1, 4) AS type_head,
+       CASE WHEN p_size > 25 THEN 1 ELSE 0 END AS is_big,
+       round(sqrt(p_size), 6) AS size_sqrt,
+       round(ln(p_retailprice), 6) AS price_ln,
+       reverse(p_brand) AS brand_rev,
+       translate(p_type, 'AEIOU', 'aeiou') AS type_tr
+FROM part
+"""
+
+
+def q_json_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props payload + aggregation."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_high"),
+            F.round(F.sum("k") / F.count("*"), 6).alias("avg_k"),
+        )
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       sum(json_extract(props, '$.k')::int) AS sum_k,
+       sum(CASE WHEN json_extract(props, '$.k')::int > 50 THEN 1 ELSE 0 END) AS n_high,
+       round(sum(json_extract(props, '$.k')::int) / count(*), 6) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated-subquery shape: parts above their brand's average
+    price (broadcast the per-brand aggregate)."""
+    p = _t(spark, sf_dir, "part")
+    brand_avg = p.groupBy("p_brand").agg(
+        (F.sum(_dec(F.col("p_retailprice"))).cast("double") / F.count("*")).alias("brand_avg")
+    )
+    return (
+        p.join(F.broadcast(brand_avg), "p_brand")
+        .where(F.col("p_retailprice") > F.col("brand_avg"))
+        .select("p_partkey", "p_brand", "p_retailprice", F.round("brand_avg", 6).alias("brand_avg"))
+    )
+
+
+_ABOVE_AVG_ORACLE = """
+WITH b AS (
+  SELECT p_brand, (sum(p_retailprice::decimal(18,6)))::double / count(*) AS brand_avg
+  FROM part GROUP BY p_brand
+)
+SELECT p_partkey, part.p_brand, p_retailprice, round(brand_avg, 6) AS brand_avg
+FROM part JOIN b ON part.p_brand = b.p_brand
+WHERE p_retailprice > brand_avg
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event ← latest order of the same user at or
+    before the event time (union-sort formulation, one shuffle)."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("user_id", "o_orderdate").orderBy(F.desc("o_orderkey"))
+    o_dedup = o.withColumn("__rn", F.row_number().over(w)).where("__rn = 1").drop("__rn")
+    joined = asof_join(
+        e, o_dedup, on="user_id", left_time="ts", right_time="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        _epoch(F.col("ts")).alias("ts_epoch"),
+        F.coalesce(F.col("o_orderkey"), F.lit(-1)).alias("o_orderkey"),
+        F.round(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), 2).alias("o_totalprice"),
+    )
+
+
+_ASOF_ORACLE = """
+WITH o_dedup AS (
+  SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice
+  FROM orders
+  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1
+)
+SELECT e.event_id, e.user_id,
+       floor(epoch(e.ts))::bigint AS ts_epoch,
+       coalesce(o.o_orderkey, -1) AS o_orderkey,
+       round(coalesce(o.o_totalprice, 0.0), 2) AS o_totalprice
+FROM events e
+ASOF LEFT JOIN o_dedup o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+"""
+
+
+# =====================================================================
+# Text analysis (LLM-pipeline operators)
+# =====================================================================
+
+_TOKS_SQL = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')"
+_RAW_TOKS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+_NORM_SQL = f"array_to_string({_TOKS_SQL}, ' ')"
+_FP_SQL = f"('0x' || substr(md5({_NORM_SQL}), 1, 14))::bigint"
+_QUALITY_SQL = """
+round((0.4 * least(length(text) / 500.0, 1.0)
+ + 0.3 * (1.0 - least((length(regexp_replace(text, '[\\w\\s]', '', 'g'))::double
+                       / greatest(length(text), 1)) * 5, 1.0)))
+ + 0.3 * (CASE WHEN (list_sum(list_transform({raw_toks}, t -> length(t)))::double
+                    / greatest(len({raw_toks}), 1)) BETWEEN 3 AND 10
+          THEN 1.0 ELSE 0.5 END), 6)
+""".replace("{raw_toks}", _RAW_TOKS_SQL)
+
+_MARKER_SCORE_SQL = {
+    lang: f"len(list_filter({_TOKS_SQL}, t -> t IN ({', '.join(repr(m) for m in markers)})))"
+    for lang, markers in T.LANG_MARKERS
+}
+_BEST_SQL = "greatest(" + ", ".join(f"s_{lang}" for lang, _ in T.LANG_MARKERS) + ")"
+_LANG_PRED_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN s_{lang} = {_BEST_SQL} AND {_BEST_SQL} > 0 THEN '{lang}'"
+        for lang, _ in T.LANG_MARKERS
+    )
+    + " ELSE 'und' END"
+)
+_LANG_SCORES_SELECT = ", ".join(
+    f"{score} AS s_{lang}" for lang, score in _MARKER_SCORE_SQL.items()
+)
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics from the text-analysis family."""
+    d = T.with_text_stats(_tp(spark, sf_dir, "documents"))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("n_tokens_bpe").alias("sum_bpe"),
+        F.round(F.sum(_dec(F.col("quality"))).cast("double") / F.count("*"), 6).alias("avg_quality"),
+        F.sum(F.when(F.col("lang_pred") == F.col("lang"), 1).otherwise(0)).alias("n_pred_match"),
+        F.min("fingerprint").alias("min_fp"),
+        F.max("fingerprint").alias("max_fp"),
+    )
+
+
+_TEXT_STATS_ORACLE = f"""
+WITH enriched AS (
+  SELECT lang,
+         len({_TOKS_SQL}) AS n_tokens,
+         len(regexp_extract_all(text, '{T.BPE_ISH_PATTERN}')) AS n_tokens_bpe,
+         {_QUALITY_SQL} AS quality,
+         {_FP_SQL} AS fingerprint,
+         {_LANG_SCORES_SELECT}
+  FROM documents
+), pred AS (
+  SELECT *, {_LANG_PRED_SQL} AS lang_pred FROM enriched
+)
+SELECT lang,
+       count(*) AS n_docs,
+       sum(n_tokens) AS sum_tokens,
+       sum(n_tokens_bpe) AS sum_bpe,
+       round((sum(quality::decimal(18,6)))::double / count(*), 6) AS avg_quality,
+       sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS n_pred_match,
+       min(fingerprint) AS min_fp,
+       max(fingerprint) AS max_fp
+FROM pred
+GROUP BY lang
+"""
+
+
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality pre-filter: the standard cheap gate before expensive
+    pipeline stages — pure pushdown-friendly scan."""
+    d = T.with_text_stats(_tp(spark, sf_dir, "documents"))
+    return d.where(
+        (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 200) & (F.col("quality") >= 0.75)
+    ).select("doc_id", "n_tokens", "quality", "lang_pred")
+
+
+_TEXT_FILTER_ORACLE = f"""
+WITH enriched AS (
+  SELECT doc_id,
+         len({_TOKS_SQL}) AS n_tokens,
+         {_QUALITY_SQL} AS quality,
+         {_LANG_SCORES_SELECT}
+  FROM documents
+)
+SELECT doc_id, n_tokens, quality, {_LANG_PRED_SQL} AS lang_pred
+FROM enriched
+WHERE n_tokens BETWEEN 20 AND 200 AND quality >= 0.75
+"""
+
+
+# =====================================================================
+# Deduplication (LLM-pipeline operators)
+# =====================================================================
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint → survivors per source."""
+    d = _tp(spark, sf_dir, "documents")
+    return D.exact_dedup(d).groupBy("source").agg(F.count("*").alias("n_docs"))
+
+
+_DEDUP_EXACT_ORACLE = f"""
+WITH fp AS (SELECT doc_id, source, {_FP_SQL} AS f FROM documents),
+keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f)
+SELECT source, count(*) AS n_docs
+FROM fp JOIN keep USING (doc_id)
+GROUP BY source
+"""
+
+_SHINGLES_SQL = f"""
+SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+)
+"""
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs, verified Jaccard → histogram.
+
+    8 hashes × 4 bands; output is the candidate-pair Jaccard histogram
+    (bucket = floor(j·20)), which stays small at every scale.
+    """
+    pairs = D.minhash_dedup_pairs(
+        _tp(spark, sf_dir, "documents"), num_hashes=8, bands=4, ngram=3, threshold=0.0
+    )
+    return pairs.groupBy(
+        F.floor(F.col("jaccard") * 20).cast("bigint").alias("j_bucket")
+    ).agg(F.count("*").alias("n_pairs"))
+
+
+_DEDUP_MINHASH_ORACLE = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+sig AS (
+  SELECT doc_id, seed,
+         min(('0x' || substr(md5(seed::varchar || '|' || shingle), 1, 14))::bigint) AS mh
+  FROM sh, seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // 2 AS band,
+         string_agg(mh::varchar, '_' ORDER BY seed) AS bucket
+  FROM sig
+  GROUP BY doc_id, seed // 2
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+  WHERE l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+),
+jac AS (
+  SELECT a, b, round(n_inter / (za.sz + zb.sz - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes za ON za.doc_id = a
+  JOIN sizes zb ON zb.doc_id = b
+)
+SELECT floor(jaccard * 20)::bigint AS j_bucket, count(*) AS n_pairs
+FROM jac
+GROUP BY 1
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash buckets (fingerprint, member count, kept id)."""
+    return D.simhash_buckets(_tp(spark, sf_dir, "documents"))
+
+
+_DEDUP_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS tok FROM documents
+),
+bits AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN substr(md5(tok), i + 1, 1) IN ('8','9','a','b','c','d','e','f')
+                  THEN 1 ELSE -1 END) AS v
+  FROM toks, (SELECT unnest(generate_series(0, 15)) AS i)
+  GROUP BY doc_id, i
+),
+fps AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::bigint << i) ELSE 0 END)::bigint AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM fps GROUP BY simhash
+"""
+
+
+# =====================================================================
+# Similarity search (embeddings)
+# =====================================================================
+
+_DOT_SQL = (
+    "list_sum(list_transform(generate_series(1, 64),"
+    " i -> qv[i]::double * cv[i]::double))"
+)
+_NORM_Q_SQL = "sqrt(list_sum(list_transform(generate_series(1, 64), i -> qv[i]::double * qv[i]::double)))"
+_NORM_C_SQL = "sqrt(list_sum(list_transform(generate_series(1, 64), i -> cv[i]::double * cv[i]::double)))"
+
+
+def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for probe vectors (vec_id < 10), broadcast
+    probes — corpus is scanned once, zero corpus shuffle."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb.where("vec_id < 10"), emb, k=5).select(
+        "query_id", "rank", "neighbor_id", "sim"
+    )
+
+
+_KNN_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round({_DOT_SQL} / ({_NORM_Q_SQL} * {_NORM_C_SQL}), 6) AS sim
+  FROM c CROSS JOIN q
+  WHERE neighbor_id <> query_id
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,
+       neighbor_id, sim
+FROM scored
+QUALIFY rank <= 5
+"""
+
+_PLANES = 4
+_DIMS = 64
+_PLANE_SQL = (
+    "SELECT p, d,"
+    " ((('0x' || substr(md5('plane' || p::varchar || '_dim' || d::varchar), 1, 14))::bigint"
+    " % 1000000) / 1000000.0) - 0.5 AS coef"
+    " FROM (SELECT unnest(generate_series(0, 3)) AS p),"
+    " (SELECT unnest(generate_series(0, 63)) AS d)"
+)
+_SIG_SQL = """
+SELECT vec_id, sum(CASE WHEN proj >= 0 THEN (1::bigint << p) ELSE 0 END)::bigint AS bucket
+FROM (
+  SELECT e.vec_id, pl.p, sum(e.embedding[pl.d + 1]::double * pl.coef) AS proj
+  FROM embeddings e, planes pl
+  GROUP BY e.vec_id, pl.p
+)
+GROUP BY vec_id
+"""
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH (4 planes, 16
+    buckets): only same-bucket pairs scored."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    return S.lsh_ann_topk(
+        emb.where("vec_id < 10"), emb, k=5, num_planes=_PLANES, dims=_DIMS
+    ).select("query_id", "rank", "neighbor_id", "sim")
+
+
+_ANN_ORACLE = f"""
+WITH planes AS ({_PLANE_SQL}),
+sig AS ({_SIG_SQL}),
+q AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qv, s.bucket
+  FROM embeddings e JOIN sig s USING (vec_id) WHERE e.vec_id < 10
+),
+c AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding AS cv, s.bucket
+  FROM embeddings e JOIN sig s USING (vec_id)
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round({_DOT_SQL} / ({_NORM_Q_SQL} * {_NORM_C_SQL}), 6) AS sim
+  FROM c JOIN q USING (bucket)
+  WHERE neighbor_id <> query_id
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,
+       neighbor_id, sim
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def emb_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding statistics (count, mean norm) — array
+    aggregation via higher-order functions, one tiny shuffle."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    normsq = F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        emb.withColumn("normsq", normsq)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.sum(_dec(F.col("normsq"))).cast("double") / F.count("*"), 6).alias("avg_normsq"),
+        )
+    )
+
+
+_CENTROID_ORACLE = """
+SELECT label, count(*) AS n_vecs,
+       round((sum((list_sum(list_transform(generate_series(1, 64),
+              i -> embedding[i]::double * embedding[i]::double)))::decimal(18,6)))::double
+             / count(*), 6) AS avg_normsq
+FROM embeddings
+GROUP BY label
+"""
+
+
+# =====================================================================
+# Multimodal plumbing
+# =====================================================================
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → Arrow-batched ``mapInPandas`` feature extraction
+    (deterministic stub decoder); first feature value is oracle-checked
+    against the md5 of the payload."""
+    d = _tp(spark, sf_dir, "documents")
+    binary = MM.attach_binary(d)
+    feats = MM.extract_features(binary, dims=16)
+    return feats.select(
+        "id",
+        "mime",
+        "n_bytes",
+        F.size(F.col("feature")).alias("feat_dim"),
+        F.round(F.element_at(F.col("feature"), 1).cast("double"), 4).alias("feat_first"),
+    )
+
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id AS id,
+       'application/octet-stream' AS mime,
+       octet_length(text::blob) AS n_bytes,
+       16 AS feat_dim,
+       round((('0x' || substr(md5(text), 1, 2))::int / 255.0), 4) AS feat_first
+FROM documents
+"""
+
+
+# =====================================================================
+# Structured Streaming
+# =====================================================================
+
+def stream_minute_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference demo pipeline as a real Structured Streaming job:
+    file stream → event-time minute window aggregate → memory sink,
+    ``availableNow`` trigger (bounded, deterministic). Returns the final
+    complete-mode result — identical to the batch oracle."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # FileStreamSource requires a directory; expose the single parquet
+    # file through a temp dir symlink (testdata itself is read-only).
+    import os
+
+    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-src-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "5 seconds")
+    )
+    agg = (
+        sdf.groupBy(F.window("ts", "1 minute"), F.col("event_type").alias("dim"))
+        .agg(
+            F.count("*").alias("pv"),
+            F.approx_count_distinct("user_id").alias("uv_approx"),
+            F.round(F.sum(_dec(F.col("value"))).cast("double"), 4).alias("sum_value"),
+        )
+        .select(
+            F.floor(F.col("window.start").cast("double") / 60).cast("bigint").alias("window_start"),
+            "dim",
+            "pv",
+            "sum_value",
+        )
+    )
+    name = "fcs_stream_minute_agg"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-stream-"))
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name)
+
+
+_STREAM_ORACLE = """
+SELECT floor(epoch(ts) / 60)::bigint AS window_start,
+       event_type AS dim,
+       count(*) AS pv,
+       round((sum(value::decimal(18,6)))::double, 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# Registry
+# =====================================================================
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "q_top_customers": q_top_customers,
+    "q_rollup": q_rollup,
+    "q_setops": q_setops,
+    "q_semi_anti": q_semi_anti,
+    "q_window_running": q_window_running,
+    "q_sessionize": q_sessionize,
+    "q_minute_agg": q_minute_agg,
+    "q_scalar_gauntlet": q_scalar_gauntlet,
+    "q_json_kpis": q_json_kpis,
+    "q_above_brand_avg": q_above_brand_avg,
+    "q_asof_join": q_asof_join,
+    "text_stats": text_stats,
+    "text_quality_filter": text_quality_filter,
+    "dedup_exact": dedup_exact,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "knn_brute": knn_brute,
+    "ann_lsh": ann_lsh,
+    "emb_centroid_stats": emb_centroid_stats,
+    "multimodal_features": multimodal_features,
+    "stream_minute_agg": stream_minute_agg,
+}
+
+ORACLES = {
+    "q1_pricing_summary": _Q1_ORACLE,
+    "q3_shipping_priority": _Q3_ORACLE,
+    "q5_region_revenue": _Q5_ORACLE,
+    "q_top_customers": _TOP_CUSTOMERS_ORACLE,
+    "q_rollup": _ROLLUP_ORACLE,
+    "q_setops": _SETOPS_ORACLE,
+    "q_semi_anti": _SEMI_ANTI_ORACLE,
+    "q_window_running": _WINDOW_RUNNING_ORACLE,
+    "q_sessionize": _SESSIONIZE_ORACLE,
+    "q_minute_agg": _MINUTE_AGG_ORACLE,
+    "q_scalar_gauntlet": _SCALAR_ORACLE,
+    "q_json_kpis": _JSON_ORACLE,
+    "q_above_brand_avg": _ABOVE_AVG_ORACLE,
+    "q_asof_join": _ASOF_ORACLE,
+    "text_stats": _TEXT_STATS_ORACLE,
+    "text_quality_filter": _TEXT_FILTER_ORACLE,
+    "dedup_exact": _DEDUP_EXACT_ORACLE,
+    "dedup_minhash": _DEDUP_MINHASH_ORACLE,
+    "dedup_simhash": _DEDUP_SIMHASH_ORACLE,
+    "knn_brute": _KNN_ORACLE,
+    "ann_lsh": _ANN_ORACLE,
+    "emb_centroid_stats": _CENTROID_ORACLE,
+    "multimodal_features": _MULTIMODAL_ORACLE,
+    "stream_minute_agg": _STREAM_ORACLE,
+}

@@ -1,0 +1,224 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale design (the 100 TB posture, ``SURVEY.md §4.3``):
+
+- Everything is shuffle-based — no driver-side state, no collects.
+- Exact dedup is one hash-aggregate on a 56-bit fingerprint (map-side
+  partial aggregation applies).
+- MinHash-LSH shuffles by *band bucket*, so candidate generation is
+  linear in corpus size times band count; only same-bucket pairs are
+  materialized (classic banding bound on pair blow-up).
+- All hashes are md5-based and deterministic → reproducible runs and
+  SQL-oracle checkability (md5 exists in every engine).
+
+No Python UDFs: shingling, hashing and banding are array/higher-order
+functions executed JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from flink_commons_spark.operators.text import fingerprint, tokens
+
+
+# --------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per distinct (normalized) text.
+
+    One shuffle on the 56-bit fingerprint; at 100 TB this is the
+    cheapest possible exact pass (the fingerprint is 8 bytes vs the
+    full text as shuffle key).
+    """
+    fp = df.withColumn("__fp", fingerprint(F.col(text_col)))
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col)).drop("__fp")
+    return df.join(keep, id_col, "leftsemi")
+
+
+# ------------------------------------------------------------ shingles
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the lower-cased text."""
+    toks = tokens(F.lower(col))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(grams)
+
+
+def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3) -> DataFrame:
+    """(id, shingle) exploded distinct-shingle table."""
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+# ------------------------------------------------------------- minhash
+
+def _portable_hash(col: Column) -> Column:
+    """56-bit integer from md5 — identical in Spark and ANSI-ish SQL
+    (DuckDB: ``('0x' || substr(md5(x), 1, 14))::bigint``)."""
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("bigint")
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 8,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-doc MinHash signature: for seed s, ``min(h(s || shingle))``.
+
+    One hash-aggregate over the shingle table; partial (map-side) min
+    makes the shuffle carry only num_hashes bigints per doc.
+    """
+    aggs = [
+        F.min(_portable_hash(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidates(signatures: DataFrame, num_hashes: int = 8, bands: int = 4,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Banding: docs sharing any band bucket become candidate pairs.
+
+    Returns distinct (a, b) with a < b. The self-join shuffles on the
+    band-bucket key; bucket sizes are bounded by hash uniformity, so the
+    pair count stays near-linear for non-degenerate corpora — the reason
+    this survives 100 TB where all-pairs Jaccard cannot.
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}").cast("string")
+                 for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.concat_ws("_", *parts).alias("bucket"))
+        )
+    exploded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(right, ["band", "bucket"])
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------- jaccard
+
+def jaccard_pairs(candidates: DataFrame, shingles: DataFrame,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs.
+
+    ``|A∩B|`` via a join on the shingle value restricted to candidate
+    pairs, ``|A∪B| = |A| + |B| − |A∩B|``. All joins shuffle on doc id /
+    shingle — no pairwise set materialization on any single node.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
+    inter = (
+        candidates
+        .join(shingles.withColumnRenamed(id_col, "a"), "a")
+        .join(shingles.withColumnRenamed(id_col, "b"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnRenamed(id_col, "a").withColumnRenamed("sz", "sz_a"), "a")
+        .join(sizes.withColumnRenamed(id_col, "b").withColumnRenamed("sz", "sz_b"), "b")
+        .withColumn("jaccard",
+                    F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        num_hashes: int = 8, bands: int = 4, ngram: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline → verified pairs ≥ threshold.
+
+    The shingle table feeds four consumers (signatures + the a-side,
+    b-side and size legs of the Jaccard verify); persisting it trades
+    one materialization (spilling to disk when it outgrows memory) for
+    four recomputations of the shingling+hash pipeline — the difference
+    between one corpus pass and four at 100 TB.
+    """
+    from pyspark import StorageLevel
+
+    sh = shingle_table(df, text_col, id_col, ngram).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures(sh, num_hashes, id_col)
+    cand = lsh_candidates(sig, num_hashes, bands, id_col)
+    return jaccard_pairs(cand, sh, id_col).where(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------------------- simhash
+
+def simhash16(col: Column) -> Column:
+    """16-bit SimHash over distinct tokens, md5-bit voting.
+
+    Bit *i* of the fingerprint is the sign of ``Σ_tokens ±1`` where the
+    vote is the parity of hex digit *i* of ``md5(token)`` (≥'8' → +1).
+    Fully JVM-side via higher-order functions; deterministic and
+    SQL-expressible for oracle checks. Near-dup docs differ in few bits
+    (compare via Hamming distance on the fingerprints).
+    """
+    toks = F.array_distinct(tokens(F.lower(col)))
+
+    def vote_fn(i: int):
+        # factory, not a default-arg lambda: PySpark derives the
+        # higher-order-function arity from the lambda's parameter count
+        return lambda acc, t: acc + F.when(
+            F.substring(F.md5(t), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+            1,
+        ).otherwise(-1)
+
+    bits = []
+    for i in range(16):
+        votes = F.aggregate(toks, F.lit(0), vote_fn(i))
+        bits.append(F.when(votes > 0, F.lit(2 ** i)).otherwise(F.lit(0)))
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total.cast("bigint")
+
+
+def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) via the explode/aggregate formulation.
+
+    Unlike :func:`simhash16` (a single-column expression that re-hashes
+    every token once per bit), this computes ``md5(token)`` exactly once
+    per (doc, token) row and folds the 16 bit-votes in one hash
+    aggregate with map-side partial aggregation — the shape that scales:
+    shuffle payload is 16 ints per doc, all stages whole-stage-codegen.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("tok"),
+    )
+    hexed = toks.withColumn("h", F.md5("tok"))
+    votes = [
+        F.sum(
+            F.when(
+                F.substring("h", i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(16)
+    ]
+    per_doc = hexed.groupBy(id_col).agg(*votes)
+    fp = F.lit(0).cast("bigint")
+    for i in range(16):
+        fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+    return per_doc.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+
+
+def simhash_buckets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(fingerprint, member count, min id) — identical-fingerprint docs
+    are dedup groups; explode + two hash-aggregate shuffles."""
+    return (
+        simhash_table(df, text_col, id_col)
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )

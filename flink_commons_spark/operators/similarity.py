@@ -1,0 +1,231 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, mirroring how ANN is deployed on real clusters:
+
+- :func:`cosine_topk` — exact brute force. The query side is
+  ``broadcast()`` (it is small by construction: "find neighbors for
+  these probes"), so the corpus is scanned once with **zero shuffle of
+  the corpus**; per-query top-k is a window over (query, corpus-match)
+  rows. Linear in corpus size → fine at 100 TB when the probe set is
+  bounded.
+- :func:`lsh_ann_topk` — random-hyperplane LSH. Corpus and probes are
+  bucketed by sign-pattern; only same-bucket pairs are scored. The
+  hyperplanes are deterministic (md5-derived), so results are
+  reproducible and oracle-checkable. Sub-linear candidate sets at the
+  cost of recall — the scale path when the probe set is itself huge.
+
+Dot products / norms use ``zip_with`` + ``aggregate`` higher-order
+functions — JVM-evaluated, no Python in the row path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+_COSINE_BATCH = None
+
+
+def cosine_batch(a: Column, b: Column) -> Column:
+    """Arrow-vectorized cosine similarity over two array columns.
+
+    The hot path of every similarity operator: numpy einsum over the
+    whole Arrow batch (~10-100× the throughput of interpreted
+    higher-order-function evaluation, the alternative JVM-side encoding
+    for array math that whole-stage codegen cannot compile). Lazily
+    registered — ``pandas_udf`` needs an active SparkSession.
+    """
+    global _COSINE_BATCH
+    if _COSINE_BATCH is None:
+
+        @pandas_udf("double")
+        def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+            A = np.stack(a.to_numpy()).astype(np.float64)
+            B = np.stack(b.to_numpy()).astype(np.float64)
+            dots = np.einsum("ij,ij->i", A, B)
+            na = np.sqrt(np.einsum("ij,ij->i", A, A))
+            nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+            return pd.Series(dots / (na * nb))
+
+        _COSINE_BATCH = _cos
+    return _COSINE_BATCH(a, b)
+
+
+def plane_matrix(num_planes: int, dims: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes, identical values to
+    :func:`_plane_component` (md5-derived — reproducible in any engine)."""
+    return [
+        [
+            (int(hashlib.md5(f"plane{p}_dim{d}".encode()).hexdigest()[:14], 16) % 1000000)
+            / 1000000.0
+            - 0.5
+            for d in range(dims)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def lsh_bucket_udf(num_planes: int, dims: int):
+    """Vectorized sign-pattern bucketing: bit p = (v · plane_p) >= 0."""
+    planes = np.array(plane_matrix(num_planes, dims))
+    weights = np.array([2 ** p for p in range(num_planes)], dtype=np.int64)
+
+    @pandas_udf("bigint")
+    def _bucket(v: pd.Series) -> pd.Series:
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        proj = V @ planes.T  # (n, planes)
+        return pd.Series(((proj >= 0) @ weights).astype(np.int64))
+
+    return _bucket
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Returns (query_id, neighbor_id, sim, rank). Ties break on neighbor
+    id for full determinism. Self-matches are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_batch(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+# ----------------------------------------------------------------- LSH
+
+def _plane_component(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane coefficient in [-0.5, 0.5):
+    md5-derived, identical in any engine with md5 + hex→int."""
+    h = F.conv(F.substring(F.md5(F.lit(f"plane{plane}_dim{dim}")), 1, 14), 16, 10).cast("bigint")
+    return ((h % 1000000) / F.lit(1000000.0)) - 0.5
+
+
+def lsh_signature(vec: Column, num_planes: int, dims: int) -> Column:
+    """Sign-pattern bucket id: bit p = (v · plane_p) >= 0."""
+    sig = F.lit(0).cast("bigint")
+    for p in range(num_planes):
+        proj = F.lit(0.0)
+        for d in range(dims):
+            proj = proj + F.element_at(vec, d + 1).cast("double") * _plane_component(p, d)
+        sig = sig + F.when(proj >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    num_planes: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only same-LSH-bucket pairs.
+
+    The bucket join shuffles both sides on the signature (2^num_planes
+    buckets); per-bucket work is |q_bucket|·|c_bucket|. Recall rises
+    with fewer planes (bigger buckets) — num_planes is the knob.
+    """
+    bucket = lsh_bucket_udf(num_planes, dims)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+    scored = (
+        c.join(q, "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_batch(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing.
+
+    (a, b, sim) with a < b and sim ≥ threshold; only same-bucket pairs
+    are scored, so the pair count stays near-linear.
+    """
+    bucket = lsh_bucket_udf(num_planes, dims)
+    sigd = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+    left = sigd.select(F.col(id_col).alias("a"), F.col("v").alias("va"), "bucket")
+    right = sigd.select(F.col(id_col).alias("b"), F.col("v").alias("vb"), "bucket")
+    return (
+        left.join(right, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cosine_batch(F.col("va"), F.col("vb")), 6).alias("sim"))
+        .where(F.col("sim") >= threshold)
+        .select("a", "b", "sim")
+        .distinct()
+    )

@@ -1,0 +1,149 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are built from JVM-side ``pyspark.sql.functions`` only —
+no Python UDFs in the hot path — so they run inside whole-stage codegen
+and scale linearly with executor count. Each is a narrow map (no
+shuffle) unless documented otherwise.
+
+These extend the reference engine's surface (the reference delegates all
+row-level computation to Flink SQL, ``SURVEY.md §2.5``); they are the
+north-star LLM-data operators (``SURVEY.md §7.1`` step 7).
+
+Determinism: every derived value is a pure function of the input text
+(hashes are md5-based), so results are reproducible and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Tiny built-in stopword marker sets for the language-ID heuristic.
+#: Ordered — ties break toward the earlier entry (deterministic argmax).
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "of", "and", "is"]),
+    ("de", ["der", "die", "das", "und", "ist"]),
+    ("es", ["el", "la", "los", "que", "es"]),
+    ("fr", ["le", "la", "les", "et", "est"]),
+    ("zh", ["的", "是", "了", "在", "和"]),
+]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization, empty tokens dropped (codegen'd)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+#: letter-runs, digit-runs, single punctuation — a cheap deterministic
+#: proxy for BPE segment counts; RE2-compatible (no lookarounds) so the
+#: same pattern runs in any oracle engine.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^\w\s]"
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count via :data:`BPE_ISH_PATTERN` matches."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are not word chars or whitespace."""
+    stripped = F.regexp_replace(col, r"[\w\s]", "")
+    return F.length(stripped) / F.greatest(F.length(col), F.lit(1))
+
+
+def _isin_pred(words: list[str]):
+    """Single-arg lambda factory — PySpark counts lambda parameters to
+    pick the higher-order-function arity, so default-arg captures are
+    not allowed."""
+    return lambda t: t.isin(*words)
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (English, by default) stopwords."""
+    words = stopwords if stopwords is not None else LANG_MARKERS[0][1]
+    toks = tokens(F.lower(col))
+    hits = F.size(F.filter(toks, _isin_pred(words)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def avg_word_length(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite document-quality score in [0, 1].
+
+    Deterministic blend of length, punctuation and mean-word-length
+    signals (the standard cheap pre-filter in training-data pipelines).
+    Weights are fixed so the score is stable across releases.
+    """
+    length_term = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 5, F.lit(1.0))
+    awl = avg_word_length(col)
+    word_term = F.when((awl >= 3) & (awl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(0.4 * length_term + 0.3 * punct_term + 0.3 * word_term, 6)
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic 56-bit document fingerprint.
+
+    md5 over the whitespace-normalized, lower-cased text, folded to a
+    bigint — collision-safe enough for dedup bucketing at 100 TB scale
+    (~2^28 docs before birthday-bound collisions matter; use the full
+    md5 hex from :func:`fingerprint_hex` when that is not enough).
+    """
+    normalized = F.concat_ws(" ", tokens(F.lower(col)))
+    return F.conv(F.substring(F.md5(normalized), 1, 14), 16, 10).cast("bigint")
+
+
+def fingerprint_hex(col: Column) -> Column:
+    normalized = F.concat_ws(" ", tokens(F.lower(col)))
+    return F.md5(normalized)
+
+
+def lang_scores(col: Column) -> list[tuple[str, Column]]:
+    """Marker-token hit count per language (the classic stopword vote)."""
+    toks = tokens(F.lower(col))
+    out = []
+    for lang, markers in LANG_MARKERS:
+        out.append((lang, F.size(F.filter(toks, _isin_pred(markers)))))
+    return out
+
+
+def detect_language(col: Column) -> Column:
+    """Predicted language = argmax marker-hit count, ties → earlier
+    entry in :data:`LANG_MARKERS`; 'und' when no marker matches."""
+    scores = lang_scores(col)
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    # build argmax right-to-left so earlier languages win ties
+    for lang, score in reversed(scores):
+        result = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(result)
+    return result
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis column family (narrow map, no shuffle)."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(c))
+        .withColumn("n_tokens_bpe", bpe_ish_token_count(c))
+        .withColumn("punct_ratio", F.round(punct_ratio(c), 6))
+        .withColumn("stopword_ratio", F.round(stopword_ratio(c), 6))
+        .withColumn("avg_word_len", F.round(avg_word_length(c), 6))
+        .withColumn("quality", quality_score(c))
+        .withColumn("fingerprint", fingerprint(c))
+        .withColumn("lang_pred", detect_language(c))
+    )

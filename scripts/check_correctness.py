@@ -1,0 +1,107 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given scale factor, then compares row count, column
+names, and order-insensitive value multiset. Usage::
+
+    python scripts/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(rows, colnames):
+    out = []
+    for row in rows:
+        vals = []
+        for name in sorted(colnames):
+            v = row[name]
+            if isinstance(v, float):
+                v = round(v, 6)
+                if v == -0.0:
+                    v = 0.0
+            vals.append(repr(v))
+        out.append("|".join(vals))
+    return sorted(out)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import duckdb
+    import __spark_entry__ as entrymod
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("check-correctness")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [r.asDict() for r in sdf.collect()]
+        except Exception as exc:
+            print(f"FAIL {name}: spark error: {exc}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows={len(srows)} (no oracle, rows-only)")
+            continue
+        try:
+            ores = con.execute(oracles[name])
+            ocols = [d[0] for d in ores.description]
+            orows = [dict(zip(ocols, row)) for row in ores.fetchall()]
+        except Exception as exc:
+            print(f"FAIL {name}: duckdb error: {exc}")
+            failures.append(name)
+            continue
+        dt = time.time() - t0
+        if sorted(scols) != sorted(ocols):
+            print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(ocols)}")
+            failures.append(name)
+            continue
+        if len(srows) != len(orows):
+            print(f"FAIL {name}: rowcount {len(srows)} vs {len(orows)}")
+            failures.append(name)
+            continue
+        sn = normalize(srows, scols)
+        on = normalize(orows, ocols)
+        if sn != on:
+            diff = [(a, b) for a, b in zip(sn, on) if a != b][:3]
+            print(f"FAIL {name}: value mismatch ({len([1 for a,b in zip(sn,on) if a!=b])} rows); first: ")
+            for a, b in diff:
+                print(f"   spark:  {a}\n   oracle: {b}")
+            failures.append(name)
+            continue
+        print(f"PASS {name}: rows={len(srows)} ({dt:.1f}s)")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,180 @@
+"""Operator-level tests on constructed micro-datasets with known answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from flink_commons_spark.operators import dedup as D
+from flink_commons_spark.operators import multimodal as MM
+from flink_commons_spark.operators import similarity as S
+from flink_commons_spark.operators import text as T
+from flink_commons_spark.operators.asof import asof_join
+from flink_commons_spark.operators.sessionize import session_stats, sessionize
+
+
+# ----------------------------------------------------------------- text
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("  the quick  brown fox  ",), ("", ), ("one",)], ["text"])
+    got = df.select(T.token_count(F.col("text")).alias("n")).collect()
+    assert [r.n for r in got] == [4, 0, 1]
+
+
+def test_bpe_ish_count(spark):
+    df = spark.createDataFrame([("ab3,cd",)], ["text"])
+    assert df.select(T.bpe_ish_token_count(F.col("text")).alias("n")).first().n == 4
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame([("The  Quick Fox",), ("the quick   fox",)], ["text"])
+    fps = [r.f for r in df.select(T.fingerprint(F.col("text")).alias("f")).collect()]
+    assert fps[0] == fps[1] > 0
+
+
+def test_detect_language(spark):
+    df = spark.createDataFrame(
+        [("the cat is on a mat",), ("der hund und die katze ist",), ("xyzzy qwerty",)],
+        ["text"],
+    )
+    got = [r.l for r in df.select(T.detect_language(F.col("text")).alias("l")).collect()]
+    assert got == ["en", "de", "und"]
+
+
+def test_quality_score_range(spark):
+    df = spark.createDataFrame([("a reasonable document with several words",), ("!!!???",)], ["text"])
+    rows = df.select(T.quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in rows)
+    assert rows[0].q > rows[1].q
+
+
+# ---------------------------------------------------------------- dedup
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")], ["doc_id", "text"]
+    )
+    kept = sorted(r.doc_id for r in D.exact_dedup(df).collect())
+    assert kept == [1, 3]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], ["text"])
+    got = df.select(D.word_shingles(F.col("text"), 3).alias("s")).first().s
+    assert got == ["a b c", "b c d"]
+
+
+def test_minhash_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    near = base.replace("tonight", "today")
+    far = "completely unrelated text about spark dataframes and shuffles here now"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    pairs = D.minhash_dedup_pairs(df, threshold=0.5).collect()
+    assert [(p.a, p.b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard > 0.5
+
+
+def test_simhash_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "ALPHA  beta GAMMA"), (3, "x1 y2 z3 w4 v5 u6")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r.simhash for r in D.simhash_table(df).collect()}
+    assert rows[1] == rows[2]
+    assert 0 <= rows[1] < 2 ** 16
+    assert rows[1] != rows[3]
+
+
+# ----------------------------------------------------------- similarity
+
+def test_cosine_topk_identical_vector_first(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[2.0, 0.0, 0.0]),   # same direction as 0
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[0.9, 0.1, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    top = S.cosine_topk(df.where("vec_id = 0"), df, k=2).orderBy("rank").collect()
+    assert top[0].neighbor_id == 1 and abs(top[0].sim - 1.0) < 1e-6
+    assert top[1].neighbor_id == 3
+
+
+def test_lsh_bucket_deterministic(spark):
+    rows = [Row(vec_id=i, embedding=[float(i + j) for j in range(8)]) for i in range(4)]
+    df = spark.createDataFrame(rows)
+    b = S.lsh_bucket_udf(3, 8)
+    got1 = [r.b for r in df.select(b(F.col("embedding")).alias("b")).collect()]
+    got2 = [r.b for r in df.select(b(F.col("embedding")).alias("b")).collect()]
+    assert got1 == got2
+    assert all(0 <= x < 8 for x in got1)
+
+
+def test_plane_matrix_matches_column_formula(spark):
+    mat = S.plane_matrix(2, 3)
+    df = spark.range(1)
+    cols = [S._plane_component(p, d).alias(f"c{p}_{d}") for p in range(2) for d in range(3)]
+    row = df.select(*cols).first()
+    flat = [row[f"c{p}_{d}"] for p in range(2) for d in range(3)]
+    expected = [mat[p][d] for p in range(2) for d in range(3)]
+    assert flat == pytest.approx(expected, abs=1e-12)
+
+
+# ----------------------------------------------------------------- asof
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 205, 20.0), (2, 50, 30.0)], ["k", "t", "x"]
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "x")
+    right = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (2, 60, "c")], ["k", "rt", "payload"]
+    ).select("k", F.col("rt").cast("timestamp").alias("rt"), "payload")
+    out = asof_join(left, right, on="k", left_time="t", right_time="rt",
+                    payload=["payload"]).orderBy("k", "t").collect()
+    # t=100 matches rt=100 (inclusive); t=205 matches rt=200; t=50 has no match
+    assert [r.payload for r in out] == ["a", "b", None]
+
+
+# ------------------------------------------------------------ sessions
+
+def test_sessionize_gap_splits(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (1, 60), (1, 4000), (2, 0)], ["user_id", "sec"]
+    ).select("user_id", F.col("sec").cast("timestamp").alias("ts"))
+    s = sessionize(df, gap_minutes=30.0).orderBy("user_id", "ts").collect()
+    assert [r.session_no for r in s] == [1, 1, 2, 1]
+    stats = session_stats(df, gap_minutes=30.0).orderBy("user_id", "session_no").collect()
+    assert [(r.user_id, r.session_no, r.n_events, r.span_s) for r in stats] == [
+        (1, 1, 2, 60), (1, 2, 1, 0), (2, 1, 1, 0)
+    ]
+
+
+# ----------------------------------------------------------- multimodal
+
+def test_multimodal_feature_shape_and_determinism(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, "world")], ["doc_id", "text"])
+    binary = MM.attach_binary(df)
+    feats = MM.extract_features(binary, dims=16)
+    rows = {r.id: r for r in feats.collect()}
+    assert rows[1].n_bytes == 5
+    assert len(rows[1].feature) == 16
+    assert all(0.0 <= f <= 1.0 for f in rows[1].feature)
+    # deterministic across runs
+    again = {r.id: r.feature for r in MM.extract_features(binary, dims=16).collect()}
+    assert again[1] == rows[1].feature and again[2] == rows[2].feature
+
+
+def test_multimodal_decode_stub_raises(spark):
+    df = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
+    feats = MM.extract_features(MM.attach_binary(df), dims=4, decode_stub=False)
+    with pytest.raises(Exception, match="NotImplementedError|real codecs"):
+        feats.collect()
+
+
+def test_frame_sample_fanout(spark):
+    df = spark.createDataFrame([(1, "0123456789abcdefghij")], ["doc_id", "text"])
+    frames = MM.frame_sample(MM.attach_binary(df), every_n=10).collect()
+    assert len(frames) == 2
+    assert sorted(f.frame_no for f in frames) == [0, 1]
