@@ -44,6 +44,11 @@ HEADLINE = [
     "emb_centroid_stats",
     "multimodal_features",
     "stream_minute_agg",
+    "stream_exact_uv",
+    "stream_sessions",
+    "dedup_embedding",
+    "text_top_terms",
+    "q_cube",
 ]
 
 

@@ -946,6 +946,227 @@ GROUP BY 1, 2
 """
 
 
+def stream_exact_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT streaming COUNT(DISTINCT) — the reference's key streaming
+    semantic (``test.sql:51``, ``SURVEY.md §7.4`` hard part #1).
+
+    Two chained stateful operators (Spark 4): window-scoped
+    ``dropDuplicatesWithinWatermark`` then a windowed count, update mode
+    into a keyed upsert sink (last-update-wins — the foreachBatch body
+    is what a production pipeline points at an idempotent MERGE sink;
+    the local dict stands in for it at test scale). Matches the batch
+    exact distinct bit-for-bit.
+    """
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-uv-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    from flink_commons_spark.streaming.distinct import windowed_exact_distinct
+
+    agg = windowed_exact_distinct(
+        sdf, "ts", "1 minute", ["event_type"], "user_id", "5 seconds"
+    )
+    state: dict = {}
+
+    def upsert(bdf: DataFrame, epoch_id: int) -> None:
+        for r in bdf.collect():
+            state[(r.window_start, r.event_type)] = r.uv
+
+    query = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-uv-"))
+        .start()
+    )
+    query.awaitTermination(300)
+    rows = [
+        (int(ws.timestamp() // 60), dim, int(uv)) for (ws, dim), uv in state.items()
+    ]
+    return spark.createDataFrame(rows, "window_start bigint, dim string, uv bigint")
+
+
+_STREAM_UV_ORACLE = """
+SELECT floor(epoch(ts) / 60)::bigint AS window_start,
+       event_type AS dim,
+       count(DISTINCT user_id) AS uv
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap sessions via native ``session_window`` (30-min
+    gap), update mode + upsert sink; equivalent to the batch
+    sessionization oracle (same gap semantics)."""
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-sess-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    from flink_commons_spark.streaming.sessions import session_window_agg
+
+    agg = session_window_agg(sdf, "ts", ["user_id"], gap="30 minutes",
+                             watermark_delay="5 seconds")
+    name = "fcs_stream_sessions"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-sess-"))
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id",
+        _epoch(F.col("session_start")).alias("start_epoch"),
+        _epoch(F.col("session_end")).alias("end_epoch"),
+        "n_events",
+    )
+
+
+_STREAM_SESSIONS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR (epoch(ts) - epoch(lag(ts) OVER w)) > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged
+)
+-- append mode only emits sessions closed by the final watermark
+-- (max event time - 5 s); open tail sessions stay in state
+SELECT user_id,
+       floor(epoch(min(ts)))::bigint AS start_epoch,
+       floor(epoch(max(ts)))::bigint + 1800 AS end_epoch,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_no
+HAVING (epoch(max(ts)) + 1800) <= (SELECT epoch(max(ts)) - 5 FROM events)
+"""
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup scan: LSH-bucketed (6 planes) pair
+    similarities → histogram (bucket = floor(sim·10))."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    pairs = S.embedding_near_dup_pairs(emb, threshold=-1.0, num_planes=6, dims=64)
+    return pairs.groupBy(
+        F.floor(F.col("sim") * 10).cast("bigint").alias("sim_bucket")
+    ).agg(F.count("*").alias("n_pairs"))
+
+
+_PLANE6_SQL = (
+    "SELECT p, d,"
+    " ((('0x' || substr(md5('plane' || p::varchar || '_dim' || d::varchar), 1, 14))::bigint"
+    " % 1000000) / 1000000.0) - 0.5 AS coef"
+    " FROM (SELECT unnest(generate_series(0, 5)) AS p),"
+    " (SELECT unnest(generate_series(0, 63)) AS d)"
+)
+
+_DEDUP_EMB_ORACLE = f"""
+WITH planes AS ({_PLANE6_SQL}),
+sig AS (
+SELECT vec_id, sum(CASE WHEN proj >= 0 THEN (1::bigint << p) ELSE 0 END)::bigint AS bucket
+FROM (
+  SELECT e.vec_id, pl.p, sum(e.embedding[pl.d + 1]::double * pl.coef) AS proj
+  FROM embeddings e, planes pl
+  GROUP BY e.vec_id, pl.p
+)
+GROUP BY vec_id
+),
+l AS (SELECT e.vec_id AS a, e.embedding AS qv, s.bucket FROM embeddings e JOIN sig s USING (vec_id)),
+r AS (SELECT e.vec_id AS b, e.embedding AS cv, s.bucket FROM embeddings e JOIN sig s USING (vec_id)),
+pairs AS (
+  SELECT a, b, round({_DOT_SQL} / ({_NORM_Q_SQL} * {_NORM_C_SQL}), 6) AS sim
+  FROM l JOIN r USING (bucket)
+  WHERE a < b
+)
+SELECT floor(sim * 10)::bigint AS sim_bucket, count(*) AS n_pairs
+FROM (SELECT DISTINCT a, b, sim FROM pairs)
+GROUP BY 1
+"""
+
+
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tokens per language by document frequency (explode → count
+    → ranking window; ties broken lexicographically)."""
+    d = _tp(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.array_distinct(T.tokens(F.lower(F.col("text"))))).alias("tok")
+    )
+    counts = toks.groupBy("lang", "tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("lang").orderBy(F.desc("df"), F.asc("tok"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("lang", "rnk", "tok", "df")
+    )
+
+
+_TOP_TERMS_ORACLE = f"""
+WITH toks AS (
+  SELECT lang, unnest(list_distinct({_TOKS_SQL})) AS tok FROM documents
+), counts AS (
+  SELECT lang, tok, count(*) AS df FROM toks GROUP BY lang, tok
+)
+SELECT lang,
+       row_number() OVER (PARTITION BY lang ORDER BY df DESC, tok ASC) AS rnk,
+       tok, df
+FROM counts
+QUALIFY rnk <= 5
+"""
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over orders: all status × priority subtotal
+    combinations in one Expand pass."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_dec(F.col("o_totalprice"))).cast("double"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+_CUBE_ORACLE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n,
+       round((sum(o_totalprice::decimal(18,6)))::double, 2) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -975,6 +1196,11 @@ QUERIES = {
     "emb_centroid_stats": emb_centroid_stats,
     "multimodal_features": multimodal_features,
     "stream_minute_agg": stream_minute_agg,
+    "stream_exact_uv": stream_exact_uv,
+    "stream_sessions": stream_sessions,
+    "dedup_embedding": dedup_embedding,
+    "text_top_terms": text_top_terms,
+    "q_cube": q_cube,
 }
 
 ORACLES = {
@@ -1002,4 +1228,9 @@ ORACLES = {
     "emb_centroid_stats": _CENTROID_ORACLE,
     "multimodal_features": _MULTIMODAL_ORACLE,
     "stream_minute_agg": _STREAM_ORACLE,
+    "stream_exact_uv": _STREAM_UV_ORACLE,
+    "stream_sessions": _STREAM_SESSIONS_ORACLE,
+    "dedup_embedding": _DEDUP_EMB_ORACLE,
+    "text_top_terms": _TOP_TERMS_ORACLE,
+    "q_cube": _CUBE_ORACLE,
 }
