@@ -171,9 +171,13 @@ class SqlSubmitAction(Action):
             try:
                 df = connectors.build_source(spark, spec, streaming=self.config.is_streaming)
                 df.createOrReplaceTempView(spec.name)
-            except Exception:
+            except Exception as exc:
                 if spec.connector in connectors.SINK_CONNECTORS:
-                    log.info("Table %s registered as sink-only (source read failed)", spec.name)
+                    # e.g. a filesystem sink whose path doesn't exist yet
+                    log.warning(
+                        "Table %s registered as sink-only; source read failed: %s",
+                        spec.name, exc,
+                    )
                 else:
                     raise
 

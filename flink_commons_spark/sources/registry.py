@@ -74,24 +74,68 @@ def build_source(spark: SparkSession, spec: TableSpec, streaming: bool) -> DataF
     return _apply_schema_extras(base, spec)
 
 
+def _ns_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark cannot read
+    them natively (Flink can), so the connector downgrades them to
+    microseconds for dialect parity."""
+    try:
+        import glob
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        f = path if os.path.isfile(path) else next(
+            iter(sorted(glob.glob(os.path.join(path, "*.parquet")))), None
+        )
+        if not f:
+            return []
+        schema = pq.ParquetFile(f).schema_arrow
+        return [
+            field.name
+            for field in schema
+            if pa.types.is_timestamp(field.type) and field.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
 def _filesystem_source(spark: SparkSession, spec: TableSpec, streaming: bool) -> DataFrame:
     path = spec.options.get("path")
     if not path:
         raise ConnectorError(f"filesystem table {spec.name!r} requires a 'path' option")
     fmt = spec.options.get("format", "parquet")
+    ns_cols = _ns_timestamp_cols(path) if fmt == "parquet" else []
+    if ns_cols:
+        # read NANOS as long, then truncate to microsecond timestamps
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def declared_schema() -> str:
+        # ns-timestamp columns must be read as bigint then converted
+        return ", ".join(
+            f"{name} bigint" if name in ns_cols else f"{name} {typ}"
+            for name, typ in spec.columns
+        )
+
     if streaming:
         reader = spark.readStream.format(fmt)
         if spec.columns:
-            reader = reader.schema(spec.schema_ddl)
-        elif fmt != "parquet":
+            reader = reader.schema(declared_schema())
+        elif fmt == "parquet":
+            reader = reader.schema(spark.read.format(fmt).load(path).schema)
+        else:
             raise ConnectorError("streaming filesystem source requires a declared schema")
-        return reader.load(path)
-    reader = spark.read.format(fmt)
-    if spec.columns:
-        reader = reader.schema(spec.schema_ddl)
-    if fmt == "csv":
-        reader = reader.option("header", spec.options.get("csv.include-header", "false"))
-    return reader.load(path)
+        df = reader.load(path)
+    else:
+        reader = spark.read.format(fmt)
+        if spec.columns:
+            reader = reader.schema(declared_schema())
+        if fmt == "csv":
+            reader = reader.option("header", spec.options.get("csv.include-header", "false"))
+        df = reader.load(path)
+    for c in ns_cols:
+        if not spec.columns or any(name == c for name, _ in spec.columns):
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
 
 
 def print_batch(df: DataFrame, identifier: str | None) -> None:

@@ -1,0 +1,58 @@
+"""Golden end-to-end tests: the queries/ scripts run through the real
+sql-submit action (the runner is the harness, SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+from pathlib import Path
+
+import pytest
+
+from flink_commons_spark.actions.sql_submit import SqlSubmitAction
+
+QUERIES_DIR = Path(__file__).resolve().parent.parent / "queries"
+
+
+def test_tpch_batch_script(spark, capsys):
+    action = SqlSubmitAction(
+        str(QUERIES_DIR / "tpch_batch.sql"),
+        {"data": "/root/testdata/sf0.001"},
+        spark=spark,
+    )
+    action.run()
+    out = capsys.readouterr().out
+    # Q1 output: 6 (returnflag, linestatus) groups present
+    for flag, status in [("A", "F"), ("N", "O"), ("R", "F")]:
+        assert f"|{flag}" in out and f"|{status}" in out
+    # top-customers output: 5 data rows
+    assert out.count("Customer#") == 5
+
+
+def test_events_etl_script(spark, tmp_path):
+    action = SqlSubmitAction(
+        str(QUERIES_DIR / "events_to_parquet.sql"),
+        {"src": "/root/testdata/sf0.001", "out": str(tmp_path)},
+        spark=spark,
+    )
+    action.run()
+    result = spark.read.parquet(str(tmp_path / "event_stats"))
+    rows = {r.event_type: r.n for r in result.collect()}
+    assert sum(rows.values()) == 1000  # sf0.001 events row count
+    assert set(rows) == {"click", "error", "purchase", "signup", "view"}
+
+
+@pytest.mark.slow
+def test_demo_stream_script(spark):
+    """The reference demo port: run bounded (short timeout) and check
+    the print sink emitted ORDER_STAT rows."""
+    action = SqlSubmitAction(
+        str(QUERIES_DIR / "demo_stream.sql"),
+        spark=spark,
+        stream_timeout_s=25.0,
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        action.run()
+    out = buf.getvalue()
+    assert "ORDER_STAT> +I[" in out
