@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_embedding",
     "text_top_terms",
     "q_cube",
+    "text_sql_udfs",
 ]
 
 

@@ -94,6 +94,9 @@ class SqlSubmitAction(Action):
             statements = load_statements_from_text(self.sql_text, self.variables, self.strict_compat)
 
         spark = self._get_spark()
+        from flink_commons_spark.functions.registry import register_all
+
+        register_all(spark)  # fcs_* SQL UDFs available to every script
         for stype, stmt in statements:
             log.info("Executing [%s]: %s", stype.type_name, stmt)
             try:
@@ -347,7 +350,16 @@ class SqlSubmitActionFactory(ActionFactory):
     def create(self, params: MultiParams) -> SqlSubmitAction:
         sql_file = params.get_required("sql-file")  # ActionFactory.java:81-84
         variables = params.optional_config_map("var")
-        return SqlSubmitAction(sql_file, variables)
+        strict = params.has("strict-compat") and params.get("strict-compat") in (None, "true", "1")
+        timeout = params.get("stream-timeout")
+        timeout_s = None
+        if timeout:
+            from flink_commons_spark.conf import parse_duration_seconds
+
+            timeout_s = parse_duration_seconds(timeout)
+        return SqlSubmitAction(
+            sql_file, variables, strict_compat=strict, stream_timeout_s=timeout_s
+        )
 
     def show_help(self) -> None:
         print(
@@ -357,8 +369,11 @@ class SqlSubmitActionFactory(ActionFactory):
             "  python -m flink_commons_spark sql-submit --sql-file <path> "
             "[--var k1=v1 [--var k2=v2 ...]]\n\n"
             "Options:\n"
-            "  --sql-file   local path, file:// or hdfs:// URI of the SQL script\n"
-            "  --var        ${name} template bindings, repeatable\n"
+            "  --sql-file        local path, file:// or hdfs:// URI of the SQL script\n"
+            "  --var             ${name} template bindings, repeatable\n"
+            "  --strict-compat   replicate the reference front-end's quirks\n"
+            "                    (first-';' cut, '--' stripped inside strings)\n"
+            "  --stream-timeout  bound streaming queries, e.g. 30s (default: wait)\n"
         )
 
 

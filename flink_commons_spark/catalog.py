@@ -1138,6 +1138,52 @@ QUALIFY rnk <= 5
 """
 
 
+def text_sql_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-UDF surface (``fcs_*`` functions, available to every
+    sql-submit script) driven through ``spark.sql`` and oracle-checked —
+    proof that the function registry computes the same values as the
+    DataFrame operators."""
+    from flink_commons_spark.functions.registry import register_all
+
+    register_all(spark)
+    _tp(spark, sf_dir, "documents").createOrReplaceTempView("fcs_docs")
+    return spark.sql(
+        """
+        SELECT lang,
+               sum(fcs_token_count(text)) AS sum_tokens,
+               sum(fcs_bpe_token_count(text)) AS sum_bpe,
+               min(fcs_fingerprint(text)) AS min_fp,
+               round(sum(cast(fcs_quality(text) as decimal(18,6))) / count(*), 6) AS avg_quality,
+               sum(CASE WHEN fcs_lang_id(text) = lang THEN 1 ELSE 0 END) AS n_pred_match
+        FROM fcs_docs
+        GROUP BY lang
+        """
+    ).withColumn("avg_quality", F.col("avg_quality").cast("double"))
+
+
+_TEXT_SQL_UDFS_ORACLE = f"""
+WITH enriched AS (
+  SELECT lang,
+         len({_TOKS_SQL}) AS n_tokens,
+         len(regexp_extract_all(text, '{T.BPE_ISH_PATTERN}')) AS n_tokens_bpe,
+         {_QUALITY_SQL} AS quality,
+         {_FP_SQL} AS fingerprint,
+         {_LANG_SCORES_SELECT}
+  FROM documents
+), pred AS (
+  SELECT *, {_LANG_PRED_SQL} AS lang_pred FROM enriched
+)
+SELECT lang,
+       sum(n_tokens) AS sum_tokens,
+       sum(n_tokens_bpe) AS sum_bpe,
+       min(fingerprint) AS min_fp,
+       round((sum(quality::decimal(18,6)))::double / count(*), 6) AS avg_quality,
+       sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS n_pred_match
+FROM pred
+GROUP BY lang
+"""
+
+
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY CUBE over orders: all status × priority subtotal
     combinations in one Expand pass."""
@@ -1201,6 +1247,7 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "text_top_terms": text_top_terms,
     "q_cube": q_cube,
+    "text_sql_udfs": text_sql_udfs,
 }
 
 ORACLES = {
@@ -1233,4 +1280,5 @@ ORACLES = {
     "dedup_embedding": _DEDUP_EMB_ORACLE,
     "text_top_terms": _TOP_TERMS_ORACLE,
     "q_cube": _CUBE_ORACLE,
+    "text_sql_udfs": _TEXT_SQL_UDFS_ORACLE,
 }
