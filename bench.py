@@ -50,6 +50,7 @@ HEADLINE = [
     "text_top_terms",
     "q_cube",
     "text_sql_udfs",
+    "stream_stateful_counts",
 ]
 
 

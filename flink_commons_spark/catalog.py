@@ -1066,6 +1066,62 @@ HAVING (epoch(max(ts)) + 1800) <= (SELECT epoch(max(ts)) - 5 FROM events)
 """
 
 
+def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-user running aggregate, final state compared against batch
+    truth. The Flink ``KeyedProcessFunction`` analog — state is a
+    24-byte tuple per key in the checkpointed state store."""
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-state-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("epoch", F.expr("ts div 1000000000"))
+        # accumulate exact integer cents — a float running sum would be
+        # accumulation-order-dependent across batches
+        .withColumn("value", F.round(F.col("value") * 100).cast("double"))
+    )
+    from flink_commons_spark.streaming.stateful import running_user_stats
+
+    out = running_user_stats(sdf)
+    state: dict = {}
+
+    def upsert(bdf: DataFrame, epoch_id: int) -> None:
+        for r in bdf.collect():
+            state[r.user_id] = (r.n_events, r.total_value, r.last_epoch)
+
+    query = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-state-"))
+        .start()
+    )
+    query.awaitTermination(300)
+    rows = [
+        (int(uid), int(n), int(total), int(last))
+        for uid, (n, total, last) in state.items()
+    ]
+    return spark.createDataFrame(
+        rows, "user_id bigint, n_events bigint, total_cents bigint, last_epoch bigint"
+    )
+
+
+_STREAM_STATEFUL_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       sum(round(value * 100)::bigint) AS total_cents,
+       max(floor(epoch(ts))::bigint) AS last_epoch
+FROM events
+GROUP BY user_id
+"""
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup scan: LSH-bucketed (6 planes) pair
     similarities → histogram (bucket = floor(sim·10))."""
@@ -1248,6 +1304,7 @@ QUERIES = {
     "text_top_terms": text_top_terms,
     "q_cube": q_cube,
     "text_sql_udfs": text_sql_udfs,
+    "stream_stateful_counts": stream_stateful_counts,
 }
 
 ORACLES = {
@@ -1281,4 +1338,5 @@ ORACLES = {
     "text_top_terms": _TOP_TERMS_ORACLE,
     "q_cube": _CUBE_ORACLE,
     "text_sql_udfs": _TEXT_SQL_UDFS_ORACLE,
+    "stream_stateful_counts": _STREAM_STATEFUL_ORACLE,
 }

@@ -57,6 +57,42 @@ def test_windowed_exact_distinct_matches_batch(spark, event_stream):
     assert set(truth.values()) == {2}  # 2 distinct users every minute
 
 
+def test_running_user_stats_matches_batch(spark, event_stream):
+    from flink_commons_spark.streaming.stateful import running_user_stats
+
+    batch, sdf = event_stream
+    sdf = sdf.withColumn("value", F.col("user_id").cast("double") * 10).withColumn(
+        "epoch", F.col("ts").cast("bigint")
+    )
+    out = running_user_stats(sdf)
+    state = {}
+
+    def upsert(bdf, epoch_id):
+        for r in bdf.collect():
+            state[r.user_id] = (r.n_events, r.total_value, r.last_epoch)
+
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-test-state-"))
+        .start()
+    )
+    q.awaitTermination(120)
+    truth = {
+        r.user_id: (r.n, r.total, r.last)
+        for r in batch.withColumn("value", F.col("user_id").cast("double") * 10)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total"),
+            F.max(F.col("ts").cast("bigint")).alias("last"),
+        )
+        .collect()
+    }
+    assert state == truth
+
+
 def test_session_window_agg_appends_closed_sessions(spark, event_stream):
     from flink_commons_spark.streaming.sessions import session_window_agg
 
