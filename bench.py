@@ -51,6 +51,8 @@ HEADLINE = [
     "q_cube",
     "text_sql_udfs",
     "stream_stateful_counts",
+    "ann_ivf",
+    "q_skew_salted_agg",
 ]
 
 

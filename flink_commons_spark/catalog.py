@@ -829,6 +829,65 @@ QUALIFY rank <= 5
 """
 
 
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (seeded coarse quantizer, 8 cells, nprobe=2):
+    corpus bucketed by nearest centroid, probes scan only their 2
+    nearest cells."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb.where("vec_id < 10"), emb, _t(spark, sf_dir, "embeddings"),
+        k=5, nlist=8, nprobe=2,
+    ).select("query_id", "rank", "neighbor_id", "sim")
+
+
+_IVF_CENT_SQL = "SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 8"
+_IVF_SCORED_SQL = f"""
+  SELECT vec_id, cid, round({_DOT_SQL} / ({_NORM_Q_SQL} * {_NORM_C_SQL}), 6) AS sim
+  FROM (
+    SELECT e.vec_id, cent.cid, e.embedding AS qv, cent.cv
+    FROM embeddings e CROSS JOIN cent
+  )
+"""
+
+_ANN_IVF_ORACLE = f"""
+WITH cent AS ({_IVF_CENT_SQL}),
+cent_scored AS ({_IVF_SCORED_SQL}),
+assign AS (
+  SELECT vec_id AS neighbor_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM cent_scored
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM cent_scored
+    WHERE vec_id < 10
+  ) WHERE rn <= 2
+),
+pairs AS (
+  SELECT p.query_id, a.neighbor_id, q.embedding AS qv, c.embedding AS cv
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings c ON c.vec_id = a.neighbor_id
+  WHERE a.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round({_DOT_SQL} / ({_NORM_Q_SQL} * {_NORM_C_SQL}), 6) AS sim
+  FROM pairs
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,
+       neighbor_id, sim
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
 def emb_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding statistics (count, mean norm) — array
     aggregation via higher-order functions, one tiny shuffle."""
@@ -1240,6 +1299,25 @@ GROUP BY lang
 """
 
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage salted aggregation over events — identical
+    results to a plain GROUP BY (the oracle), but the hot key's rows
+    spread across 16 reducers in stage 1."""
+    from flink_commons_spark.operators.skew import salted_sum_count
+
+    e = _t(spark, sf_dir, "events")
+    return salted_sum_count(e, ["event_type"], "value", salt_source="event_id", buckets=16)
+
+
+_SKEW_ORACLE = """
+SELECT event_type,
+       round((sum(value::decimal(18,6)))::double, 4) AS total,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY CUBE over orders: all status × priority subtotal
     combinations in one Expand pass."""
@@ -1305,6 +1383,8 @@ QUERIES = {
     "q_cube": q_cube,
     "text_sql_udfs": text_sql_udfs,
     "stream_stateful_counts": stream_stateful_counts,
+    "ann_ivf": ann_ivf,
+    "q_skew_salted_agg": q_skew_salted_agg,
 }
 
 ORACLES = {
@@ -1339,4 +1419,6 @@ ORACLES = {
     "q_cube": _CUBE_ORACLE,
     "text_sql_udfs": _TEXT_SQL_UDFS_ORACLE,
     "stream_stateful_counts": _STREAM_STATEFUL_ORACLE,
+    "ann_ivf": _ANN_IVF_ORACLE,
+    "q_skew_salted_agg": _SKEW_ORACLE,
 }

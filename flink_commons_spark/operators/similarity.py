@@ -200,6 +200,102 @@ def lsh_ann_topk(
     )
 
 
+def ivf_assign_udf(centroids: list[list[float]]):
+    """Vectorized coarse-quantizer assignment: nearest centroid by
+    cosine (rounded to 6 decimals, ties → lowest centroid id — a total
+    order every engine can reproduce)."""
+    C = np.array(centroids, dtype=np.float64)            # (nlist, dim)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = np.round(Vn @ Cn.T, 6)                    # (n, nlist)
+        # argmax with lowest-id tie-break: scan ids ascending, keep strict >
+        best = np.zeros(len(V), dtype=np.int32)
+        best_sim = sims[:, 0].copy()
+        for cid in range(1, sims.shape[1]):
+            better = sims[:, cid] > best_sim
+            best[better] = cid
+            best_sim[better] = sims[better, cid]
+        return pd.Series(best)
+
+    return _assign
+
+
+def ivf_probe_udf(centroids: list[list[float]], nprobe: int):
+    """Top-``nprobe`` centroid ids per query vector (same total order)."""
+    C = np.array(centroids, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @pandas_udf("array<int>")
+    def _probe(v: pd.Series) -> pd.Series:
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = np.round(Vn @ Cn.T, 6)
+        ids = np.arange(sims.shape[1])
+        out = []
+        for row in sims:
+            order = np.lexsort((ids, -row))              # sim desc, id asc
+            out.append([int(x) for x in order[:nprobe]])
+        return pd.Series(out)
+
+    return _probe
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroid_source: DataFrame,
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into ``nlist`` cells,
+    scan only each query's ``nprobe`` nearest cells.
+
+    The coarse centroids here are ``nlist`` deterministic seed vectors
+    (the lowest-id rows of ``centroid_source``) — the quantizer
+    structure of FAISS-IVF without the k-means refinement, keeping the
+    operator reproducible and oracle-checkable. Swapping in trained
+    centroids is a drop-in (same assignment/probe/scan pipeline).
+
+    Scale: assignment is a narrow vectorized map; the cell join
+    shuffles on the cell id; per-query work is |probed cells| instead
+    of the whole corpus.
+    """
+    centroids = [
+        [float(x) for x in r[1]]
+        for r in centroid_source.orderBy(id_col).limit(nlist).select(id_col, vec_col).collect()
+    ]
+    assign = ivf_assign_udf(centroids)
+    probe = ivf_probe_udf(centroids, nprobe)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        assign(F.col(vec_col)).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probe(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        c.join(q, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_batch(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -151,6 +151,27 @@ def test_sessionize_gap_splits(spark):
     ]
 
 
+# ----------------------------------------------------------------- skew
+
+def test_replicated_salt_join_equals_plain_join(spark):
+    from flink_commons_spark.operators.skew import replicated_salt_join, salted_sum_count
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(50)] + [(2, 99)], ["k", "v"]
+    )
+    right = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")], ["k", "name"])
+    plain = sorted((r.k, r.v, r.name) for r in left.join(right, "k").collect())
+    salted = sorted(
+        (r.k, r.v, r.name)
+        for r in replicated_salt_join(left, right, "k", buckets=4, salt_source="v").collect()
+    )
+    assert salted == plain
+
+    agg = {r.k: (r.total, r.n) for r in
+           salted_sum_count(left, ["k"], "v", salt_source="v", buckets=4).collect()}
+    assert agg == {1: (sum(range(50)), 50), 2: (99.0, 1)}
+
+
 # ----------------------------------------------------------- multimodal
 
 def test_multimodal_feature_shape_and_determinism(spark):
