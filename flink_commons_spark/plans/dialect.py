@@ -16,7 +16,14 @@ value, ``test.sql:55,60``). Spark 4 under ANSI mode throws
   restoring Flink's tolerance;
 - ``timestamp(3)`` / ``timestamp(n)`` type references in CAST targets →
   ``timestamp`` (Spark has a single µs-precision timestamp type);
-- ``proctime()`` → ``current_timestamp()``.
+- ``proctime()`` → ``current_timestamp()``;
+- Flink legacy **group windows** → Spark time windows:
+  ``TUMBLE(ts, INTERVAL '1' MINUTE)`` → ``window(ts, '1 minutes')``,
+  ``HOP(ts, slide, size)`` → ``window(ts, size, slide)`` (note the
+  argument swap: Spark is (col, windowDuration, slideDuration)),
+  ``SESSION(ts, gap)`` → ``session_window(ts, gap)``, and the
+  ``*_START`` / ``*_END`` accessors → ``window.start`` /
+  ``window.end`` (``session_window.start/end`` for SESSION).
 
 Statements pass through this before reaching ``spark.sql``.
 """
@@ -28,6 +35,13 @@ import re
 _UNIX_TS_RE = re.compile(r"\bunix_timestamp\s*\(", re.IGNORECASE)
 _CAST_TS3_RE = re.compile(r"\bas\s+timestamp\s*\(\s*\d\s*\)", re.IGNORECASE)
 _PROCTIME_RE = re.compile(r"\bproctime\s*\(\s*\)", re.IGNORECASE)
+_INTERVAL_RE = re.compile(
+    r"^\s*INTERVAL\s+'(?P<n>\d+)'\s+(?P<unit>SECOND|MINUTE|HOUR|DAY)S?\s*$",
+    re.IGNORECASE,
+)
+_GROUP_WINDOW_RE = re.compile(
+    r"\b(?P<fn>TUMBLE|HOP|SESSION)(?P<suffix>_START|_END)?\s*\(", re.IGNORECASE
+)
 
 
 def _find_args_span(sql: str, open_paren: int) -> tuple[int, list[int]]:
@@ -78,9 +92,64 @@ def _rewrite_unix_timestamp(sql: str) -> str:
     return "".join(out)
 
 
+def _interval_to_duration(expr: str) -> str | None:
+    """``INTERVAL '5' MINUTE`` → ``'5 minutes'`` (None if not a simple
+    single-unit interval literal)."""
+    m = _INTERVAL_RE.match(expr)
+    if not m:
+        return None
+    return f"'{m.group('n')} {m.group('unit').lower()}s'"
+
+
+def _rewrite_group_windows(sql: str) -> str:
+    """Flink TUMBLE/HOP/SESSION group windows → Spark window functions."""
+    out: list[str] = []
+    pos = 0
+    while True:
+        m = _GROUP_WINDOW_RE.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            break
+        close, commas = _find_args_span(sql, m.end() - 1)
+        if close < 0:
+            out.append(sql[pos:])
+            break
+        args_text = sql[m.end() : close]
+        bounds = [m.end()] + [c + 1 for c in commas] + [close + 1]
+        args = [sql[bounds[i] : bounds[i + 1] - 1].strip() for i in range(len(bounds) - 1)]
+        fn = m.group("fn").upper()
+        suffix = (m.group("suffix") or "").upper()
+        out.append(sql[pos : m.start()])
+        replacement = None
+        if fn in ("TUMBLE", "SESSION") and len(args) == 2:
+            dur = _interval_to_duration(args[1])
+            if dur:
+                target = "window" if fn == "TUMBLE" else "session_window"
+                if suffix:
+                    replacement = f"{target}.{'start' if suffix == '_START' else 'end'}"
+                else:
+                    replacement = f"{target}({_rewrite_group_windows(args[0])}, {dur})"
+        elif fn == "HOP" and len(args) == 3:
+            slide = _interval_to_duration(args[1])
+            size = _interval_to_duration(args[2])
+            if slide and size:
+                if suffix:
+                    replacement = f"window.{'start' if suffix == '_START' else 'end'}"
+                else:
+                    # Flink: HOP(ts, slide, size); Spark: window(ts, size, slide)
+                    replacement = f"window({_rewrite_group_windows(args[0])}, {size}, {slide})"
+        if replacement is None:
+            out.append(sql[m.start() : close + 1])  # leave unknown shapes as-is
+        else:
+            out.append(replacement)
+        pos = close + 1
+    return "".join(out)
+
+
 def adapt_sql(sql: str) -> str:
     """Apply every known Flink→Spark expression rewrite."""
     sql = _rewrite_unix_timestamp(sql)
     sql = _CAST_TS3_RE.sub("as timestamp", sql)
     sql = _PROCTIME_RE.sub("current_timestamp()", sql)
+    sql = _rewrite_group_windows(sql)
     return sql

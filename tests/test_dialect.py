@@ -1,0 +1,61 @@
+"""Flink→Spark dialect adaptation, unit + end-to-end through the runner."""
+
+from __future__ import annotations
+
+from flink_commons_spark.actions.sql_submit import SqlSubmitAction
+from flink_commons_spark.plans.dialect import adapt_sql
+
+
+def test_tumble_rewrite():
+    sql = (
+        "SELECT TUMBLE_START(ts, INTERVAL '1' MINUTE) AS ws, count(*) AS n "
+        "FROM t GROUP BY TUMBLE(ts, INTERVAL '1' MINUTE)"
+    )
+    out = adapt_sql(sql)
+    assert "window(ts, '1 minutes')" in out
+    assert "window.start AS ws" in out
+    assert "TUMBLE" not in out
+
+
+def test_hop_rewrite_swaps_slide_and_size():
+    out = adapt_sql("GROUP BY HOP(ts, INTERVAL '30' SECOND, INTERVAL '2' MINUTE)")
+    assert "window(ts, '2 minutes', '30 seconds')" in out
+
+
+def test_session_rewrite():
+    out = adapt_sql(
+        "SELECT SESSION_END(ts, INTERVAL '10' MINUTE) FROM t "
+        "GROUP BY SESSION(ts, INTERVAL '10' MINUTE)"
+    )
+    assert "session_window(ts, '10 minutes')" in out
+    assert "session_window.end" in out
+
+
+def test_unknown_shapes_left_alone():
+    # compound intervals are not rewritten — fail loudly downstream
+    sql = "GROUP BY TUMBLE(ts, INTERVAL '1' DAY TO HOUR)"
+    assert adapt_sql(sql) == sql
+
+
+def test_tumble_end_to_end_batch(spark, capsys):
+    """A Flink-dialect TUMBLE script over real events parquet through
+    the actual runner, batch mode."""
+    script = """
+    SET 'execution.runtime-mode' = 'batch';
+    CREATE TABLE events WITH (
+        'connector' = 'filesystem',
+        'path' = '${data}/events.parquet',
+        'format' = 'parquet'
+    );
+    SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS window_start,
+           count(*) AS n
+    FROM events
+    GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)
+    ORDER BY n DESC
+    LIMIT 3;
+    """
+    SqlSubmitAction(
+        sql_text=script, variables={"data": "/root/testdata/sf0.001"}, spark=spark
+    ).run()
+    out = capsys.readouterr().out
+    assert "window_start" in out and "2024-01-" in out
