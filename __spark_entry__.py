@@ -10,11 +10,18 @@ All real definitions live in :mod:`flink_commons_spark.catalog`.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-from flink_commons_spark import catalog
+# make the sibling package importable regardless of the driver's cwd
+_REPO_ROOT = str(Path(__file__).resolve().parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from flink_commons_spark import catalog  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
