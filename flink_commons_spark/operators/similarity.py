@@ -104,6 +104,30 @@ def lsh_bucket_udf(num_planes: int, dims: int):
     return _bucket
 
 
+def lsh_multibucket_udf(num_tables: int, planes_per_table: int, dims: int):
+    """One bucket id per hash table (OR-amplification): table *t* uses
+    the global planes ``[t·p, (t+1)·p)`` from the same deterministic
+    md5 family, so every table's bucket is reproducible in SQL."""
+    total = num_tables * planes_per_table
+    planes = np.array(plane_matrix(total, dims))          # (total, dims)
+    weights = np.array([2 ** p for p in range(planes_per_table)], dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        proj = V @ planes.T                                # (n, total)
+        bits = proj >= 0
+        out = []
+        for row in bits:
+            out.append(
+                [int(row[t * planes_per_table : (t + 1) * planes_per_table] @ weights)
+                 for t in range(num_tables)]
+            )
+        return pd.Series(out)
+
+    return _buckets
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -166,32 +190,40 @@ def lsh_ann_topk(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only same-LSH-bucket pairs.
+    """Approximate top-k: score only pairs sharing an LSH bucket in at
+    least one of ``num_tables`` hash tables.
 
-    The bucket join shuffles both sides on the signature (2^num_planes
-    buckets); per-bucket work is |q_bucket|·|c_bucket|. Recall rises
-    with fewer planes (bigger buckets) — num_planes is the knob.
+    Per table the bucket join shuffles both sides on the signature
+    (2^num_planes buckets); per-bucket work is |q_bucket|·|c_bucket|.
+    Recall knobs: fewer planes → bigger buckets (AND-relaxation),
+    more tables → more chances to collide (OR-amplification); cost is
+    proportional to tables · bucket size. Candidate pairs found by
+    multiple tables are deduplicated before scoring, so each pair's
+    cosine is computed once.
     """
-    bucket = lsh_bucket_udf(num_planes, dims)
+    buckets = lsh_multibucket_udf(num_tables, num_planes, dims)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        bucket(F.col(vec_col)).alias("bucket"),
+        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        bucket(F.col(vec_col)).alias("bucket"),
+        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
     )
-    scored = (
-        c.join(q, "bucket")
+    pairs = (
+        c.join(q, ["table", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_batch(F.col("qv"), F.col("cv")), 6).alias("sim"),
-        )
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_batch(F.col("qv"), F.col("cv")), 6).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
