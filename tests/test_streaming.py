@@ -93,6 +93,51 @@ def test_running_user_stats_matches_batch(spark, event_stream):
     assert state == truth
 
 
+def test_stateful_recovery_from_checkpoint(spark, tmp_path):
+    """Kill-and-resume: a second run with the same checkpoint must
+    continue from stored state (cumulative counts), not restart."""
+    from flink_commons_spark.streaming.stateful import running_user_stats
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, value double, epoch long"
+
+    def write_batch(n0, n1, fname):
+        df = spark.createDataFrame(
+            [(i % 3, 1.0, 1000 + i) for i in range(n0, n1)], schema
+        )
+        df.repartition(1).write.mode("append").parquet(str(src))
+
+    def run_once():
+        sdf = spark.readStream.schema(schema).parquet(str(src))
+        state = {}
+
+        def upsert(bdf, epoch_id):
+            for r in bdf.collect():
+                state[r.user_id] = r.n_events
+
+        q = (
+            running_user_stats(sdf)
+            .writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        return state
+
+    write_batch(0, 30, "a")
+    first = run_once()
+    assert sum(first.values()) == 30
+
+    write_batch(30, 50, "b")
+    second = run_once()
+    # resumed state: the second run only reads the 20 new rows but
+    # reports cumulative counts of all 50
+    assert sum(second.values()) == 50
+
+
 def test_session_window_agg_appends_closed_sessions(spark, event_stream):
     from flink_commons_spark.streaming.sessions import session_window_agg
 
