@@ -53,6 +53,9 @@ HEADLINE = [
     "stream_stateful_counts",
     "ann_ivf",
     "q_skew_salted_agg",
+    "q_percentiles",
+    "q_first_last",
+    "q_array_funcs",
 ]
 
 

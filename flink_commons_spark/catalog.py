@@ -1308,6 +1308,70 @@ GROUP BY lang
 """
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median, p90) per group."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.min("value"), 4).alias("vmin"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    )
+
+
+_PERCENTILES_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(min(value), 4) AS vmin,
+       round(max(value), 4) AS vmax
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value analytics: each user's first and most
+    recent event type by event time."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per_row = e.select(
+        "user_id",
+        F.first_value("event_type").over(wall).alias("first_type"),
+        F.last_value("event_type").over(wall).alias("last_type"),
+    )
+    return per_row.distinct()
+
+
+_FIRST_LAST_ORACLE = """
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type) OVER w AS last_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation surface: collect → dedupe → sort → join."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias("types_csv"),
+        F.size(F.collect_set("event_type")).alias("n_types"),
+    )
+
+
+_ARRAY_FUNCS_ORACLE = """
+SELECT user_id,
+       array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types_csv,
+       len(list_distinct(list(event_type))) AS n_types
+FROM events
+GROUP BY user_id
+"""
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-stage salted aggregation over events — identical
     results to a plain GROUP BY (the oracle), but the hot key's rows
@@ -1394,6 +1458,9 @@ QUERIES = {
     "stream_stateful_counts": stream_stateful_counts,
     "ann_ivf": ann_ivf,
     "q_skew_salted_agg": q_skew_salted_agg,
+    "q_percentiles": q_percentiles,
+    "q_first_last": q_first_last,
+    "q_array_funcs": q_array_funcs,
 }
 
 ORACLES = {
@@ -1430,4 +1497,7 @@ ORACLES = {
     "stream_stateful_counts": _STREAM_STATEFUL_ORACLE,
     "ann_ivf": _ANN_IVF_ORACLE,
     "q_skew_salted_agg": _SKEW_ORACLE,
+    "q_percentiles": _PERCENTILES_ORACLE,
+    "q_first_last": _FIRST_LAST_ORACLE,
+    "q_array_funcs": _ARRAY_FUNCS_ORACLE,
 }
