@@ -44,6 +44,10 @@ _INSERT_RE = re.compile(
 )
 _COUNT_DISTINCT_RE = re.compile(r"\bCOUNT\s*\(\s*DISTINCT\b", re.IGNORECASE)
 _GROUP_BY_RE = re.compile(r"\bGROUP\s+BY\b", re.IGNORECASE)
+_STATEMENT_SET_RE = re.compile(
+    r"^\s*EXECUTE\s+STATEMENT\s+SET\s+BEGIN\b(?P<body>.*?)\bEND\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 class SqlSubmitAction(Action):
@@ -130,6 +134,8 @@ class SqlSubmitAction(Action):
             self._register_connector_table(spark, stmt)
         elif stype is StatementType.INSERT:
             self._run_insert(spark, stmt)
+        elif stype is StatementType.EXECUTE and _STATEMENT_SET_RE.match(stmt):
+            self._run_statement_set(spark, stmt)
         elif stype is StatementType.DROP:
             self._run_drop(spark, stmt)
         elif stype is StatementType.PRINT:
@@ -262,6 +268,29 @@ class SqlSubmitAction(Action):
                 connectors.write_batch_sink(df, spec)
             return
         spark.sql(rewritten)
+
+    # ------------------------------------------------------ statement set
+
+    def _run_statement_set(self, spark, stmt: str) -> None:
+        """``EXECUTE STATEMENT SET BEGIN <inserts> END`` (Flink's
+        multi-sink job syntax): run every inner INSERT; streaming
+        inserts start as concurrent queries, the analog of Flink
+        executing the set as one multi-sink job. Extension — the
+        reference's splitter cannot even carry a statement set intact
+        (``SQLSubmitAction.java:101-134``).
+        """
+        from flink_commons_spark.plans.script import split_statements
+
+        body = _STATEMENT_SET_RE.match(stmt).group("body")
+        inners = split_statements(body)
+        if not inners:
+            raise ValueError("EXECUTE STATEMENT SET contains no statements")
+        for inner in inners:
+            if not re.match(r"^\s*INSERT\b", inner, re.IGNORECASE):
+                raise ValueError(
+                    f"Only INSERT statements are allowed in a STATEMENT SET; got: {inner[:80]}"
+                )
+            self._run_insert(spark, inner)
 
     # ----------------------------------------------------- streaming bits
 

@@ -148,7 +148,33 @@ def split_statements(text: str, strict_compat: bool = False) -> list[str]:
     tail = "".join(current).strip()
     if tail:
         statements.append(tail)
-    return statements
+    return _merge_statement_sets(statements)
+
+
+_STMT_SET_HEAD_RE = re.compile(r"^EXECUTE\s+STATEMENT\s+SET\s+BEGIN\b", re.IGNORECASE | re.DOTALL)
+_STMT_SET_END_RE = re.compile(r"(^|\s)END$", re.IGNORECASE)
+
+
+def _merge_statement_sets(statements: list[str]) -> list[str]:
+    """Re-join Flink ``EXECUTE STATEMENT SET BEGIN … END`` blocks.
+
+    The ``;``-splitter fragments the block at each inner INSERT; this
+    pass stitches fragments back together (extension — the reference's
+    own splitter cannot carry statement sets at all)."""
+    out: list[str] = []
+    i = 0
+    while i < len(statements):
+        stmt = statements[i]
+        if _STMT_SET_HEAD_RE.match(stmt):
+            block = [stmt]
+            while not _STMT_SET_END_RE.search(block[-1]) and i + 1 < len(statements):
+                i += 1
+                block.append(statements[i])
+            out.append(";\n".join(block))
+        else:
+            out.append(stmt)
+        i += 1
+    return out
 
 
 def substitute_variables(statement: str, variables: dict[str, str] | None) -> str:
