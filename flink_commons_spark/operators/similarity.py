@@ -335,25 +335,31 @@ def embedding_near_dup_pairs(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_tables: int = 1,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH bucketing.
+    """Embedding-cosine near-duplicate pairs via (multi-table) LSH.
 
-    (a, b, sim) with a < b and sim ≥ threshold; only same-bucket pairs
-    are scored, so the pair count stays near-linear.
+    (a, b, sim) with a < b and sim ≥ threshold; a pair is scored when it
+    shares a bucket in any of ``num_tables`` hash tables (deduplicated
+    first, so each pair's cosine is computed once). Candidate volume
+    stays near-linear; ``num_tables`` buys recall, ``num_planes`` buys
+    precision.
     """
-    bucket = lsh_bucket_udf(num_planes, dims)
+    buckets = lsh_multibucket_udf(num_tables, num_planes, dims)
     sigd = df.select(
         F.col(id_col),
         F.col(vec_col).alias("v"),
-        bucket(F.col(vec_col)).alias("bucket"),
+        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
     )
-    left = sigd.select(F.col(id_col).alias("a"), F.col("v").alias("va"), "bucket")
-    right = sigd.select(F.col(id_col).alias("b"), F.col("v").alias("vb"), "bucket")
-    return (
-        left.join(right, "bucket")
+    left = sigd.select(F.col(id_col).alias("a"), F.col("v").alias("va"), "table", "bucket")
+    right = sigd.select(F.col(id_col).alias("b"), F.col("v").alias("vb"), "table", "bucket")
+    pairs = (
+        left.join(right, ["table", "bucket"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(cosine_batch(F.col("va"), F.col("vb")), 6).alias("sim"))
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        pairs.select("a", "b", F.round(cosine_batch(F.col("va"), F.col("vb")), 6).alias("sim"))
         .where(F.col("sim") >= threshold)
         .select("a", "b", "sim")
-        .distinct()
     )

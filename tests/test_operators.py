@@ -112,6 +112,17 @@ def test_lsh_bucket_deterministic(spark):
     assert all(0 <= x < 8 for x in got1)
 
 
+def test_near_dup_multitable_superset(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    one = {(r.a, r.b) for r in S.embedding_near_dup_pairs(
+        emb, threshold=-1.0, num_planes=4, num_tables=1).collect()}
+    three = {(r.a, r.b) for r in S.embedding_near_dup_pairs(
+        emb, threshold=-1.0, num_planes=4, num_tables=3).collect()}
+    # OR-amplification can only add candidate pairs (table 0 is shared)
+    assert one <= three
+    assert len(three) > len(one)
+
+
 def test_plane_matrix_matches_column_formula(spark):
     mat = S.plane_matrix(2, 3)
     df = spark.range(1)
