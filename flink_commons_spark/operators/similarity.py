@@ -171,17 +171,6 @@ def _plane_component(plane: int, dim: int) -> Column:
     return ((h % 1000000) / F.lit(1000000.0)) - 0.5
 
 
-def lsh_signature(vec: Column, num_planes: int, dims: int) -> Column:
-    """Sign-pattern bucket id: bit p = (v · plane_p) >= 0."""
-    sig = F.lit(0).cast("bigint")
-    for p in range(num_planes):
-        proj = F.lit(0.0)
-        for d in range(dims):
-            proj = proj + F.element_at(vec, d + 1).cast("double") * _plane_component(p, d)
-        sig = sig + F.when(proj >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
-    return sig
-
-
 def lsh_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -276,6 +265,44 @@ def ivf_probe_udf(centroids: list[list[float]], nprobe: int):
     return _probe
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    nlist: int = 8,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Refine seeded centroids with spherical k-means Lloyd iterations.
+
+    Seeds are the ``nlist`` lowest-id vectors (deterministic); each
+    iteration assigns every corpus vector to its nearest centroid by
+    cosine (distributed, vectorized) and recomputes centroids as the
+    per-cell mean (one small groupBy aggregate over per-dimension sums —
+    the only driver-side data is nlist × dims floats). Empty cells keep
+    their previous centroid.
+    """
+    centroids = [
+        [float(x) for x in r[1]]
+        for r in corpus.orderBy(id_col).limit(nlist).select(id_col, vec_col).collect()
+    ]
+    for _ in range(iterations):
+        assign = ivf_assign_udf(centroids)
+        assigned = corpus.select(
+            assign(F.col(vec_col)).alias("cell"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+        dims = len(centroids[0])
+        sums = assigned.groupBy("cell").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.element_at("v", d + 1)).alias(f"s{d}") for d in range(dims)],
+        )
+        new = list(centroids)
+        for row in sums.collect():
+            new[row["cell"]] = [row[f"s{d}"] / row["n"] for d in range(dims)]
+        centroids = new
+    return centroids
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -298,11 +325,19 @@ def ivf_topk(
     Scale: assignment is a narrow vectorized map; the cell join
     shuffles on the cell id; per-query work is |probed cells| instead
     of the whole corpus.
+
+    ``centroid_source`` may be a DataFrame (its ``nlist`` lowest-id
+    vectors become the seeds) or a precomputed centroid list — e.g.
+    from :func:`train_ivf_centroids`.
     """
-    centroids = [
-        [float(x) for x in r[1]]
-        for r in centroid_source.orderBy(id_col).limit(nlist).select(id_col, vec_col).collect()
-    ]
+    if isinstance(centroid_source, list):
+        centroids = centroid_source
+    else:
+        centroids = [
+            [float(x) for x in r[1]]
+            for r in centroid_source.orderBy(id_col).limit(nlist)
+            .select(id_col, vec_col).collect()
+        ]
     assign = ivf_assign_udf(centroids)
     probe = ivf_probe_udf(centroids, nprobe)
     c = corpus.select(

@@ -112,6 +112,20 @@ def test_lsh_bucket_deterministic(spark):
     assert all(0 <= x < 8 for x in got1)
 
 
+def test_trained_ivf_centroids_improve_or_match_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where("vec_id < 5")
+    exact = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(q, emb, 3).collect()}
+    cents = S.train_ivf_centroids(emb, nlist=4, iterations=1)
+    assert len(cents) == 4 and len(cents[0]) == 64
+    got = S.ivf_topk(q, emb, cents, k=3, nlist=4, nprobe=2)
+    pairs = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    # sane recall from trained cells (nprobe=2 of 4 cells)
+    assert len(pairs & exact) / len(exact) >= 0.5
+    # deterministic: training twice gives identical centroids
+    assert cents == S.train_ivf_centroids(emb, nlist=4, iterations=1)
+
+
 def test_near_dup_multitable_superset(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     one = {(r.a, r.b) for r in S.embedding_near_dup_pairs(
