@@ -42,6 +42,36 @@ def test_events_etl_script(spark, tmp_path):
     assert set(rows) == {"click", "error", "purchase", "signup", "view"}
 
 
+def test_filesystem_csv_roundtrip(spark, tmp_path):
+    """filesystem connector: CSV sink then CSV source with declared
+    schema, through the runner."""
+    write_script = f"""
+    SET 'execution.runtime-mode' = 'batch';
+    CREATE TABLE events WITH (
+        'connector' = 'filesystem', 'path' = '/root/testdata/sf0.001/events.parquet',
+        'format' = 'parquet'
+    );
+    CREATE TABLE csv_out (event_type STRING, n BIGINT) WITH (
+        'connector' = 'filesystem', 'path' = '{tmp_path}/csv', 'format' = 'csv'
+    );
+    INSERT INTO csv_out SELECT event_type, count(*) FROM events GROUP BY event_type;
+    """
+    SqlSubmitAction(sql_text=write_script, spark=spark).run()
+
+    read_script = f"""
+    SET 'execution.runtime-mode' = 'batch';
+    CREATE TABLE csv_in (event_type STRING, n BIGINT) WITH (
+        'connector' = 'filesystem', 'path' = '{tmp_path}/csv', 'format' = 'csv'
+    );
+    CREATE TABLE total_out (total BIGINT) WITH (
+        'connector' = 'filesystem', 'path' = '{tmp_path}/total', 'format' = 'parquet'
+    );
+    INSERT INTO total_out SELECT sum(n) FROM csv_in;
+    """
+    SqlSubmitAction(sql_text=read_script, spark=spark).run()
+    assert spark.read.parquet(f"{tmp_path}/total").first().total == 1000
+
+
 @pytest.mark.slow
 def test_demo_stream_script(spark):
     """The reference demo port: run bounded (short timeout) and check
