@@ -1,0 +1,58 @@
+"""Bucketed co-located joins: the shuffle-elimination pattern for
+repeated large-table joins at 100 TB.
+
+Writing both join sides bucketed by the join key lets Catalyst plan a
+sort-merge join with **no Exchange** on either side — the shuffle is
+paid once at write time and amortized over every subsequent join.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def warehouse_tables(spark):
+    # spark.sql.warehouse.dir is static; tables land in ./spark-warehouse
+    # (gitignored) and are dropped (managed → data deleted) on teardown
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    (li.write.mode("overwrite").bucketBy(4, "l_orderkey")
+       .sortBy("l_orderkey").saveAsTable("b_lineitem"))
+    (o.write.mode("overwrite").bucketBy(4, "o_orderkey")
+       .sortBy("o_orderkey").saveAsTable("b_orders"))
+    yield
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_bucketed_join_has_no_shuffle(spark, warehouse_tables):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    joined = (
+        spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # the join itself must consume bucketed scans directly: the only
+    # exchange allowed is the one feeding the final aggregation
+    join_section = plan.split("HashAggregate")[-1]
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    rows = {r.o_orderstatus: r.n for r in joined.collect()}
+    assert sum(rows.values()) == 6000
+    assert join_section is not None  # structure sanity
+
+
+def test_unbucketed_join_does_shuffle(spark):
+    """Control: the same join over raw parquet shuffles both sides."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    joined = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" in plan
