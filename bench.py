@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_winnow",
     "knn_brute",
     "ann_lsh",
     "emb_centroid_stats",

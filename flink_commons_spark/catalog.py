@@ -712,6 +712,58 @@ GROUP BY 1
 """
 
 
+def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprint profile: per-doc selected
+    fingerprint count + min fingerprint, aggregated per source —
+    substring-level dedup signals (MOSS scheme), k=8, window=4."""
+    d = _tp(spark, sf_dir, "documents")
+    fps = D.winnow_fingerprints(d, k=8, window=4)
+    per_doc = fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fp"), F.min("fingerprint").alias("min_fp")
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(per_doc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_fp").alias("sum_fp"),
+            F.min("min_fp").alias("global_min_fp"),
+        )
+    )
+
+
+_DEDUP_WINNOW_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id, source, {_NORM_SQL} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, source, pos,
+         ('0x' || substr(md5(substr(t, pos, 8)), 1, 14))::bigint AS h
+  FROM (
+    SELECT doc_id, source, t,
+           unnest(generate_series(1, greatest(length(t) - 7, 1))) AS pos
+    FROM norm
+  )
+),
+selected AS (
+  SELECT DISTINCT doc_id, source, fp FROM (
+    SELECT doc_id, source,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+    FROM grams
+  )
+),
+per_doc AS (
+  SELECT doc_id, source, count(*) AS n_fp, min(fp) AS min_fp
+  FROM selected GROUP BY doc_id, source
+)
+SELECT source, count(*) AS n_docs, sum(n_fp) AS sum_fp, min(min_fp) AS global_min_fp
+FROM per_doc
+GROUP BY source
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash buckets (fingerprint, member count, kept id)."""
     return D.simhash_buckets(_tp(spark, sf_dir, "documents"))
@@ -1444,6 +1496,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
+    "dedup_winnow": dedup_winnow,
     "knn_brute": knn_brute,
     "ann_lsh": ann_lsh,
     "emb_centroid_stats": emb_centroid_stats,
@@ -1483,6 +1536,7 @@ ORACLES = {
     "dedup_exact": _DEDUP_EXACT_ORACLE,
     "dedup_minhash": _DEDUP_MINHASH_ORACLE,
     "dedup_simhash": _DEDUP_SIMHASH_ORACLE,
+    "dedup_winnow": _DEDUP_WINNOW_ORACLE,
     "knn_brute": _KNN_ORACLE,
     "ann_lsh": _ANN_ORACLE,
     "emb_centroid_stats": _CENTROID_ORACLE,

@@ -185,6 +185,49 @@ def simhash16(col: Column) -> Column:
     return total.cast("bigint")
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme).
+
+    Hash every ``k``-character gram of the normalized text, slide a
+    ``window``-gram window and keep each window's minimum hash; the
+    distinct selected minima are the document's fingerprints. Guarantees
+    any shared substring of length ≥ ``k + window - 1`` yields at least
+    one shared fingerprint — the substring-level dedup complement to
+    token-level MinHash.
+
+    Shape: explode grams (narrow), one windowed min (single shuffle on
+    the doc id), distinct. Returns (id, fingerprint) rows.
+    """
+    normalized = F.concat_ws(" ", tokens(F.lower(F.col(text_col))))
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(normalized) - (k - 1), F.lit(1))),
+                lambda i: normalized.substr(i, F.lit(k)),
+            )
+        ).alias("pos", "gram"),
+    )
+    hashed = grams.select(id_col, "pos", _portable_hash(F.col("gram")).alias("h"))
+    from pyspark.sql import Window as W
+
+    win = (
+        W.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, window - 1)
+    )
+    selected = hashed.select(
+        F.col(id_col), F.min("h").over(win).alias("fingerprint")
+    ).distinct()
+    return selected
+
+
 def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, simhash) via the explode/aggregate formulation.
 

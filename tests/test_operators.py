@@ -76,6 +76,27 @@ def test_minhash_finds_near_dups(spark):
     assert pairs[0].jaccard > 0.5
 
 
+def test_winnow_shared_substring_guarantee(spark):
+    # winnowing guarantees: a shared substring of length >= k+window-1
+    # (= 11 here) produces at least one shared fingerprint
+    shared = "identical stretch of text here"
+    df = spark.createDataFrame(
+        [
+            (1, f"prefix alpha {shared} suffix one"),
+            (2, f"other beginning {shared} another ending"),
+            (3, "completely different content with nothing in common xyz"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = D.winnow_fingerprints(df, k=8, window=4)
+    by_doc = {
+        i: {r.fingerprint for r in fps.where(F.col("doc_id") == i).collect()}
+        for i in (1, 2, 3)
+    }
+    assert by_doc[1] & by_doc[2]            # shared substring detected
+    assert not (by_doc[1] & by_doc[3] & by_doc[2] & by_doc[3])
+
+
 def test_simhash_identical_and_disjoint(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "ALPHA  beta GAMMA"), (3, "x1 y2 z3 w4 v5 u6")],
