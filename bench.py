@@ -54,6 +54,7 @@ HEADLINE = [
     "stream_stateful_counts",
     "ann_ivf",
     "q_skew_salted_agg",
+    "q_correlated_agg",
     "q_percentiles",
     "q_first_last",
     "q_array_funcs",

@@ -1424,6 +1424,43 @@ GROUP BY user_id
 """
 
 
+def q_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate subquery shape: customers whose largest
+    order is more than double their average order (decorrelated into a
+    per-customer aggregate + filter)."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_totalprice").alias("__max"),
+        F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("__sum"),
+        F.count("*").alias("n_orders"),
+    )
+    # max > 2·avg stated as max·n > 2·sum — exact operands, no
+    # division/rounding boundary that engines could disagree on
+    return per_cust.where(
+        F.col("__max") * F.col("n_orders") > 2 * F.col("__sum")
+    ).select(
+        "o_custkey",
+        F.round("__max", 2).alias("max_order"),
+        F.round("__sum", 2).alias("sum_orders"),
+        "n_orders",
+    )
+
+
+_CORRELATED_AGG_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_totalprice) AS mx,
+         (sum(o_totalprice::decimal(18,6)))::double AS sm,
+         count(*) AS n_orders
+  FROM orders
+  GROUP BY o_custkey
+)
+SELECT o_custkey, round(mx, 2) AS max_order, round(sm, 2) AS sum_orders, n_orders
+FROM per_cust
+WHERE mx * n_orders > 2 * sm
+"""
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-stage salted aggregation over events — identical
     results to a plain GROUP BY (the oracle), but the hot key's rows
@@ -1511,6 +1548,7 @@ QUERIES = {
     "stream_stateful_counts": stream_stateful_counts,
     "ann_ivf": ann_ivf,
     "q_skew_salted_agg": q_skew_salted_agg,
+    "q_correlated_agg": q_correlated_agg,
     "q_percentiles": q_percentiles,
     "q_first_last": q_first_last,
     "q_array_funcs": q_array_funcs,
@@ -1551,6 +1589,7 @@ ORACLES = {
     "stream_stateful_counts": _STREAM_STATEFUL_ORACLE,
     "ann_ivf": _ANN_IVF_ORACLE,
     "q_skew_salted_agg": _SKEW_ORACLE,
+    "q_correlated_agg": _CORRELATED_AGG_ORACLE,
     "q_percentiles": _PERCENTILES_ORACLE,
     "q_first_last": _FIRST_LAST_ORACLE,
     "q_array_funcs": _ARRAY_FUNCS_ORACLE,

@@ -72,6 +72,24 @@ def test_filesystem_csv_roundtrip(spark, tmp_path):
     assert spark.read.parquet(f"{tmp_path}/total").first().total == 1000
 
 
+def test_filesystem_json_roundtrip(spark, tmp_path):
+    script = f"""
+    SET 'execution.runtime-mode' = 'batch';
+    CREATE TABLE events WITH (
+        'connector' = 'filesystem', 'path' = '/root/testdata/sf0.001/events.parquet',
+        'format' = 'parquet'
+    );
+    CREATE TABLE j_out (event_type STRING, n BIGINT) WITH (
+        'connector' = 'filesystem', 'path' = '{tmp_path}/j', 'format' = 'json'
+    );
+    INSERT INTO j_out SELECT event_type, count(*) FROM events GROUP BY event_type;
+    """
+    SqlSubmitAction(sql_text=script, spark=spark).run()
+    back = spark.read.json(f"{tmp_path}/j")
+    assert back.count() == 5
+    assert back.agg({"n": "sum"}).first()[0] == 1000
+
+
 @pytest.mark.slow
 def test_demo_stream_script(spark):
     """The reference demo port: run bounded (short timeout) and check
