@@ -353,15 +353,15 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSIONIZE_ORACLE = """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR (epoch(ts) - epoch(lag(ts) OVER w)) > 1800 THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, ts,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+         (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::bigint AS session_no
   FROM flagged
 )
 SELECT user_id, session_no,
@@ -462,9 +462,9 @@ def q_json_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_ORACLE = """
 SELECT event_type,
        count(*) AS n,
-       sum(json_extract(props, '$.k')::int) AS sum_k,
-       sum(CASE WHEN json_extract(props, '$.k')::int > 50 THEN 1 ELSE 0 END) AS n_high,
-       round(sum(json_extract(props, '$.k')::int) / count(*), 6) AS avg_k
+       (sum(json_extract(props, '$.k')::int))::bigint AS sum_k,
+       (sum(CASE WHEN json_extract(props, '$.k')::int > 50 THEN 1 ELSE 0 END))::bigint AS n_high,
+       round((sum(json_extract(props, '$.k')::int))::bigint / count(*), 6) AS avg_k
 FROM events
 GROUP BY event_type
 """
@@ -595,10 +595,10 @@ WITH enriched AS (
 )
 SELECT lang,
        count(*) AS n_docs,
-       sum(n_tokens) AS sum_tokens,
-       sum(n_tokens_bpe) AS sum_bpe,
+       (sum(n_tokens))::bigint AS sum_tokens,
+       (sum(n_tokens_bpe))::bigint AS sum_bpe,
        round((sum(quality::decimal(18,6)))::double / count(*), 6) AS avg_quality,
-       sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS n_pred_match,
+       (sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END))::bigint AS n_pred_match,
        min(fingerprint) AS min_fp,
        max(fingerprint) AS max_fp
 FROM pred
@@ -758,7 +758,7 @@ per_doc AS (
   SELECT doc_id, source, count(*) AS n_fp, min(fp) AS min_fp
   FROM selected GROUP BY doc_id, source
 )
-SELECT source, count(*) AS n_docs, sum(n_fp) AS sum_fp, min(min_fp) AS global_min_fp
+SELECT source, count(*) AS n_docs, (sum(n_fp))::bigint AS sum_fp, min(min_fp) AS global_min_fp
 FROM per_doc
 GROUP BY source
 """
@@ -1235,7 +1235,7 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_STATEFUL_ORACLE = """
 SELECT user_id,
        count(*) AS n_events,
-       sum(round(value * 100)::bigint) AS total_cents,
+       (sum(round(value * 100)::bigint))::bigint AS total_cents,
        max(floor(epoch(ts))::bigint) AS last_epoch
 FROM events
 GROUP BY user_id
@@ -1350,11 +1350,11 @@ WITH enriched AS (
   SELECT *, {_LANG_PRED_SQL} AS lang_pred FROM enriched
 )
 SELECT lang,
-       sum(n_tokens) AS sum_tokens,
-       sum(n_tokens_bpe) AS sum_bpe,
+       (sum(n_tokens))::bigint AS sum_tokens,
+       (sum(n_tokens_bpe))::bigint AS sum_bpe,
        min(fingerprint) AS min_fp,
        round((sum(quality::decimal(18,6)))::double / count(*), 6) AS avg_quality,
-       sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS n_pred_match
+       (sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END))::bigint AS n_pred_match
 FROM pred
 GROUP BY lang
 """

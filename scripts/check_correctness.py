@@ -5,10 +5,19 @@ DuckDB at the given scale factor, then compares row count, column
 names, and order-insensitive value multiset. Usage::
 
     python scripts/check_correctness.py [sf_dir] [query ...]
+    python scripts/check_correctness.py --round6 [sf_dir] [query ...]
+
+Default mode is EXACT: no float rounding, and the DuckDB result is
+fetched through pandas (``.df()``) so type-coercion artifacts the
+driver would see are reproduced locally — most importantly DuckDB's
+``sum(BIGINT) -> HUGEINT``, which pandas renders as float64 (``6.0``)
+while Spark returns int64 (``6``).  ``--round6`` restores the old,
+weaker 6-decimal comparison for triage.
 """
 
 from __future__ import annotations
 
+import math
 import sys
 import time
 from pathlib import Path
@@ -18,24 +27,35 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def normalize(rows, colnames):
+def _canon(v, round6: bool):
+    """Canonicalize one value the way the driver's value-hash would."""
+    if hasattr(v, "item"):  # numpy scalar from pandas
+        v = v.item()
+    if isinstance(v, float):
+        if round6:
+            v = round(v, 6)
+        if v == 0.0:  # fold -0.0
+            v = 0.0
+        if math.isnan(v):
+            return "NaN"
+    return repr(v)
+
+
+def normalize(rows, colnames, round6: bool):
     out = []
+    cols = sorted(colnames)
     for row in rows:
-        vals = []
-        for name in sorted(colnames):
-            v = row[name]
-            if isinstance(v, float):
-                v = round(v, 6)
-                if v == -0.0:
-                    v = 0.0
-            vals.append(repr(v))
-        out.append("|".join(vals))
+        out.append("|".join(_canon(row[name], round6) for name in cols))
     return sorted(out)
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:]]
+    round6 = "--round6" in argv
+    if round6:
+        argv.remove("--round6")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import duckdb
     import __spark_entry__ as entrymod
@@ -72,9 +92,11 @@ def main() -> int:
             print(f"ok?  {name}: rows={len(srows)} (no oracle, rows-only)")
             continue
         try:
-            ores = con.execute(oracles[name])
-            ocols = [d[0] for d in ores.description]
-            orows = [dict(zip(ocols, row)) for row in ores.fetchall()]
+            # fetch through pandas: reproduces driver-side dtype coercion
+            # (hugeint -> float64) that fetchall() would mask
+            odf = con.execute(oracles[name]).df()
+            ocols = list(odf.columns)
+            orows = odf.to_dict("records")
         except Exception as exc:
             print(f"FAIL {name}: duckdb error: {exc}")
             failures.append(name)
@@ -88,8 +110,8 @@ def main() -> int:
             print(f"FAIL {name}: rowcount {len(srows)} vs {len(orows)}")
             failures.append(name)
             continue
-        sn = normalize(srows, scols)
-        on = normalize(orows, ocols)
+        sn = normalize(srows, scols, round6)
+        on = normalize(orows, ocols, round6)
         if sn != on:
             diff = [(a, b) for a, b in zip(sn, on) if a != b][:3]
             print(f"FAIL {name}: value mismatch ({len([1 for a,b in zip(sn,on) if a!=b])} rows); first: ")
