@@ -1029,11 +1029,13 @@ def stream_minute_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         .withWatermark("ts", "5 seconds")
     )
+    # exact per-window COUNT(DISTINCT) lives in ``stream_exact_uv`` (its
+    # own oracle-checked entry) — this query carries only the aggregates
+    # it emits, so no state is paid for unverified columns
     agg = (
         sdf.groupBy(F.window("ts", "1 minute"), F.col("event_type").alias("dim"))
         .agg(
             F.count("*").alias("pv"),
-            F.approx_count_distinct("user_id").alias("uv_approx"),
             F.round(F.sum(_dec(F.col("value"))).cast("double"), 4).alias("sum_value"),
         )
         .select(
@@ -1072,10 +1074,10 @@ def stream_exact_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two chained stateful operators (Spark 4): window-scoped
     ``dropDuplicatesWithinWatermark`` then a windowed count, update mode
-    into a keyed upsert sink (last-update-wins — the foreachBatch body
-    is what a production pipeline points at an idempotent MERGE sink;
-    the local dict stands in for it at test scale). Matches the batch
-    exact distinct bit-for-bit.
+    into a distributed keyed upsert sink
+    (:class:`~flink_commons_spark.streaming.upsert.KeyedParquetUpsertSink`
+    — changelog append per batch, last-write-wins compaction on read; no
+    driver-side state). Matches the batch exact distinct bit-for-bit.
     """
     import os
 
@@ -1090,28 +1092,27 @@ def stream_exact_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
     from flink_commons_spark.streaming.distinct import windowed_exact_distinct
+    from flink_commons_spark.streaming.upsert import KeyedParquetUpsertSink
 
     agg = windowed_exact_distinct(
         sdf, "ts", "1 minute", ["event_type"], "user_id", "5 seconds"
+    ).select(
+        F.floor(F.col("window_start").cast("double") / 60).cast("bigint").alias("window_start"),
+        F.col("event_type").alias("dim"),
+        F.col("uv").cast("bigint").alias("uv"),
     )
-    state: dict = {}
-
-    def upsert(bdf: DataFrame, epoch_id: int) -> None:
-        for r in bdf.collect():
-            state[(r.window_start, r.event_type)] = r.uv
-
+    sink = KeyedParquetUpsertSink(
+        tempfile.mkdtemp(prefix="fcs-upsert-uv-"), ["window_start", "dim"]
+    )
     query = (
         agg.writeStream.outputMode("update")
-        .foreachBatch(upsert)
+        .foreachBatch(sink.writer())
         .trigger(availableNow=True)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-uv-"))
         .start()
     )
     query.awaitTermination(300)
-    rows = [
-        (int(ws.timestamp() // 60), dim, int(uv)) for (ws, dim), uv in state.items()
-    ]
-    return spark.createDataFrame(rows, "window_start bigint, dim string, uv bigint")
+    return sink.read_final(spark).select("window_start", "dim", "uv")
 
 
 _STREAM_UV_ORACLE = """
@@ -1207,28 +1208,27 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("value", F.round(F.col("value") * 100).cast("double"))
     )
     from flink_commons_spark.streaming.stateful import running_user_stats
+    from flink_commons_spark.streaming.upsert import KeyedParquetUpsertSink
 
-    out = running_user_stats(sdf)
-    state: dict = {}
-
-    def upsert(bdf: DataFrame, epoch_id: int) -> None:
-        for r in bdf.collect():
-            state[r.user_id] = (r.n_events, r.total_value, r.last_epoch)
-
+    out = running_user_stats(sdf).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("total_value").cast("bigint").alias("total_cents"),
+        F.col("last_epoch").cast("bigint").alias("last_epoch"),
+    )
+    sink = KeyedParquetUpsertSink(
+        tempfile.mkdtemp(prefix="fcs-upsert-state-"), ["user_id"]
+    )
     query = (
         out.writeStream.outputMode("update")
-        .foreachBatch(upsert)
+        .foreachBatch(sink.writer())
         .trigger(availableNow=True)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-state-"))
         .start()
     )
     query.awaitTermination(300)
-    rows = [
-        (int(uid), int(n), int(total), int(last))
-        for uid, (n, total, last) in state.items()
-    ]
-    return spark.createDataFrame(
-        rows, "user_id bigint, n_events bigint, total_cents bigint, last_epoch bigint"
+    return sink.read_final(spark).select(
+        "user_id", "n_events", "total_cents", "last_epoch"
     )
 
 

@@ -159,3 +159,22 @@ def test_session_window_agg_appends_closed_sessions(spark, event_stream):
     # minute-2 sessions end at 140s/150s → still open, not emitted
     emitted = {(r.user_id, int(r.session_start.timestamp()), r.n_events) for r in got}
     assert emitted == {(1, 1, 3), (2, 10, 1), (1, 61, 3), (2, 70, 1)}
+
+
+def test_keyed_parquet_upsert_sink_last_write_wins(spark, tmp_path):
+    """Distributed upsert sink: per-batch changelog append, compacted
+    read returns the latest update per key — no driver-side state."""
+    from flink_commons_spark.streaming.upsert import KeyedParquetUpsertSink
+
+    sink = KeyedParquetUpsertSink(str(tmp_path / "upsert"), ["k"])
+    w = sink.writer()
+    schema = "k long, v long"
+    # batch 0: both keys; batch 1 updates key 1 only; batch 2 updates key 2
+    w(spark.createDataFrame([(1, 10), (2, 20)], schema), 0)
+    w(spark.createDataFrame([(1, 11)], schema), 1)
+    w(spark.createDataFrame([(2, 22)], schema), 2)
+    # a replayed batch (retry after failure) must not duplicate keys
+    w(spark.createDataFrame([(2, 22)], schema), 2)
+
+    got = {(r.k, r.v) for r in sink.read_final(spark).collect()}
+    assert got == {(1, 11), (2, 22)}
