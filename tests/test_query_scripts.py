@@ -104,3 +104,52 @@ def test_demo_stream_script(spark):
         action.run()
     out = buf.getvalue()
     assert "ORDER_STAT> +I[" in out
+
+
+REFERENCE_TEST_SQL = "/root/reference/flink-actions/src/main/resources/test.sql"
+
+
+@pytest.mark.slow
+def test_reference_test_sql_verbatim(spark):
+    """Parity headline: the reference's bundled demo script
+    (``flink-actions/src/main/resources/test.sql:1-66``) runs UNMODIFIED
+    through sql-submit --strict-compat — Flink DDL (computed column,
+    watermark, datagen/print connectors), unquoted SETs, inline ``--``
+    comments, UNSET skip, async INSERT + blocking SELECT orchestration.
+
+    The script seeds no RNG (it's Flink's demo), so assertions are the
+    structural invariants its DDL guarantees: dim is a 1-char string,
+    uv <= pv, 50 <= min_price <= max_price < 1000, and sum/max/min are
+    consistent.
+    """
+    action = SqlSubmitAction(
+        REFERENCE_TEST_SQL,
+        spark=spark,
+        strict_compat=True,
+        stream_timeout_s=12.0,
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        action.run()
+    out = buf.getvalue()
+
+    rows = []
+    for line in out.splitlines():
+        # print sink format: `tbl_aggregate_sink> +I[dim, pv, uv, sum, max, min, window_start]`
+        if line.startswith("tbl_aggregate_sink> +"):
+            payload = line.split("[", 1)[1].rsplit("]", 1)[0]
+            rows.append([f.strip() for f in payload.split(",")])
+    assert rows, f"print sink emitted nothing; output was:\n{out[-2000:]}"
+    for dim, pv, uv, sum_p, max_p, min_p, window_start in rows:
+        assert len(dim) == 1
+        pv, uv = int(pv), int(uv)
+        sum_p, max_p, min_p = float(sum_p), float(max_p), float(min_p)
+        assert pv >= 1
+        # uv is approx_count_distinct-rewritten (HLL); allow small error
+        assert uv <= pv + max(2, pv // 50)
+        assert 50.0 <= min_p <= max_p < 1000.0
+        assert min_p <= sum_p / pv <= max_p
+        assert int(window_start) > 29_000_000  # minutes since epoch, sanity
+
+    # pipeline.name SET flowed through to the streaming query name
+    assert action.config.pipeline_name == "test-sql"
