@@ -58,6 +58,7 @@ HEADLINE = [
     "q_percentiles",
     "q_first_last",
     "q_array_funcs",
+    "q_partition_prune",
 ]
 
 
@@ -85,6 +86,15 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    # untimed warm-up: JVM/session/codegen spin-up otherwise lands on the
+    # first timed query (q1 measured ~9 s cold vs ~1 s warm), making
+    # round-over-round totals incomparable
+    try:
+        catalog.QUERIES["q_minute_agg"](spark, sf_dir).count()
+        spark.catalog.clearCache()
+    except Exception as exc:
+        print(f"bench: warmup failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -39,7 +39,11 @@ log = logging.getLogger(__name__)
 
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+(?:INTO|OVERWRITE)\s+(?P<target>(?:`[^`]+`|[\w.]+)+)\s*"
-    r"(?:\((?P<cols>[^)]*)\))?\s*(?P<query>SELECT.+|VALUES.+|FROM.+)$",
+    # optional explicit column list — the lookahead keeps a parenthesized
+    # query head `(SELECT ...)` from being eaten as a column list
+    r"(?:\((?P<cols>\s*(?!SELECT\b|VALUES\b|WITH\b|FROM\b|TABLE\b)"
+    r"`?\w+`?(?:\s*,\s*`?\w+`?)*\s*)\)\s*)?"
+    r"(?P<query>(?:SELECT|VALUES|FROM|WITH|TABLE|\().+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _COUNT_DISTINCT_RE = re.compile(r"\bCOUNT\s*\(\s*DISTINCT\b", re.IGNORECASE)
@@ -83,6 +87,7 @@ class SqlSubmitAction(Action):
         self.tables: dict[str, TableSpec] = {}
         self._rewrites: list[tuple[re.Pattern[str], str]] = []
         self._started_queries: list = []
+        self._ckpt_root: str | None = None
 
     def with_variables(self, variables: dict[str, str]) -> "SqlSubmitAction":
         self.variables.update(variables)
@@ -252,7 +257,37 @@ class SqlSubmitAction(Action):
             spec = self.tables[target]
             query_sql = self._adapt_streaming_sql(m.group("query"))
             df = spark.sql(query_sql)
-            if spec.columns:
+            listed = (
+                [c.strip().strip("`") for c in m.group("cols").split(",")]
+                if m.group("cols")
+                else None
+            )
+            if listed:
+                # explicit column subset: rename positionally to the listed
+                # names, fill unlisted declared sink columns with typed
+                # NULLs, order per the sink DDL (Flink INSERT semantics)
+                if len(df.columns) != len(listed):
+                    raise ValueError(
+                        f"INSERT column list has {len(listed)} column(s) but "
+                        f"the query produces {len(df.columns)}"
+                    )
+                from pyspark.sql import functions as F
+
+                df = df.toDF(*listed)
+                if spec.columns:
+                    unknown = [c for c in listed if c not in {n for n, _ in spec.columns}]
+                    if unknown:
+                        raise ValueError(
+                            f"INSERT column list names undeclared sink column(s) {unknown}"
+                        )
+                    df = df.select(
+                        *[
+                            F.col(name) if name in listed
+                            else F.lit(None).cast(typ).alias(name)
+                            for name, typ in spec.columns
+                        ]
+                    )
+            elif spec.columns:
                 df = df.toDF(*[c for c, _ in spec.columns])
             if df.isStreaming:
                 query = connectors.start_stream_sink(
@@ -355,9 +390,20 @@ class SqlSubmitAction(Action):
         return f"{base}-{suffix}"
 
     def _checkpoint_dir(self, suffix: str) -> str:
-        root = self.config.raw.get(
-            "flinkcommons.checkpoint.dir", tempfile.mkdtemp(prefix="fcs-ckpt-")
-        )
+        root = self.config.raw.get("flinkcommons.checkpoint.dir")
+        if not root:
+            # one stable temp root per action run (not per query start),
+            # so all of a script's queries checkpoint under one tree; but
+            # restart recovery still needs an explicit stable location
+            if self._ckpt_root is None:
+                self._ckpt_root = tempfile.mkdtemp(prefix="fcs-ckpt-")
+                log.warning(
+                    "flinkcommons.checkpoint.dir is not set; checkpointing "
+                    "under ephemeral %s — streaming restart recovery "
+                    "requires setting a stable checkpoint dir",
+                    self._ckpt_root,
+                )
+            root = self._ckpt_root
         return f"{root}/{self._query_name(suffix)}"
 
     def _await_active_queries(self, spark) -> None:

@@ -1480,6 +1480,45 @@ GROUP BY event_type
 """
 
 
+def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned lakehouse layout + partition pruning.
+
+    Writes events partitioned by event_type (the ``PARTITIONED BY``
+    connector path — at 100 TB the directory layout IS the index), then
+    aggregates a 2-of-5-partition slice. The scan must touch only the
+    two matching directories (``PartitionFilters``, plan-asserted in
+    ``tests/test_bucketing.py``); results equal the unpartitioned
+    oracle.
+    """
+    e = _t(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="fcs-partitioned-events-")
+    (
+        e.select("event_id", "user_id", "value", "event_type")
+        .write.partitionBy("event_type")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    part = spark.read.parquet(out).where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return part.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(_dec(F.col("value"))).cast("double"), 4).alias("total"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_PARTITION_PRUNE_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       round((sum(value::decimal(18,6)))::double, 4) AS total,
+       count(DISTINCT user_id) AS n_users
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+"""
+
+
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY CUBE over orders: all status × priority subtotal
     combinations in one Expand pass."""
@@ -1552,6 +1591,7 @@ QUERIES = {
     "q_percentiles": q_percentiles,
     "q_first_last": q_first_last,
     "q_array_funcs": q_array_funcs,
+    "q_partition_prune": q_partition_prune,
 }
 
 ORACLES = {
@@ -1593,4 +1633,5 @@ ORACLES = {
     "q_percentiles": _PERCENTILES_ORACLE,
     "q_first_last": _FIRST_LAST_ORACLE,
     "q_array_funcs": _ARRAY_FUNCS_ORACLE,
+    "q_partition_prune": _PARTITION_PRUNE_ORACLE,
 }

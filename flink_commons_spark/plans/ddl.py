@@ -82,6 +82,7 @@ class TableSpec:
     columns: list[tuple[str, str]] = field(default_factory=list)  # (name, spark type)
     computed: list[tuple[str, str]] = field(default_factory=list)  # (name, SQL expr)
     watermark: tuple[str, str] | None = None    # (column, delay e.g. "5 seconds")
+    partitioned_by: list[str] = field(default_factory=list)  # PARTITIONED BY cols
     connector: str = ""
     options: dict[str, str] = field(default_factory=dict)
     if_not_exists: bool = False
@@ -255,6 +256,27 @@ def parse_create_table(statement: str) -> TableSpec:
         spec.columns.append(
             (_strip_quotes(col_m.group("col")), _map_type(col_m.group("type")))
         )
+
+    # Flink's filesystem partitioning clause sits between the column body
+    # and WITH: ``CREATE TABLE t (...) PARTITIONED BY (dt, hr) WITH (...)``.
+    # At lakehouse scale this drives directory layout and therefore
+    # partition pruning — dropping it silently would be a correctness bug.
+    part_m = re.search(
+        r"PARTITIONED\s+BY\s*\((?P<cols>[^)]*)\)", rest, re.IGNORECASE
+    )
+    if part_m:
+        spec.partitioned_by = [
+            _strip_quotes(c) for c in part_m.group("cols").split(",") if c.strip()
+        ]
+        declared = {c for c, _ in spec.columns} | {c for c, _ in spec.computed}
+        if spec.columns:
+            unknown = [c for c in spec.partitioned_by if c not in declared]
+            if unknown:
+                raise DDLParseError(
+                    f"PARTITIONED BY references undeclared column(s) {unknown} "
+                    f"in table {view_name!r}"
+                )
+        rest = rest[: part_m.start()] + rest[part_m.end():]
 
     with_m = re.search(r"WITH\s*\(", rest, re.IGNORECASE)
     if with_m:

@@ -152,7 +152,6 @@ def split_statements(text: str, strict_compat: bool = False) -> list[str]:
 
 
 _STMT_SET_HEAD_RE = re.compile(r"^EXECUTE\s+STATEMENT\s+SET\s+BEGIN\b", re.IGNORECASE | re.DOTALL)
-_STMT_SET_END_RE = re.compile(r"(^|\s)END$", re.IGNORECASE)
 
 
 def _merge_statement_sets(statements: list[str]) -> list[str]:
@@ -167,7 +166,18 @@ def _merge_statement_sets(statements: list[str]) -> list[str]:
         stmt = statements[i]
         if _STMT_SET_HEAD_RE.match(stmt):
             block = [stmt]
-            while not _STMT_SET_END_RE.search(block[-1]) and i + 1 < len(statements):
+            # The terminator is a STANDALONE `END` fragment (from `END;`
+            # — inner statements are `;`-terminated in Flink's syntax, so
+            # END always lands in its own fragment). An inner statement
+            # that merely *ends* with the token END (e.g. `... CASE WHEN
+            # ... END`) must not close the block.
+            while block[-1].strip().upper() != "END":
+                if i + 1 >= len(statements):
+                    raise ScriptError(
+                        "EXECUTE STATEMENT SET block is missing its "
+                        "closing END (terminate the block with a "
+                        "standalone 'END;')."
+                    )
                 i += 1
                 block.append(statements[i])
             out.append(";\n".join(block))

@@ -6,7 +6,13 @@ Connectors covered (reference usage in parens):
 - ``print``      — console sink with ``print-identifier`` prefix
   (``test.sql:39-44``)
 - ``filesystem`` — path + format source/sink (Flink's filesystem
-  connector option names: ``path``, ``format``)
+  connector option names: ``path``, ``format``); honors ``PARTITIONED
+  BY`` for hive-style directory layout (partition pruning at read)
+- ``upsert-filesystem`` — keyed last-write-wins sink/source for
+  update-mode streams (Flink's upsert table sinks absorb retractions;
+  this is the plain-parquet analog — changelog append + compacted
+  read, ``flink_commons_spark.streaming.upsert``). Options: ``path``,
+  ``key`` (comma-separated key columns), ``format``
 - ``blackhole``  — discard-everything sink (Flink parity)
 - ``rate``       — raw Spark rate source passthrough (extension)
 
@@ -22,8 +28,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from flink_commons_spark.plans.ddl import TableSpec
 from flink_commons_spark.sources import datagen
 
-SOURCE_CONNECTORS = {"datagen", "filesystem", "rate"}
-SINK_CONNECTORS = {"print", "blackhole", "filesystem"}
+SOURCE_CONNECTORS = {"datagen", "filesystem", "rate", "upsert-filesystem"}
+SINK_CONNECTORS = {"print", "blackhole", "filesystem", "upsert-filesystem"}
 
 
 class ConnectorError(ValueError):
@@ -58,6 +64,15 @@ def build_source(spark: SparkSession, spec: TableSpec, streaming: bool) -> DataF
         )
     elif spec.connector == "filesystem":
         base = _filesystem_source(spark, spec, streaming)
+    elif spec.connector == "upsert-filesystem":
+        if streaming:
+            raise ConnectorError(
+                "upsert-filesystem reads its compacted current state — "
+                "batch-only as a source"
+            )
+        base = _upsert_sink(spec).read_final(spark)
+        if spec.columns:
+            base = base.select(*[c for c, _ in spec.columns])
     elif spec.connector == "rate":
         if not streaming:
             raise ConnectorError("rate connector is streaming-only")
@@ -106,9 +121,7 @@ def _filesystem_source(spark: SparkSession, spec: TableSpec, streaming: bool) ->
         raise ConnectorError(f"filesystem table {spec.name!r} requires a 'path' option")
     fmt = spec.options.get("format", "parquet")
     ns_cols = _ns_timestamp_cols(path) if fmt == "parquet" else []
-    if ns_cols:
-        # read NANOS as long, then truncate to microsecond timestamps
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
     def declared_schema() -> str:
         # ns-timestamp columns must be read as bigint then converted
         return ", ".join(
@@ -116,19 +129,58 @@ def _filesystem_source(spark: SparkSession, spec: TableSpec, streaming: bool) ->
             for name, typ in spec.columns
         )
 
+    # nanosAsLong is needed only while THIS table's schema is resolved;
+    # leaving it set session-wide would silently turn every later
+    # ns-timestamp parquet read into bigint columns — scope it.
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _scoped_nanos_conf():
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        if not ns_cols:
+            yield
+            return
+        previous = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            yield
+        finally:
+            if previous is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, previous)
+
+    # Reads always carry an EXPLICIT schema when ns-timestamp columns are
+    # present (declared bigint, or inferred-as-long under the scoped conf):
+    # with an explicit schema the parquet reader maps INT64(NANOS) to
+    # LongType at execution without the session-wide legacy conf.
     if streaming:
         reader = spark.readStream.format(fmt)
         if spec.columns:
             reader = reader.schema(declared_schema())
         elif fmt == "parquet":
-            reader = reader.schema(spark.read.format(fmt).load(path).schema)
+            with _scoped_nanos_conf():
+                reader = reader.schema(spark.read.format(fmt).load(path).schema)
         else:
             raise ConnectorError("streaming filesystem source requires a declared schema")
+        import os
+
+        if os.path.isfile(path):
+            # FileStreamSource only accepts directories; expose a single
+            # data file through a temp-dir symlink
+            import tempfile
+
+            stream_dir = tempfile.mkdtemp(prefix="fcs-fs-stream-")
+            os.symlink(path, os.path.join(stream_dir, os.path.basename(path)))
+            path = stream_dir
         df = reader.load(path)
     else:
         reader = spark.read.format(fmt)
         if spec.columns:
             reader = reader.schema(declared_schema())
+        elif ns_cols:
+            with _scoped_nanos_conf():
+                reader = reader.schema(spark.read.format(fmt).load(path).schema)
         if fmt == "csv":
             reader = reader.option("header", spec.options.get("csv.include-header", "false"))
         df = reader.load(path)
@@ -153,6 +205,37 @@ def print_batch(df: DataFrame, identifier: str | None) -> None:
         print(f"{prefix}+I[{values}]")
 
 
+def _upsert_sink(spec: TableSpec):
+    """Build the keyed upsert sink declared by an ``upsert-filesystem``
+    table (``'key' = 'a,b'`` names the primary-key columns)."""
+    from flink_commons_spark.streaming.upsert import KeyedParquetUpsertSink
+
+    path = spec.options.get("path")
+    if not path:
+        raise ConnectorError(f"upsert-filesystem table {spec.name!r} requires 'path'")
+    key_opt = spec.options.get("key", "")
+    keys = [k.strip() for k in key_opt.split(",") if k.strip()]
+    if not keys:
+        raise ConnectorError(
+            f"upsert-filesystem table {spec.name!r} requires a 'key' option "
+            "(comma-separated key column names)"
+        )
+    return KeyedParquetUpsertSink(path, keys)
+
+
+def _next_upsert_batch_id(df: DataFrame, path: str) -> int:
+    """Monotonic changelog batch id for batch INSERTs into an upsert
+    table: one past the current maximum (0 for a fresh table)."""
+    from flink_commons_spark.streaming.upsert import BATCH_COL
+
+    try:
+        existing = df.sparkSession.read.parquet(path)
+        top = existing.agg(F.max(BATCH_COL)).first()[0]
+        return int(top) + 1 if top is not None else 0
+    except Exception:
+        return 0
+
+
 def write_batch_sink(df: DataFrame, spec: TableSpec) -> None:
     """Route a batch INSERT INTO <sink table>."""
     if spec.connector == "print":
@@ -164,7 +247,13 @@ def write_batch_sink(df: DataFrame, spec: TableSpec) -> None:
         if not path:
             raise ConnectorError(f"filesystem sink {spec.name!r} requires 'path'")
         fmt = spec.options.get("format", "parquet")
-        df.write.format(fmt).mode(spec.options.get("sink.mode", "append")).save(path)
+        writer = df.write.format(fmt).mode(spec.options.get("sink.mode", "append"))
+        if spec.partitioned_by:
+            writer = writer.partitionBy(*spec.partitioned_by)
+        writer.save(path)
+    elif spec.connector == "upsert-filesystem":
+        sink = _upsert_sink(spec)
+        sink.writer()(df, _next_upsert_batch_id(df, sink.path))
     else:
         raise ConnectorError(f"Connector {spec.connector!r} is not writable")
 
@@ -191,5 +280,13 @@ def start_stream_sink(df: DataFrame, spec: TableSpec, *, query_name: str,
         if not path:
             raise ConnectorError(f"filesystem sink {spec.name!r} requires 'path'")
         fmt = spec.options.get("format", "parquet")
-        return writer.format(fmt).option("path", path).start()
+        w = writer.format(fmt).option("path", path)
+        if spec.partitioned_by:
+            w = w.partitionBy(*spec.partitioned_by)
+        return w.start()
+    if spec.connector == "upsert-filesystem":
+        # update-mode aggregate → keyed last-write-wins changelog; this is
+        # where the reference demo's retraction stream would land on a
+        # Flink upsert sink (SURVEY.md §1.4 changelog mapping)
+        return writer.foreachBatch(_upsert_sink(spec).writer()).start()
     raise ConnectorError(f"Connector {spec.connector!r} is not stream-writable")

@@ -56,3 +56,20 @@ def test_unbucketed_join_does_shuffle(spark):
     joined = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" in plan
+
+
+def test_partition_pruning_plan(spark, tmp_path):
+    """A filter on the partition column must prune at the FileIndex:
+    PartitionFilters carries the predicate and the data filters stay
+    empty — the scan never opens non-matching directories."""
+    from pyspark.sql import functions as F
+
+    src = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 5).cast("string").alias("p")
+    )
+    src.write.partitionBy("p").mode("overwrite").parquet(str(tmp_path / "pt"))
+    read = spark.read.parquet(str(tmp_path / "pt")).where("p = '3'")
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(p" in plan and "(p#" in plan
+    # the partition predicate must NOT appear as a post-scan data filter
+    assert read.count() == 200

@@ -113,3 +113,20 @@ def test_single_part_name():
     spec = parse_create_table("CREATE TABLE plain_name (a INT) WITH ('connector'='print')")
     assert spec.name == "plain_name"
     assert not spec.if_not_exists
+
+
+def test_partitioned_by_parsed():
+    ddl = """CREATE TABLE t (dt STRING, ev STRING, n BIGINT)
+             PARTITIONED BY (dt, ev)
+             WITH ('connector' = 'filesystem', 'path' = '/tmp/x', 'format' = 'parquet')"""
+    spec = parse_create_table(ddl)
+    assert spec.partitioned_by == ["dt", "ev"]
+    assert spec.columns == [("dt", "string"), ("ev", "string"), ("n", "bigint")]
+    assert spec.options["path"] == "/tmp/x"
+
+
+def test_partitioned_by_unknown_column_raises():
+    ddl = """CREATE TABLE t (a BIGINT) PARTITIONED BY (nope)
+             WITH ('connector' = 'filesystem', 'path' = '/tmp/x')"""
+    with pytest.raises(DDLParseError):
+        parse_create_table(ddl)

@@ -147,3 +147,33 @@ class TestLoadStatements:
         assert types == (
             ["SET"] * 9 + ["CREATE", "CREATE", "INSERT", "UNSET", "UNSET", "SELECT"]
         )
+
+
+def test_statement_set_missing_end_raises():
+    from flink_commons_spark.plans.script import ScriptError, split_statements
+
+    text = """
+    EXECUTE STATEMENT SET BEGIN
+    INSERT INTO a SELECT 1;
+    INSERT INTO b SELECT 2;
+    """
+    with pytest.raises(ScriptError, match="closing END"):
+        split_statements(text)
+
+
+def test_statement_set_inner_end_token_does_not_close_block():
+    from flink_commons_spark.plans.script import split_statements
+
+    # an inner statement legitimately ending with the token END (CASE
+    # expression) must not terminate the block early
+    text = """
+    EXECUTE STATEMENT SET BEGIN
+    INSERT INTO a SELECT CASE WHEN x > 0 THEN 1 ELSE 0 END;
+    INSERT INTO b SELECT 2;
+    END;
+    SELECT 1;
+    """
+    stmts = split_statements(text)
+    assert len(stmts) == 2
+    assert "INSERT INTO b" in stmts[0]
+    assert stmts[1].strip() == "SELECT 1"
