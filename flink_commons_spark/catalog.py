@@ -49,18 +49,38 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parallel load: testdata tables are single-row-group parquet files
-    (unsplittable → 1 scan partition), which would serialize every
-    downstream compute-heavy operator. One cheap round-robin repartition
-    restores parallelism, sized by input bytes (compute-heavy operators
-    want ~256 KB per partition at test scale) and capped at the cluster
-    parallelism. On a real 100 TB lakehouse the scan itself is already
-    parallel and this helper becomes unnecessary."""
+    """Parallel load for compute-heavy operators.
+
+    GATED on splittability: only a single-file, single-row-group parquet
+    input (exactly what the testdata tables are — 1 scan partition, which
+    would serialize every downstream stage) gets a round-robin
+    repartition, sized by input bytes (~256 KB per partition at test
+    scale) and capped at cluster parallelism. A multi-row-group file or
+    a directory of files is already a parallel scan, and the blind
+    repartition would be a pure full-corpus shuffle tax — on a real
+    lakehouse this helper is a no-op."""
     import os
 
-    size = os.path.getsize(f"{sf_dir}/{name}.parquet")
-    parts = max(4, min(spark.sparkContext.defaultParallelism, size // 262144 + 1))
-    return _t(spark, sf_dir, name).repartition(int(parts))
+    df = _t(spark, sf_dir, name)
+    path = f"{sf_dir}/{name}.parquet"
+    if not os.path.isfile(path):
+        return df  # directory layout: scan is already parallel
+    try:
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(path).metadata
+        if meta.num_row_groups > 1:
+            return df  # splittable: scan is already parallel
+        rows = meta.num_rows
+    except Exception:
+        return df
+    # compute-heavy consumers (per-char hashing, Arrow UDFs) want full
+    # cores, not byte-proportional splits — size by row count, keeping
+    # ≥64 rows per partition so tiny tables don't over-split
+    parts = max(1, min(spark.sparkContext.defaultParallelism, rows // 64))
+    if parts <= 1:
+        return df
+    return df.repartition(int(parts))
 
 
 def _dec(col: Column) -> Column:

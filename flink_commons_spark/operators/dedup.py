@@ -39,18 +39,29 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ------------------------------------------------------------ shingles
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the lower-cased text."""
-    toks = tokens(F.lower(col))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    """Distinct word n-gram shingles of a TOKEN-ARRAY column.
+
+    Pass a materialized token array (``tokens(lower(text))`` stored as a
+    real column), not the inline tokenization expression: expressions
+    referenced inside a higher-order-function lambda are re-evaluated
+    per element (no CSE in the interpreted HOF path), so an inlined
+    tokenize tree would rerun once per shingle.
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.size(col) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(col, i, n)))
     return F.array_distinct(grams)
 
 
 def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   n: int = 3) -> DataFrame:
-    """(id, shingle) exploded distinct-shingle table."""
-    return df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    """(id, shingle) exploded distinct-shingle table (two fused narrow
+    projections: tokenize once, then shingle by column reference)."""
+    tdf = df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    return tdf.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col("__toks"), n)).alias("shingle"),
     )
 
 
@@ -155,35 +166,8 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
 
 
 # ------------------------------------------------------------- simhash
-
-def simhash16(col: Column) -> Column:
-    """16-bit SimHash over distinct tokens, md5-bit voting.
-
-    Bit *i* of the fingerprint is the sign of ``Σ_tokens ±1`` where the
-    vote is the parity of hex digit *i* of ``md5(token)`` (≥'8' → +1).
-    Fully JVM-side via higher-order functions; deterministic and
-    SQL-expressible for oracle checks. Near-dup docs differ in few bits
-    (compare via Hamming distance on the fingerprints).
-    """
-    toks = F.array_distinct(tokens(F.lower(col)))
-
-    def vote_fn(i: int):
-        # factory, not a default-arg lambda: PySpark derives the
-        # higher-order-function arity from the lambda's parameter count
-        return lambda acc, t: acc + F.when(
-            F.substring(F.md5(t), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
-            1,
-        ).otherwise(-1)
-
-    bits = []
-    for i in range(16):
-        votes = F.aggregate(toks, F.lit(0), vote_fn(i))
-        bits.append(F.when(votes > 0, F.lit(2 ** i)).otherwise(F.lit(0)))
-    total = bits[0]
-    for b in bits[1:]:
-        total = total + b
-    return total.cast("bigint")
-
+# (a single-column-expression simhash16 twin used to live here; it
+# re-hashed every token 16× and was removed in favor of simhash_table)
 
 def winnow_fingerprints(
     df: DataFrame,
@@ -201,41 +185,53 @@ def winnow_fingerprints(
     one shared fingerprint — the substring-level dedup complement to
     token-level MinHash.
 
-    Shape: explode grams (narrow), one windowed min (single shuffle on
-    the doc id), distinct. Returns (id, fingerprint) rows.
+    Shape: ZERO-shuffle narrow map — the gram-hash array, the sliding
+    window minima and the distinct selection are all per-document array
+    expressions (whole-stage codegen), so cost is linear in corpus size
+    with no exchange/sort at any scale. (The previous formulation
+    exploded one row per character and paid a per-doc sort in a ranking
+    window — same values, ~3× the wall clock and a full shuffle.)
+    Per-row memory is O(doc_len) hashes; at 8 bytes per char a 1 MB
+    document holds an 8 MB array — fine for web/training corpora, chunk
+    pathological documents upstream. Returns (id, fingerprint) rows.
     """
-    normalized = F.concat_ws(" ", tokens(F.lower(F.col(text_col))))
-    grams = df.select(
+    # materialize the normalized text as a real column FIRST: an
+    # expression referenced inside a higher-order-function lambda is
+    # re-evaluated per array element (no CSE in the interpreted HOF
+    # path), so inlining the tokenize/normalize tree here would redo it
+    # once per gram (~doc_len times)
+    ndf = df.select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length(normalized) - (k - 1), F.lit(1))),
-                lambda i: normalized.substr(i, F.lit(k)),
-            )
-        ).alias("pos", "gram"),
+        F.concat_ws(" ", tokens(F.lower(F.col(text_col)))).alias("__t"),
     )
-    hashed = grams.select(id_col, "pos", _portable_hash(F.col("gram")).alias("h"))
-    from pyspark.sql import Window as W
-
-    win = (
-        W.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(W.currentRow, window - 1)
+    t = F.col("__t")
+    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: _portable_hash(t.substr(i, F.lit(k))),
     )
-    selected = hashed.select(
-        F.col(id_col), F.min("h").over(win).alias("fingerprint")
-    ).distinct()
-    return selected
+    # same reasoning: the hash array becomes a column so the window pass
+    # reads it by reference instead of re-hashing per slice
+    hashed = ndf.select(F.col(id_col), gram_hashes.alias("__h"))
+    fps = F.transform(
+        F.sequence(F.lit(1), F.size("__h")),
+        lambda i: F.array_min(F.slice("__h", i, window)),
+    )
+    return hashed.select(
+        F.col(id_col), F.explode(F.array_distinct(fps)).alias("fingerprint")
+    )
 
 
 def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, simhash) via the explode/aggregate formulation.
 
-    Unlike :func:`simhash16` (a single-column expression that re-hashes
-    every token once per bit), this computes ``md5(token)`` exactly once
-    per (doc, token) row and folds the 16 bit-votes in one hash
-    aggregate with map-side partial aggregation — the shape that scales:
-    shuffle payload is 16 ints per doc, all stages whole-stage-codegen.
+    Computes ``md5(token)`` exactly once per (doc, token) row and folds
+    the 16 bit-votes in one hash aggregate with map-side partial
+    aggregation — the shape that scales: shuffle payload is 16 ints per
+    doc, all stages whole-stage-codegen. Bit *i* of the fingerprint is
+    the sign of ``Σ_tokens ±1`` where the vote is the parity of hex
+    digit *i* of ``md5(token)`` (≥'8' → +1); near-dup docs differ in few
+    bits (compare via Hamming distance).
     """
     toks = df.select(
         F.col(id_col),

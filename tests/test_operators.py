@@ -59,8 +59,11 @@ def test_exact_dedup_keeps_min_id(spark):
 
 
 def test_word_shingles(spark):
+    from flink_commons_spark.operators.text import tokens
+
     df = spark.createDataFrame([("a b c d",)], ["text"])
-    got = df.select(D.word_shingles(F.col("text"), 3).alias("s")).first().s
+    toked = df.select(tokens(F.lower(F.col("text"))).alias("toks"))
+    got = toked.select(D.word_shingles(F.col("toks"), 3).alias("s")).first().s
     assert got == ["a b c", "b c d"]
 
 
