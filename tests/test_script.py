@@ -177,3 +177,54 @@ def test_statement_set_inner_end_token_does_not_close_block():
     assert len(stmts) == 2
     assert "INSERT INTO b" in stmts[0]
     assert stmts[1].strip() == "SELECT 1"
+
+
+def test_read_script_hdfs_via_fake_fs(monkeypatch, tmp_path):
+    """R5's hdfs:// leg, exercised against a fake HadoopFileSystem: URI
+    host/port dispatch, stream read, utf-8 decode. (The real JNI-backed
+    filesystem needs an HDFS cluster; the fake pins the code path.)"""
+    from pyarrow import fs as pafs
+
+    from flink_commons_spark.plans import script as script_mod
+
+    calls = {}
+
+    class FakeStream:
+        def __init__(self, data: bytes) -> None:
+            self._data = data
+
+        def read(self) -> bytes:
+            return self._data
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    class FakeHadoopFileSystem:
+        def __init__(self, host, port):
+            calls["host"] = host
+            calls["port"] = port
+
+        def open_input_stream(self, path):
+            calls["path"] = path
+            return FakeStream("SELECT 1;\n-- cômment\n".encode("utf-8"))
+
+    monkeypatch.setattr(pafs, "HadoopFileSystem", FakeHadoopFileSystem)
+    text = script_mod.read_script("hdfs://namenode:9000/jobs/q.sql")
+    assert text.startswith("SELECT 1;")
+    assert calls == {"host": "namenode", "port": 9000, "path": "/jobs/q.sql"}
+
+    # default-authority form: hdfs:///path → 'default' fs, port 0
+    script_mod.read_script("hdfs:///jobs/q.sql")
+    assert calls["host"] == "default" and calls["port"] == 0
+
+
+def test_read_script_unknown_scheme_and_missing_file():
+    from flink_commons_spark.plans.script import ScriptError, read_script
+
+    with pytest.raises(ScriptError, match="Unsupported file system scheme"):
+        read_script("s3://bucket/q.sql")
+    with pytest.raises(ScriptError, match="does not exist"):
+        read_script("/nonexistent/q.sql")
