@@ -59,6 +59,7 @@ HEADLINE = [
     "q_first_last",
     "q_array_funcs",
     "q_partition_prune",
+    "dedup_clusters",
 ]
 
 

@@ -784,6 +784,58 @@ GROUP BY source
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH candidate pairs → distributed
+    connected components (iterative min-label propagation, no driver
+    graph state) → per-cluster stats. The step after pair mining in a
+    real dedup pipeline — "keep one doc per component"."""
+    from flink_commons_spark.operators.graph import dup_clusters
+
+    pairs = D.minhash_dedup_pairs(
+        _tp(spark, sf_dir, "documents"), num_hashes=8, bands=4, ngram=3, threshold=0.0
+    ).select("a", "b")
+    return dup_clusters(pairs)
+
+
+_DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+sig AS (
+  SELECT doc_id, seed,
+         min(('0x' || substr(md5(seed::varchar || '|' || shingle), 1, 14))::bigint) AS mh
+  FROM sh, seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // 2 AS band,
+         string_agg(mh::varchar, '_' ORDER BY seed) AS bucket
+  FROM sig
+  GROUP BY doc_id, seed // 2
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+  WHERE l.doc_id < r.doc_id
+),
+edges AS (
+  SELECT a AS u, b AS v FROM cand UNION SELECT b, a FROM cand
+),
+reach(node, m) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON reach.m = e.u
+),
+labels AS (
+  SELECT node, least(node, min(m)) AS label FROM reach GROUP BY node
+)
+SELECT label AS cluster_id,
+       count(*) AS n_docs,
+       max(node) AS max_doc
+FROM labels
+GROUP BY label
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash buckets (fingerprint, member count, kept id)."""
     return D.simhash_buckets(_tp(spark, sf_dir, "documents"))
@@ -1612,6 +1664,7 @@ QUERIES = {
     "q_first_last": q_first_last,
     "q_array_funcs": q_array_funcs,
     "q_partition_prune": q_partition_prune,
+    "dedup_clusters": dedup_clusters,
 }
 
 ORACLES = {
@@ -1654,4 +1707,5 @@ ORACLES = {
     "q_first_last": _FIRST_LAST_ORACLE,
     "q_array_funcs": _ARRAY_FUNCS_ORACLE,
     "q_partition_prune": _PARTITION_PRUNE_ORACLE,
+    "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
 }

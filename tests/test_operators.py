@@ -248,3 +248,30 @@ def test_frame_sample_fanout(spark):
     frames = MM.frame_sample(MM.attach_binary(df), every_n=10).collect()
     assert len(frames) == 2
     assert sorted(f.frame_no for f in frames) == [0, 1]
+
+
+def test_connected_components_multi_hop(spark):
+    """A 4-node chain needs >1 propagation round; labels converge to the
+    component minimum. Second component and ordering checked too."""
+    from flink_commons_spark.operators.graph import connected_components, dup_clusters
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["a", "b"]
+    )
+    labels = {r.node: r.label for r in connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    clusters = {
+        r.cluster_id: (r.n_docs, r.max_doc) for r in dup_clusters(edges).collect()
+    }
+    assert clusters == {1: (4, 4), 10: (2, 11)}
+
+
+def test_connected_components_non_convergence_raises(spark):
+    from flink_commons_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["a", "b"])
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
