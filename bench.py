@@ -60,6 +60,8 @@ HEADLINE = [
     "q_array_funcs",
     "q_partition_prune",
     "dedup_clusters",
+    "q_hash_split",
+    "q_pack_sequences",
 ]
 
 

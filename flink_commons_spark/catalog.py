@@ -1591,6 +1591,76 @@ GROUP BY event_type
 """
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split — a pure function of the doc
+    id (never ``rand()``), so reruns and backfills keep every document
+    in its split. Narrow map, no shuffle before the stats aggregate."""
+    from flink_commons_spark.operators.sampling import with_split
+
+    d = _t(spark, sf_dir, "documents")
+    s = with_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return s.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+_HASH_SPLIT_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('split|' || doc_id::varchar), 1, 8))::bigint % 10000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM b
+GROUP BY 1
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: shard documents by stable hash, cut each
+    shard's running token sum into 512-token bins — one packed
+    context-window per (shard, bin). One shuffle on the shard key."""
+    from flink_commons_spark.operators.packing import pack_stats
+    from flink_commons_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    return pack_stats(d, "doc_id", "n_tokens", budget=512, shards=8)
+
+
+_PACK_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents
+),
+sh AS (
+  SELECT doc_id, n_tokens,
+         (('0x' || substr(md5('pack|' || doc_id::varchar), 1, 8))::bigint % 10000) % 8 AS shard
+  FROM tok
+),
+c AS (
+  SELECT doc_id, n_tokens, shard,
+         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM sh
+)
+SELECT shard,
+       (cum // 512)::bigint AS bin,
+       count(*) AS n_docs,
+       (sum(n_tokens))::bigint AS sum_tokens,
+       min(doc_id) AS first_doc
+FROM c
+GROUP BY shard, bin
+"""
+
+
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY CUBE over orders: all status × priority subtotal
     combinations in one Expand pass."""
@@ -1665,6 +1735,8 @@ QUERIES = {
     "q_array_funcs": q_array_funcs,
     "q_partition_prune": q_partition_prune,
     "dedup_clusters": dedup_clusters,
+    "q_hash_split": q_hash_split,
+    "q_pack_sequences": q_pack_sequences,
 }
 
 ORACLES = {
@@ -1708,4 +1780,6 @@ ORACLES = {
     "q_array_funcs": _ARRAY_FUNCS_ORACLE,
     "q_partition_prune": _PARTITION_PRUNE_ORACLE,
     "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
+    "q_hash_split": _HASH_SPLIT_ORACLE,
+    "q_pack_sequences": _PACK_ORACLE,
 }

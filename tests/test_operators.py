@@ -275,3 +275,46 @@ def test_connected_components_non_convergence_raises(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=1)
+
+
+# ----------------------------------------------------- split & packing
+
+def test_hash_split_deterministic_and_fractioned(spark):
+    from flink_commons_spark.operators.sampling import with_split
+
+    df = spark.range(0, 10000).withColumnRenamed("id", "doc_id")
+    s = with_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # md5 buckets: within ~3% of the requested fractions at n=10000
+    assert abs(counts["train"] / 10000 - 0.8) < 0.03
+    assert abs(counts["val"] / 10000 - 0.1) < 0.03
+    # pure function of the key: same assignment on rerun and on a subset
+    s2 = with_split(df.where("doc_id < 100"), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    full = {r.doc_id: r.split for r in s.where("doc_id < 100").collect()}
+    sub = {r.doc_id: r.split for r in s2.collect()}
+    assert full == sub
+
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        with_split(df, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_pack_into_bins_budget_bound(spark):
+    from flink_commons_spark.operators.packing import pack_into_bins, pack_stats
+
+    rows = [(i, 100 + (i % 7) * 50) for i in range(200)]  # 100..400 tokens
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    packed = pack_into_bins(df, budget=1000, shards=4)
+    stats = pack_stats(df, budget=1000, shards=4).collect()
+    # every bin except a shard's last is filled past budget - max_doc + 1
+    last_bin = {r.shard: r.bin for r in packed.groupBy("shard").agg(F.max("bin").alias("bin")).collect()}
+    for r in stats:
+        if r.bin != last_bin[r.shard]:
+            assert r.sum_tokens >= 1000 - 400 + 1
+    # deterministic rerun
+    a = sorted((r.shard, r.bin, r.n_docs) for r in stats)
+    b = sorted(
+        (r.shard, r.bin, r.n_docs)
+        for r in pack_stats(df, budget=1000, shards=4).collect()
+    )
+    assert a == b
