@@ -62,6 +62,7 @@ HEADLINE = [
     "dedup_clusters",
     "q_hash_split",
     "q_pack_sequences",
+    "q_funnel",
 ]
 
 

@@ -1591,6 +1591,86 @@ GROUP BY event_type
 """
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence (funnel) detection: view → click → purchase,
+    each stage strictly after the previous and within a 1-hour
+    conversion window — the MATCH_RECOGNIZE/CEP shape expressed as
+    staged conditional minima. Three aggregates + two joins, ALL keyed
+    on user_id: one shuffle partitioning reused end-to-end (no
+    re-exchange between stages)."""
+    hour_us = 3_600_000_000
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("unix_micros(cast(ts as timestamp))").alias("us")
+    )
+    views = e.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("us").alias("t_view")
+    )
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .where((F.col("us") > F.col("t_view")) & (F.col("us") <= F.col("t_view") + hour_us))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    buys = (
+        e.where(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .where((F.col("us") > F.col("t_click")) & (F.col("us") <= F.col("t_click") + hour_us))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_buy"))
+    )
+    staged = (
+        views.join(clicks, "user_id", "left")
+        .join(buys, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("t_buy").isNotNull(), 1).otherwise(0)
+            ).alias("stage"),
+        )
+    )
+    return staged.groupBy("stage").agg(
+        F.count("*").alias("n_users"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+v AS (
+  SELECT user_id, min(us) AS t_view FROM ev WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT ev.user_id, min(us) AS t_click
+  FROM ev JOIN v USING (user_id)
+  WHERE event_type = 'click' AND us > t_view AND us <= t_view + 3600000000
+  GROUP BY ev.user_id
+),
+b AS (
+  SELECT ev.user_id, min(us) AS t_buy
+  FROM ev JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND us > t_click AND us <= t_click + 3600000000
+  GROUP BY ev.user_id
+),
+staged AS (
+  SELECT v.user_id,
+         1 + (CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+           + (CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS stage
+  FROM v LEFT JOIN c ON v.user_id = c.user_id
+         LEFT JOIN b ON v.user_id = b.user_id
+)
+SELECT stage, count(*) AS n_users,
+       min(user_id) AS min_user, max(user_id) AS max_user
+FROM staged
+GROUP BY stage
+"""
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split — a pure function of the doc
     id (never ``rand()``), so reruns and backfills keep every document
@@ -1737,6 +1817,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "q_hash_split": q_hash_split,
     "q_pack_sequences": q_pack_sequences,
+    "q_funnel": q_funnel,
 }
 
 ORACLES = {
@@ -1782,4 +1863,5 @@ ORACLES = {
     "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
     "q_hash_split": _HASH_SPLIT_ORACLE,
     "q_pack_sequences": _PACK_ORACLE,
+    "q_funnel": _FUNNEL_ORACLE,
 }
