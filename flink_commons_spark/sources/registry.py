@@ -65,12 +65,24 @@ def build_source(spark: SparkSession, spec: TableSpec, streaming: bool) -> DataF
     elif spec.connector == "filesystem":
         base = _filesystem_source(spark, spec, streaming)
     elif spec.connector == "upsert-filesystem":
+        sink = _upsert_sink(spec)
+        mode = spec.options.get("scan.mode", "compacted")
         if streaming:
-            raise ConnectorError(
-                "upsert-filesystem reads its compacted current state — "
-                "batch-only as a source"
-            )
-        base = _upsert_sink(spec).read_final(spark)
+            # the changelog directory is append-only — a valid file
+            # stream; downstream consumers see every keyed update in
+            # batch order (CDC-style), like reading a Flink upsert
+            # table's changelog
+            if mode != "changelog":
+                raise ConnectorError(
+                    "streaming read of an upsert-filesystem table requires "
+                    "'scan.mode' = 'changelog' (compacted state is batch-only)"
+                )
+            schema = spark.read.parquet(sink.path).schema
+            base = spark.readStream.schema(schema).parquet(sink.path)
+        elif mode == "changelog":
+            base = spark.read.parquet(sink.path)
+        else:
+            base = sink.read_final(spark)
         if spec.columns:
             base = base.select(*[c for c, _ in spec.columns])
     elif spec.connector == "rate":

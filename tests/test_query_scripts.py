@@ -261,3 +261,45 @@ def test_insert_with_cte_and_column_subset(spark, tmp_path):
     assert back.count() == 5
     row = back.where("event_type = 'click'").first()
     assert row.n > 0 and row.note is None
+
+
+def test_upsert_changelog_stream_read(spark, tmp_path):
+    """The upsert table's changelog reads back as a stream (CDC-style):
+    every keyed update row, batch-tagged, flows to downstream consumers."""
+    seed_script = f"""
+    SET 'execution.runtime-mode' = 'streaming';
+    SET 'flinkcommons.trigger' = 'availableNow';
+    SET 'flinkcommons.stream.timeout' = '60s';
+    CREATE TABLE events (
+        event_id BIGINT, ts BIGINT, user_id BIGINT,
+        event_type STRING, value DOUBLE, props STRING
+    ) WITH (
+        'connector' = 'filesystem', 'path' = '/root/testdata/sf0.001/events.parquet',
+        'format' = 'parquet'
+    );
+    CREATE TABLE state (event_type STRING, pv BIGINT) WITH (
+        'connector' = 'upsert-filesystem', 'path' = '{tmp_path}/state',
+        'key' = 'event_type'
+    );
+    INSERT INTO state SELECT event_type, count(*) FROM events GROUP BY event_type;
+    """
+    SqlSubmitAction(sql_text=seed_script, spark=spark).run()
+
+    read_script = f"""
+    SET 'execution.runtime-mode' = 'streaming';
+    SET 'flinkcommons.trigger' = 'availableNow';
+    SET 'flinkcommons.stream.timeout' = '60s';
+    CREATE TABLE changelog (event_type STRING, pv BIGINT) WITH (
+        'connector' = 'upsert-filesystem', 'path' = '{tmp_path}/state',
+        'key' = 'event_type', 'scan.mode' = 'changelog'
+    );
+    CREATE TABLE out (event_type STRING, pv BIGINT) WITH (
+        'connector' = 'print', 'print-identifier' = 'CDC'
+    );
+    INSERT INTO out SELECT event_type, pv FROM changelog;
+    """
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        SqlSubmitAction(sql_text=read_script, spark=spark).run()
+    lines = [l for l in buf.getvalue().splitlines() if l.startswith("CDC> +")]
+    assert len(lines) == 5  # one update row per event_type key
