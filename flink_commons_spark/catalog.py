@@ -1595,9 +1595,8 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence (funnel) detection: view → click → purchase,
     each stage strictly after the previous and within a 1-hour
     conversion window — the MATCH_RECOGNIZE/CEP shape expressed as
-    staged conditional minima. Three aggregates + two joins, ALL keyed
-    on user_id: one shuffle partitioning reused end-to-end (no
-    re-exchange between stages)."""
+    staged conditional minima. Every exchange keys on user_id and
+    carries a filtered event subset; no windows or global sorts."""
     hour_us = 3_600_000_000
     e = _t(spark, sf_dir, "events").select(
         "user_id", "event_type", F.expr("unix_micros(cast(ts as timestamp))").alias("us")
