@@ -63,6 +63,10 @@ HEADLINE = [
     "q_hash_split",
     "q_pack_sequences",
     "q_funnel",
+    "q_pivot",
+    "q_null_gauntlet",
+    "q_interval_join",
+    "stream_interval_join",
 ]
 
 

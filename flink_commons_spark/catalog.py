@@ -1591,6 +1591,182 @@ GROUP BY event_type
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink-style interval join at batch scale: view events joined to
+    the same user's purchases within the next 30 minutes — bucketed
+    time equi-join (operators/interval.py), NO theta/nested-loop join.
+    Output: per-user match stats (bounded rows)."""
+    from flink_commons_spark.operators.interval import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("event_id").alias("view_id")
+    )
+    buys = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("bts"), F.col("event_id").alias("buy_id")
+    )
+    pairs = interval_join(
+        views, buys, on="user_id", left_ts="vts", right_ts="bts",
+        lower_s=0.0, upper_s=1800.0, payload=["buy_id"],
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("view_id").alias("n_views_matched"),
+        F.countDistinct("buy_id").alias("n_buys_matched"),
+    )
+
+
+_INTERVAL_JOIN_ORACLE = """
+WITH v AS (
+  SELECT user_id, event_id AS view_id, epoch_us(ts) AS vus
+  FROM events WHERE event_type = 'view'
+),
+b AS (
+  SELECT user_id, event_id AS buy_id, epoch_us(ts) AS bus
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id,
+       count(*) AS n_pairs,
+       count(DISTINCT view_id) AS n_views_matched,
+       count(DISTINCT buy_id) AS n_buys_matched
+FROM v JOIN b USING (user_id)
+WHERE bus >= vus AND bus <= vus + 1800000000
+GROUP BY user_id
+"""
+
+
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (Flink's flagship streaming-SQL
+    join) via Structured Streaming's native time-bounded join: views ⋈
+    purchases per user within 30 minutes, both sides watermarked (state
+    expires past watermark + interval). Inner joins emit eagerly, so
+    the availableNow run yields exactly the batch result."""
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-ij-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    views = (
+        sdf.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("vts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("vts", "5 seconds")
+    )
+    buys = (
+        sdf.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("bts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        .withWatermark("bts", "5 seconds")
+    )
+    pairs = views.join(
+        buys,
+        F.expr(
+            "v_user = b_user AND bts >= vts AND bts <= vts + interval 30 minutes"
+        ),
+    )
+    name = "fcs_stream_interval_join"
+    query = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-ij-"))
+        .start()
+    )
+    query.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("view_id").alias("n_views_matched"),
+            F.countDistinct("buy_id").alias("n_buys_matched"),
+        )
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user-decile event-type counts as columns. Explicit
+    pivot values → single pass (no extra distinct-values job)."""
+    e = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.withColumn("decile", (F.col("user_id") % 10).cast("bigint"))
+        .groupBy("decile")
+        .pivot("event_type", kinds)
+        .count()
+        .select(
+            "decile", *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds]
+        )
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT user_id % 10 AS decile,
+       (count(*) FILTER (WHERE event_type = 'click'))::bigint AS n_click,
+       (count(*) FILTER (WHERE event_type = 'error'))::bigint AS n_error,
+       (count(*) FILTER (WHERE event_type = 'purchase'))::bigint AS n_purchase,
+       (count(*) FILTER (WHERE event_type = 'signup'))::bigint AS n_signup,
+       (count(*) FILTER (WHERE event_type = 'view'))::bigint AS n_view
+FROM events
+GROUP BY 1
+"""
+
+
+def q_null_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics coverage: coalesce, nullif, null-safe equality,
+    count-ignores-null vs count(*), null-aware conditional sums."""
+    o = _t(spark, sf_dir, "orders")
+    # priority becomes NULL for one class → exercises every null path
+    x = o.withColumn(
+        "c2",
+        F.when(F.col("o_orderpriority") == "3-MEDIUM", None).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    return x.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.count("c2").alias("n_nonnull"),
+        F.sum(F.when(F.col("c2").isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
+        F.count(F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))).alias("n_not_urgent"),
+        F.sum(
+            F.when(F.col("c2").eqNullSafe(F.col("o_orderpriority")), 1).otherwise(0)
+        ).cast("bigint").alias("n_nullsafe_eq"),
+        F.min(F.coalesce(F.col("c2"), F.lit("~missing~"))).alias("min_c2"),
+    )
+
+
+_NULL_ORACLE = """
+WITH x AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CASE WHEN o_orderpriority = '3-MEDIUM' THEN NULL ELSE o_orderpriority END AS c2
+  FROM orders
+)
+SELECT o_orderstatus,
+       count(*) AS n_rows,
+       count(c2) AS n_nonnull,
+       (sum(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END))::bigint AS n_null,
+       count(nullif(o_orderpriority, '1-URGENT')) AS n_not_urgent,
+       (sum(CASE WHEN c2 IS NOT DISTINCT FROM o_orderpriority THEN 1 ELSE 0 END))::bigint AS n_nullsafe_eq,
+       min(coalesce(c2, '~missing~')) AS min_c2
+FROM x
+GROUP BY o_orderstatus
+"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence (funnel) detection: view → click → purchase,
     each stage strictly after the previous and within a 1-hour
@@ -1817,6 +1993,10 @@ QUERIES = {
     "q_hash_split": q_hash_split,
     "q_pack_sequences": q_pack_sequences,
     "q_funnel": q_funnel,
+    "q_pivot": q_pivot,
+    "q_null_gauntlet": q_null_gauntlet,
+    "q_interval_join": q_interval_join,
+    "stream_interval_join": stream_interval_join,
 }
 
 ORACLES = {
@@ -1863,4 +2043,8 @@ ORACLES = {
     "q_hash_split": _HASH_SPLIT_ORACLE,
     "q_pack_sequences": _PACK_ORACLE,
     "q_funnel": _FUNNEL_ORACLE,
+    "q_pivot": _PIVOT_ORACLE,
+    "q_null_gauntlet": _NULL_ORACLE,
+    "q_interval_join": _INTERVAL_JOIN_ORACLE,
+    "stream_interval_join": _INTERVAL_JOIN_ORACLE,
 }

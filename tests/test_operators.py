@@ -318,3 +318,29 @@ def test_pack_into_bins_budget_bound(spark):
         for r in pack_stats(df, budget=1000, shards=4).collect()
     )
     assert a == b
+
+
+# -------------------------------------------------------- interval join
+
+def test_interval_join_bounds_and_plan(spark):
+    from flink_commons_spark.operators.interval import interval_join
+
+    left = spark.createDataFrame(
+        [(1, 1000, "L1"), (1, 5000, "L2"), (2, 1000, "L3")], ["k", "t", "lname"]
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "lname")
+    right = spark.createDataFrame(
+        [(1, 1000, "R@0"), (1, 1010, "R@10"), (1, 1011, "R@11"), (2, 990, "Rpast")],
+        ["k", "rt", "rname"],
+    ).select("k", F.col("rt").cast("timestamp").alias("rt"), "rname")
+
+    out = interval_join(
+        left, right, on="k", left_ts="t", right_ts="rt",
+        lower_s=0.0, upper_s=10.0, payload=["rname"],
+    )
+    got = sorted((r.lname, r.rname) for r in out.collect())
+    # inclusive [t, t+10]: L1 matches R@0 and R@10, NOT R@11; L3 matches
+    # nothing (Rpast is before); each pair appears exactly once
+    assert got == [("L1", "R@0"), ("L1", "R@10")]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
