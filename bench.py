@@ -67,6 +67,9 @@ HEADLINE = [
     "q_null_gauntlet",
     "q_interval_join",
     "stream_interval_join",
+    "q_datetime_funcs",
+    "q_grouping_sets",
+    "q_string_funcs",
 ]
 
 

@@ -1591,6 +1591,101 @@ GROUP BY event_type
 """
 
 
+def q_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar coverage over o_orderdate: trunc, extract
+    family, last_day, date arithmetic, datediff — dialect parity for
+    the most-translated function family."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("dom"),
+        F.quarter(d).alias("q"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+        F.trunc(d, "month").cast("string").alias("month_start"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.date_add(d, 30).cast("string").alias("plus30"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_eoy98"),
+        F.dayofweek(d).alias("dow"),
+    )
+
+
+_DATETIME_ORACLE = """
+SELECT o_orderkey,
+       extract(year FROM o_orderdate)::int AS y,
+       extract(month FROM o_orderdate)::int AS m,
+       extract(day FROM o_orderdate)::int AS dom,
+       extract(quarter FROM o_orderdate)::int AS q,
+       strftime(o_orderdate, '%Y-%m') AS ym,
+       (date_trunc('month', o_orderdate)::date)::varchar AS month_start,
+       (last_day(o_orderdate))::varchar AS month_end,
+       (o_orderdate + INTERVAL 30 DAY)::date::varchar AS plus30,
+       (DATE '1998-12-31' - o_orderdate::date)::int AS days_to_eoy98,
+       (dayofweek(o_orderdate)::int + 1) AS dow
+FROM orders
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS + grouping_id — beyond rollup/cube."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("fcs_orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               grouping_id(o_orderstatus, o_orderpriority) AS gid,
+               count(*) AS n
+        FROM fcs_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       (CASE WHEN grouping(o_orderstatus) = 1 THEN 2 ELSE 0 END
+        + CASE WHEN grouping(o_orderpriority) = 1 THEN 1 ELSE 0 END)::bigint AS gid,
+       count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+"""
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar coverage #2: regexp extraction, padding, split,
+    edit distance (the fuzzy-matching primitive), trim family."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_type"), r"^(\w+)", 1).alias("type_first"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#11")).alias("brand_dist"),
+        F.ltrim(F.rtrim(F.col("p_name"))).alias("name_trim"),
+        F.instr(F.col("p_type"), "BRUSHED").alias("brushed_at"),
+        F.repeat(F.lit("*"), F.col("p_size") % 5).alias("stars"),
+    )
+
+
+_STRING_ORACLE = """
+SELECT p_partkey,
+       coalesce(regexp_extract(p_type, '^(\\w+)', 1), '') AS type_first,
+       lpad(p_size::varchar, 4, '0') AS size_pad,
+       string_split(p_type, ' ')[1] AS type_head,
+       levenshtein(p_brand, 'Brand#11') AS brand_dist,
+       ltrim(rtrim(p_name)) AS name_trim,
+       instr(p_type, 'BRUSHED') AS brushed_at,
+       repeat('*', p_size % 5) AS stars
+FROM part
+"""
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink-style interval join at batch scale: view events joined to
     the same user's purchases within the next 30 minutes — bucketed
@@ -1997,6 +2092,9 @@ QUERIES = {
     "q_null_gauntlet": q_null_gauntlet,
     "q_interval_join": q_interval_join,
     "stream_interval_join": stream_interval_join,
+    "q_datetime_funcs": q_datetime_funcs,
+    "q_grouping_sets": q_grouping_sets,
+    "q_string_funcs": q_string_funcs,
 }
 
 ORACLES = {
@@ -2047,4 +2145,7 @@ ORACLES = {
     "q_null_gauntlet": _NULL_ORACLE,
     "q_interval_join": _INTERVAL_JOIN_ORACLE,
     "stream_interval_join": _INTERVAL_JOIN_ORACLE,
+    "q_datetime_funcs": _DATETIME_ORACLE,
+    "q_grouping_sets": _GROUPING_SETS_ORACLE,
+    "q_string_funcs": _STRING_ORACLE,
 }

@@ -63,3 +63,44 @@ class KeyedParquetUpsertSink:
             .where(F.col("__rn") == 1)
             .drop("__rn", BATCH_COL)
         )
+
+    def compact(self, spark: SparkSession) -> int:
+        """Rewrite the changelog to one snapshot row per key.
+
+        Offline maintenance (run with no concurrent writer): the
+        compacted state is staged under a hidden directory (Spark
+        ignores dot-prefixed paths), the old changelog files are
+        removed, and the staged files move in — keeping the highest
+        batch id so later streaming batches still supersede the
+        snapshot. Returns the number of data files after compaction.
+        On HDFS/object stores swap the os-level moves for the
+        filesystem's rename API; on a transactional table format this
+        whole method is the engine's OPTIMIZE.
+        """
+        import glob
+        import os
+        import shutil
+
+        log = spark.read.parquet(self.path)
+        top = log.agg(F.max(BATCH_COL)).first()[0]
+        if top is None:
+            return 0
+        staging = os.path.join(self.path, ".compact-staging")
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            self.read_final(spark)
+            .withColumn(BATCH_COL, F.lit(int(top)))
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        old = set(glob.glob(os.path.join(self.path, "*.parquet"))) | set(
+            glob.glob(os.path.join(self.path, "part-*"))
+        )
+        for f in old:
+            os.remove(f)
+        moved = 0
+        for f in glob.glob(os.path.join(staging, "part-*")):
+            shutil.move(f, os.path.join(self.path, os.path.basename(f)))
+            moved += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        return moved

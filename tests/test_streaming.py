@@ -178,3 +178,26 @@ def test_keyed_parquet_upsert_sink_last_write_wins(spark, tmp_path):
 
     got = {(r.k, r.v) for r in sink.read_final(spark).collect()}
     assert got == {(1, 11), (2, 22)}
+
+
+def test_upsert_sink_compaction(spark, tmp_path):
+    """Compaction collapses the changelog to one row per key while
+    preserving last-write-wins semantics for later batches."""
+    from flink_commons_spark.streaming.upsert import KeyedParquetUpsertSink
+
+    sink = KeyedParquetUpsertSink(str(tmp_path / "u"), ["k"])
+    w = sink.writer()
+    schema = "k long, v long"
+    for batch in range(5):
+        w(spark.createDataFrame([(1, 10 + batch), (2, 20 + batch)], schema), batch)
+
+    before = spark.read.parquet(sink.path).count()
+    assert before == 10
+    sink.compact(spark)
+    after_log = spark.read.parquet(sink.path)
+    assert after_log.count() == 2  # one snapshot row per key
+    assert {(r.k, r.v) for r in sink.read_final(spark).collect()} == {(1, 14), (2, 24)}
+
+    # a post-compaction batch still supersedes the snapshot
+    w(spark.createDataFrame([(1, 99)], schema), 5)
+    assert {(r.k, r.v) for r in sink.read_final(spark).collect()} == {(1, 99), (2, 24)}
