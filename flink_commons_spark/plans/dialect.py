@@ -23,7 +23,15 @@ value, ``test.sql:55,60``). Spark 4 under ANSI mode throws
   argument swap: Spark is (col, windowDuration, slideDuration)),
   ``SESSION(ts, gap)`` → ``session_window(ts, gap)``, and the
   ``*_START`` / ``*_END`` accessors → ``window.start`` /
-  ``window.end`` (``session_window.start/end`` for SESSION).
+  ``window.end`` (``session_window.start/end`` for SESSION);
+- **temporal table joins**: ``JOIN dim FOR SYSTEM_TIME AS OF
+  l.proctime`` → plain join. Flink's processing-time temporal join
+  reads the dim's CURRENT version per record; in Spark the dim scan at
+  query (micro-batch) time IS the current snapshot, so stripping the
+  clause preserves the semantics at batch granularity (per-microbatch
+  instead of per-record — the standard Spark equivalence). Event-time
+  versioned joins are the as-of operator
+  (``flink_commons_spark.operators.asof``).
 
 Statements pass through this before reaching ``spark.sql``.
 """
@@ -41,6 +49,10 @@ _INTERVAL_RE = re.compile(
 )
 _GROUP_WINDOW_RE = re.compile(
     r"\b(?P<fn>TUMBLE|HOP|SESSION)(?P<suffix>_START|_END)?\s*\(", re.IGNORECASE
+)
+_SYSTEM_TIME_RE = re.compile(
+    r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?:`?\w+`?\.)?`?\w+`?(?:\s*\(\s*\))?",
+    re.IGNORECASE,
 )
 
 
@@ -152,4 +164,5 @@ def adapt_sql(sql: str) -> str:
     sql = _CAST_TS3_RE.sub("as timestamp", sql)
     sql = _PROCTIME_RE.sub("current_timestamp()", sql)
     sql = _rewrite_group_windows(sql)
+    sql = _SYSTEM_TIME_RE.sub("", sql)
     return sql

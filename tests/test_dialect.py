@@ -59,3 +59,18 @@ def test_tumble_end_to_end_batch(spark, capsys):
     ).run()
     out = capsys.readouterr().out
     assert "window_start" in out and "2024-01-" in out
+
+
+def test_temporal_join_clause_stripped():
+    from flink_commons_spark.plans.dialect import adapt_sql
+
+    sql = ("SELECT o.id, c.name FROM orders o JOIN customers "
+           "FOR SYSTEM_TIME AS OF o.proc_time AS c ON o.cid = c.id")
+    out = adapt_sql(sql)
+    assert "SYSTEM_TIME" not in out
+    assert "JOIN customers  AS c ON o.cid = c.id" in out or "JOIN customers AS c" in out.replace("  ", " ")
+
+    # proctime() form (converted to current_timestamp() first) also strips
+    sql2 = "SELECT * FROM a JOIN dim FOR SYSTEM_TIME AS OF proctime() d ON a.k = d.k"
+    out2 = adapt_sql(sql2)
+    assert "SYSTEM_TIME" not in out2

@@ -303,3 +303,27 @@ def test_upsert_changelog_stream_read(spark, tmp_path):
         SqlSubmitAction(sql_text=read_script, spark=spark).run()
     lines = [l for l in buf.getvalue().splitlines() if l.startswith("CDC> +")]
     assert len(lines) == 5  # one update row per event_type key
+
+
+def test_temporal_join_script(spark, capsys):
+    """Flink processing-time temporal join DDL runs through the runner:
+    the FOR SYSTEM_TIME AS OF clause maps to the current dim snapshot."""
+    script = """
+    SET 'execution.runtime-mode' = 'batch';
+    CREATE TABLE orders WITH (
+        'connector' = 'filesystem', 'path' = '/root/testdata/sf0.001/orders.parquet',
+        'format' = 'parquet'
+    );
+    CREATE TABLE customer WITH (
+        'connector' = 'filesystem', 'path' = '/root/testdata/sf0.001/customer.parquet',
+        'format' = 'parquet'
+    );
+    SELECT c.c_mktsegment, count(*) AS n
+    FROM orders o JOIN customer FOR SYSTEM_TIME AS OF o.proc_time AS c
+      ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment;
+    """
+    SqlSubmitAction(sql_text=script, spark=spark).run()
+    out = capsys.readouterr().out
+    assert "BUILDING" in out and "MACHINERY" in out
