@@ -87,6 +87,8 @@ class SqlSubmitAction(Action):
         self.tables: dict[str, TableSpec] = {}
         self._rewrites: list[tuple[re.Pattern[str], str]] = []
         self._started_queries: list = []
+        self._sink_queries: dict[str, object] = {}   # table name → StreamingQuery
+        self._pending_sources: list[str] = []        # specs that failed to build
         self._ckpt_root: str | None = None
 
     def with_variables(self, variables: dict[str, str]) -> "SqlSubmitAction":
@@ -127,6 +129,14 @@ class SqlSubmitAction(Action):
     # ------------------------------------------------------------- dispatch
 
     def _dispatch(self, spark, stype: StatementType, stmt: str) -> None:
+        if stype not in (StatementType.SET, StatementType.UNSET):
+            # Flink's executeSql(INSERT) is async; a later statement
+            # reading a table an earlier streaming INSERT is still
+            # writing must see its (bounded) result — await that query,
+            # then retry any source registration that was deferred
+            # because its backing data didn't exist yet.
+            self._await_referenced_sinks(stmt)
+            self._materialize_pending(spark)
         if stype is StatementType.SET:
             key, value = parse_set_statement(stmt)
             apply_set(self.config, spark, key, value)
@@ -174,6 +184,54 @@ class SqlSubmitAction(Action):
 
     # ------------------------------------------------------------------ DDL
 
+    def _await_referenced_sinks(self, stmt: str) -> None:
+        """Await active streaming queries whose TARGET this statement
+        references — by table name, or by storage path (a second table
+        registered over the same path, the read-side twin of a sink) —
+        bounded by the configured timeout."""
+        timeout = self._timeout()
+        referenced = {
+            n for n in self.tables
+            if re.search(rf"(?<![\w`]){re.escape(n)}(?![\w`])", stmt)
+        }
+        ref_paths = {
+            p for n in referenced
+            if (p := self.tables[n].options.get("path"))
+        }
+        for name, query in list(self._sink_queries.items()):
+            spec = self.tables.get(name)
+            path = spec.options.get("path") if spec else None
+            hit = (
+                name in referenced
+                or (path and path in ref_paths)
+                or (path and path in stmt)
+            )
+            if not hit:
+                continue
+            if query.isActive:
+                query.awaitTermination(timeout)
+                if timeout is not None and query.isActive:
+                    query.stop()
+            del self._sink_queries[name]
+
+    def _materialize_pending(self, spark) -> None:
+        """Retry source registrations deferred because the backing data
+        didn't exist yet (e.g. a sink another statement has since
+        filled)."""
+        for name in list(self._pending_sources):
+            spec = self.tables.get(name)
+            if spec is None:
+                self._pending_sources.remove(name)
+                continue
+            try:
+                df = connectors.build_source(
+                    spark, spec, streaming=self.config.is_streaming
+                )
+                df.createOrReplaceTempView(spec.name)
+                self._pending_sources.remove(name)
+            except Exception:
+                pass  # still not readable; a later statement may fill it
+
     def _register_connector_table(self, spark, stmt: str) -> None:
         spec = parse_create_table(stmt)
         if spec.name in self.tables and spec.if_not_exists:
@@ -187,11 +245,14 @@ class SqlSubmitAction(Action):
                 df.createOrReplaceTempView(spec.name)
             except Exception as exc:
                 if spec.connector in connectors.SINK_CONNECTORS:
-                    # e.g. a filesystem sink whose path doesn't exist yet
+                    # e.g. a filesystem sink whose path doesn't exist yet;
+                    # retried before each later statement (_materialize_pending)
                     log.warning(
-                        "Table %s registered as sink-only; source read failed: %s",
+                        "Table %s registered as sink-only for now; source "
+                        "read failed (will retry): %s",
                         spec.name, exc,
                     )
+                    self._pending_sources.append(spec.name)
                 else:
                     raise
 
@@ -299,6 +360,7 @@ class SqlSubmitAction(Action):
                     checkpoint=self._checkpoint_dir(target),
                 )
                 self._started_queries.append(query)
+                self._sink_queries[target] = query
             else:
                 connectors.write_batch_sink(df, spec)
             return

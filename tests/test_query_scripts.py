@@ -327,3 +327,24 @@ def test_temporal_join_script(spark, capsys):
     SqlSubmitAction(sql_text=script, spark=spark).run()
     out = capsys.readouterr().out
     assert "BUILDING" in out and "MACHINERY" in out
+
+
+def test_lakehouse_pipeline_script(spark, tmp_path, capsys):
+    """The queries/ lakehouse demo: partitioned bronze → streamed keyed
+    aggregate into the upsert table → batch read of current state."""
+    action = SqlSubmitAction(
+        str(QUERIES_DIR / "lakehouse_pipeline.sql"),
+        {"src": "/root/testdata/sf0.001", "lake": str(tmp_path)},
+        spark=spark,
+    )
+    action.run()
+    out = capsys.readouterr().out
+    # final SELECT shows all five event types with counts summing to 1000
+    import os
+    assert os.path.isdir(f"{tmp_path}/bronze/event_type=click")
+    counts = {
+        r.event_type: r.pv
+        for r in spark.table("silver_read").collect()
+    }
+    assert sum(counts.values()) == 1000 and len(counts) == 5
+    assert "click" in out
