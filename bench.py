@@ -70,6 +70,7 @@ HEADLINE = [
     "q_datetime_funcs",
     "q_grouping_sets",
     "q_string_funcs",
+    "dedup_nearest",
 ]
 
 

@@ -836,6 +836,83 @@ GROUP BY label
 """
 
 
+def dedup_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest duplicate per document: LSH candidates → exact n-gram
+    Jaccard ranked with PURE INTEGER arithmetic (j_micro = ⌊10⁶·J⌋) so
+    ranking and output are bit-stable across engines. One ranking
+    window over the symmetric pair list."""
+    from pyspark import StorageLevel
+
+    d = _tp(spark, sf_dir, "documents")
+    sh = D.shingle_table(d).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = D.minhash_signatures(sh, 8)
+    cand = D.lsh_candidates(sig, 8, 4)
+    counts = D.jaccard_pair_counts(cand, sh)
+    j_micro = F.expr("(inter * 1000000) div (sz_a + sz_b - inter)")
+    sym = counts.select(
+        F.col("a").alias("doc_id"), F.col("b").alias("nn"), j_micro.alias("j_micro")
+    ).union(
+        counts.select(
+            F.col("b").alias("doc_id"), F.col("a").alias("nn"), j_micro.alias("j_micro")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("j_micro"), F.asc("nn"))
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "nn", "j_micro")
+    )
+
+
+_DEDUP_NEAREST_ORACLE = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+sig AS (
+  SELECT doc_id, seed,
+         min(('0x' || substr(md5(seed::varchar || '|' || shingle), 1, 14))::bigint) AS mh
+  FROM sh, seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // 2 AS band,
+         string_agg(mh::varchar, '_' ORDER BY seed) AS bucket
+  FROM sig
+  GROUP BY doc_id, seed // 2
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+  WHERE l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+),
+jm AS (
+  SELECT a, b, ((n_inter * 1000000) // (za.sz + zb.sz - n_inter))::bigint AS j_micro
+  FROM inter
+  JOIN sizes za ON za.doc_id = a
+  JOIN sizes zb ON zb.doc_id = b
+),
+sym AS (
+  SELECT a AS doc_id, b AS nn, j_micro FROM jm
+  UNION ALL
+  SELECT b AS doc_id, a AS nn, j_micro FROM jm
+)
+SELECT doc_id, nn, j_micro
+FROM (
+  SELECT doc_id, nn, j_micro,
+         row_number() OVER (PARTITION BY doc_id ORDER BY j_micro DESC, nn ASC) AS rn
+  FROM sym
+)
+WHERE rn = 1
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash buckets (fingerprint, member count, kept id)."""
     return D.simhash_buckets(_tp(spark, sf_dir, "documents"))
@@ -2095,6 +2172,7 @@ QUERIES = {
     "q_datetime_funcs": q_datetime_funcs,
     "q_grouping_sets": q_grouping_sets,
     "q_string_funcs": q_string_funcs,
+    "dedup_nearest": dedup_nearest,
 }
 
 ORACLES = {
@@ -2148,4 +2226,5 @@ ORACLES = {
     "q_datetime_funcs": _DATETIME_ORACLE,
     "q_grouping_sets": _GROUPING_SETS_ORACLE,
     "q_string_funcs": _STRING_ORACLE,
+    "dedup_nearest": _DEDUP_NEAREST_ORACLE,
 }

@@ -120,13 +120,15 @@ def lsh_candidates(signatures: DataFrame, num_hashes: int = 8, bands: int = 4,
 
 # ------------------------------------------------------------- jaccard
 
-def jaccard_pairs(candidates: DataFrame, shingles: DataFrame,
-                  id_col: str = "doc_id") -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs.
+def jaccard_pair_counts(candidates: DataFrame, shingles: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """(a, b, inter, sz_a, sz_b) for candidate pairs — the exact
+    integer ingredients of Jaccard, kept unreduced so callers can rank
+    with pure integer arithmetic (bit-stable across engines).
 
     ``|A∩B|`` via a join on the shingle value restricted to candidate
-    pairs, ``|A∪B| = |A| + |B| − |A∩B|``. All joins shuffle on doc id /
-    shingle — no pairwise set materialization on any single node.
+    pairs; all joins shuffle on doc id / shingle — no pairwise set
+    materialization on any single node.
     """
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
     inter = (
@@ -140,6 +142,16 @@ def jaccard_pairs(candidates: DataFrame, shingles: DataFrame,
         inter
         .join(sizes.withColumnRenamed(id_col, "a").withColumnRenamed("sz", "sz_a"), "a")
         .join(sizes.withColumnRenamed(id_col, "b").withColumnRenamed("sz", "sz_b"), "b")
+        .select("a", "b", "inter", "sz_a", "sz_b")
+    )
+
+
+def jaccard_pairs(candidates: DataFrame, shingles: DataFrame,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (rounded double).
+    ``|A∪B| = |A| + |B| − |A∩B|``; see :func:`jaccard_pair_counts`."""
+    return (
+        jaccard_pair_counts(candidates, shingles, id_col)
         .withColumn("jaccard",
                     F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
         .select("a", "b", "jaccard")
