@@ -90,6 +90,8 @@ class SqlSubmitAction(Action):
         self._sink_queries: dict[str, object] = {}   # table name → StreamingQuery
         self._pending_sources: list[str] = []        # specs that failed to build
         self._ckpt_root: str | None = None
+        # Flink-style module registry; core + flinkcommons preloaded
+        self.modules: dict[str, bool] = {"core": True, "flinkcommons": True}
 
     def with_variables(self, variables: dict[str, str]) -> "SqlSubmitAction":
         self.variables.update(variables)
@@ -156,7 +158,7 @@ class SqlSubmitAction(Action):
         elif stype is StatementType.PRINT:
             print(re.sub(r"^\s*PRINT\s+", "", stmt, flags=re.IGNORECASE).strip("'\" "))
         elif stype in (StatementType.LOAD, StatementType.UNLOAD):
-            log.warning("Flink module statement has no Spark analog, ignored: %s", stmt)
+            self._run_module(spark, stype, stmt)
         elif stype is StatementType.ADD:
             spark.sql(re.sub(r"^\s*ADD\s+CUSTOMJAR", "ADD JAR", stmt, flags=re.IGNORECASE))
         else:
@@ -255,6 +257,48 @@ class SqlSubmitAction(Action):
                     self._pending_sources.append(spec.name)
                 else:
                     raise
+
+    # -------------------------------------------------------------- modules
+
+    def _run_module(self, spark, stype: StatementType, stmt: str) -> None:
+        """``LOAD MODULE x`` / ``UNLOAD MODULE x`` — Flink's module
+        system gates function catalogs (the reference routes both
+        through ``executeSql``, ``SQLSubmitAction.java:74-76``). Spark
+        has no module system; the runner keeps a module registry whose
+        one real module, ``flinkcommons``, gates the ``fcs_*`` SQL
+        function set (loaded by default, like Flink's ``core``). Other
+        names register as inert entries with a warning — statements
+        execute instead of being skipped, and ``SHOW MODULES``-style
+        introspection is available via :attr:`modules`.
+        """
+        m = re.match(
+            r"^\s*(?P<op>LOAD|UNLOAD)\s+MODULE\s+(?P<name>`?\w+`?)", stmt, re.IGNORECASE
+        )
+        if not m:
+            log.warning("Unparseable module statement, ignored: %s", stmt)
+            return
+        name = m.group("name").strip("`").lower()
+        if m.group("op").upper() == "LOAD":
+            if name == "flinkcommons":
+                from flink_commons_spark.functions.registry import register_all
+
+                register_all(spark)
+            elif name not in ("core", "hive"):
+                log.warning(
+                    "Module %r is not provided by this runner; registered "
+                    "as inert (its functions are unavailable)", name,
+                )
+            self.modules[name] = True
+        else:
+            if name not in self.modules:
+                raise ValueError(f"Module '{name}' is not loaded")
+            del self.modules[name]
+            if name == "flinkcommons":
+                log.warning(
+                    "fcs_* functions stay registered for this session "
+                    "(Spark cannot deregister SQL functions); module "
+                    "bookkeeping updated"
+                )
 
     # ---------------------------------------------------------------- DROP
 

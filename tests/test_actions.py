@@ -98,3 +98,26 @@ def test_duration_parsing():
     assert parse_duration_seconds("500ms") == 0.5
     assert parse_duration_seconds("2min") == 120
     assert parse_duration_seconds("10") == 10
+
+
+def test_load_unload_module(spark):
+    """LOAD/UNLOAD MODULE maintain the module registry; unloading an
+    absent module errors (per-statement wrapping applies)."""
+    from flink_commons_spark.actions.sql_submit import SqlSubmitAction
+
+    script = """
+    LOAD MODULE hive;
+    UNLOAD MODULE hive;
+    LOAD MODULE somethingelse;
+    """
+    action = SqlSubmitAction(sql_text=script, spark=spark)
+    action.run()
+    assert "hive" not in action.modules
+    assert "somethingelse" in action.modules
+    assert action.modules["core"] and action.modules["flinkcommons"]
+
+    bad = SqlSubmitAction(sql_text="UNLOAD MODULE neverloaded;", spark=spark)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="Error to execute sql"):
+        bad.run()
