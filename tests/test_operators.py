@@ -344,3 +344,76 @@ def test_interval_join_bounds_and_plan(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_interval_join_matches_naive_theta_join(spark):
+    """Property check: the bucketed interval join equals the naive
+    theta-join on randomized-ish small data (seeded, multiple keys,
+    boundary timestamps)."""
+    from flink_commons_spark.operators.interval import interval_join
+
+    left_rows = [(k, 1000 + 13 * i + k, f"L{k}_{i}") for k in (1, 2, 3) for i in range(20)]
+    right_rows = [(k, 995 + 7 * j + 2 * k, f"R{k}_{j}") for k in (1, 2, 3) for j in range(30)]
+    left = spark.createDataFrame(left_rows, ["k", "t", "lname"]).select(
+        "k", F.col("t").cast("timestamp").alias("t"), "lname"
+    )
+    right = spark.createDataFrame(right_rows, ["k", "rt", "rname"]).select(
+        "k", F.col("rt").cast("timestamp").alias("rt"), "rname"
+    )
+    for lower, upper in [(0.0, 10.0), (5.0, 17.0), (-4.0, 4.0)]:
+        got = {
+            (r.lname, r.rname)
+            for r in interval_join(
+                left, right, on="k", left_ts="t", right_ts="rt",
+                lower_s=lower, upper_s=upper, payload=["rname"],
+            ).collect()
+        }
+        lo_us, hi_us = int(lower * 1e6), int(upper * 1e6)
+        naive = {
+            (r.lname, r.rname)
+            for r in left.join(right, "k")
+            .where(
+                (F.expr("unix_micros(cast(rt as timestamp))")
+                 >= F.expr("unix_micros(cast(t as timestamp))") + lo_us)
+                & (F.expr("unix_micros(cast(rt as timestamp))")
+                   <= F.expr("unix_micros(cast(t as timestamp))") + hi_us)
+            )
+            .collect()
+        }
+        assert got == naive, f"bounds ({lower},{upper})"
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property check vs a driver-side union-find on a seeded random
+    graph (64 nodes, 80 edges — many components, some chains)."""
+    from flink_commons_spark.operators.graph import connected_components
+
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(64), rng.randrange(64)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(64))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    nodes_in_edges = {n for e in edges for n in e}
+    for n in nodes_in_edges:
+        root = find(n)
+        expected.setdefault(root, set()).add(n)
+    # canonical label = min member of the component
+    want = {n: min(members) for members in expected.values() for n in members}
+
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {r.node: r.label for r in connected_components(df).collect()}
+    assert got == want
