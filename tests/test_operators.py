@@ -417,3 +417,35 @@ def test_connected_components_matches_union_find(spark):
     df = spark.createDataFrame(edges, ["a", "b"])
     got = {r.node: r.label for r in connected_components(df).collect()}
     assert got == want
+
+
+# ------------------------------------------------------------- sketches
+
+def test_hll_sketch_rollup_accuracy(spark):
+    """Mergeable-sketch distinct counts: per-group and union-rollup
+    estimates within HLL tolerance of exact, from ONE sketch build."""
+    from flink_commons_spark.operators.sketches import (
+        estimate, rollup_estimates, sketch_by_group,
+    )
+
+    df = spark.range(20000).select(
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") % 2).alias("g2"),
+        (F.col("id") % 977).alias("u"),
+    )
+    sk = sketch_by_group(df, ["g", "g2"], "u")
+    fine = {(r.g, r.g2): r.distinct_est for r in estimate(sk, ["g", "g2"]).collect()}
+    coarse = {r.g2: r.distinct_est for r in rollup_estimates(sk, ["g", "g2"], ["g2"]).collect()}
+
+    exact_fine = {
+        (r.g, r.g2): r.n
+        for r in df.groupBy("g", "g2").agg(F.countDistinct("u").alias("n")).collect()
+    }
+    exact_coarse = {
+        r.g2: r.n
+        for r in df.groupBy("g2").agg(F.countDistinct("u").alias("n")).collect()
+    }
+    for k, est in fine.items():
+        assert abs(est - exact_fine[k]) <= max(3, 0.05 * exact_fine[k])
+    for k, est in coarse.items():
+        assert abs(est - exact_coarse[k]) <= max(3, 0.05 * exact_coarse[k])
