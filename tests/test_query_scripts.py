@@ -348,3 +348,28 @@ def test_lakehouse_pipeline_script(spark, tmp_path, capsys):
     }
     assert sum(counts.values()) == 1000 and len(counts) == 5
     assert "click" in out
+
+
+def test_upsert_filesystem_batch_inserts_last_write_wins(spark, tmp_path):
+    """Two sequential BATCH inserts into an upsert table: monotonic
+    changelog batch ids, second write wins per key on read."""
+    def script(n: int) -> str:
+        return f"""
+        SET 'execution.runtime-mode' = 'batch';
+        CREATE TABLE state (k BIGINT, v BIGINT) WITH (
+            'connector' = 'upsert-filesystem', 'path' = '{tmp_path}/st', 'key' = 'k'
+        );
+        INSERT INTO state SELECT id AS k, {n} AS v FROM range(3);
+        """
+    SqlSubmitAction(sql_text=script(100), spark=spark).run()
+    SqlSubmitAction(sql_text=script(200), spark=spark).run()
+
+    read = f"""
+    SET 'execution.runtime-mode' = 'batch';
+    CREATE TABLE state (k BIGINT, v BIGINT) WITH (
+        'connector' = 'upsert-filesystem', 'path' = '{tmp_path}/st', 'key' = 'k'
+    );
+    """
+    SqlSubmitAction(sql_text=read, spark=spark).run()
+    got = {(r.k, r.v) for r in spark.table("state").collect()}
+    assert got == {(0, 200), (1, 200), (2, 200)}
