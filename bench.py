@@ -71,6 +71,7 @@ HEADLINE = [
     "q_grouping_sets",
     "q_string_funcs",
     "dedup_nearest",
+    "stream_lookup_join",
 ]
 
 

@@ -1391,6 +1391,50 @@ GROUP BY user_id
 """
 
 
+def stream_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's LOOKUP (dimension) JOIN, Spark-native: a streaming fact
+    joined to a static dimension snapshot — Spark's stream-static join
+    broadcasts the dim per micro-batch, the exact analog of a per-record
+    dim lookup at micro-batch granularity. Windowless complete-mode
+    aggregate on the enriched stream."""
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-lkp-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    sdf = spark.readStream.schema(schema).parquet(stream_dir)
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = sdf.join(
+        F.broadcast(dim), sdf.user_id == dim.c_custkey, "inner"
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("pv"),
+        F.round(F.sum(_dec(F.col("value"))).cast("double"), 4).alias("sum_value"),
+    )
+    name = "fcs_stream_lookup"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-lkp-"))
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name)
+
+
+_STREAM_LOOKUP_ORACLE = """
+SELECT c_mktsegment,
+       count(*) AS pv,
+       round((sum(value::decimal(18,6)))::double, 4) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup scan: LSH-bucketed (6 planes) pair
     similarities → histogram (bucket = floor(sim·10))."""
@@ -2173,6 +2217,7 @@ QUERIES = {
     "q_grouping_sets": q_grouping_sets,
     "q_string_funcs": q_string_funcs,
     "dedup_nearest": dedup_nearest,
+    "stream_lookup_join": stream_lookup_join,
 }
 
 ORACLES = {
@@ -2227,4 +2272,5 @@ ORACLES = {
     "q_grouping_sets": _GROUPING_SETS_ORACLE,
     "q_string_funcs": _STRING_ORACLE,
     "dedup_nearest": _DEDUP_NEAREST_ORACLE,
+    "stream_lookup_join": _STREAM_LOOKUP_ORACLE,
 }
