@@ -38,7 +38,7 @@ from flink_commons_spark.sources import registry as connectors
 log = logging.getLogger(__name__)
 
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+(?:INTO|OVERWRITE)\s+(?P<target>(?:`[^`]+`|[\w.]+)+)\s*"
+    r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<target>(?:`[^`]+`|[\w.]+)+)\s*"
     # optional explicit column list — the lookahead keeps a parenthesized
     # query head `(SELECT ...)` from being eaten as a column list
     r"(?:\((?P<cols>\s*(?!SELECT\b|VALUES\b|WITH\b|FROM\b|TABLE\b)"
@@ -406,7 +406,9 @@ class SqlSubmitAction(Action):
                 self._started_queries.append(query)
                 self._sink_queries[target] = query
             else:
-                connectors.write_batch_sink(df, spec)
+                connectors.write_batch_sink(
+                    df, spec, overwrite=m.group("mode").upper() == "OVERWRITE"
+                )
             return
         spark.sql(rewritten)
 

@@ -248,8 +248,13 @@ def _next_upsert_batch_id(df: DataFrame, path: str) -> int:
         return 0
 
 
-def write_batch_sink(df: DataFrame, spec: TableSpec) -> None:
-    """Route a batch INSERT INTO <sink table>."""
+def write_batch_sink(df: DataFrame, spec: TableSpec, *, overwrite: bool = False) -> None:
+    """Route a batch INSERT INTO / INSERT OVERWRITE <sink table>.
+
+    OVERWRITE on a partitioned filesystem sink replaces only the
+    partitions present in the data (dynamic partition overwrite — the
+    Flink/Hive INSERT OVERWRITE semantics), not the whole table.
+    """
     if spec.connector == "print":
         print_batch(df, spec.options.get("print-identifier"))
     elif spec.connector == "blackhole":
@@ -259,9 +264,12 @@ def write_batch_sink(df: DataFrame, spec: TableSpec) -> None:
         if not path:
             raise ConnectorError(f"filesystem sink {spec.name!r} requires 'path'")
         fmt = spec.options.get("format", "parquet")
-        writer = df.write.format(fmt).mode(spec.options.get("sink.mode", "append"))
+        mode = "overwrite" if overwrite else spec.options.get("sink.mode", "append")
+        writer = df.write.format(fmt).mode(mode)
         if spec.partitioned_by:
             writer = writer.partitionBy(*spec.partitioned_by)
+            if overwrite:
+                writer = writer.option("partitionOverwriteMode", "dynamic")
         writer.save(path)
     elif spec.connector == "upsert-filesystem":
         sink = _upsert_sink(spec)

@@ -373,3 +373,35 @@ def test_upsert_filesystem_batch_inserts_last_write_wins(spark, tmp_path):
     SqlSubmitAction(sql_text=read, spark=spark).run()
     got = {(r.k, r.v) for r in spark.table("state").collect()}
     assert got == {(0, 200), (1, 200), (2, 200)}
+
+
+def test_insert_overwrite_filesystem(spark, tmp_path):
+    """INSERT OVERWRITE replaces prior contents (plain sink) and only
+    the touched partitions on a partitioned sink (dynamic overwrite)."""
+    def script(tag: str) -> str:
+        return f"""
+        SET 'execution.runtime-mode' = 'batch';
+        CREATE TABLE out (k BIGINT, tag STRING) WITH (
+            'connector' = 'filesystem', 'path' = '{tmp_path}/plain', 'format' = 'parquet'
+        );
+        INSERT OVERWRITE out SELECT id, '{tag}' FROM range(4);
+        """
+    SqlSubmitAction(sql_text=script("first"), spark=spark).run()
+    SqlSubmitAction(sql_text=script("second"), spark=spark).run()
+    got = {r.tag for r in spark.read.parquet(f"{tmp_path}/plain").collect()}
+    assert got == {"second"}
+
+    part_script = f"""
+    SET 'execution.runtime-mode' = 'batch';
+    CREATE TABLE pout (k BIGINT, p STRING) PARTITIONED BY (p) WITH (
+        'connector' = 'filesystem', 'path' = '{tmp_path}/part', 'format' = 'parquet'
+    );
+    INSERT INTO pout SELECT id, 'a' FROM range(2);
+    INSERT INTO pout SELECT id, 'b' FROM range(2);
+    INSERT OVERWRITE pout SELECT id + 10, 'b' FROM range(3);
+    """
+    SqlSubmitAction(sql_text=part_script, spark=spark).run()
+    back = spark.read.parquet(f"{tmp_path}/part")
+    by_p = {r.p: r.n for r in back.groupBy("p").agg(F.count("*").alias("n")).collect()}
+    # partition a untouched; partition b replaced by the 3-row overwrite
+    assert by_p == {"a": 2, "b": 3}
