@@ -72,6 +72,7 @@ HEADLINE = [
     "q_string_funcs",
     "dedup_nearest",
     "stream_lookup_join",
+    "q_ntile_quality",
 ]
 
 

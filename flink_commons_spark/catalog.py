@@ -1914,6 +1914,49 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ntile_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile binning: documents ranked into quality deciles (total
+    order via (quality, doc_id) tie-break) with the DISTRIBUTED exact
+    ntile (operators/rank.py: range exchange + parallel local windows
+    + partition offsets) — a bare ``ntile() OVER (ORDER BY …)`` would
+    funnel the corpus through one task. Identical bin assignment to the
+    oracle's single-window SQL form."""
+    from flink_commons_spark.operators.rank import global_ntile
+
+    d = T.with_text_stats(_tp(spark, sf_dir, "documents"))
+    binned = global_ntile(d, ["quality", "doc_id"], 10)
+    return (
+        binned.withColumn("decile", F.col("ntile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+    )
+
+
+_NTILE_ORACLE = f"""
+WITH enriched AS (
+  SELECT doc_id,
+         len({_TOKS_SQL}) AS n_tokens,
+         {_QUALITY_SQL} AS quality
+  FROM documents
+),
+binned AS (
+  SELECT doc_id, n_tokens,
+         ntile(10) OVER (ORDER BY quality ASC, doc_id ASC) AS decile
+  FROM enriched
+)
+SELECT decile,
+       count(*) AS n_docs,
+       min(doc_id) AS min_doc,
+       (sum(n_tokens))::bigint AS sum_tokens
+FROM binned
+GROUP BY decile
+"""
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: per-user-decile event-type counts as columns. Explicit
     pivot values → single pass (no extra distinct-values job)."""
@@ -2218,6 +2261,7 @@ QUERIES = {
     "q_string_funcs": q_string_funcs,
     "dedup_nearest": dedup_nearest,
     "stream_lookup_join": stream_lookup_join,
+    "q_ntile_quality": q_ntile_quality,
 }
 
 ORACLES = {
@@ -2273,4 +2317,5 @@ ORACLES = {
     "q_string_funcs": _STRING_ORACLE,
     "dedup_nearest": _DEDUP_NEAREST_ORACLE,
     "stream_lookup_join": _STREAM_LOOKUP_ORACLE,
+    "q_ntile_quality": _NTILE_ORACLE,
 }

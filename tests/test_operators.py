@@ -449,3 +449,34 @@ def test_hll_sketch_rollup_accuracy(spark):
         assert abs(est - exact_fine[k]) <= max(3, 0.05 * exact_fine[k])
     for k, est in coarse.items():
         assert abs(est - exact_coarse[k]) <= max(3, 0.05 * exact_coarse[k])
+
+
+# ------------------------------------------------------- global ranking
+
+def test_global_ntile_matches_window_ntile(spark):
+    """Distributed ntile (range exchange + offsets) must equal the
+    single-window SQL ntile for several k, incl. uneven buckets."""
+    from pyspark.sql import Window
+    from flink_commons_spark.operators.rank import global_ntile, global_row_number
+
+    df = spark.range(0, 1003).select(
+        F.col("id"), ((F.col("id") * 37) % 101).alias("v")
+    )
+    w = Window.orderBy(F.asc("v"), F.asc("id"))
+    for k in (3, 10, 7):
+        want = {
+            r.id: r.nt
+            for r in df.withColumn("nt", F.ntile(k).over(w)).collect()
+        }
+        got = {
+            r.id: r.ntile
+            for r in global_ntile(df, ["v", "id"], k, num_partitions=8).collect()
+        }
+        assert got == want, f"k={k}"
+
+    rn = {r.id: r.rn for r in global_row_number(df, ["v", "id"], 8).collect()}
+    want_rn = {
+        r.id: r.rn
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert rn == want_rn
