@@ -38,7 +38,10 @@ Statements pass through this before reaching ``spark.sql``.
 
 from __future__ import annotations
 
+import logging
 import re
+
+log = logging.getLogger(__name__)
 
 _UNIX_TS_RE = re.compile(r"\bunix_timestamp\s*\(", re.IGNORECASE)
 _CAST_TS3_RE = re.compile(r"\bas\s+timestamp\s*\(\s*\d\s*\)", re.IGNORECASE)
@@ -52,6 +55,16 @@ _GROUP_WINDOW_RE = re.compile(
 )
 _SYSTEM_TIME_RE = re.compile(
     r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?:`?\w+`?\.)?`?\w+`?(?:\s*\(\s*\))?",
+    re.IGNORECASE,
+)
+# Flink dynamic-table-options hint (`table.dynamic-table-options.enabled`,
+# the reference's test.sql:10): per-query option overrides. Spark binds
+# connector options at DDL registration and its parser rejects the hint
+# outright — strip it (with a warning) so the query still runs with the
+# DDL-time options.
+_OPTIONS_HINT_RE = re.compile(
+    r"/\*\+\s*OPTIONS\s*\(\s*'[^']*'\s*=\s*'[^']*'"
+    r"(?:\s*,\s*'[^']*'\s*=\s*'[^']*')*\s*\)\s*\*/",
     re.IGNORECASE,
 )
 
@@ -165,4 +178,10 @@ def adapt_sql(sql: str) -> str:
     sql = _PROCTIME_RE.sub("current_timestamp()", sql)
     sql = _rewrite_group_windows(sql)
     sql = _SYSTEM_TIME_RE.sub("", sql)
+    if _OPTIONS_HINT_RE.search(sql):
+        log.warning(
+            "Flink /*+ OPTIONS(...) */ hint dropped — Spark binds "
+            "connector options at DDL time; declare them in CREATE TABLE"
+        )
+        sql = _OPTIONS_HINT_RE.sub("", sql)
     return sql

@@ -74,3 +74,14 @@ def test_temporal_join_clause_stripped():
     sql2 = "SELECT * FROM a JOIN dim FOR SYSTEM_TIME AS OF proctime() d ON a.k = d.k"
     out2 = adapt_sql(sql2)
     assert "SYSTEM_TIME" not in out2
+
+
+def test_options_hint_stripped():
+    from flink_commons_spark.plans.dialect import adapt_sql
+
+    sql = ("SELECT * FROM t /*+ OPTIONS('scan.startup.mode'='latest-offset', "
+           "'k'='v') */ WHERE x > 1")
+    out = adapt_sql(sql)
+    assert "OPTIONS" not in out and "WHERE x > 1" in out
+    # non-OPTIONS hints (Spark-native broadcast etc.) pass through
+    assert "/*+ BROADCAST(t) */" in adapt_sql("SELECT /*+ BROADCAST(t) */ * FROM t")
