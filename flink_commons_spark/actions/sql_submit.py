@@ -147,7 +147,9 @@ class SqlSubmitAction(Action):
         elif stype in (StatementType.UNSET, StatementType.EXPLAIN, StatementType.UNKNOWN):
             # warn-and-skip, SQLSubmitAction.java:69-73
             log.warning("Unsupported operation [%s], ignored: %s", stype.type_name, stmt)
-        elif stype is StatementType.CREATE and is_connector_ddl(stmt):
+        elif stype is StatementType.CREATE and (
+            is_connector_ddl(stmt) or self._is_connector_like(stmt)
+        ):
             self._register_connector_table(spark, stmt)
         elif stype is StatementType.INSERT:
             self._run_insert(spark, stmt)
@@ -234,8 +236,60 @@ class SqlSubmitAction(Action):
             except Exception:
                 pass  # still not readable; a later statement may fill it
 
+    _LIKE_RE = re.compile(
+        r"\bLIKE\s+(?P<base>(?:`[^`]+`|[\w.])+)\s*(?:\((?P<mods>[^)]*)\))?\s*$",
+        re.IGNORECASE,
+    )
+
+    def _is_connector_like(self, stmt: str) -> bool:
+        """CREATE TABLE ... LIKE <one of our registered tables>."""
+        m = self._LIKE_RE.search(stmt)
+        return bool(
+            m and m.group("base").replace("`", "").split(".")[-1] in self.tables
+        )
+
+    def _apply_like(self, stmt: str):
+        """Flink's ``CREATE TABLE ... [WITH (...)] LIKE base [(mods)]``:
+        inherit the registered base table's schema/watermark/options,
+        with new clauses overriding. Supported modifiers: EXCLUDING
+        OPTIONS, EXCLUDING WATERMARKS, EXCLUDING ALL, INCLUDING ALL
+        (default); anything else warns and is treated as INCLUDING."""
+        m = self._LIKE_RE.search(stmt)
+        if not m:
+            return stmt, None, ()
+        base_name = m.group("base").replace("`", "").split(".")[-1]
+        base = self.tables.get(base_name)
+        if base is None:
+            # not one of ours (e.g. a real Spark table) — pass through
+            return stmt, None, ()
+        mods = tuple(
+            s.strip().upper() for s in (m.group("mods") or "").split(",") if s.strip()
+        )
+        return stmt[: m.start()].rstrip(), base, mods
+
     def _register_connector_table(self, spark, stmt: str) -> None:
+        stmt, like_base, like_mods = self._apply_like(stmt)
         spec = parse_create_table(stmt)
+        if like_base is not None:
+            known = {"EXCLUDING OPTIONS", "EXCLUDING WATERMARKS",
+                     "EXCLUDING ALL", "INCLUDING ALL"}
+            for mod in like_mods:
+                if mod not in known:
+                    log.warning("LIKE modifier %r not supported; treated as INCLUDING", mod)
+            excl_all = "EXCLUDING ALL" in like_mods
+            # columns: base's first, then any newly declared extras
+            spec.columns = list(like_base.columns) + spec.columns
+            if not excl_all:
+                spec.computed = list(like_base.computed) + spec.computed
+                if spec.watermark is None and "EXCLUDING WATERMARKS" not in like_mods:
+                    spec.watermark = like_base.watermark
+                if "EXCLUDING OPTIONS" not in like_mods:
+                    merged = dict(like_base.options)
+                    merged.update(spec.options)
+                    spec.options = merged
+                    spec.connector = spec.options.get("connector", "")
+            if not spec.partitioned_by:
+                spec.partitioned_by = list(like_base.partitioned_by)
         if spec.name in self.tables and spec.if_not_exists:
             log.info("Table %s already registered; IF NOT EXISTS → skip", spec.name)
             return

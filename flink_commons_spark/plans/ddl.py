@@ -27,7 +27,7 @@ from dataclasses import dataclass, field
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?P<ifnot>IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>(?:`[^`]+`|[\w.]+)(?:\s*\.\s*(?:`[^`]+`|\w+))*)\s*"
-    r"(?P<paren>\(|(?=WITH\s*\())",
+    r"(?P<paren>\(|(?=WITH\s*\()|(?=\s*$))",
     re.IGNORECASE | re.DOTALL,
 )
 _WITH_RE = re.compile(r"\)\s*WITH\s*\(", re.IGNORECASE)

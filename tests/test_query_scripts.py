@@ -405,3 +405,48 @@ def test_insert_overwrite_filesystem(spark, tmp_path):
     by_p = {r.p: r.n for r in back.groupBy("p").agg(F.count("*").alias("n")).collect()}
     # partition a untouched; partition b replaced by the 3-row overwrite
     assert by_p == {"a": 2, "b": 3}
+
+
+def test_create_table_like(spark, tmp_path, capsys):
+    """Flink's CREATE TABLE ... LIKE: schema inherited from a registered
+    table, new WITH options override; EXCLUDING OPTIONS drops them."""
+    script = f"""
+    SET 'execution.runtime-mode' = 'batch';
+    CREATE TABLE events (
+        event_id BIGINT, ts BIGINT, user_id BIGINT,
+        event_type STRING, value DOUBLE, props STRING
+    ) WITH (
+        'connector' = 'filesystem', 'path' = '/root/testdata/sf0.001/events.parquet',
+        'format' = 'parquet'
+    );
+    CREATE TABLE events_copy WITH (
+        'path' = '{tmp_path}/copy'
+    ) LIKE events;
+    INSERT INTO events_copy SELECT * FROM events WHERE event_type = 'click';
+    """
+    action = SqlSubmitAction(sql_text=script, spark=spark)
+    action.run()
+    copy_spec = action.tables["events_copy"]
+    assert copy_spec.connector == "filesystem"          # inherited
+    assert copy_spec.options["path"] == f"{tmp_path}/copy"  # overridden
+    assert copy_spec.columns == action.tables["events"].columns
+    n = spark.read.parquet(f"{tmp_path}/copy").count()
+    assert n > 0
+
+    bare = SqlSubmitAction(
+        sql_text=f"""
+        SET 'execution.runtime-mode' = 'batch';
+        CREATE TABLE events (event_id BIGINT, event_type STRING) WITH (
+            'connector' = 'filesystem', 'path' = '/root/testdata/sf0.001/events.parquet',
+            'format' = 'parquet'
+        );
+        CREATE TABLE schema_only (extra INT) WITH ('connector' = 'print')
+        LIKE events (EXCLUDING OPTIONS);
+        """,
+        spark=spark,
+    )
+    bare.run()
+    so = bare.tables["schema_only"]
+    assert so.connector == "print"
+    assert so.columns == [("event_id", "bigint"), ("event_type", "string"), ("extra", "int")]
+    assert "path" not in so.options
