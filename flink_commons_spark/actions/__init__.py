@@ -9,9 +9,12 @@ from flink_commons_spark.actions.base import (
     register_factory,
     registered_factories,
 )
+from flink_commons_spark.actions.compact import CompactAction, CompactActionFactory
 from flink_commons_spark.actions.sql_submit import SqlSubmitAction, SqlSubmitActionFactory
 
 __all__ = [
+    "CompactAction",
+    "CompactActionFactory",
     "Action",
     "ActionFactory",
     "FactoryError",

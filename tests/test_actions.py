@@ -121,3 +121,25 @@ def test_load_unload_module(spark):
 
     with _pytest.raises(RuntimeError, match="Error to execute sql"):
         bad.run()
+
+
+def test_compact_action_cli(spark, tmp_path):
+    """Second registered action: discovery by name, required-arg errors,
+    and the actual compaction through the CLI machinery."""
+    from flink_commons_spark.actions.base import create_action, discover_action_factory
+    from flink_commons_spark.actions.compact import CompactAction
+    from flink_commons_spark.streaming.upsert import KeyedParquetUpsertSink
+
+    assert discover_action_factory("compact").identifier == "compact"
+
+    sink = KeyedParquetUpsertSink(str(tmp_path / "t"), ["k"])
+    w = sink.writer()
+    for b in range(3):
+        w(spark.createDataFrame([(1, b), (2, b)], "k long, v long"), b)
+
+    action = create_action(["compact", "--path", str(tmp_path / "t"), "--key", "k"])
+    assert isinstance(action, CompactAction)
+    action.spark = spark  # inject the test session
+    action.run()
+    assert spark.read.parquet(str(tmp_path / "t")).count() == 2
+    assert {(r.k, r.v) for r in sink.read_final(spark).collect()} == {(1, 2), (2, 2)}
