@@ -91,6 +91,71 @@ def extract_features(df: DataFrame, dims: int = 16, decode_stub: bool = True,
     return df.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+def resize_images(df: DataFrame, width: int = 64, height: int = 64,
+                  decode_stub: bool = True) -> DataFrame:
+    """Image resize stage (stubbed): payload → fixed-size payload +
+    dimension metadata. The real implementation decodes with PIL and
+    re-encodes; the stub emits a deterministic byte string of the
+    target size derived from the payload hash, so downstream stages see
+    the true post-resize schema and batch shape. Narrow map, bytes
+    cross the Arrow boundary once per batch."""
+
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "no image codec (PIL) in this environment; pass decode_stub=True"
+                )
+            out_payloads = []
+            for p in pdf["payload"]:
+                h = hashlib.md5(bytes(p)).digest()
+                reps = target // len(h) + 1
+                out_payloads.append((h * reps)[:target])
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "payload": out_payloads,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": [len(p) for p in out_payloads],
+                }
+            )
+
+    return df.mapInPandas(
+        run, schema="id bigint, payload binary, width int, height int, n_bytes bigint"
+    )
+
+
+def audio_window_features(df: DataFrame, window_bytes: int = 32,
+                          decode_stub: bool = True) -> DataFrame:
+    """Audio windowing stage (stubbed): one row per fixed-size window
+    with an energy-like statistic — the 1→N fan-out an STFT/feature
+    extractor produces. The stub computes mean byte value per window
+    from the raw payload (deterministic); a real implementation decodes
+    with soundfile/ffmpeg and emits spectral features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError("no audio codec in this environment")
+            rows = {"id": [], "window_no": [], "energy": []}
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                n_win = max(1, len(payload) // window_bytes)
+                for w_no in range(n_win):
+                    chunk = payload[w_no * window_bytes : (w_no + 1) * window_bytes]
+                    rows["id"].append(row["id"])
+                    rows["window_no"].append(w_no)
+                    rows["energy"].append(
+                        float(sum(chunk)) / max(len(chunk), 1) / 255.0
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema="id bigint, window_no int, energy double")
+
+
 def frame_sample(df: DataFrame, every_n: int = 10, decode_stub: bool = True) -> DataFrame:
     """Video frame-sampling stage (stubbed): emits one row per sampled
     frame index with a per-frame checksum. Demonstrates the 1→N row

@@ -480,3 +480,32 @@ def test_global_ntile_matches_window_ntile(spark):
         for r in df.withColumn("rn", F.row_number().over(w)).collect()
     }
     assert rn == want_rn
+
+
+def test_multimodal_resize_and_audio_windows(spark):
+    """Resize emits fixed-size payloads with dimension metadata; audio
+    windowing fans out one row per window with bounded energy — both
+    deterministic across runs (stubbed codecs, real plumbing)."""
+    from flink_commons_spark.operators.multimodal import (
+        attach_binary, audio_window_features, resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "short"), (2, "a considerably longer text payload for windows")],
+        ["doc_id", "text"],
+    )
+    b = attach_binary(df)
+
+    resized = resize_images(b, width=8, height=4).collect()
+    assert {r.id for r in resized} == {1, 2}
+    assert all(len(r.payload) == 32 and r.width == 8 and r.height == 4 for r in resized)
+    again = resize_images(b, width=8, height=4).collect()
+    assert {bytes(r.payload) for r in resized} == {bytes(r.payload) for r in again}
+
+    wins = audio_window_features(b, window_bytes=16).collect()
+    per_id = {}
+    for r in wins:
+        per_id.setdefault(r.id, []).append((r.window_no, r.energy))
+        assert 0.0 <= r.energy <= 1.0
+    assert len(per_id[2]) > len(per_id[1])  # longer payload → more windows
+    assert [w for w, _ in sorted(per_id[2])] == list(range(len(per_id[2])))
