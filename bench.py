@@ -73,6 +73,7 @@ HEADLINE = [
     "dedup_nearest",
     "stream_lookup_join",
     "q_ntile_quality",
+    "pipeline_end_to_end",
 ]
 
 

@@ -1914,6 +1914,58 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data flow as ONE composed plan: quality
+    filter → exact dedup (keep lowest id per fingerprint) →
+    deterministic train/val/test split → per-split stats. Each stage is
+    the already-verified operator; the composition itself is what this
+    entry checks (filters push into the scan, the dedup shuffle keys on
+    the 8-byte fingerprint, the split adds no shuffle)."""
+    from flink_commons_spark.operators.sampling import with_split
+
+    d = T.with_text_stats(_tp(spark, sf_dir, "documents"))
+    filtered = d.where((F.col("n_tokens") >= 10) & (F.col("quality") >= 0.5))
+    deduped = D.exact_dedup(filtered)
+    split = with_split(deduped, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+_PIPELINE_ORACLE = f"""
+WITH enriched AS (
+  SELECT doc_id,
+         len({_TOKS_SQL}) AS n_tokens,
+         {_QUALITY_SQL} AS quality,
+         {_FP_SQL} AS f
+  FROM documents
+),
+filtered AS (
+  SELECT * FROM enriched WHERE n_tokens >= 10 AND quality >= 0.5
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY f),
+deduped AS (SELECT filtered.* FROM filtered JOIN keep USING (doc_id)),
+split AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT *,
+           ('0x' || substr(md5('split|' || doc_id::varchar), 1, 8))::bigint % 10000 AS b
+    FROM deduped
+  )
+)
+SELECT split,
+       count(*) AS n_docs,
+       (sum(n_tokens))::bigint AS sum_tokens,
+       min(doc_id) AS min_doc
+FROM split
+GROUP BY split
+"""
+
+
 def q_ntile_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile binning: documents ranked into quality deciles (total
     order via (quality, doc_id) tie-break) with the DISTRIBUTED exact
@@ -2262,6 +2314,7 @@ QUERIES = {
     "dedup_nearest": dedup_nearest,
     "stream_lookup_join": stream_lookup_join,
     "q_ntile_quality": q_ntile_quality,
+    "pipeline_end_to_end": pipeline_end_to_end,
 }
 
 ORACLES = {
@@ -2318,4 +2371,5 @@ ORACLES = {
     "dedup_nearest": _DEDUP_NEAREST_ORACLE,
     "stream_lookup_join": _STREAM_LOOKUP_ORACLE,
     "q_ntile_quality": _NTILE_ORACLE,
+    "pipeline_end_to_end": _PIPELINE_ORACLE,
 }
