@@ -74,6 +74,7 @@ HEADLINE = [
     "stream_lookup_join",
     "q_ntile_quality",
     "pipeline_end_to_end",
+    "emb_quantize_stats",
 ]
 
 

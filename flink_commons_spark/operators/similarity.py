@@ -398,3 +398,52 @@ def embedding_near_dup_pairs(
         .where(F.col("sim") >= threshold)
         .select("a", "b", "sim")
     )
+
+
+# --------------------------------------------------------- quantization
+
+def with_quantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 scalar quantization + reconstruction error — the
+    standard 4x storage cut for embedding stores at corpus scale.
+
+    Adds ``q`` (array<int>, each element ``floor(x*127/max|x| + 0.5)``
+    clamped to [-127, 127] — add-half-then-floor instead of round():
+    both engines floor identically on identical doubles, so values are
+    bit-stable and SQL-oracle-checkable) and ``qerr`` (mean absolute
+    reconstruction error, the metric a pipeline monitors when swapping
+    float32 storage for int8). Zero vectors quantize to zeros.
+
+    Scale/maxabs are materialized as REAL COLUMNS before any lambda
+    references them — expressions inlined into higher-order-function
+    lambdas are re-evaluated per array element (no CSE). Narrow map,
+    no Python, no shuffle.
+    """
+    d = df.withColumn("__v", F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    d = d.withColumn(
+        "__maxabs", F.array_max(F.transform(F.col("__v"), lambda x: F.abs(x)))
+    )
+    d = d.withColumn(
+        "__scale",
+        F.when(F.col("__maxabs") > 0, 127.0 / F.col("__maxabs")).otherwise(F.lit(0.0)),
+    ).withColumn(
+        "__inv",
+        F.when(F.col("__maxabs") > 0, F.col("__maxabs") / 127.0).otherwise(F.lit(0.0)),
+    )
+    d = d.withColumn(
+        "q",
+        F.transform(
+            F.col("__v"),
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.floor(x * F.col("__scale") + 0.5).cast("int")),
+            ),
+        ),
+    )
+    diffs = F.zip_with(
+        F.col("__v"), F.col("q"), lambda x, q: F.abs(x - q * F.col("__inv"))
+    )
+    d = d.withColumn(
+        "qerr",
+        F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x) / F.size(F.col("__v")),
+    )
+    return d.drop("__v", "__maxabs", "__scale", "__inv")

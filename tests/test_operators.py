@@ -509,3 +509,18 @@ def test_multimodal_resize_and_audio_windows(spark):
         assert 0.0 <= r.energy <= 1.0
     assert len(per_id[2]) > len(per_id[1])  # longer payload → more windows
     assert [w for w, _ in sorted(per_id[2])] == list(range(len(per_id[2])))
+
+
+def test_quantize_embedding_roundtrip(spark):
+    from pyspark.sql import Row
+    from flink_commons_spark.operators.similarity import with_quantized
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0, -0.5, 0.25, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 0.0, 0.0, 0.0]),  # zero vector
+    ]
+    out = {r.vec_id: r for r in with_quantized(spark.createDataFrame(rows)).collect()}
+    assert out[1].q == [127, -63, 32, 0]          # floor(x*127+0.5)
+    assert out[2].q == [0, 0, 0, 0] and out[2].qerr == 0.0
+    assert all(-127 <= x <= 127 for x in out[1].q)
+    assert 0.0 <= out[1].qerr < 0.01              # <= 0.5/127 per dim
