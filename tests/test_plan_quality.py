@@ -1,0 +1,35 @@
+"""Plan-quality regression guard: no contract query may plan a
+cartesian product or an unbounded nested-loop join — the two shapes
+that silently stop scaling past toy data. Runs every batch entry at
+sf0.001 and inspects the executed plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_commons_spark import catalog
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: deliberate exceptions: kNN brute-force broadcasts a BOUNDED probe set
+#: against the corpus — a nested-loop over a broadcast side is its
+#: design (documented in PERFORMANCE.md), not an accident.
+ALLOWED_NESTED_LOOP = {"knn_brute"}
+
+BATCH_QUERIES = [
+    name for name in catalog.QUERIES
+    if not name.startswith("stream_")
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_no_cartesian_or_nested_loop(spark, name):
+    df = catalog.QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in ALLOWED_NESTED_LOOP:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a nested-loop join"
+        )
