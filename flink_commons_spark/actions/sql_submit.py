@@ -161,6 +161,13 @@ class SqlSubmitAction(Action):
             print(re.sub(r"^\s*PRINT\s+", "", stmt, flags=re.IGNORECASE).strip("'\" "))
         elif stype in (StatementType.LOAD, StatementType.UNLOAD):
             self._run_module(spark, stype, stmt)
+        elif stype is StatementType.SHOW and re.match(
+            r"^\s*SHOW\s+(FULL\s+)?MODULES\s*$", stmt, re.IGNORECASE
+        ):
+            # Flink SQL the Spark parser rejects; answer from the
+            # runner's module registry (same info Flink would print)
+            for name in self.modules:
+                print(name)
         elif stype is StatementType.ADD:
             spark.sql(re.sub(r"^\s*ADD\s+CUSTOMJAR", "ADD JAR", stmt, flags=re.IGNORECASE))
         else:

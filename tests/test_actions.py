@@ -143,3 +143,13 @@ def test_compact_action_cli(spark, tmp_path):
     action.run()
     assert spark.read.parquet(str(tmp_path / "t")).count() == 2
     assert {(r.k, r.v) for r in sink.read_final(spark).collect()} == {(1, 2), (2, 2)}
+
+
+def test_show_modules(spark, capsys):
+    from flink_commons_spark.actions.sql_submit import SqlSubmitAction
+
+    SqlSubmitAction(
+        sql_text="LOAD MODULE hive;\nSHOW MODULES;", spark=spark
+    ).run()
+    out = capsys.readouterr().out.splitlines()
+    assert "core" in out and "flinkcommons" in out and "hive" in out
