@@ -168,6 +168,19 @@ class SqlSubmitAction(Action):
             # runner's module registry (same info Flink would print)
             for name in self.modules:
                 print(name)
+        elif stype is StatementType.USE and (
+            m := re.match(
+                r"^\s*USE\s+CATALOG\s+(?P<cat>`?\w+`?)\s*$", stmt, re.IGNORECASE
+            )
+        ):
+            # Flink's USE CATALOG isn't Spark syntax; map the default
+            # Flink catalog name onto Spark's session catalog
+            cat = m.group("cat").strip("`")
+            spark.catalog.setCurrentCatalog(
+                "spark_catalog" if cat == "default_catalog" else cat
+            )
+        elif stype is StatementType.ALTER and self._try_alter_options(spark, stmt):
+            pass
         elif stype is StatementType.ADD:
             spark.sql(re.sub(r"^\s*ADD\s+CUSTOMJAR", "ADD JAR", stmt, flags=re.IGNORECASE))
         else:
@@ -318,6 +331,41 @@ class SqlSubmitAction(Action):
                     self._pending_sources.append(spec.name)
                 else:
                     raise
+
+    _ALTER_SET_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+(?P<name>(?:`[^`]+`|[\w.])+)\s+SET\s*\((?P<opts>.*)\)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _try_alter_options(self, spark, stmt: str) -> bool:
+        """Flink's ``ALTER TABLE t SET ('k'='v', ...)`` on a REGISTERED
+        connector table: merge the options into the spec and rebuild the
+        source view so later statements see the change. Returns False
+        (→ generic spark.sql path) for tables we don't manage."""
+        m = self._ALTER_SET_RE.match(stmt)
+        if not m:
+            return False
+        name = m.group("name").replace("`", "").split(".")[-1]
+        spec = self.tables.get(name)
+        if spec is None:
+            return False
+        for pair in m.group("opts").split(","):
+            kv = re.match(r"^\s*'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'\s*$", pair)
+            if not kv:
+                raise ValueError(f"Unparseable ALTER TABLE option: {pair!r}")
+            spec.options[kv.group("k")] = kv.group("v")
+        spec.connector = spec.options.get("connector", spec.connector)
+        if connectors.is_source_connector(spec):
+            try:
+                df = connectors.build_source(
+                    spark, spec, streaming=self.config.is_streaming
+                )
+                df.createOrReplaceTempView(spec.name)
+            except Exception as exc:
+                log.warning("ALTER applied; source rebuild deferred: %s", exc)
+                if spec.name not in self._pending_sources:
+                    self._pending_sources.append(spec.name)
+        return True
 
     # -------------------------------------------------------------- modules
 

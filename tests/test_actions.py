@@ -153,3 +153,26 @@ def test_show_modules(spark, capsys):
     ).run()
     out = capsys.readouterr().out.splitlines()
     assert "core" in out and "flinkcommons" in out and "hive" in out
+
+
+def test_use_catalog_and_alter_table_set(spark, capsys):
+    """Flink-only statements handled by the runner: USE CATALOG maps to
+    the Spark session catalog; ALTER TABLE SET updates a registered
+    connector table's options and rebuilds its view."""
+    from flink_commons_spark.actions.sql_submit import SqlSubmitAction
+
+    script = """
+    SET 'execution.runtime-mode' = 'batch';
+    USE CATALOG default_catalog;
+    CREATE TABLE e (event_id BIGINT, event_type STRING) WITH (
+        'connector' = 'filesystem', 'path' = '/root/testdata/sf0.001/events.parquet',
+        'format' = 'parquet'
+    );
+    ALTER TABLE e SET ('path' = '/root/testdata/sf0.01/events.parquet');
+    SELECT count(*) AS n FROM e;
+    """
+    action = SqlSubmitAction(sql_text=script, spark=spark)
+    action.run()
+    out = capsys.readouterr().out
+    assert action.tables["e"].options["path"].endswith("sf0.01/events.parquet")
+    assert "10000" in out  # sf0.01 row count, not sf0.001's 1000
