@@ -1478,16 +1478,28 @@ GROUP BY 1
 
 
 def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 tokens per language by document frequency (explode → count
-    → ranking window; ties broken lexicographically)."""
+    """Top-5 tokens per language by document frequency — TWO-PHASE
+    top-k: a single ranking window per language would sort the whole
+    per-language vocabulary in one task; instead each of 32 salt
+    buckets keeps its local top-5 (parallel small sorts), and the
+    global top-5 ranks only the ≤160 surviving candidates per language.
+    Any global top-5 token is necessarily in its bucket's top-5, so the
+    result is exact. Ties broken lexicographically."""
     d = _tp(spark, sf_dir, "documents")
     toks = d.select(
         "lang", F.explode(F.array_distinct(T.tokens(F.lower(F.col("text"))))).alias("tok")
     )
     counts = toks.groupBy("lang", "tok").agg(F.count("*").alias("df"))
+    salted = counts.withColumn("__salt", F.pmod(F.xxhash64("tok"), F.lit(32)))
+    w_local = Window.partitionBy("lang", "__salt").orderBy(F.desc("df"), F.asc("tok"))
+    cand = (
+        salted.withColumn("__lr", F.row_number().over(w_local))
+        .where(F.col("__lr") <= 5)
+        .drop("__salt", "__lr")
+    )
     w = Window.partitionBy("lang").orderBy(F.desc("df"), F.asc("tok"))
     return (
-        counts.withColumn("rnk", F.row_number().over(w))
+        cand.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 5)
         .select("lang", "rnk", "tok", "df")
     )
