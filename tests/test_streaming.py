@@ -201,3 +201,45 @@ def test_upsert_sink_compaction(spark, tmp_path):
     # a post-compaction batch still supersedes the snapshot
     w(spark.createDataFrame([(1, 99)], schema), 5)
     assert {(r.k, r.v) for r in sink.read_final(spark).collect()} == {(1, 99), (2, 24)}
+
+
+def test_runner_checkpoint_recovery(spark, tmp_path):
+    """A second run with the same flinkcommons.checkpoint.dir resumes
+    from the checkpoint: only new files are processed, and the upsert
+    sink's state reflects the cumulative aggregate."""
+    from flink_commons_spark.actions.sql_submit import SqlSubmitAction
+    from flink_commons_spark.streaming.upsert import KeyedParquetUpsertSink
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_rows(tag: int, n: int) -> None:
+        spark.createDataFrame(
+            [(tag * 100 + i, i % 3) for i in range(n)], "id long, k long"
+        ).repartition(1).write.mode("append").parquet(str(src))
+
+    script = f"""
+    SET 'execution.runtime-mode' = 'streaming';
+    SET 'flinkcommons.trigger' = 'availableNow';
+    SET 'flinkcommons.stream.timeout' = '60s';
+    SET 'flinkcommons.checkpoint.dir' = '{tmp_path}/ckpt';
+    SET 'pipeline.name' = 'recov';
+    CREATE TABLE src (id BIGINT, k BIGINT) WITH (
+        'connector' = 'filesystem', 'path' = '{src}', 'format' = 'parquet'
+    );
+    CREATE TABLE state (k BIGINT, n BIGINT) WITH (
+        'connector' = 'upsert-filesystem', 'path' = '{tmp_path}/state', 'key' = 'k'
+    );
+    INSERT INTO state SELECT k, count(*) FROM src GROUP BY k;
+    """
+    write_rows(0, 30)
+    SqlSubmitAction(sql_text=script, spark=spark).run()
+    sink = KeyedParquetUpsertSink(f"{tmp_path}/state", ["k"])
+    first = {r.k: r.n for r in sink.read_final(spark).collect()}
+    assert sum(first.values()) == 30
+
+    write_rows(1, 12)
+    SqlSubmitAction(sql_text=script, spark=spark).run()
+    second = {r.k: r.n for r in sink.read_final(spark).collect()}
+    # recovered state: counts are cumulative over both file batches
+    assert sum(second.values()) == 42
