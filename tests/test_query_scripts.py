@@ -450,3 +450,30 @@ def test_create_table_like(spark, tmp_path, capsys):
     assert so.connector == "print"
     assert so.columns == [("event_id", "bigint"), ("event_type", "string"), ("extra", "int")]
     assert "path" not in so.options
+
+
+def test_partitioned_streaming_filesystem_sink(spark, tmp_path):
+    """Streaming INSERT into a PARTITIONED BY filesystem sink writes
+    the hive layout (partitionBy on the streaming writer)."""
+    script = f"""
+    SET 'execution.runtime-mode' = 'streaming';
+    SET 'flinkcommons.trigger' = 'availableNow';
+    SET 'flinkcommons.stream.timeout' = '60s';
+    CREATE TABLE events (
+        event_id BIGINT, ts BIGINT, user_id BIGINT,
+        event_type STRING, value DOUBLE, props STRING
+    ) WITH (
+        'connector' = 'filesystem', 'path' = '/root/testdata/sf0.001/events.parquet',
+        'format' = 'parquet'
+    );
+    CREATE TABLE out (event_id BIGINT, value DOUBLE, event_type STRING)
+    PARTITIONED BY (event_type)
+    WITH ('connector' = 'filesystem', 'path' = '{tmp_path}/p', 'format' = 'parquet');
+    INSERT INTO out SELECT event_id, value, event_type FROM events;
+    """
+    SqlSubmitAction(sql_text=script, spark=spark).run()
+    import os
+
+    dirs = {d for d in os.listdir(f"{tmp_path}/p") if d.startswith("event_type=")}
+    assert len(dirs) == 5
+    assert spark.read.parquet(f"{tmp_path}/p").count() == 1000
