@@ -75,6 +75,7 @@ HEADLINE = [
     "q_ntile_quality",
     "pipeline_end_to_end",
     "emb_quantize_stats",
+    "stream_dedup",
 ]
 
 

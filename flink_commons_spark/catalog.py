@@ -1391,6 +1391,52 @@ GROUP BY user_id
 """
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DEDUPLICATION — Flink SQL's special ``ROW_NUMBER() …
+    WHERE rn = 1`` pattern, Spark-native via
+    ``dropDuplicatesWithinWatermark``: an at-least-once source (here
+    the stream unioned with itself — every record delivered twice) is
+    reduced to exactly-once rows; state is one entry per key within the
+    watermark horizon. Output counts equal the clean batch input, so
+    the result is deterministic regardless of which duplicate wins."""
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-dedup-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    doubled = sdf.union(sdf)  # simulate at-least-once redelivery
+    deduped = (
+        doubled.withWatermark("ts", "5 seconds")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n"))
+    name = "fcs_stream_dedup"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-dedup-"))
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name)
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT event_type, count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
 def stream_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink's LOOKUP (dimension) JOIN, Spark-native: a streaming fact
     joined to a static dimension snapshot — Spark's stream-static join
@@ -2384,6 +2430,7 @@ QUERIES = {
     "q_ntile_quality": q_ntile_quality,
     "pipeline_end_to_end": pipeline_end_to_end,
     "emb_quantize_stats": emb_quantize_stats,
+    "stream_dedup": stream_dedup,
 }
 
 ORACLES = {
@@ -2442,4 +2489,5 @@ ORACLES = {
     "q_ntile_quality": _NTILE_ORACLE,
     "pipeline_end_to_end": _PIPELINE_ORACLE,
     "emb_quantize_stats": _QUANTIZE_ORACLE,
+    "stream_dedup": _STREAM_DEDUP_ORACLE,
 }
