@@ -21,6 +21,8 @@ Registered functions (all prefixed ``fcs_``):
 ``fcs_avg_word_len(s)``       mean token length
 ``fcs_time_bucket(w, ts)``    ts floored to a w-second bucket
 ``fcs_cosine(a, b)``          cosine similarity of two double arrays
+``fcs_split_bucket(k)``       stable md5 split bucket in [0, 10000)
+``fcs_split(k)``              train/val/test label (80/10/10 cuts)
 ========================  ============================================
 """
 
@@ -93,6 +95,18 @@ def definitions() -> dict[str, str]:
             "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
             " / (sqrt(aggregate(zip_with(a, a, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v))"
             " * sqrt(aggregate(zip_with(b, b, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)))"
+        ),
+        # deterministic split assignment (operators/sampling.py semantics):
+        # a pure function of the key, so reruns/backfills never move a row
+        "fcs_split_bucket": (
+            "(k STRING) RETURNS BIGINT RETURN "
+            "cast(conv(substring(md5(concat('split|', k)), 1, 8), 16, 10) as bigint) % 10000"
+        ),
+        "fcs_split": (
+            "(k STRING) RETURNS STRING RETURN "
+            "CASE WHEN cast(conv(substring(md5(concat('split|', k)), 1, 8), 16, 10) as bigint) % 10000 < 8000 THEN 'train' "
+            "WHEN cast(conv(substring(md5(concat('split|', k)), 1, 8), 16, 10) as bigint) % 10000 < 9000 THEN 'val' "
+            "ELSE 'test' END"
         ),
     }
     return {

@@ -176,3 +176,19 @@ def test_use_catalog_and_alter_table_set(spark, capsys):
     out = capsys.readouterr().out
     assert action.tables["e"].options["path"].endswith("sf0.01/events.parquet")
     assert "10000" in out  # sf0.01 row count, not sf0.001's 1000
+
+
+def test_fcs_split_functions_match_operator(spark):
+    """The fcs_split SQL UDFs agree with the DataFrame operator — one
+    split definition, two call surfaces."""
+    from flink_commons_spark.functions.registry import register_all
+    from flink_commons_spark.operators.sampling import with_split
+
+    register_all(spark)
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    via_op = {r.doc_id: r.split for r in
+              with_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    df.createOrReplaceTempView("fcs_split_t")
+    via_sql = {r.doc_id: r.s for r in
+               spark.sql("SELECT doc_id, fcs_split(cast(doc_id as string)) AS s FROM fcs_split_t").collect()}
+    assert via_op == via_sql
