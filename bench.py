@@ -76,6 +76,7 @@ HEADLINE = [
     "pipeline_end_to_end",
     "emb_quantize_stats",
     "stream_dedup",
+    "q_hourly_profile",
 ]
 
 

@@ -425,6 +425,35 @@ GROUP BY 1, 2
 """
 
 
+def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp truncation + time-of-day profile: events per
+    (hour-of-day, event_type) — the diurnal-profile query every event
+    pipeline runs. date_trunc on timestamps, hour extraction, and a
+    day-grain distinct count."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("hod", F.hour(F.col("ts").cast("timestamp")))
+        .withColumn("day", F.expr("date_trunc('day', cast(ts as timestamp))"))
+        .groupBy("hod", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("day").alias("n_days"),
+            F.round(F.sum(_dec(F.col("value"))).cast("double"), 4).alias("total"),
+        )
+    )
+
+
+_HOURLY_ORACLE = """
+SELECT extract(hour FROM ts)::int AS hod,
+       event_type,
+       count(*) AS n,
+       count(DISTINCT date_trunc('day', ts)) AS n_days,
+       round((sum(value::decimal(18,6)))::double, 4) AS total
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_scalar_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String/math scalar-function coverage — all whole-stage-codegen."""
     p = _t(spark, sf_dir, "part")
@@ -2431,6 +2460,7 @@ QUERIES = {
     "pipeline_end_to_end": pipeline_end_to_end,
     "emb_quantize_stats": emb_quantize_stats,
     "stream_dedup": stream_dedup,
+    "q_hourly_profile": q_hourly_profile,
 }
 
 ORACLES = {
@@ -2490,4 +2520,5 @@ ORACLES = {
     "pipeline_end_to_end": _PIPELINE_ORACLE,
     "emb_quantize_stats": _QUANTIZE_ORACLE,
     "stream_dedup": _STREAM_DEDUP_ORACLE,
+    "q_hourly_profile": _HOURLY_ORACLE,
 }
