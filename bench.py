@@ -77,6 +77,12 @@ HEADLINE = [
     "emb_quantize_stats",
     "stream_dedup",
     "q_hourly_profile",
+    "dedup_ngram",
+    "text_decontaminate",
+    "text_repetition",
+    "text_pii_scan",
+    "q_stratified_sample",
+    "text_tfidf",
 ]
 
 

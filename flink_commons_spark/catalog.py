@@ -2400,6 +2400,255 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 
 # =====================================================================
+# Corpus curation (operators/curation.py)
+# =====================================================================
+
+#: DuckDB word-3-gram builder over the shared token normalization;
+#: generate_series(1, n) is empty for n < 1, so short docs yield no rows
+_GRAMS3_SQL = f"""
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t,
+       LATERAL unnest(generate_series(1, len(toks) - 2)) AS u(i)
+"""
+
+
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (inverted-index blocking,
+    stop-gram df cap) — the non-sketch sibling of ``dedup_minhash``.
+    See ``operators/curation.py:ngram_jaccard_pairs`` for the scale
+    analysis (pair fan-out bounded by Σ df², never all-pairs)."""
+    from flink_commons_spark.operators.curation import ngram_jaccard_pairs
+
+    d = _tp(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5, max_df=200)
+
+
+_DEDUP_NGRAM_ORACLE = f"""
+WITH gd AS (
+  SELECT DISTINCT doc_id, gram FROM ({_GRAMS3_SQL})
+),
+dfc AS (SELECT gram, count(*) AS gram_df FROM gd GROUP BY gram),
+kept AS (SELECT gd.doc_id, gd.gram FROM gd JOIN dfc USING (gram) WHERE gram_df <= 200),
+sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+joinable AS (
+  SELECT gd.doc_id, gd.gram FROM gd JOIN dfc USING (gram)
+  WHERE gram_df BETWEEN 2 AND 200
+),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+  FROM joinable x JOIN joinable y USING (gram)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, n_inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter
+JOIN sz sa ON inter.a = sa.doc_id
+JOIN sz sb ON inter.b = sb.doc_id
+WHERE n_inter * 1000 >= 500 * (sa.sz + sb.sz - n_inter)
+"""
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: 3-gram overlap of every corpus doc
+    against a benchmark subset (stand-in: ``doc_id % 20 == 0``). The
+    benchmark gram set is broadcast — at 100 TB the corpus side
+    streams map-side; one shuffle for the per-doc overlap count."""
+    from flink_commons_spark.operators.curation import decontaminate
+
+    d = _tp(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    corpus = d.where(F.col("doc_id") % 20 != 0)
+    out = decontaminate(corpus, bench, n=3, overlap_pct=5)
+    return out.select(
+        "doc_id", "n_grams", "n_overlap",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
+_DECONTAMINATE_ORACLE = f"""
+WITH gd AS (
+  SELECT DISTINCT doc_id, gram FROM ({_GRAMS3_SQL})
+),
+bench AS (SELECT DISTINCT gram FROM gd WHERE doc_id % 20 = 0),
+corpus AS (SELECT * FROM gd WHERE doc_id % 20 <> 0),
+ov AS (
+  SELECT doc_id, count(*) AS n_overlap
+  FROM corpus JOIN bench USING (gram)
+  GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id)
+SELECT tot.doc_id, n_grams, coalesce(n_overlap, 0) AS n_overlap,
+       (coalesce(n_overlap, 0) * 100 >= n_grams * 5)::int AS contaminated
+FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id
+"""
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals: total and most-frequent
+    counts for word 1/2/3-grams per document, plus the top-2-gram
+    fraction and a boilerplate flag (top 2-gram > 20% of all 2-grams).
+    Shuffle keys are (doc, n, gram) then (doc, n) — bounded by document
+    length, never corpus-wide."""
+    from flink_commons_spark.operators.curation import repetition_stats
+
+    d = _tp(spark, sf_dir, "documents")
+    r = repetition_stats(d)
+    return r.select(
+        "doc_id", "n_1", "top_1", "n_2", "top_2", "n_3", "top_3",
+        F.round(F.col("top_2") / F.greatest(F.col("n_2"), F.lit(1)), 6).alias("top2_frac"),
+        (F.col("top_2") * 5 > F.col("n_2")).cast("int").alias("repetitive"),
+    )
+
+
+_REPETITION_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+g1 AS (SELECT doc_id, unnest(toks) AS gram FROM t),
+g2 AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)
+),
+g3 AS (SELECT doc_id, gram FROM ({_GRAMS3_SQL})),
+c1 AS (SELECT doc_id, (sum(cnt))::bigint AS n_1, (max(cnt))::bigint AS top_1
+       FROM (SELECT doc_id, gram, count(*) AS cnt FROM g1 GROUP BY 1, 2) GROUP BY doc_id),
+c2 AS (SELECT doc_id, (sum(cnt))::bigint AS n_2, (max(cnt))::bigint AS top_2
+       FROM (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2) GROUP BY doc_id),
+c3 AS (SELECT doc_id, (sum(cnt))::bigint AS n_3, (max(cnt))::bigint AS top_3
+       FROM (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(n_1, 0) AS n_1, coalesce(top_1, 0) AS top_1,
+       coalesce(n_2, 0) AS n_2, coalesce(top_2, 0) AS top_2,
+       coalesce(n_3, 0) AS n_3, coalesce(top_3, 0) AS top_3,
+       round(coalesce(top_2, 0) / greatest(coalesce(n_2, 0), 1), 6) AS top2_frac,
+       (coalesce(top_2, 0) * 5 > coalesce(n_2, 0))::int AS repetitive
+FROM documents d
+LEFT JOIN c1 ON d.doc_id = c1.doc_id
+LEFT JOIN c2 ON d.doc_id = c2.doc_id
+LEFT JOIN c3 ON d.doc_id = c3.doc_id
+"""
+
+
+#: deterministic PII enrichment shared by both engines — the testdata
+#: corpus contains no organic PII, so the contract query plants
+#: engine-identical spans to prove the scan end to end
+_PII_ENRICH_SPARK = (
+    "text"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' see https://example.com/doc/' || doc_id ELSE '' END"
+)
+_PII_ENRICH_DUCK = (
+    "text"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-' || lpad((doc_id % 10000)::varchar, 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' see https://example.com/doc/' || doc_id ELSE '' END"
+)
+
+
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing scan: email/phone/URL hit counts and redacted
+    length per document (RE2-compatible patterns, identical semantics
+    in any oracle engine). Narrow map — no shuffle; the patterns run
+    inside whole-stage codegen."""
+    from flink_commons_spark.operators.curation import with_pii_scan
+
+    d = _tp(spark, sf_dir, "documents").withColumn(
+        "pii_text", F.expr(_PII_ENRICH_SPARK)
+    )
+    out = with_pii_scan(d, text_col="pii_text")
+    return out.select(
+        "doc_id",
+        F.length("pii_text").alias("orig_len"),
+        "n_emails", "n_phones", "n_urls", "redacted_len",
+    )
+
+
+from flink_commons_spark.operators.curation import (  # noqa: E402
+    EMAIL_PATTERN as _EMAIL_RE,
+    PHONE_PATTERN as _PHONE_RE,
+    PII_PATTERN as _PII_RE,
+    URL_PATTERN as _URL_RE,
+)
+
+_PII_ORACLE = f"""
+WITH e AS (SELECT doc_id, {_PII_ENRICH_DUCK} AS pii_text FROM documents)
+SELECT doc_id,
+       length(pii_text) AS orig_len,
+       len(regexp_extract_all(pii_text, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(pii_text, '{_PHONE_RE}')) AS n_phones,
+       len(regexp_extract_all(pii_text, '{_URL_RE}')) AS n_urls,
+       length(regexp_replace(pii_text, '{_PII_RE}', '<PII>', 'g')) AS redacted_len
+FROM e
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (per-language) sampling — the domain-
+    mixing step of a corpus build. Rates are enforced by the same
+    md5 bucket as ``q_hash_split`` (pure function of doc_id: reruns and
+    backfills keep every doc's fate). Narrow map + one tiny aggregate;
+    no shuffle of the sampled payload itself."""
+    from flink_commons_spark.operators.sampling import split_bucket
+
+    rates = {"en": 2000, "de": 5000, "es": 5000, "fr": 5000, "zh": 10000}
+    d = _t(spark, sf_dir, "documents")
+    bucket = split_bucket(F.col("doc_id"), salt="strat")
+    cut = F.create_map(*[F.lit(x) for kv in rates.items() for x in kv])[F.col("lang")]
+    keep = (bucket < cut).cast("int")
+    return (
+        d.withColumn("keep", keep)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("keep").cast("bigint").alias("n_sampled"),
+            F.sum(F.col("keep") * F.col("n_chars")).cast("bigint").alias("chars_sampled"),
+        )
+    )
+
+
+_STRATIFIED_ORACLE = """
+WITH b AS (
+  SELECT lang, n_chars,
+         ('0x' || substr(md5('strat|' || doc_id::varchar), 1, 8))::bigint % 10000 AS bucket,
+         CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 5000 WHEN 'es' THEN 5000
+                   WHEN 'fr' THEN 5000 WHEN 'zh' THEN 10000 END AS cut
+  FROM documents
+)
+SELECT lang, count(*) AS n_total,
+       (sum((bucket < cut)::int))::bigint AS n_sampled,
+       (sum(CASE WHEN bucket < cut THEN n_chars ELSE 0 END))::bigint AS chars_sampled
+FROM b
+GROUP BY lang
+"""
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document by integer linear tf·idf
+    (``floor(tf·1e6/df)`` — bit-exact across engines, unlike log-idf).
+    See ``operators/curation.py:tfidf_top_terms`` for the shuffle plan;
+    the ranking window is per-document (bounded by doc vocabulary)."""
+    from flink_commons_spark.operators.curation import tfidf_top_terms
+
+    d = _tp(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=3)
+
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+SELECT doc_id,
+       row_number() OVER (PARTITION BY doc_id ORDER BY (tf * 1000000) // df DESC, tok ASC) AS rnk,
+       tok, tf, df,
+       (tf * 1000000) // df AS score
+FROM tf JOIN dfc USING (tok)
+QUALIFY rnk <= 3
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -2461,6 +2710,12 @@ QUERIES = {
     "emb_quantize_stats": emb_quantize_stats,
     "stream_dedup": stream_dedup,
     "q_hourly_profile": q_hourly_profile,
+    "dedup_ngram": dedup_ngram,
+    "text_decontaminate": text_decontaminate,
+    "text_repetition": text_repetition,
+    "text_pii_scan": text_pii_scan,
+    "q_stratified_sample": q_stratified_sample,
+    "text_tfidf": text_tfidf,
 }
 
 ORACLES = {
@@ -2521,4 +2776,10 @@ ORACLES = {
     "emb_quantize_stats": _QUANTIZE_ORACLE,
     "stream_dedup": _STREAM_DEDUP_ORACLE,
     "q_hourly_profile": _HOURLY_ORACLE,
+    "dedup_ngram": _DEDUP_NGRAM_ORACLE,
+    "text_decontaminate": _DECONTAMINATE_ORACLE,
+    "text_repetition": _REPETITION_ORACLE,
+    "text_pii_scan": _PII_ORACLE,
+    "q_stratified_sample": _STRATIFIED_ORACLE,
+    "text_tfidf": _TFIDF_ORACLE,
 }

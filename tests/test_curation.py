@@ -1,0 +1,117 @@
+"""Unit tests for operators/curation.py (corpus-curation family)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_commons_spark.operators import curation as C
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d x"),
+            (3, "q r s"),
+            (4, "a b"),
+            (5, "a b c d e"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_ngrams_short_doc_empty_not_descending(spark, docs):
+    rows = {
+        r["doc_id"]: r["grams"]
+        for r in C.with_ngrams(docs, 3).select("doc_id", "grams").collect()
+    }
+    assert rows[1] == ["a b c", "b c d", "c d e"]
+    assert rows[4] == []  # < n tokens: empty, no sequence(0,-1) artifact
+    assert rows[3] == ["q r s"]
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    pairs = {
+        (r["a"], r["b"]): (r["n_inter"], r["sz_a"], r["sz_b"], r["jaccard"])
+        for r in C.ngram_jaccard_pairs(docs, n=3, threshold=0.4, max_df=10).collect()
+    }
+    # docs 1 and 5 are identical -> J=1; 1-2 and 2-5 share 2 of 4 grams
+    assert pairs[(1, 5)] == (3, 3, 3, 1.0)
+    assert pairs[(1, 2)] == (2, 3, 3, 0.5)
+    assert pairs[(2, 5)] == (2, 3, 3, 0.5)
+    assert len(pairs) == 3
+
+
+def test_ngram_jaccard_stop_gram_cap_filters_space(spark, docs):
+    # max_df=1 removes every shared gram: no pairs, and set sizes shrink
+    out = C.ngram_jaccard_pairs(docs, n=3, threshold=0.1, max_df=1)
+    assert out.count() == 0
+
+
+def test_ngram_jaccard_threshold_is_exact_cut(spark, docs):
+    # J(1,2) = 0.5 exactly: threshold 0.5 keeps it, 0.501 drops it
+    keep = C.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=10)
+    assert (1, 2) in {(r["a"], r["b"]) for r in keep.collect()}
+    drop = C.ngram_jaccard_pairs(docs, n=3, threshold=0.501, max_df=10)
+    assert (1, 2) not in {(r["a"], r["b"]) for r in drop.collect()}
+
+
+def test_decontaminate_counts_and_zero_overlap(spark, docs):
+    corpus = docs.where("doc_id < 4")
+    bench = docs.where("doc_id >= 4")  # "a b" + "a b c d e"
+    rows = {r["doc_id"]: r for r in C.decontaminate(corpus, bench, n=2).collect()}
+    assert rows[1]["n_overlap"] == 4 and rows[1]["contaminated"]
+    assert rows[2]["n_overlap"] == 3
+    assert rows[3]["n_overlap"] == 0 and not rows[3]["contaminated"]
+
+
+def test_repetition_stats_counts(spark):
+    d = spark.createDataFrame([(1, "a a a b"), (2, "x y")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in C.repetition_stats(d).collect()}
+    assert (rows[1]["n_1"], rows[1]["top_1"]) == (4, 3)
+    assert (rows[1]["n_2"], rows[1]["top_2"]) == (3, 2)  # "a a" twice
+    assert (rows[1]["n_3"], rows[1]["top_3"]) == (2, 1)
+    assert (rows[2]["n_3"], rows[2]["top_3"]) == (0, 0)  # shorter than n
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "write bob@example.com or call 555-123-4567 via https://x.y/z"),
+            (2, "no pii here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in C.with_pii_scan(d).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_phones"], rows[1]["n_urls"]) == (1, 1, 1)
+    assert (rows[2]["n_emails"], rows[2]["n_phones"], rows[2]["n_urls"]) == (0, 0, 0)
+    assert rows[2]["redacted_len"] == len("no pii here")
+    redacted = d.select(C.redact_pii(F.col("text")).alias("t")).collect()[0]["t"]
+    assert redacted == "write <PII> or call <PII> via <PII>"
+
+
+def test_pii_phone_needs_word_boundary(spark):
+    d = spark.createDataFrame([(1, "id 9555-123-45679 x")], ["doc_id", "text"])
+    row = C.with_pii_scan(d).collect()[0]
+    assert row["n_phones"] == 0  # embedded digits: \b rejects
+
+
+def test_tfidf_integer_score_and_ties(spark, docs):
+    out = C.tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 3 "q r s": all tf=1 df=1 -> score ties at 1e6, lexicographic order
+    d3 = sorted(by_doc[3], key=lambda r: r["rnk"])
+    assert [r["tok"] for r in d3] == ["q", "r"]
+    assert all(r["score"] == 1_000_000 for r in d3)
+    # every score is floor(tf*1e6/df)
+    for r in out:
+        assert r["score"] == (r["tf"] * 1_000_000) // r["df"]
+
+
+def test_tfidf_rare_term_outranks_common(spark, docs):
+    rows = {r["rnk"]: r for r in C.tfidf_top_terms(docs, k=2).collect() if r["doc_id"] == 2}
+    assert rows[1]["tok"] == "x"  # df=1 beats the df=4 'a'/'b' terms
