@@ -83,6 +83,11 @@ HEADLINE = [
     "text_pii_scan",
     "q_stratified_sample",
     "text_tfidf",
+    "q4_priority_exists",
+    "q12_priority_class",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive",
 ]
 
 

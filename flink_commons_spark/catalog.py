@@ -2400,6 +2400,191 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 
 # =====================================================================
+# Relational breadth — further TPC-H query shapes
+# =====================================================================
+
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-correlated semi-join then a tiny agg.
+    The semi-join shuffles on the order key only (no lineitem payload
+    survives); the date predicate prunes the orders scan."""
+    o = _t(spark, sf_dir, "orders").where(
+        "o_orderdate >= timestamp'1996-01-01 00:00:00' AND "
+        "o_orderdate < timestamp'1997-01-01 00:00:00'"
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + conditional CASE sums.
+    One shuffle on the order key; the CASE aggregation is map-side
+    partial. All-integer output — bit-exact."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").where(
+        "l_shipdate >= timestamp'1997-01-01 00:00:00' AND "
+        "l_shipdate < timestamp'1998-01-01 00:00:00'"
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+_Q12_ORACLE = """
+SELECT l_returnflag,
+       (sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END))::bigint AS high_line_count,
+       (sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END))::bigint AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast-dim join + conditional ratio of
+    decimal sums. part is the broadcast side; lineitem never shuffles
+    (map-side join, partial agg)."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem").where(
+        "l_shipdate >= timestamp'1997-09-01 00:00:00' AND "
+        "l_shipdate < timestamp'1997-10-01 00:00:00'"
+    )
+    disc = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(18,6)"))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(F.sum(promo).cast("double"), 2).alias("promo_revenue"),
+            F.round(F.sum(disc).cast("double"), 2).alias("total_revenue"),
+            F.round(
+                100 * F.sum(promo).cast("double") / F.sum(disc).cast("double"), 6
+            ).alias("promo_pct"),
+        )
+    )
+
+
+_Q14_ORACLE = """
+SELECT round((sum(CASE WHEN p_type = 'PROMO'
+                       THEN (l_extendedprice * (1 - l_discount))::decimal(18,6)
+                       ELSE 0::decimal(18,6) END))::double, 2) AS promo_revenue,
+       round((sum((l_extendedprice * (1 - l_discount))::decimal(18,6)))::double, 2) AS total_revenue,
+       round(100 * (sum(CASE WHEN p_type = 'PROMO'
+                             THEN (l_extendedprice * (1 - l_discount))::decimal(18,6)
+                             ELSE 0::decimal(18,6) END))::double
+                 / (sum((l_extendedprice * (1 - l_discount))::decimal(18,6)))::double, 6) AS promo_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: group-having on the fact, then join the
+    qualifying keys back. The HAVING filter collapses lineitem to the
+    qualifying order keys BEFORE the customer/orders joins — the
+    classic pre-aggregation pattern; top-20 with a total order."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum(_dec(F.col("l_quantity"))).cast("double"), 2).alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("total_price"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey, round((sum(l_quantity::decimal(18,6)))::double, 2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round((sum(l_quantity::decimal(18,6)))::double, 2) > 150
+)
+SELECT c_custkey, c_name, o_orderkey,
+       round(o_totalprice::double, 2) AS total_price, sum_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_price DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: broadcast join under a three-branch disjunctive
+    predicate. Catalyst pushes the common l_quantity bound into the
+    lineitem scan; the brand/size/qty triples evaluate post-join."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#14") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    disc = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .agg(
+            F.round(F.sum(disc).cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_Q19_ORACLE = """
+SELECT round((sum((l_extendedprice * (1 - l_discount))::decimal(18,6)))::double, 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# =====================================================================
 # Corpus curation (operators/curation.py)
 # =====================================================================
 
@@ -2716,6 +2901,11 @@ QUERIES = {
     "text_pii_scan": text_pii_scan,
     "q_stratified_sample": q_stratified_sample,
     "text_tfidf": text_tfidf,
+    "q4_priority_exists": q4_priority_exists,
+    "q12_priority_class": q12_priority_class,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive": q19_disjunctive,
 }
 
 ORACLES = {
@@ -2782,4 +2972,9 @@ ORACLES = {
     "text_pii_scan": _PII_ORACLE,
     "q_stratified_sample": _STRATIFIED_ORACLE,
     "text_tfidf": _TFIDF_ORACLE,
+    "q4_priority_exists": _Q4_ORACLE,
+    "q12_priority_class": _Q12_ORACLE,
+    "q14_promo_revenue": _Q14_ORACLE,
+    "q18_large_orders": _Q18_ORACLE,
+    "q19_disjunctive": _Q19_ORACLE,
 }
