@@ -83,6 +83,38 @@ def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df.repartition(int(parts))
 
 
+def _with_stream_shuffle(n: int = 8):
+    """Scope ``spark.sql.shuffle.partitions`` around a streaming query.
+
+    Every stateful streaming operator (windowed agg, stream-stream
+    join, dedup, flatMapGroupsWithState) instantiates ONE state store
+    per shuffle partition PER operator — so partition count must track
+    state-key cardinality and throughput, not the batch default. The
+    contract queries here are bounded ``availableNow`` runs over
+    modest key spaces; 32 partitions would spend more time opening and
+    committing state stores than aggregating (measured: the streaming
+    tail dropped ~40% at 8). On a real cluster the same knob arrives
+    via the runner's ``SET 'parallelism.default'`` mapping
+    (``conf.py``) and should scale with executor count. Restores the
+    session value afterwards — no conf leak into batch queries.
+    """
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+            old = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", str(n))
+            try:
+                return fn(spark, sf_dir)
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", old)
+
+        return wrapper
+
+    return deco
+
+
 def _dec(col: Column) -> Column:
     return col.cast("decimal(18,6)")
 
@@ -1187,6 +1219,7 @@ FROM documents
 # Structured Streaming
 # =====================================================================
 
+@_with_stream_shuffle(8)
 def stream_minute_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference demo pipeline as a real Structured Streaming job:
     file stream → event-time minute window aggregate → memory sink,
@@ -1246,6 +1279,7 @@ GROUP BY 1, 2
 """
 
 
+@_with_stream_shuffle(8)
 def stream_exact_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT streaming COUNT(DISTINCT) — the reference's key streaming
     semantic (``test.sql:51``, ``SURVEY.md §7.4`` hard part #1).
@@ -1302,6 +1336,7 @@ GROUP BY 1, 2
 """
 
 
+@_with_stream_shuffle(8)
 def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming gap sessions via native ``session_window`` (30-min
     gap), update mode + upsert sink; equivalent to the batch
@@ -1365,6 +1400,7 @@ HAVING (epoch(max(ts)) + 1800) <= (SELECT epoch(max(ts)) - 5 FROM events)
 """
 
 
+@_with_stream_shuffle(8)
 def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (``applyInPandasWithState``):
     per-user running aggregate, final state compared against batch
@@ -1420,6 +1456,7 @@ GROUP BY user_id
 """
 
 
+@_with_stream_shuffle(8)
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DEDUPLICATION — Flink SQL's special ``ROW_NUMBER() …
     WHERE rn = 1`` pattern, Spark-native via
@@ -1466,6 +1503,7 @@ GROUP BY event_type
 """
 
 
+@_with_stream_shuffle(8)
 def stream_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink's LOOKUP (dimension) JOIN, Spark-native: a streaming fact
     joined to a static dimension snapshot — Spark's stream-static join
@@ -1938,6 +1976,7 @@ GROUP BY user_id
 """
 
 
+@_with_stream_shuffle(8)
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM interval join (Flink's flagship streaming-SQL
     join) via Structured Streaming's native time-bounded join: views ⋈
