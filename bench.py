@@ -88,6 +88,8 @@ HEADLINE = [
     "q14_promo_revenue",
     "q18_large_orders",
     "q19_disjunctive",
+    "stream_hopping_agg",
+    "q_chunk_windows",
 ]
 
 

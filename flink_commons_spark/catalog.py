@@ -1504,6 +1504,64 @@ GROUP BY event_type
 
 
 @_with_stream_shuffle(8)
+def stream_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOP (sliding) window streaming aggregate — the Flink
+    ``HOP(..., INTERVAL '1' MINUTE, INTERVAL '2' MINUTE)`` analog via
+    ``F.window(ts, "2 minutes", "1 minute")``: every event lands in
+    exactly two overlapping windows. Complete-mode ``availableNow`` run
+    → final state equals the batch answer. State per (window, type)
+    key only — the overlap factor (window/slide) bounds the state
+    blow-up, not the event count."""
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-hop-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "5 seconds")
+    )
+    agg = (
+        sdf.groupBy(
+            F.window("ts", "2 minutes", "1 minute"),
+            F.col("event_type").alias("dim"),
+        )
+        .agg(F.count("*").alias("pv"))
+        .select(
+            F.floor(F.col("window.start").cast("double") / 60).cast("bigint").alias("window_min"),
+            "dim",
+            "pv",
+        )
+    )
+    name = "fcs_stream_hop"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-hop-"))
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name)
+
+
+#: each event belongs to the two 1-minute-grid windows covering it:
+#: start_min ∈ {floor(ts/60), floor(ts/60) − 1}
+_STREAM_HOP_ORACLE = """
+SELECT floor(epoch(ts) / 60)::bigint - k AS window_min,
+       event_type AS dim,
+       count(*) AS pv
+FROM events, LATERAL unnest([0, 1]) AS u(k)
+GROUP BY 1, 2
+"""
+
+
+@_with_stream_shuffle(8)
 def stream_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink's LOOKUP (dimension) JOIN, Spark-native: a streaming fact
     joined to a static dimension snapshot — Spark's stream-static join
@@ -2846,6 +2904,27 @@ GROUP BY lang
 """
 
 
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (64-token windows, stride 48): the step
+    between cleaning and packing in a training-data build. Narrow map +
+    integer explode; see ``operators/curation.py:chunk_windows``."""
+    from flink_commons_spark.operators.curation import chunk_windows
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_windows(d, window=64, stride=48)
+
+
+_CHUNK_ORACLE = f"""
+WITH t AS (SELECT doc_id, len({_TOKS_SQL}) AS n FROM documents)
+SELECT doc_id,
+       i::bigint AS chunk_id,
+       least(64, n - i * 48)::bigint AS chunk_tokens,
+       (least(64, n - i * 48) = 64)::int AS is_full
+FROM t, LATERAL unnest(generate_series(0, (n - 1) // 48)) AS u(i)
+WHERE n > 0
+"""
+
+
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 salient terms per document by integer linear tf·idf
     (``floor(tf·1e6/df)`` — bit-exact across engines, unlike log-idf).
@@ -2945,6 +3024,8 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive": q19_disjunctive,
+    "stream_hopping_agg": stream_hopping_agg,
+    "q_chunk_windows": q_chunk_windows,
 }
 
 ORACLES = {
@@ -3016,4 +3097,6 @@ ORACLES = {
     "q14_promo_revenue": _Q14_ORACLE,
     "q18_large_orders": _Q18_ORACLE,
     "q19_disjunctive": _Q19_ORACLE,
+    "stream_hopping_agg": _STREAM_HOP_ORACLE,
+    "q_chunk_windows": _CHUNK_ORACLE,
 }

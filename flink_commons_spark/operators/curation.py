@@ -279,6 +279,45 @@ def with_pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+# ------------------------------------------------- context chunking
+
+
+def chunk_windows(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-token context windows —
+    the chunking step before tokenizer/packing in a training pipeline.
+
+    Chunk ``i`` covers tokens ``[i·stride, i·stride + window)``; chunks
+    start while ``i·stride < n_tokens``, so every non-empty document
+    yields ≥ 1 chunk and trailing chunks may be short. Pure narrow map
+    (token count + an integer ``sequence`` explode — the text itself is
+    NOT duplicated per chunk here, only counted), so it scales with the
+    scan.
+
+    Returns ``(doc_id, chunk_id, chunk_tokens, is_full)``.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    n = F.size(tokens(F.lower(F.col(text_col))))
+    d = docs.select(id_col, n.alias("__n")).where(F.col("__n") > 0)
+    idx = F.sequence(F.lit(0), F.floor((F.col("__n") - 1) / stride).cast("int"))
+    exploded = d.select(
+        id_col, F.col("__n"), F.explode(idx).alias("chunk_id")
+    )
+    chunk_tokens = F.least(F.lit(window), F.col("__n") - F.col("chunk_id") * stride)
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        chunk_tokens.cast("bigint").alias("chunk_tokens"),
+        (chunk_tokens == window).cast("int").alias("is_full"),
+    )
+
+
 # ------------------------------------------------------- term scoring
 
 

@@ -112,6 +112,26 @@ def test_tfidf_integer_score_and_ties(spark, docs):
         assert r["score"] == (r["tf"] * 1_000_000) // r["df"]
 
 
+def test_chunk_windows_overlap_and_tail(spark):
+    # 100 tokens, window 64 stride 48 -> chunks at 0 (64 full), 48 (52),
+    # 96 (4): starts while i*48 < 100
+    d = spark.createDataFrame([(1, " ".join(["w"] * 100)), (2, "a b")], ["doc_id", "text"])
+    rows = sorted(
+        C.chunk_windows(d, window=64, stride=48).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    got = [(r["doc_id"], r["chunk_id"], r["chunk_tokens"], r["is_full"]) for r in rows]
+    assert got == [(1, 0, 64, 1), (1, 1, 52, 0), (1, 2, 4, 0), (2, 0, 2, 0)]
+
+
+def test_chunk_windows_rejects_bad_params(spark):
+    d = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        C.chunk_windows(d, window=0)
+    with pytest.raises(ValueError):
+        C.chunk_windows(d, stride=-1)
+
+
 def test_tfidf_rare_term_outranks_common(spark, docs):
     rows = {r["rnk"]: r for r in C.tfidf_top_terms(docs, k=2).collect() if r["doc_id"] == 2}
     assert rows[1]["tok"] == "x"  # df=1 beats the df=4 'a'/'b' terms
