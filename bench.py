@@ -89,6 +89,7 @@ HEADLINE = [
     "q18_large_orders",
     "q19_disjunctive",
     "stream_hopping_agg",
+    "stream_cumulate_agg",
     "q_chunk_windows",
 ]
 

@@ -1562,6 +1562,85 @@ GROUP BY 1, 2
 
 
 @_with_stream_shuffle(8)
+def stream_cumulate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATE window streaming aggregate — Flink's early-firing
+    cumulative window TVF (``CUMULATE(..., INTERVAL '1' MINUTE,
+    INTERVAL '4' MINUTE)``), which Spark lacks natively. Each event is
+    expanded to every still-open step-aligned window end inside its
+    4-minute base window (``explode(sequence(...))``, ≤ size/step = 4
+    rows per event — the TVF's own output factor), then a plain keyed
+    count. Complete-mode ``availableNow`` run → final state equals the
+    batch answer. The SQL-dialect twin of this rewrite lives in
+    ``plans/dialect.py:_window_tvf_replacement``."""
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-cumulate-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "5 seconds")
+        .withColumn("__w", F.window("ts", "4 minutes"))
+        .withColumn(
+            "window_end",
+            F.explode(
+                F.sequence(
+                    F.col("__w.start") + F.expr("INTERVAL '1' MINUTE"),
+                    F.col("__w.start") + F.expr("INTERVAL '4' MINUTE"),
+                    F.expr("INTERVAL '1' MINUTE"),
+                )
+            ),
+        )
+        .where(F.col("ts") < F.col("window_end"))
+    )
+    agg = (
+        sdf.groupBy(
+            F.floor(F.col("__w.start").cast("double") / 60).cast("bigint").alias(
+                "window_start_min"
+            ),
+            F.floor(F.col("window_end").cast("double") / 60).cast("bigint").alias(
+                "window_end_min"
+            ),
+            F.col("event_type").alias("dim"),
+        )
+        .agg(F.count("*").alias("pv"))
+    )
+    name = "fcs_stream_cumulate"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-cumulate-"))
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name)
+
+
+#: base window = the 4-minute-aligned bucket; every event counts toward
+#: each 1-minute-step window end it precedes within that bucket
+_STREAM_CUMULATE_ORACLE = """
+WITH t AS (
+  SELECT event_type, epoch(ts) AS e,
+         (floor(epoch(ts) / 240) * 240)::bigint AS bs
+  FROM events
+)
+SELECT (bs / 60)::bigint AS window_start_min,
+       ((bs + j * 60) / 60)::bigint AS window_end_min,
+       event_type AS dim,
+       count(*) AS pv
+FROM t, LATERAL unnest([1, 2, 3, 4]) AS u(j)
+WHERE e < bs + j * 60
+GROUP BY 1, 2, 3
+"""
+
+
+@_with_stream_shuffle(8)
 def stream_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink's LOOKUP (dimension) JOIN, Spark-native: a streaming fact
     joined to a static dimension snapshot — Spark's stream-static join
@@ -3025,6 +3104,7 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive": q19_disjunctive,
     "stream_hopping_agg": stream_hopping_agg,
+    "stream_cumulate_agg": stream_cumulate_agg,
     "q_chunk_windows": q_chunk_windows,
 }
 
@@ -3098,5 +3178,6 @@ ORACLES = {
     "q18_large_orders": _Q18_ORACLE,
     "q19_disjunctive": _Q19_ORACLE,
     "stream_hopping_agg": _STREAM_HOP_ORACLE,
+    "stream_cumulate_agg": _STREAM_CUMULATE_ORACLE,
     "q_chunk_windows": _CHUNK_ORACLE,
 }

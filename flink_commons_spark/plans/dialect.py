@@ -17,6 +17,22 @@ value, ``test.sql:55,60``). Spark 4 under ANSI mode throws
 - ``timestamp(3)`` / ``timestamp(n)`` type references in CAST targets →
   ``timestamp`` (Spark has a single µs-precision timestamp type);
 - ``proctime()`` → ``current_timestamp()``;
+- Flink **windowing TVFs** (the ≥1.13 syntax, `TVFs`): ``FROM
+  TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), size))`` /
+  ``HOP(…, slide, size)`` / ``CUMULATE(…, step, size)`` → a derived
+  subquery that appends ``window_start`` / ``window_end`` /
+  ``window_time`` columns exactly as the TVF does. TUMBLE/HOP use
+  Spark's ``window()`` (sliding windows expand in a Project);
+  CUMULATE — which Spark lacks — expands each row to its growing
+  window ends via ``explode(sequence(...))``, bounded by
+  ``size/step`` rows per input row. Named arguments
+  (``DATA => …``) are accepted. SESSION TVFs are left untouched
+  (Spark's ``session_window`` only merges inside an aggregation, so a
+  free-standing rewrite can't preserve semantics — use the legacy
+  ``SESSION(ts, gap)`` group window instead). The rewrite targets
+  batch runtime-mode scripts and complete-mode streaming: append-mode
+  streaming aggregation over the flattened ``window_start`` column
+  loses Spark's watermark-on-window tracking;
 - Flink legacy **group windows** → Spark time windows:
   ``TUMBLE(ts, INTERVAL '1' MINUTE)`` → ``window(ts, '1 minutes')``,
   ``HOP(ts, slide, size)`` → ``window(ts, size, slide)`` (note the
@@ -52,6 +68,14 @@ _INTERVAL_RE = re.compile(
 )
 _GROUP_WINDOW_RE = re.compile(
     r"\b(?P<fn>TUMBLE|HOP|SESSION)(?P<suffix>_START|_END)?\s*\(", re.IGNORECASE
+)
+_WINDOW_TVF_RE = re.compile(
+    r"\bTABLE\s*\(\s*(?P<fn>TUMBLE|HOP|CUMULATE|SESSION)\s*\(", re.IGNORECASE
+)
+_NAMED_ARG_RE = re.compile(r"^\s*\w+\s*=>\s*", re.IGNORECASE)
+_TVF_SOURCE_RE = re.compile(r"^TABLE\s+(?P<name>(?:`[^`]+`|[\w.])+)$", re.IGNORECASE)
+_DESCRIPTOR_RE = re.compile(
+    r"^DESCRIPTOR\s*\(\s*(?P<col>`?\w+`?)\s*\)$", re.IGNORECASE
 )
 _SYSTEM_TIME_RE = re.compile(
     r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?:`?\w+`?\.)?`?\w+`?(?:\s*\(\s*\))?",
@@ -171,11 +195,99 @@ def _rewrite_group_windows(sql: str) -> str:
     return "".join(out)
 
 
+def _window_tvf_replacement(fn: str, args: list[str]) -> str | None:
+    """Spark subquery equivalent of one windowing-TVF call (None if the
+    shape isn't one we can rewrite faithfully)."""
+    if fn == "SESSION" or len(args) < 3:
+        return None
+    sm = _TVF_SOURCE_RE.match(args[0])
+    if sm:
+        src = sm.group("name")
+    elif args[0].startswith("("):
+        src = args[0]
+    else:
+        return None
+    dm = _DESCRIPTOR_RE.match(args[1])
+    if not dm:
+        return None
+    col = dm.group("col")
+    durations = [_interval_to_duration(a) for a in args[2:]]
+    if any(d is None for d in durations):
+        return None
+    if fn == "TUMBLE" and len(durations) == 1:
+        win = f"window({col}, {durations[0]})"
+    elif fn == "HOP" and len(durations) == 2:
+        # Flink: (…, slide, size); Spark window(): (col, size, slide)
+        win = f"window({col}, {durations[1]}, {durations[0]})"
+    elif fn == "CUMULATE" and len(durations) == 2:
+        # No Spark analog: align on the max-size window, then expand each
+        # row to every step-aligned window end past its timestamp. Row
+        # fan-out is bounded by size/step (the TVF's own output factor).
+        step, size = args[2].strip(), args[3].strip()
+        return (
+            f"(SELECT * EXCEPT (__fcs_w, __fcs_we), "
+            f"__fcs_w.start AS window_start, __fcs_we AS window_end, "
+            f"__fcs_we - INTERVAL '1' MILLISECOND AS window_time "
+            f"FROM (SELECT *, window({col}, {durations[1]}) AS __fcs_w FROM {src}) "
+            f"LATERAL VIEW explode(sequence(__fcs_w.start + {step}, "
+            f"__fcs_w.start + {size}, {step})) AS __fcs_we "
+            f"WHERE {col} < __fcs_we)"
+        )
+    else:
+        return None
+    return (
+        f"(SELECT * EXCEPT (__fcs_w), __fcs_w.start AS window_start, "
+        f"__fcs_w.end AS window_end, "
+        f"__fcs_w.end - INTERVAL '1' MILLISECOND AS window_time "
+        f"FROM (SELECT *, {win} AS __fcs_w FROM {src}))"
+    )
+
+
+def _rewrite_window_tvfs(sql: str) -> str:
+    """Flink windowing TVFs → derived subqueries (see module doc)."""
+    out: list[str] = []
+    pos = 0
+    while True:
+        m = _WINDOW_TVF_RE.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            break
+        inner_open = m.end() - 1
+        inner_close, commas = _find_args_span(sql, inner_open)
+        if inner_close < 0:
+            out.append(sql[pos:])
+            break
+        # the outer TABLE( … ) must close right after the inner call
+        j = inner_close + 1
+        while j < len(sql) and sql[j].isspace():
+            j += 1
+        if j >= len(sql) or sql[j] != ")":
+            out.append(sql[pos : m.end()])
+            pos = m.end()
+            continue
+        bounds = [inner_open + 1] + [c + 1 for c in commas] + [inner_close + 1]
+        args = [
+            _NAMED_ARG_RE.sub("", sql[bounds[i] : bounds[i + 1] - 1].strip())
+            for i in range(len(bounds) - 1)
+        ]
+        fn = m.group("fn").upper()
+        replacement = _window_tvf_replacement(fn, args)
+        out.append(sql[pos : m.start()])
+        if replacement is None:
+            log.warning("unsupported windowing TVF left as-is: %s(...)", fn)
+            out.append(sql[m.start() : j + 1])
+        else:
+            out.append(replacement)
+        pos = j + 1
+    return "".join(out)
+
+
 def adapt_sql(sql: str) -> str:
     """Apply every known Flink→Spark expression rewrite."""
     sql = _rewrite_unix_timestamp(sql)
     sql = _CAST_TS3_RE.sub("as timestamp", sql)
     sql = _PROCTIME_RE.sub("current_timestamp()", sql)
+    sql = _rewrite_window_tvfs(sql)
     sql = _rewrite_group_windows(sql)
     sql = _SYSTEM_TIME_RE.sub("", sql)
     if _OPTIONS_HINT_RE.search(sql):

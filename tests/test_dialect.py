@@ -61,6 +61,82 @@ def test_tumble_end_to_end_batch(spark, capsys):
     assert "window_start" in out and "2024-01-" in out
 
 
+def test_tumble_tvf_rewrite():
+    out = adapt_sql(
+        "SELECT window_start, count(*) AS n FROM "
+        "TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '10' MINUTES)) "
+        "GROUP BY window_start, window_end"
+    )
+    assert "TABLE(" not in out and "DESCRIPTOR" not in out
+    assert "window(ts, '10 minutes')" in out
+    assert "__fcs_w.start AS window_start" in out
+    assert "window_time" in out
+
+
+def test_hop_tvf_rewrite_swaps_slide_and_size():
+    out = adapt_sql(
+        "FROM TABLE(HOP(TABLE t, DESCRIPTOR(ts), "
+        "INTERVAL '30' SECOND, INTERVAL '2' MINUTE))"
+    )
+    assert "window(ts, '2 minutes', '30 seconds')" in out
+
+
+def test_tvf_named_arguments():
+    out = adapt_sql(
+        "FROM TABLE(TUMBLE(DATA => TABLE bid, TIMECOL => DESCRIPTOR(bidtime), "
+        "SIZE => INTERVAL '1' HOUR))"
+    )
+    assert "window(bidtime, '1 hours')" in out
+
+
+def test_cumulate_tvf_expands_growing_windows(spark):
+    out = adapt_sql(
+        "SELECT window_start, window_end, count(*) AS n FROM "
+        "TABLE(CUMULATE(TABLE t, DESCRIPTOR(ts), "
+        "INTERVAL '1' MINUTE, INTERVAL '4' MINUTE)) "
+        "GROUP BY window_start, window_end ORDER BY window_end"
+    )
+    assert "explode(sequence" in out and "TABLE(" not in out
+    # end-to-end: a row at 00:03:30 belongs to the 4-minute-aligned base
+    # window [00:00, 00:04) and only its still-open end (00:04);
+    # a row at 00:00:10 belongs to ends 00:01..00:04 — four windows
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW t AS "
+        "SELECT timestamp'2024-01-01 00:03:30' AS ts "
+        "UNION ALL SELECT timestamp'2024-01-01 00:00:10'"
+    )
+    rows = [(r["window_end"].minute, r["n"]) for r in spark.sql(out).collect()]
+    assert rows == [(1, 1), (2, 1), (3, 1), (4, 2)]
+
+
+def test_session_tvf_left_alone():
+    sql = ("FROM TABLE(SESSION(TABLE t PARTITION BY k, DESCRIPTOR(ts), "
+           "INTERVAL '5' MINUTE))")
+    assert adapt_sql(sql) == sql
+
+
+def test_tvf_end_to_end_batch(spark):
+    """TUMBLE TVF over real events parquet equals the legacy group
+    window — batch, through spark.sql after adaptation."""
+    from flink_commons_spark.catalog import _t
+
+    _t(spark, "/root/testdata/sf0.001", "events").createOrReplaceTempView("ev_tvf")
+    tvf = spark.sql(
+        adapt_sql(
+            "SELECT window_start, count(*) AS n FROM "
+            "TABLE(TUMBLE(TABLE ev_tvf, DESCRIPTOR(ts), INTERVAL '1' HOUR)) "
+            "GROUP BY window_start, window_end"
+        )
+    )
+    legacy = spark.sql(
+        adapt_sql(
+            "SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS window_start, "
+            "count(*) AS n FROM ev_tvf GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)"
+        )
+    )
+    assert sorted(map(tuple, tvf.collect())) == sorted(map(tuple, legacy.collect()))
+
+
 def test_temporal_join_clause_stripped():
     from flink_commons_spark.plans.dialect import adapt_sql
 
