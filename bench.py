@@ -88,6 +88,11 @@ HEADLINE = [
     "q14_promo_revenue",
     "q18_large_orders",
     "q19_disjunctive",
+    "q13_customer_distribution",
+    "q16_supplier_cnt",
+    "q17_small_quantity",
+    "q21_waiting_supplier",
+    "q22_sales_opportunity",
     "stream_hopping_agg",
     "stream_cumulate_agg",
     "q_chunk_windows",

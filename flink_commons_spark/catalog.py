@@ -2760,6 +2760,246 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 """
 
 
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer-join order-count distribution. The fact
+    is aggregated to one row per customer key BEFORE the outer join
+    (not joined row-wise then grouped) — at 100 TB the join input is
+    |customers|, not |orders|. Zero-order customers survive via the
+    left join + coalesce. All-integer output. The priority filter
+    stands in for Q13's o_comment NOT LIKE (testdata has no comment
+    column)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where("o_orderpriority <> '1-URGENT'")
+    per_cust = o.groupBy("o_custkey").agg(F.count("*").alias("__n"))
+    counts = (
+        c.join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("__n"), F.lit(0)).alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT) under a NOT-IN exclusion.
+    Lineitem stands in for partsupp (the part-supplier association;
+    testdata has no partsupp), the low-balance supplier set for the
+    'Customer Complaints' exclusion. The distinct pair projection
+    collapses the fact before the part join; the exclusion list is a
+    broadcast anti-join, never a per-row subquery."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        "p_brand <> 'Brand#13' AND p_type <> 'MEDIUM' AND "
+        "p_size IN (1, 9, 14, 19, 23, 36, 45, 49)"
+    )
+    excl = _t(spark, sf_dir, "supplier").where("s_acctbal < 2000").select("s_suppkey")
+    pairs = (
+        l.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(excl), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return (
+        pairs.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar-average filter. The per-part
+    average is a pre-aggregation joined back (decorrelated — one pass
+    over the fact), and the ``l_quantity < 0.2 * avg`` comparison is
+    restated multiplicatively over exact decimals
+    (``5·qty·n < sum``) so no engine's division rounding decides
+    boundary rows. Output sums are exact decimals rounded once."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where("p_brand = 'Brand#23' AND p_type = 'SMALL'")
+    per_part = l.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum(_dec(F.col("l_quantity"))).alias("__sum_qty"),
+        F.count("*").alias("__n"),
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("__pk"))
+        .where(_dec(F.col("l_quantity")) * 5 * F.col("__n") < F.col("__sum_qty"))
+        .agg(
+            F.round((F.sum(_dec(F.col("l_extendedprice"))) / 7).cast("double"), 2)
+            .alias("avg_yearly"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+_Q17_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey AS pk, sum(l_quantity::decimal(18,6)) AS sum_qty,
+         count(*) AS n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round((sum(l_extendedprice::decimal(18,6)) / 7)::double, 2) AS avg_yearly,
+       count(*) AS n_small
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN per_part ON l_partkey = pk
+WHERE p_brand = 'Brand#23' AND p_type = 'SMALL'
+  AND l_quantity::decimal(18,6) * 5 * n < sum_qty
+"""
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS / NOT-EXISTS double correlation
+    ("suppliers who alone were late on a multi-supplier order").
+    Lateness = shipped > 60 days after order date (testdata has no
+    receipt/commit dates). Instead of Q21's two self-joins, the order
+    is summarized once — distinct suppliers and distinct LATE suppliers
+    per order — and late rows qualify when ``n_supp ≥ 2 ∧ n_late_supp
+    = 1``: semantically identical, one aggregation + one join instead
+    of two fact-fact self-joins (the scalable formulation at 100 TB).
+    The oracle states it with literal EXISTS/NOT EXISTS to prove the
+    equivalence."""
+    o = _t(spark, sf_dir, "orders").where("o_orderstatus = 'F'").select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = _t(spark, sf_dir, "supplier")
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "__late",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .cast("int"),
+        )
+    )
+    per_order = l.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(F.when(F.col("__late") == 1, F.col("l_suppkey"))).alias(
+            "__n_late_supp"
+        ),
+    )
+    waiting = (
+        l.where("__late = 1")
+        .join(per_order, F.col("l_orderkey") == F.col("__ok"))
+        .where("__n_supp >= 2 AND __n_late_supp = 1")
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+_Q21_ORACLE = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global scalar-aggregate threshold + anti join.
+    Rich idle customers = balance above the positive-balance average
+    (restated multiplicatively over exact decimals: ``bal·n > sum``)
+    with no orders since 2000 (every testdata customer has SOME order,
+    so Q22's no-orders-at-all test would be vacuous — recency keeps the
+    anti join meaningful). The scalar is a 1-row broadcast cross join;
+    the no-orders test is an anti join on the distinct custkey
+    projection, not a per-row subquery. Nation stands in for Q22's
+    phone country code (testdata has no phone)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o_keys = (
+        _t(spark, sf_dir, "orders")
+        .where("o_orderdate >= timestamp'2000-01-01 00:00:00'")
+        .select("o_custkey")
+        .distinct()
+    )
+    pos = c.where("c_acctbal > 0").agg(
+        F.sum(_dec(F.col("c_acctbal"))).alias("__sum_bal"),
+        F.count("*").alias("__n_pos"),
+    )
+    rich = (
+        c.join(F.broadcast(pos))
+        .where(_dec(F.col("c_acctbal")) * F.col("__n_pos") > F.col("__sum_bal"))
+        .join(o_keys, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        rich.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(_dec(F.col("c_acctbal"))).cast("double"), 2).alias(
+                "totacctbal"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+_Q22_ORACLE = """
+WITH pos AS (
+  SELECT sum(c_acctbal::decimal(18,6)) AS sum_bal, count(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name, count(*) AS numcust,
+       round((sum(c_acctbal::decimal(18,6)))::double, 2) AS totacctbal
+FROM customer, pos
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal::decimal(18,6) * n_pos > sum_bal
+  AND c_custkey NOT IN (
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 # =====================================================================
 # Corpus curation (operators/curation.py)
 # =====================================================================
@@ -3103,6 +3343,11 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive": q19_disjunctive,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q16_supplier_cnt": q16_supplier_cnt,
+    "q17_small_quantity": q17_small_quantity,
+    "q21_waiting_supplier": q21_waiting_supplier,
+    "q22_sales_opportunity": q22_sales_opportunity,
     "stream_hopping_agg": stream_hopping_agg,
     "stream_cumulate_agg": stream_cumulate_agg,
     "q_chunk_windows": q_chunk_windows,
@@ -3177,6 +3422,11 @@ ORACLES = {
     "q14_promo_revenue": _Q14_ORACLE,
     "q18_large_orders": _Q18_ORACLE,
     "q19_disjunctive": _Q19_ORACLE,
+    "q13_customer_distribution": _Q13_ORACLE,
+    "q16_supplier_cnt": _Q16_ORACLE,
+    "q17_small_quantity": _Q17_ORACLE,
+    "q21_waiting_supplier": _Q21_ORACLE,
+    "q22_sales_opportunity": _Q22_ORACLE,
     "stream_hopping_agg": _STREAM_HOP_ORACLE,
     "stream_cumulate_agg": _STREAM_CUMULATE_ORACLE,
     "q_chunk_windows": _CHUNK_ORACLE,
