@@ -96,6 +96,7 @@ HEADLINE = [
     "stream_hopping_agg",
     "stream_cumulate_agg",
     "q_chunk_windows",
+    "q_mixture_sample",
 ]
 
 

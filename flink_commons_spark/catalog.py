@@ -3223,6 +3223,46 @@ GROUP BY lang
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture downsampling (50/30/20 over three sources): the
+    cuts are DERIVED from the target weights by pure integer
+    arithmetic — scarcest source bounds the corpus — then enforced by
+    the deterministic md5 bucket. See
+    ``operators/sampling.py:mixture_sample`` for the scale analysis."""
+    from flink_commons_spark.operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        d, "source", "doc_id", {"src0": 50, "src1": 30, "src2": 20}
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("n_chars").cast("bigint").alias("chars_sampled"),
+    )
+
+
+_MIXTURE_ORACLE = """
+WITH w(src, wt) AS (VALUES ('src0', 50), ('src1', 30), ('src2', 20)),
+c AS (
+  SELECT source, count(*) AS n, any_value(wt) AS wt
+  FROM documents JOIN w ON source = src
+  GROUP BY source
+),
+t AS (SELECT source, n, wt, min(n * 100 // wt) OVER () AS cap FROM c),
+cuts AS (SELECT source, (cap * wt // 100) * 10000 // n AS cut FROM t),
+b AS (
+  SELECT d.source, d.n_chars,
+         ('0x' || substr(md5('mix|' || d.doc_id::varchar), 1, 8))::bigint % 10000 AS bucket,
+         cuts.cut
+  FROM documents d JOIN cuts ON d.source = cuts.source
+)
+SELECT source, count(*) AS n_sampled,
+       (sum(n_chars))::bigint AS chars_sampled
+FROM b WHERE bucket < cut
+GROUP BY source
+"""
+
+
 def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (64-token windows, stride 48): the step
     between cleaning and packing in a training-data build. Narrow map +
@@ -3351,6 +3391,7 @@ QUERIES = {
     "stream_hopping_agg": stream_hopping_agg,
     "stream_cumulate_agg": stream_cumulate_agg,
     "q_chunk_windows": q_chunk_windows,
+    "q_mixture_sample": q_mixture_sample,
 }
 
 ORACLES = {
@@ -3430,4 +3471,5 @@ ORACLES = {
     "stream_hopping_agg": _STREAM_HOP_ORACLE,
     "stream_cumulate_agg": _STREAM_CUMULATE_ORACLE,
     "q_chunk_windows": _CHUNK_ORACLE,
+    "q_mixture_sample": _MIXTURE_ORACLE,
 }

@@ -30,6 +30,62 @@ def split_bucket(key: Column, salt: str = "split") -> Column:
     return h % BUCKETS
 
 
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    weights: dict[str, int],
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample each source so the kept corpus matches a target
+    mixture — the domain-weighting step of a training-data build.
+
+    ``weights`` are integer parts (e.g. ``{"web": 60, "code": 30,
+    "wiki": 10}``). The largest corpus the targets allow is bounded by
+    the scarcest source: ``T = min_s (n_s·100 div w_s)`` with
+    ``100 = Σ weights``; each source then keeps ``t_s = T·w_s div
+    100`` docs, enforced as the bucket cut ``t_s·BUCKETS div n_s`` over
+    the same md5 bucket as ``with_split``. Every step is INTEGER
+    arithmetic — no float rate ever decides a row, so any engine
+    derives identical cuts.
+
+    Scale posture: per-source counts are a tiny aggregate (|sources|
+    rows); the min is a window over that aggregate, never over data;
+    the cuts rejoin the corpus by broadcast. The corpus itself is
+    touched by one narrow map (hash + compare).
+
+    Returns the input rows that survive, with their ``__bucket`` and
+    per-source ``__cut`` attached for auditability.
+    """
+    from pyspark.sql import Window
+
+    total_w = sum(weights.values())
+    if total_w <= 0 or any(w <= 0 for w in weights.values()):
+        raise ValueError("mixture weights must be positive integers")
+    w_map = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    counts = (
+        df.where(F.col(source_col).isin(*weights))
+        .groupBy(source_col)
+        .agg(F.count("*").alias("__n"))
+        .withColumn("__w", w_map[F.col(source_col)])
+        .withColumn("__t_cap", F.expr(f"__n * {total_w} div __w"))
+    )
+    t_min = F.min("__t_cap").over(Window.partitionBy())  # |sources| rows only
+    cuts = (
+        counts.withColumn("__T", t_min)
+        .withColumn("__t", F.expr(f"__T * __w div {total_w}"))
+        .withColumn("__cut", F.expr(f"__t * {BUCKETS} div __n"))
+        .select(F.col(source_col).alias("__src"), "__cut")
+    )
+    bucket = split_bucket(F.col(key_col), salt=salt)
+    return (
+        df.withColumn("__bucket", bucket)
+        .join(F.broadcast(cuts), F.col(source_col) == F.col("__src"))
+        .where(F.col("__bucket") < F.col("__cut"))
+        .drop("__src")
+    )
+
+
 def with_split(
     df: DataFrame,
     key_col: str,

@@ -124,6 +124,30 @@ def test_chunk_windows_overlap_and_tail(spark):
     assert got == [(1, 0, 64, 1), (1, 1, 52, 0), (1, 2, 4, 0), (2, 0, 2, 0)]
 
 
+def test_mixture_sample_respects_scarcest_source(spark):
+    from flink_commons_spark.operators.sampling import mixture_sample
+
+    # 100 'a' docs, 10 'b' docs, targets 50/50 -> b is scarce: cap
+    # T = min(100*100/50, 10*100/50) = 20, so each source keeps 10 docs
+    # worth of cut (a: 10*10000/100 = 1000 buckets, b: full 10000)
+    rows = [(i, "a") for i in range(100)] + [(1000 + i, "b") for i in range(10)]
+    d = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = mixture_sample(d, "source", "doc_id", {"a": 50, "b": 50})
+    cuts = {r["source"]: r["__cut"] for r in kept.select("source", "__cut").distinct().collect()}
+    assert cuts == {"a": 1000, "b": 10000}
+    by_src = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src["b"] == 10  # scarce source kept whole
+    assert by_src.get("a", 0) <= 20  # ~10 expected from 1000/10000 buckets
+
+
+def test_mixture_sample_rejects_bad_weights(spark):
+    from flink_commons_spark.operators.sampling import mixture_sample
+
+    d = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    with pytest.raises(ValueError):
+        mixture_sample(d, "source", "doc_id", {"a": 0})
+
+
 def test_chunk_windows_rejects_bad_params(spark):
     d = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with pytest.raises(ValueError):

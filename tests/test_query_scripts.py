@@ -91,6 +91,51 @@ def test_filesystem_json_roundtrip(spark, tmp_path):
     assert back.agg({"n": "sum"}).first()[0] == 1000
 
 
+def test_filesystem_orc_roundtrip(spark, tmp_path):
+    """ORC rides the same format passthrough as csv/json/parquet."""
+    script = f"""
+    SET 'execution.runtime-mode' = 'batch';
+    CREATE TABLE events WITH (
+        'connector' = 'filesystem', 'path' = '/root/testdata/sf0.001/events.parquet',
+        'format' = 'parquet'
+    );
+    CREATE TABLE o_out (event_type STRING, n BIGINT) WITH (
+        'connector' = 'filesystem', 'path' = '{tmp_path}/o', 'format' = 'orc'
+    );
+    INSERT INTO o_out SELECT event_type, count(*) FROM events GROUP BY event_type;
+    CREATE TABLE o_in WITH (
+        'connector' = 'filesystem', 'path' = '{tmp_path}/o', 'format' = 'orc'
+    );
+    CREATE TABLE total_out (total BIGINT) WITH (
+        'connector' = 'filesystem', 'path' = '{tmp_path}/t', 'format' = 'parquet'
+    );
+    INSERT INTO total_out SELECT sum(n) FROM o_in;
+    """
+    SqlSubmitAction(sql_text=script, spark=spark).run()
+    assert spark.read.parquet(f"{tmp_path}/t").first().total == 1000
+
+
+def test_window_tvf_script(spark, capsys):
+    """The Flink ≥1.13 windowing-TVF syntax through the runner, batch
+    mode — TUMBLE TVF grouped on window_start/window_end."""
+    script = """
+    SET 'execution.runtime-mode' = 'batch';
+    CREATE TABLE events WITH (
+        'connector' = 'filesystem',
+        'path' = '/root/testdata/sf0.001/events.parquet',
+        'format' = 'parquet'
+    );
+    SELECT window_start, count(*) AS n
+    FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+    GROUP BY window_start, window_end
+    ORDER BY n DESC
+    LIMIT 3;
+    """
+    SqlSubmitAction(sql_text=script, spark=spark).run()
+    out = capsys.readouterr().out
+    assert "window_start" in out and "2024-01-" in out
+
+
 @pytest.mark.slow
 def test_demo_stream_script(spark):
     """The reference demo port: run bounded (short timeout) and check
