@@ -97,6 +97,7 @@ HEADLINE = [
     "stream_cumulate_agg",
     "q_chunk_windows",
     "q_mixture_sample",
+    "stream_topn",
 ]
 
 

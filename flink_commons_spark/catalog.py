@@ -1457,6 +1457,60 @@ GROUP BY user_id
 
 
 @_with_stream_shuffle(8)
+def stream_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's continuous Top-N: top-3 most active users per event
+    type, rank maintained in keyed state
+    (``streaming/stateful.py:continuous_topn``), landed through the
+    keyed upsert sink on (grp, rnk) so later batches overwrite earlier
+    ranks. Exact integer counts, id tie-break — bit-stable ranking."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-topn-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    sdf = spark.readStream.schema(schema).parquet(stream_dir)
+
+    from flink_commons_spark.streaming.stateful import continuous_topn
+    from flink_commons_spark.streaming.upsert import KeyedParquetUpsertSink
+
+    out = continuous_topn(sdf, "event_type", "user_id", n=3)
+    sink = KeyedParquetUpsertSink(
+        tempfile.mkdtemp(prefix="fcs-upsert-topn-"), ["grp", "rnk"]
+    )
+    query = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(sink.writer())
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-topn-"))
+        .start()
+    )
+    query.awaitTermination(300)
+    return sink.read_final(spark).select(
+        F.col("grp").alias("event_type"),
+        F.col("rnk").cast("int").alias("rnk"),
+        F.col("item").alias("user_id"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+_STREAM_TOPN_ORACLE = """
+WITH c AS (
+  SELECT event_type, user_id, count(*) AS n
+  FROM events GROUP BY event_type, user_id
+),
+r AS (
+  SELECT event_type, user_id, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, user_id) AS rnk
+  FROM c
+)
+SELECT event_type, rnk::int AS rnk, user_id, n
+FROM r WHERE rnk <= 3
+"""
+
+
+@_with_stream_shuffle(8)
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DEDUPLICATION — Flink SQL's special ``ROW_NUMBER() …
     WHERE rn = 1`` pattern, Spark-native via
@@ -3392,6 +3446,7 @@ QUERIES = {
     "stream_cumulate_agg": stream_cumulate_agg,
     "q_chunk_windows": q_chunk_windows,
     "q_mixture_sample": q_mixture_sample,
+    "stream_topn": stream_topn,
 }
 
 ORACLES = {
@@ -3472,4 +3527,5 @@ ORACLES = {
     "stream_cumulate_agg": _STREAM_CUMULATE_ORACLE,
     "q_chunk_windows": _CHUNK_ORACLE,
     "q_mixture_sample": _MIXTURE_ORACLE,
+    "stream_topn": _STREAM_TOPN_ORACLE,
 }

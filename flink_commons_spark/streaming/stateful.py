@@ -18,7 +18,7 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 #: output schema of :func:`running_user_stats`
@@ -45,6 +45,66 @@ def _update_user_stats(
             "total_value": [total],
             "last_epoch": [last_epoch],
         }
+    )
+
+
+#: output schema of :func:`continuous_topn`
+TOPN_OUTPUT_SCHEMA = "grp string, rnk int, item bigint, n bigint"
+#: state layout: the per-item tallies for one group key
+TOPN_STATE_SCHEMA = "items array<bigint>, counts array<bigint>"
+
+
+def continuous_topn(sdf: DataFrame, grp_col: str, item_col: str, n: int) -> DataFrame:
+    """Flink SQL's continuous Top-N (``ROW_NUMBER() OVER (PARTITION BY
+    grp ORDER BY cnt DESC) WHERE rn <= N``) — Spark has no streaming
+    rank, so the rank is maintained in keyed state.
+
+    Emits, per micro-batch and per active group, the current top-``n``
+    items by exact integer event count (ties broken by item id — fully
+    deterministic, no float ever ranks). Pair with a keyed upsert sink
+    on ``(grp, rnk)`` so later batches overwrite earlier ranks — the
+    update-mode retraction analog.
+
+    Scale posture: state per group is its per-item tally — the same
+    O(distinct items) a Flink top-N-over-aggregate keeps in its
+    upstream agg operator — partitioned across the cluster by group
+    key, spill-backed in the state store; only ``n`` rows per group
+    cross to the sink each batch. Item-skewed groups shard by the
+    grouping key, not the item.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        items, counts = state.get if state.exists else ([], [])
+        tally = dict(zip(items, counts))
+        for pdf in batches:
+            for item, c in pdf[item_col].value_counts().items():
+                item = int(item)
+                tally[item] = tally.get(item, 0) + int(c)
+        state.update((list(tally.keys()), list(tally.values())))
+        top = sorted(tally.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
+        yield pd.DataFrame(
+            {
+                "grp": [str(key[0])] * len(top),
+                "rnk": pd.array(range(1, len(top) + 1), dtype="int32"),
+                "item": [i for i, _ in top],
+                "n": [c for _, c in top],
+            }
+        )
+
+    return (
+        sdf.select(F.col(grp_col).alias("grp"), F.col(item_col).alias(item_col))
+        .groupBy("grp")
+        .applyInPandasWithState(
+            update,
+            outputStructType=TOPN_OUTPUT_SCHEMA,
+            stateStructType=TOPN_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 

@@ -243,3 +243,39 @@ def test_runner_checkpoint_recovery(spark, tmp_path):
     second = {r.k: r.n for r in sink.read_final(spark).collect()}
     # recovered state: counts are cumulative over both file batches
     assert sum(second.values()) == 42
+
+
+def test_continuous_topn_tracks_rank_across_batches(spark, tmp_path):
+    """Continuous Top-N: tallies accumulate in keyed state across
+    micro-batches; each batch re-emits the current top-n per group, so
+    an upsert on (grp, rnk) converges to the batch ROW_NUMBER truth."""
+    import tempfile
+
+    from flink_commons_spark.streaming.stateful import continuous_topn
+    from flink_commons_spark.streaming.upsert import KeyedParquetUpsertSink
+
+    rows = []
+    # group "a": user 1 x5, user 2 x3, user 3 x1; group "b": 9 x2, 8 x2 (tie -> id order)
+    for uid, cnt in [(1, 5), (2, 3), (3, 1)]:
+        rows += [(uid, "a")] * cnt
+    for uid, cnt in [(9, 2), (8, 2)]:
+        rows += [(uid, "b")] * cnt
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    path = str(tmp_path / "ev")
+    # several files so availableNow replays multiple micro-batches worth of input
+    df.repartition(4).write.parquet(path)
+    sdf = spark.readStream.schema(df.schema).parquet(path)
+
+    out = continuous_topn(sdf, "event_type", "user_id", n=2)
+    sink = KeyedParquetUpsertSink(str(tmp_path / "sink"), ["grp", "rnk"])
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(sink.writer())
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-test-topn-"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {(r.grp, r.rnk, r.item, r.n) for r in sink.read_final(spark).collect()}
+    assert got == {("a", 1, 1, 5), ("a", 2, 2, 3), ("b", 1, 8, 2), ("b", 2, 9, 2)}
