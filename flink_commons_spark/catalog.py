@@ -3365,6 +3365,209 @@ QUALIFY rnk <= 3
 
 
 # =====================================================================
+# CEP / OVER-range / UNNEST / window-join coverage
+# =====================================================================
+
+
+def q_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink SQL ``MATCH_RECOGNIZE``: the conversion pattern
+    ``view click+ purchase`` per user, ordered by event time, greedy
+    quantifier, ``AFTER MATCH SKIP PAST LAST ROW`` — matched by the
+    keyed backtracking NFA in :mod:`operators/cep` (the Spark-native
+    stand-in for Flink's CEP operator). Measures are all integers
+    (epoch-µs bounds + click count), so the result is bit-stable."""
+    from flink_commons_spark.operators.cep import Step, match_pattern
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    steps = [
+        Step("v", lambda p: p["event_type"] == "view"),
+        Step("c", lambda p: p["event_type"] == "click", plus=True),
+        Step("p", lambda p: p["event_type"] == "purchase"),
+    ]
+
+    def measures(key, segs):
+        return {
+            "user_id": int(key[0]),
+            "start_us": int(segs["v"]["ts_us"].iloc[0]),
+            "end_us": int(segs["p"]["ts_us"].iloc[0]),
+            "n_clicks": int(len(segs["c"])),
+        }
+
+    return match_pattern(
+        e,
+        ["user_id"],
+        ["ts_us", "event_id"],
+        steps,
+        measures,
+        "user_id bigint, start_us bigint, end_us bigint, n_clicks bigint",
+    )
+
+
+# gaps-and-islands replica of the greedy NFA: a MAXIMAL run of clicks
+# whose immediate predecessor is a view and immediate successor is a
+# purchase — with mutually-exclusive step predicates and skip-past-
+# last-row, the two formulations provably produce the same match set.
+_MATCH_RECOGNIZE_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+isl AS (
+  SELECT user_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type = 'click'
+),
+runs AS (
+  SELECT user_id, min(rn) AS srn, max(rn) AS ern, count(*)::bigint AS n_clicks
+  FROM isl GROUP BY user_id, grp
+)
+SELECT r.user_id, v.ts_us AS start_us, p.ts_us AS end_us, r.n_clicks
+FROM runs r
+JOIN seq v ON v.user_id = r.user_id AND v.rn = r.srn - 1
+          AND v.event_type = 'view'
+JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
+          AND p.event_type = 'purchase'
+"""
+
+
+def q_over_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink OVER windows with a time-RANGE frame (``RANGE BETWEEN
+    INTERVAL '10' MINUTE PRECEDING AND CURRENT ROW``): per event, the
+    user's event count and purchase count over the trailing 10
+    minutes. The frame orders on integer epoch seconds so peer-row
+    semantics are identical across engines; one hash exchange on
+    user_id, sort within partitions — no driver involvement."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "sec", F.expr("unix_micros(ts) div 1000000")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-600, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        "sec",
+        F.count(F.lit(1)).over(w).alias("n_10m"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(w)
+        .cast("bigint")
+        .alias("n_purch_10m"),
+    )
+
+
+_OVER_RANGE_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec, event_type
+  FROM events
+)
+SELECT event_id, user_id, sec,
+       count(*) OVER w AS n_10m,
+       (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER w)::bigint
+         AS n_purch_10m
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_unnest_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink ``CROSS JOIN UNNEST ... WITH ORDINALITY`` (table-function
+    lateral join): tokenize a sampled slice of the corpus keeping each
+    token's 1-based position. ``posexplode`` is Catalyst's built-in
+    generator — stays in the JVM, no shuffle at all (narrow explode on
+    the scan partitioning)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 50 == 0)
+    return d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("bigint").alias("ord"),
+        "token",
+    )
+
+
+_UNNEST_ORACLE = """
+SELECT doc_id,
+       generate_subscripts(string_split(text, ' '), 1)::bigint AS ord,
+       unnest(string_split(text, ' ')) AS token
+FROM documents
+WHERE doc_id % 50 = 0
+"""
+
+
+@_with_stream_shuffle(8)
+def stream_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink 1.14+ WINDOW JOIN: views and purchases of the same user
+    falling in the same tumbling 1-hour window, as a stream-stream
+    inner join. Spark's native form: watermark both branches and join
+    on ``window(ts)`` equality + key — state is bounded by the
+    watermark (closed windows are evicted), and the join shuffles both
+    sides on (user_id, window), exactly the Flink window-join layout."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-wj-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    raw = spark.readStream.schema(schema).parquet(stream_dir)
+    ev = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)")).withWatermark(
+        "ts", "0 seconds"
+    )
+
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.window("ts", "1 hour").alias("vw"),
+        F.col("event_id").alias("view_event"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.window("ts", "1 hour").alias("pw"),
+        F.col("event_id").alias("purch_event"),
+    )
+    joined = v.join(
+        p, (F.col("v_user") == F.col("p_user")) & (F.col("vw") == F.col("pw"))
+    ).select(
+        F.col("v_user").alias("user_id"),
+        F.col("vw.start").cast("long").alias("win_start_s"),
+        "view_event",
+        "purch_event",
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="fcs-wj-out-")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-wj-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.schema(joined.schema).parquet(out_dir)
+
+
+_STREAM_WINDOW_JOIN_ORACLE = """
+WITH v AS (
+  SELECT user_id, (epoch_us(ts) // 3600000000) * 3600 AS win_start_s,
+         event_id AS view_event
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, (epoch_us(ts) // 3600000000) * 3600 AS win_start_s,
+         event_id AS purch_event
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id, v.win_start_s, v.view_event, p.purch_event
+FROM v JOIN p USING (user_id, win_start_s)
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -3447,6 +3650,10 @@ QUERIES = {
     "q_chunk_windows": q_chunk_windows,
     "q_mixture_sample": q_mixture_sample,
     "stream_topn": stream_topn,
+    "q_match_recognize": q_match_recognize,
+    "q_over_range": q_over_range,
+    "q_unnest_ordinality": q_unnest_ordinality,
+    "stream_window_join": stream_window_join,
 }
 
 ORACLES = {
@@ -3528,4 +3735,8 @@ ORACLES = {
     "q_chunk_windows": _CHUNK_ORACLE,
     "q_mixture_sample": _MIXTURE_ORACLE,
     "stream_topn": _STREAM_TOPN_ORACLE,
+    "q_match_recognize": _MATCH_RECOGNIZE_ORACLE,
+    "q_over_range": _OVER_RANGE_ORACLE,
+    "q_unnest_ordinality": _UNNEST_ORACLE,
+    "stream_window_join": _STREAM_WINDOW_JOIN_ORACLE,
 }

@@ -1,0 +1,115 @@
+"""Complex-event-processing pattern matching (Flink's MATCH_RECOGNIZE).
+
+Flink SQL exposes row-pattern recognition through ``MATCH_RECOGNIZE``
+(pattern variables + greedy quantifiers, per-key ordered scan, the
+default ``AFTER MATCH SKIP PAST LAST ROW``); the reference would
+delegate any such statement to Flink's CEP operator through its generic
+executor (``SQLSubmitAction.java:74-76``). Spark has no built-in row
+pattern matcher, so this module implements one the Spark-native way:
+
+- the corpus is hash-partitioned by the pattern's PARTITION BY key —
+  exactly how Flink's keyed CEP operator distributes, so 1000 executors
+  each scan their own key ranges and no key's event sequence ever
+  crosses a worker boundary;
+- within a key the rows are ordered and scanned once by a small
+  backtracking NFA (greedy quantifiers, contiguous steps). Per-key
+  sequences are the unit of state, identical to Flink CEP's per-key
+  NFA state — the scale axis is the number of keys, which shards;
+- rows cross the Python boundary once, Arrow-batched via
+  ``applyInPandas`` — no row-at-a-time UDF.
+
+Only measures (a handful of scalars per match) leave the matcher, so
+the operator's output is tiny compared to its input scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+class Step:
+    """One pattern variable: ``name`` matching rows where ``where``
+    holds; ``plus=True`` is the greedy ``+`` quantifier (one or more
+    contiguous rows), else exactly one row."""
+
+    __slots__ = ("name", "where", "plus")
+
+    def __init__(self, name: str, where: Callable[[pd.DataFrame], pd.Series], plus: bool = False):
+        self.name = name
+        self.where = where
+        self.plus = plus
+
+
+def _match_at(masks: list, steps: Sequence[Step], start: int, n: int) -> list | None:
+    """Greedy backtracking match of ``steps`` against positions
+    ``start..`` — returns per-step position lists, or None."""
+
+    def rec(pos: int, si: int) -> list | None:
+        if si == len(steps):
+            return []
+        mask = masks[si]
+        if steps[si].plus:
+            # greedy: consume the longest run first, backtrack shorter
+            end = pos
+            while end < n and mask[end]:
+                end += 1
+            for take in range(end - pos, 0, -1):
+                rest = rec(pos + take, si + 1)
+                if rest is not None:
+                    return [list(range(pos, pos + take))] + rest
+            return None
+        if pos < n and mask[pos]:
+            rest = rec(pos + 1, si + 1)
+            if rest is not None:
+                return [[pos]] + rest
+        return None
+
+    return rec(start, 0)
+
+
+def match_pattern(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    steps: Sequence[Step],
+    measures: Callable[[tuple, dict[str, pd.DataFrame]], dict[str, Any]],
+    output_schema: str,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-style pattern matching over a keyed, ordered
+    event table.
+
+    Matches are contiguous (every row between the first and last row of
+    a match belongs to some step), quantifiers are greedy with
+    backtracking, and after a completed match the scan resumes after
+    its last row (Flink's default ``AFTER MATCH SKIP PAST LAST ROW``).
+    ``measures`` receives the key tuple and a dict of step-name →
+    matched rows (pandas), and returns one output row per match.
+    """
+    step_list = list(steps)
+    from pyspark.sql.types import StructType
+
+    out_cols = [f.name for f in StructType.fromDDL(output_schema).fields]
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order_cols), kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        masks = [s.where(pdf).to_numpy(dtype=bool, na_value=False) for s in step_list]
+        out: list[dict[str, Any]] = []
+        i = 0
+        while i < n:
+            hit = _match_at(masks, step_list, i, n)
+            if hit is None:
+                i += 1
+                continue
+            segs = {s.name: pdf.iloc[pos] for s, pos in zip(step_list, hit)}
+            out.append(measures(key, segs))
+            i = hit[-1][-1] + 1  # skip past last row
+        if not out:
+            return pd.DataFrame(columns=out_cols)
+        return pd.DataFrame(out)
+
+    return df.groupBy(*key_cols).applyInPandas(run, schema=output_schema)
