@@ -36,15 +36,33 @@ from flink_commons_spark.operators.asof import asof_join
 from flink_commons_spark.operators.sessionize import session_stats
 
 
+def _norm_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events timestamp across testdata vintages.
+
+    The driver has shipped ``events.ts`` both as parquet
+    TIMESTAMP(NANOS) — readable only as bigint through the
+    ``nanosAsLong`` escape hatch, truncated here to micros — and as
+    native micros, which surfaces as TIMESTAMP_NTZ under Spark's NTZ
+    inference. Detect from the DataFrame type (works on batch and
+    streaming frames alike) and land on session-UTC TimestampType in
+    every case, matching DuckDB's naive-as-UTC reading.
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+    if dt is not None and dt.startswith("timestamp_ntz"):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # the driver tables store events.ts as parquet TIMESTAMP(NANOS), which
-    # Spark only reads via the nanosAsLong escape hatch; normalize to a
-    # microsecond TimestampType column (truncation — matches DuckDB).
+    # harmless for current testdata (native micros); required to read the
+    # TIMESTAMP(NANOS) vintage at all
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = _norm_ts(df)
     return df
 
 
@@ -1237,7 +1255,7 @@ def stream_minute_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = (
         spark.readStream.schema(schema)
         .parquet(stream_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .transform(_norm_ts)
         .withWatermark("ts", "5 seconds")
     )
     # exact per-window COUNT(DISTINCT) lives in ``stream_exact_uv`` (its
@@ -1301,7 +1319,7 @@ def stream_exact_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = (
         spark.readStream.schema(schema)
         .parquet(stream_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .transform(_norm_ts)
     )
     from flink_commons_spark.streaming.distinct import windowed_exact_distinct
     from flink_commons_spark.streaming.upsert import KeyedParquetUpsertSink
@@ -1351,7 +1369,7 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = (
         spark.readStream.schema(schema)
         .parquet(stream_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .transform(_norm_ts)
     )
     from flink_commons_spark.streaming.sessions import session_window_agg
 
@@ -1416,7 +1434,8 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = (
         spark.readStream.schema(schema)
         .parquet(stream_dir)
-        .withColumn("epoch", F.expr("ts div 1000000000"))
+        .transform(_norm_ts)
+        .withColumn("epoch", F.expr("unix_micros(ts) div 1000000"))
         # accumulate exact integer cents — a float running sum would be
         # accumulation-order-dependent across batches
         .withColumn("value", F.round(F.col("value") * 100).cast("double"))
@@ -1529,7 +1548,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = (
         spark.readStream.schema(schema)
         .parquet(stream_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .transform(_norm_ts)
     )
     doubled = sdf.union(sdf)  # simulate at-least-once redelivery
     deduped = (
@@ -1576,7 +1595,7 @@ def stream_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = (
         spark.readStream.schema(schema)
         .parquet(stream_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .transform(_norm_ts)
         .withWatermark("ts", "5 seconds")
     )
     agg = (
@@ -1636,7 +1655,7 @@ def stream_cumulate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = (
         spark.readStream.schema(schema)
         .parquet(stream_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .transform(_norm_ts)
         .withWatermark("ts", "5 seconds")
         .withColumn("__w", F.window("ts", "4 minutes"))
         .withColumn(
@@ -2184,7 +2203,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = (
         spark.readStream.schema(schema)
         .parquet(stream_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .transform(_norm_ts)
     )
     views = (
         sdf.where(F.col("event_type") == "view")
@@ -3054,6 +3073,515 @@ ORDER BY n_name
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, zero joins. All
+    three predicates push down to the parquet scan (min/max row-group
+    skipping at scale); the aggregate is a map-side partial + 1-row
+    exchange. The cheapest possible plan for this question."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        "l_shipdate >= timestamp'1997-01-01 00:00:00' AND "
+        "l_shipdate < timestamp'1998-01-01 00:00:00' AND "
+        "l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+    )
+    return l.agg(
+        F.round(
+            F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount"))).cast("double"),
+            2,
+        ).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+_Q6_ORACLE = """
+SELECT round((sum((l_extendedprice * l_discount)::decimal(18,6)))::double, 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+    Both nation lookups ride broadcast joins (supplier and customer are
+    dims); the only big shuffle is lineitem→orders on the order key.
+    The pair filter is applied as early as the broadcast joins allow."""
+    n = _t(spark, sf_dir, "nation")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        .where(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+        .where(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").where(
+        "l_shipdate >= timestamp'1996-01-01 00:00:00' AND "
+        "l_shipdate < timestamp'1998-01-01 00:00:00'"
+    )
+    return (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year,
+       round((sum(volume))::double, 2) AS revenue,
+       count(*) AS n_lines
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         (l_extendedprice * (1 - l_discount))::decimal(18,6) AS volume
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+    AND n2.n_name IN ('NATION_1', 'NATION_2')
+    AND n1.n_name <> n2.n_name
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's order volume
+    per year. The share ratio is computed once per year from the two
+    conditional decimal sums, rounded to 6 dp on both engines from
+    identical exact inputs — bit-stable. Every dim join broadcasts."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where("r_name = 'ASIA'")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
+        .select("c_custkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    p = _t(spark, sf_dir, "part").where("p_type = 'STANDARD'").select("p_partkey")
+    o = _t(spark, sf_dir, "orders").where(
+        "o_orderdate >= timestamp'1996-01-01 00:00:00' AND "
+        "o_orderdate < timestamp'1998-01-01 00:00:00'"
+    )
+    vol = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    target = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(target).cast("double"), 2).alias("nation_volume"),
+            F.round(F.sum(vol).cast("double"), 2).alias("total_volume"),
+            F.round(
+                F.sum(target).cast("double") / F.sum(vol).cast("double"), 6
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q8_ORACLE = """
+SELECT o_year,
+       round((sum(nv))::double, 2) AS nation_volume,
+       round((sum(v))::double, 2) AS total_volume,
+       round((sum(nv))::double / (sum(v))::double, 6) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         (l_extendedprice * (1 - l_discount))::decimal(18,6) AS v,
+         CASE WHEN n2.n_name = 'NATION_5'
+              THEN (l_extendedprice * (1 - l_discount))::decimal(18,6)
+              ELSE 0::decimal(18,6) END AS nv
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+) t
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year. The
+    testdata has no partsupp, so supply cost is the part's retail
+    price (``p_retailprice * l_quantity``) — same join/agg topology:
+    part filter broadcast-semi-joins the fact, nation rides the
+    supplier broadcast, orders contributes the year, exact decimal
+    arithmetic throughout."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .where("p_name LIKE '%red%'")
+        .select("p_partkey", "p_retailprice")
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))) - _dec(
+        F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(profit).cast("double"), 2).alias("sum_profit"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_Q9_ORACLE = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round((sum((l_extendedprice * (1 - l_discount))::decimal(18,6)
+                  - (p_retailprice * l_quantity)::decimal(18,6)))::double, 2) AS sum_profit,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    a quarter. Orders prune on the date before the fact join; customer
+    and nation broadcast; one shuffle on the order key plus the final
+    grouped exchange on the customer key."""
+    o = _t(spark, sf_dir, "orders").where(
+        "o_orderdate >= timestamp'1997-01-01 00:00:00' AND "
+        "o_orderdate < timestamp'1997-04-01 00:00:00'"
+    )
+    l = _t(spark, sf_dir, "lineitem").where("l_returnflag = 'R'")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal").cast("double"), 2).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.round(
+                F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10_ORACLE = """
+SELECT c_custkey, c_name, round(c_acctbal::double, 2) AS acctbal,
+       n_name AS nation,
+       round((sum((l_extendedprice * (1 - l_discount))::decimal(18,6)))::double, 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+GROUP BY c_custkey, c_name, round(c_acctbal::double, 2), n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value vs a global-fraction scalar.
+    Supply value per part comes from one nation's lineitem supply
+    relation (no partsupp in the testdata); a part qualifies when its
+    value exceeds 0.1% of the nation's total — restated
+    multiplicatively over exact decimals (``value · 1000 > total``) so
+    no division decides boundary rows. The global total is a 1-row
+    broadcast, not a correlated subquery per part."""
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation").where("n_name = 'NATION_7'")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec(F.col("l_extendedprice") * F.col("l_quantity"))).alias("__value"))
+    )
+    total = per_part.agg(F.sum("__value").alias("__total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("__value") * 1000 > F.col("__total"))
+        .select(
+            "l_partkey",
+            F.round(F.col("__value").cast("double"), 2).alias("value"),
+        )
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+_Q11_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum((l_extendedprice * l_quantity)::decimal(18,6)) AS value
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+  )
+  GROUP BY l_partkey
+)
+SELECT l_partkey, round(value::double, 2) AS value
+FROM per_part
+WHERE value * 1000 > (SELECT sum(value) FROM per_part)
+ORDER BY value DESC, l_partkey
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue view + scalar-max equality. The
+    max is a 1-row broadcast cross join against the per-supplier
+    aggregate; equality compares the SAME exact decimal sums both
+    times, so ties (all qualifying suppliers) surface exactly as the
+    spec demands — no float epsilon."""
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            "l_shipdate >= timestamp'1997-01-01 00:00:00' AND "
+            "l_shipdate < timestamp'1997-04-01 00:00:00'"
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "__rev"
+            )
+        )
+    )
+    mx = rev.agg(F.max("__rev").alias("__mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("__rev") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("__rev").cast("double"), 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         sum((l_extendedprice * (1 - l_discount))::decimal(18,6)) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(rev::double, 2) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev = (SELECT max(rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested "suppliers with excess stock of a
+    part family" qualification. Without partsupp, "excess" means the
+    supplier shipped MORE than half of a part's total 1997 volume —
+    the same correlated-threshold topology (per-(supp,part) agg vs
+    per-part agg), decorrelated into two aggregates over one
+    pre-filtered fact pass, compared multiplicatively on exact
+    decimals. Final projection is a broadcast-semi-joined supplier
+    dim filtered to one nation."""
+    pk = (
+        _t(spark, sf_dir, "part")
+        .where("p_name LIKE 'small%'")
+        .select("p_partkey")
+    )
+    l97 = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            "l_shipdate >= timestamp'1997-01-01 00:00:00' AND "
+            "l_shipdate < timestamp'1998-01-01 00:00:00'"
+        )
+        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    per_sp = l97.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(_dec(F.col("l_quantity"))).alias("__sp_qty")
+    )
+    per_p = l97.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum(_dec(F.col("l_quantity"))).alias("__p_qty")
+    )
+    qualified = (
+        per_sp.join(F.broadcast(per_p), F.col("l_partkey") == F.col("__pk"))
+        .where(F.col("__sp_qty") * 2 > F.col("__p_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation").where("n_name = 'NATION_3'")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+    )
+    return (
+        sn.join(F.broadcast(qualified), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q20_ORACLE = """
+WITH l97 AS (
+  SELECT l_suppkey, l_partkey, l_quantity
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+),
+per_sp AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity::decimal(18,6)) AS sp_qty
+  FROM l97 GROUP BY l_suppkey, l_partkey
+),
+per_p AS (
+  SELECT l_partkey AS pk, sum(l_quantity::decimal(18,6)) AS p_qty
+  FROM l97 GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM per_sp JOIN per_p ON l_partkey = pk
+    WHERE sp_qty * 2 > p_qty
+  )
+ORDER BY s_suppkey
+"""
+
+
+def q2_min_sale_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the correlated-minimum lookup ("the supplier
+    offering each part cheapest"). Without partsupp the offer relation
+    is lineitem: per qualifying part, the single cheapest sale
+    (min extendedprice, deterministic unique tie-break) names its
+    supplier. Decorrelated as a ranking window over the part key —
+    one shuffle on l_partkey, rank-1 filter, broadcast dim joins —
+    instead of a per-part correlated subquery."""
+    p = _t(spark, sf_dir, "part").where(
+        "p_type = 'ECONOMY' AND p_size IN (5, 15, 25, 35, 45)"
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        "l_extendedprice", "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.round(F.col("s_acctbal").cast("double"), 2).alias("s_acctbal_r"),
+            F.round(F.col("l_extendedprice").cast("double"), 2).alias("best_price"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+_Q2_ORACLE = """
+SELECT p_partkey, p_brand, s_name,
+       round(s_acctbal::double, 2) AS s_acctbal_r,
+       round(l_extendedprice::double, 2) AS best_price
+FROM (
+  SELECT p_partkey, p_brand, l_suppkey, l_extendedprice,
+         row_number() OVER (
+           PARTITION BY p_partkey
+           ORDER BY l_extendedprice, l_suppkey, l_orderkey, l_linenumber
+         ) AS rn
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'ECONOMY' AND p_size IN (5, 15, 25, 35, 45)
+) best
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE rn = 1
+ORDER BY p_partkey
+"""
+
+
 # =====================================================================
 # Corpus curation (operators/curation.py)
 # =====================================================================
@@ -3515,7 +4043,7 @@ def stream_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = tempfile.mkdtemp(prefix="fcs-stream-wj-")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     raw = spark.readStream.schema(schema).parquet(stream_dir)
-    ev = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)")).withWatermark(
+    ev = raw.transform(_norm_ts).withWatermark(
         "ts", "0 seconds"
     )
 
@@ -3645,6 +4173,15 @@ QUERIES = {
     "q17_small_quantity": q17_small_quantity,
     "q21_waiting_supplier": q21_waiting_supplier,
     "q22_sales_opportunity": q22_sales_opportunity,
+    "q2_min_sale_supplier": q2_min_sale_supplier,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q10_returned_items": q10_returned_items,
+    "q11_important_parts": q11_important_parts,
+    "q15_top_supplier": q15_top_supplier,
+    "q20_promotion_suppliers": q20_promotion_suppliers,
     "stream_hopping_agg": stream_hopping_agg,
     "stream_cumulate_agg": stream_cumulate_agg,
     "q_chunk_windows": q_chunk_windows,
@@ -3730,6 +4267,15 @@ ORACLES = {
     "q17_small_quantity": _Q17_ORACLE,
     "q21_waiting_supplier": _Q21_ORACLE,
     "q22_sales_opportunity": _Q22_ORACLE,
+    "q2_min_sale_supplier": _Q2_ORACLE,
+    "q6_forecast_revenue": _Q6_ORACLE,
+    "q7_volume_shipping": _Q7_ORACLE,
+    "q8_market_share": _Q8_ORACLE,
+    "q9_product_profit": _Q9_ORACLE,
+    "q10_returned_items": _Q10_ORACLE,
+    "q11_important_parts": _Q11_ORACLE,
+    "q15_top_supplier": _Q15_ORACLE,
+    "q20_promotion_suppliers": _Q20_ORACLE,
     "stream_hopping_agg": _STREAM_HOP_ORACLE,
     "stream_cumulate_agg": _STREAM_CUMULATE_ORACLE,
     "q_chunk_windows": _CHUNK_ORACLE,
