@@ -1530,6 +1530,140 @@ FROM r WHERE rnk <= 3
 
 
 @_with_stream_shuffle(8)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog (CDC) application — Flink's upsert/retract stream
+    materialized into current table state (``streaming/cdc.py``). The
+    event stream is read as a changelog keyed on user_id: an ``error``
+    event is that key's DELETE, anything else upserts the event's
+    (type, value). Per micro-batch the changelog compacts to the last
+    change per key before the distributed keyed append; the final read
+    ranks per key across batches and filters tombstones — a deleted
+    key stays absent unless a later batch re-inserts it."""
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-cdc-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    from flink_commons_spark.streaming.cdc import (
+        OP_COL,
+        changelog_writer,
+        read_current_state,
+    )
+    from flink_commons_spark.streaming.upsert import KeyedParquetUpsertSink
+
+    changes = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .transform(_norm_ts)
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias(OP_COL),
+            F.col("event_type").alias("last_type"),
+            "value",
+            "ts",
+            "event_id",
+        )
+    )
+    sink = KeyedParquetUpsertSink(
+        tempfile.mkdtemp(prefix="fcs-upsert-cdc-"), ["user_id"]
+    )
+    query = (
+        changes.writeStream.outputMode("append")
+        .foreachBatch(changelog_writer(sink, ["ts", "event_id"]))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-cdc-"))
+        .start()
+    )
+    query.awaitTermination(300)
+    return read_current_state(sink, spark).select(
+        "user_id", "last_type", F.round(F.col("value").cast("double"), 4).alias("last_value")
+    )
+
+
+_STREAM_CDC_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_type, round(value::double, 4) AS last_value
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@_with_stream_shuffle(8)
+def stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink ``KeyedProcessFunction`` + EVENT-TIME TIMERS: inactivity
+    sessions (gap 4 h) closed by a per-key timer at ``last_event +
+    gap`` that fires when the watermark passes it
+    (``streaming/timers.py`` — ``applyInPandasWithState`` with
+    ``EventTimeTimeout``; the explicit-``registerTimer``
+    ``transformWithStateInPandas`` twin ships alongside, gated on
+    protobuf availability). Sessions closed by a later event emit
+    in-batch; each key's trailing session emits only if its timer
+    expires before the final watermark (stream end) — the oracle
+    states that timer-fire condition explicitly on the same ms grid
+    Spark's timers live on."""
+    import os
+
+    from flink_commons_spark.streaming.timers import inactivity_sessions
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-timer-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .transform(_norm_ts)
+        .withWatermark("ts", "0 seconds")
+        .select("user_id", "ts", F.expr("unix_micros(ts)").alias("ts_us"))
+    )
+    sessions = inactivity_sessions(sdf, gap_s=14400)
+    name = "fcs_stream_timer_sessions"
+    query = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-timer-"))
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name)
+
+
+_STREAM_TIMER_ORACLE = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+marked AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > 14400000000 THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+sess AS (
+  SELECT user_id, us,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+agg AS (
+  SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+         count(*) AS n_events
+  FROM sess GROUP BY user_id, sid
+),
+wm AS (SELECT max(us) AS max_us FROM e)
+SELECT user_id, start_us, end_us, n_events
+FROM agg, wm
+WHERE (end_us + 14400000000 + 999) // 1000 <= max_us // 1000
+"""
+
+
+@_with_stream_shuffle(8)
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DEDUPLICATION — Flink SQL's special ``ROW_NUMBER() …
     WHERE rn = 1`` pattern, Spark-native via
@@ -4182,6 +4316,8 @@ QUERIES = {
     "q11_important_parts": q11_important_parts,
     "q15_top_supplier": q15_top_supplier,
     "q20_promotion_suppliers": q20_promotion_suppliers,
+    "stream_cdc_apply": stream_cdc_apply,
+    "stream_timer_sessions": stream_timer_sessions,
     "stream_hopping_agg": stream_hopping_agg,
     "stream_cumulate_agg": stream_cumulate_agg,
     "q_chunk_windows": q_chunk_windows,
@@ -4276,6 +4412,8 @@ ORACLES = {
     "q11_important_parts": _Q11_ORACLE,
     "q15_top_supplier": _Q15_ORACLE,
     "q20_promotion_suppliers": _Q20_ORACLE,
+    "stream_cdc_apply": _STREAM_CDC_ORACLE,
+    "stream_timer_sessions": _STREAM_TIMER_ORACLE,
     "stream_hopping_agg": _STREAM_HOP_ORACLE,
     "stream_cumulate_agg": _STREAM_CUMULATE_ORACLE,
     "q_chunk_windows": _CHUNK_ORACLE,

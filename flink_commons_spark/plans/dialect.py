@@ -17,6 +17,11 @@ value, ``test.sql:55,60``). Spark 4 under ANSI mode throws
 - ``timestamp(3)`` / ``timestamp(n)`` type references in CAST targets →
   ``timestamp`` (Spark has a single µs-precision timestamp type);
 - ``proctime()`` → ``current_timestamp()``;
+- Flink built-ins Spark lacks by name: ``SPLIT_INDEX`` (0-based) →
+  ``try_element_at(split(...), i+1)``, ``JSON_VALUE`` →
+  ``get_json_object`` (same ``$.path`` syntax), ``TO_TIMESTAMP_LTZ(x,
+  0|3)`` → ``timestamp_seconds``/``timestamp_millis``,
+  ``RAND_INTEGER([seed,] n)`` → ``cast(floor(rand(...) * n) as int)``;
 - Flink **windowing TVFs** (the ≥1.13 syntax, `TVFs`): ``FROM
   TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), size))`` /
   ``HOP(…, slide, size)`` / ``CUMULATE(…, step, size)`` → a derived
@@ -243,6 +248,66 @@ def _window_tvf_replacement(fn: str, args: list[str]) -> str | None:
     )
 
 
+_SCALAR_FN_RE = re.compile(
+    r"\b(?P<fn>SPLIT_INDEX|JSON_VALUE|TO_TIMESTAMP_LTZ|RAND_INTEGER)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _scalar_fn_replacement(fn: str, args: list[str]) -> str | None:
+    """Spark expression for one Flink built-in Spark lacks by that name
+    (None if the arity isn't one we can rewrite faithfully)."""
+    if fn == "SPLIT_INDEX" and len(args) == 3:
+        # Flink is 0-based and NULL on out-of-range; try_element_at is
+        # 1-based and NULL on out-of-range. (Caveat: Spark's split()
+        # delimiter is a regex where Flink's is literal — identical for
+        # the plain single-character delimiters scripts actually use.)
+        return f"try_element_at(split({args[0]}, {args[1]}), ({args[2]}) + 1)"
+    if fn == "JSON_VALUE" and len(args) == 2:
+        # same $.path syntax; both return NULL on missing paths
+        return f"get_json_object({args[0]}, {args[1]})"
+    if fn == "TO_TIMESTAMP_LTZ" and len(args) == 2:
+        precision = args[1].strip()
+        if precision == "0":
+            return f"timestamp_seconds({args[0]})"
+        if precision == "3":
+            return f"timestamp_millis({args[0]})"
+        return None
+    if fn == "RAND_INTEGER" and len(args) in (1, 2):
+        seed = f"rand({args[0]})" if len(args) == 2 else "rand()"
+        bound = args[-1]
+        return f"cast(floor({seed} * ({bound})) as int)"
+    return None
+
+
+def _rewrite_scalar_funcs(sql: str) -> str:
+    """Flink built-ins Spark lacks by name → Spark equivalents."""
+    out: list[str] = []
+    pos = 0
+    while True:
+        m = _SCALAR_FN_RE.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            break
+        close, commas = _find_args_span(sql, m.end() - 1)
+        if close < 0:
+            out.append(sql[pos:])
+            break
+        bounds = [m.end()] + [c + 1 for c in commas] + [close + 1]
+        args = [
+            _rewrite_scalar_funcs(sql[bounds[i] : bounds[i + 1] - 1].strip())
+            for i in range(len(bounds) - 1)
+        ]
+        replacement = _scalar_fn_replacement(m.group("fn").upper(), args)
+        out.append(sql[pos : m.start()])
+        if replacement is None:
+            out.append(sql[m.start() : close + 1])
+        else:
+            out.append(replacement)
+        pos = close + 1
+    return "".join(out)
+
+
 def _rewrite_window_tvfs(sql: str) -> str:
     """Flink windowing TVFs → derived subqueries (see module doc)."""
     out: list[str] = []
@@ -285,6 +350,7 @@ def _rewrite_window_tvfs(sql: str) -> str:
 def adapt_sql(sql: str) -> str:
     """Apply every known Flink→Spark expression rewrite."""
     sql = _rewrite_unix_timestamp(sql)
+    sql = _rewrite_scalar_funcs(sql)
     sql = _CAST_TS3_RE.sub("as timestamp", sql)
     sql = _PROCTIME_RE.sub("current_timestamp()", sql)
     sql = _rewrite_window_tvfs(sql)

@@ -161,3 +161,54 @@ def test_options_hint_stripped():
     assert "OPTIONS" not in out and "WHERE x > 1" in out
     # non-OPTIONS hints (Spark-native broadcast etc.) pass through
     assert "/*+ BROADCAST(t) */" in adapt_sql("SELECT /*+ BROADCAST(t) */ * FROM t")
+
+
+def test_scalar_fn_rewrites_string_level():
+    from flink_commons_spark.plans.dialect import adapt_sql
+
+    assert (
+        adapt_sql("SELECT SPLIT_INDEX(s, ',', 0) FROM t")
+        == "SELECT try_element_at(split(s, ','), (0) + 1) FROM t"
+    )
+    assert (
+        adapt_sql("SELECT JSON_VALUE(j, '$.k') FROM t")
+        == "SELECT get_json_object(j, '$.k') FROM t"
+    )
+    assert adapt_sql("SELECT TO_TIMESTAMP_LTZ(e, 3) FROM t") == (
+        "SELECT timestamp_millis(e) FROM t"
+    )
+    assert adapt_sql("SELECT TO_TIMESTAMP_LTZ(e, 0) FROM t") == (
+        "SELECT timestamp_seconds(e) FROM t"
+    )
+    # unknown precision left untouched
+    assert "TO_TIMESTAMP_LTZ(e, 9)" in adapt_sql("SELECT TO_TIMESTAMP_LTZ(e, 9) FROM t")
+    assert adapt_sql("SELECT RAND_INTEGER(10)") == (
+        "SELECT cast(floor(rand() * (10)) as int)"
+    )
+    assert adapt_sql("SELECT RAND_INTEGER(42, 10)") == (
+        "SELECT cast(floor(rand(42) * (10)) as int)"
+    )
+    # nested calls rewrite inside-out; commas inside quotes don't split args
+    assert adapt_sql("SELECT SPLIT_INDEX(JSON_VALUE(j, '$.csv'), ',', 1)") == (
+        "SELECT try_element_at(split(get_json_object(j, '$.csv'), ','), (1) + 1)"
+    )
+
+
+def test_scalar_fn_rewrites_execute(spark):
+    from flink_commons_spark.plans.dialect import adapt_sql
+
+    row = spark.sql(
+        adapt_sql(
+            "SELECT SPLIT_INDEX('a,b,c', ',', 1) AS second, "
+            "SPLIT_INDEX('a,b,c', ',', 9) AS missing, "
+            "JSON_VALUE('{\"k\": {\"v\": 7}}', '$.k.v') AS jv, "
+            "TO_TIMESTAMP_LTZ(1700000000, 0) AS ts0, "
+            "TO_TIMESTAMP_LTZ(1700000000123, 3) AS ts3, "
+            "RAND_INTEGER(10) AS r"
+        )
+    ).collect()[0]
+    assert row.second == "b" and row.missing is None
+    assert row.jv == "7"
+    assert str(row.ts0).startswith("2023-11-14")
+    assert str(row.ts3).endswith("0.123000")
+    assert 0 <= row.r < 10

@@ -17,7 +17,13 @@ SF_DIR = "/root/testdata/sf0.001"
 #: aggregate (the global average threshold) — nested loops over a
 #: bounded broadcast side are those designs (documented in
 #: PERFORMANCE.md), not accidents.
-ALLOWED_NESTED_LOOP = {"knn_brute", "q22_sales_opportunity"}
+ALLOWED_NESTED_LOOP = {
+    "knn_brute",
+    "q22_sales_opportunity",
+    # same 1-row broadcast scalar-aggregate cross join as q22:
+    "q11_important_parts",  # global-total threshold
+    "q15_top_supplier",  # global-max equality
+}
 
 BATCH_QUERIES = [
     name for name in catalog.QUERIES

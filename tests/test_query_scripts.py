@@ -522,3 +522,28 @@ def test_partitioned_streaming_filesystem_sink(spark, tmp_path):
     dirs = {d for d in os.listdir(f"{tmp_path}/p") if d.startswith("event_type=")}
     assert len(dirs) == 5
     assert spark.read.parquet(f"{tmp_path}/p").count() == 1000
+
+
+def test_flink_scalar_builtins_script(spark, capsys):
+    """Flink built-ins Spark lacks by name (SPLIT_INDEX / JSON_VALUE /
+    TO_TIMESTAMP_LTZ), through the runner over real event props."""
+    script = """
+    SET 'execution.runtime-mode' = 'batch';
+    CREATE TABLE events WITH (
+        'connector' = 'filesystem',
+        'path' = '/root/testdata/sf0.001/events.parquet',
+        'format' = 'parquet'
+    );
+    SELECT SPLIT_INDEX(event_type, 'i', 0) AS type_prefix,
+           count(DISTINCT JSON_VALUE(props, '$.k')) AS n_k,
+           count(*) AS n,
+           max(TO_TIMESTAMP_LTZ(1700000000, 0)) AS fixed_ts
+    FROM events
+    GROUP BY 1
+    ORDER BY n DESC;
+    """
+    SqlSubmitAction(sql_text=script, spark=spark).run()
+    out = capsys.readouterr().out
+    assert "2023-11-14" in out
+    # 'click' splits on 'i' -> 'cl', 'signup' -> 's'
+    assert "|cl" in out and "|s" in out

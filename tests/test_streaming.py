@@ -279,3 +279,33 @@ def test_continuous_topn_tracks_rank_across_batches(spark, tmp_path):
 
     got = {(r.grp, r.rnk, r.item, r.n) for r in sink.read_final(spark).collect()}
     assert got == {("a", 1, 1, 5), ("a", 2, 2, 3), ("b", 1, 8, 2), ("b", 2, 9, 2)}
+
+
+def test_cdc_changelog_apply(spark, tmp_path):
+    """Changelog application: within-batch compaction picks the last
+    change per key, deletes tombstone the key, a later-batch re-insert
+    resurrects it."""
+    from flink_commons_spark.streaming.cdc import (
+        OP_COL,
+        changelog_writer,
+        read_current_state,
+    )
+    from flink_commons_spark.streaming.upsert import KeyedParquetUpsertSink
+
+    # batch 0: k1 set twice (later seq wins), k2 set then deleted
+    # batch 1: k2 re-inserted, k3 deleted without ever existing
+    batches = [
+        [(1, "U", "a", 1), (1, "U", "b", 2), (2, "U", "x", 1), (2, "D", None, 3)],
+        [(2, "U", "y", 4), (3, "D", None, 1)],
+    ]
+    schema = f"k long, {OP_COL} string, payload string, seq long"
+    sink = KeyedParquetUpsertSink(str(tmp_path / "cdc"), ["k"])
+    apply_batch = changelog_writer(sink, ["seq"])
+    for epoch, rows in enumerate(batches):
+        apply_batch(spark.createDataFrame(rows, schema), epoch)
+
+    state = {
+        r.k: r.payload
+        for r in read_current_state(sink, spark).select("k", "payload").collect()
+    }
+    assert state == {1: "b", 2: "y"}
