@@ -1664,6 +1664,96 @@ WHERE (end_us + 14400000000 + 999) // 1000 <= max_us // 1000
 
 
 @_with_stream_shuffle(8)
+def stream_late_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data SIDE OUTPUT — Flink's ``sideOutputLateData``
+    (``streaming/late.py``): rows are tagged on-time/late against the
+    exact watermark the downstream aggregate would drop them with, one
+    operator early; ``late = 1`` is the side output. Batch boundaries
+    (which lateness inherently depends on) are pinned: the source is
+    split into 3 files processed one per micro-batch — out-of-order
+    stragglers (``user_id % 10 = 0``) ride the last file and land
+    behind the watermark advanced by the earlier files. The oracle
+    restates the watermark progression (max event-ms of prior files −
+    1 h delay) in SQL, so every tag is exact."""
+    import glob
+    import os
+    import shutil
+
+    from flink_commons_spark.streaming.late import tag_late_rows
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    assign = (
+        F.when(F.col("user_id") % 10 == 0, 3)
+        .when(F.col("ts") < F.lit("2024-01-11").cast("timestamp"), 1)
+        .when(F.col("ts") < F.lit("2024-01-21").cast("timestamp"), 2)
+        .otherwise(3)
+    )
+    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-late-")
+    for k in (1, 2, 3):
+        part_dir = tempfile.mkdtemp(prefix=f"fcs-late-part{k}-")
+        ev.where(assign == k).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = os.path.join(stream_dir, f"{k:03d}.parquet")
+        shutil.move(src, dst)
+        # FileStreamSource processes oldest-mtime first: pin the order
+        os.utime(dst, (k * 1000, k * 1000))
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "ts", F.expr("unix_micros(ts)").alias("ts_us"))
+    )
+    name = "fcs_stream_late"
+    query = (
+        tag_late_rows(sdf)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-late-"))
+        .start()
+    )
+    query.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.sum("late").cast("bigint").alias("n_late"),
+            F.sum(1 - F.col("late")).cast("bigint").alias("n_on_time"),
+        )
+    )
+
+
+_STREAM_LATE_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE WHEN user_id % 10 = 0 THEN 3
+              WHEN ts < TIMESTAMP '2024-01-11' THEN 1
+              WHEN ts < TIMESTAMP '2024-01-21' THEN 2
+              ELSE 3 END AS f
+  FROM events
+),
+fmax AS (SELECT f, max(us // 1000) AS max_ms FROM e GROUP BY f),
+wm AS (
+  SELECT r.f, max(fmax.max_ms) AS prev_ms
+  FROM (VALUES (1), (2), (3)) r(f)
+  LEFT JOIN fmax ON fmax.f < r.f
+  GROUP BY r.f
+),
+tagged AS (
+  SELECT e.user_id,
+         CASE WHEN w.prev_ms IS NOT NULL
+               AND (e.us // 1000) < w.prev_ms - 3600000 THEN 1 ELSE 0 END AS late
+  FROM e JOIN wm w ON e.f = w.f
+)
+SELECT user_id, sum(late)::bigint AS n_late, sum(1 - late)::bigint AS n_on_time
+FROM tagged GROUP BY user_id
+"""
+
+
+@_with_stream_shuffle(8)
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DEDUPLICATION — Flink SQL's special ``ROW_NUMBER() …
     WHERE rn = 1`` pattern, Spark-native via
@@ -2019,6 +2109,66 @@ SELECT lang,
        (sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END))::bigint AS n_pred_match
 FROM pred
 GROUP BY lang
+"""
+
+
+def q_python_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PYTHON function-registration surface (``functions/
+    python_udfs.py``) driven through SQL: a grouped-agg pandas UDAF
+    (``fcs_median``), a LATERAL Python UDTF (``fcs_chunks``, same
+    window/stride semantics as the bulk ``chunk_windows`` operator),
+    and an Arrow-batched scalar pandas UDF (``fcs_norm_l2``) folded to
+    an integer unit-norm count so float noise can't decide rows. The
+    UDAF aggregates alone (Spark disallows mixing grouped-agg pandas
+    UDFs with built-in aggregates) and joins the UDTF rollup."""
+    from flink_commons_spark.functions.registry import register_all
+
+    register_all(spark)
+    _tp(spark, sf_dir, "documents").createOrReplaceTempView("fcs_docs")
+    _t(spark, sf_dir, "embeddings").createOrReplaceTempView("fcs_embs")
+    return spark.sql(
+        """
+        WITH med AS (
+          SELECT lang, fcs_median(n_chars) AS med_chars
+          FROM fcs_docs GROUP BY lang
+        ),
+        chunks AS (
+          SELECT d.lang, count(*) AS n_chunks,
+                 sum(c.chunk_tokens) AS sum_chunk_tokens
+          FROM fcs_docs d, LATERAL fcs_chunks(d.text, 64, 48) c
+          GROUP BY d.lang
+        ),
+        norms AS (
+          SELECT count(*) AS n_unit_norm FROM fcs_embs
+          WHERE abs(fcs_norm_l2(embedding) - 1.0) < 1e-4
+        )
+        SELECT lang, med_chars, n_chunks, sum_chunk_tokens, n_unit_norm
+        FROM med JOIN chunks USING (lang) CROSS JOIN norms
+        ORDER BY lang
+        """
+    )
+
+
+_PYTHON_UDFS_ORACLE = f"""
+WITH med AS (
+  SELECT lang, median(n_chars)::double AS med_chars
+  FROM documents GROUP BY lang
+),
+t AS (SELECT lang, len({_TOKS_SQL}) AS n FROM documents),
+chunks AS (
+  SELECT lang, count(*)::bigint AS n_chunks,
+         (sum(least(64, n - i * 48)))::bigint AS sum_chunk_tokens
+  FROM t, LATERAL unnest(generate_series(0, (n - 1) // 48)) AS u(i)
+  WHERE n > 0
+  GROUP BY lang
+),
+norms AS (
+  SELECT count(*) AS n_unit_norm FROM embeddings
+  WHERE abs(sqrt(list_sum(list_transform(embedding, x -> (x::double) * (x::double)))) - 1.0) < 1e-4
+)
+SELECT lang, med_chars, n_chunks, sum_chunk_tokens, n_unit_norm
+FROM med JOIN chunks USING (lang) CROSS JOIN norms
+ORDER BY lang
 """
 
 
@@ -4318,6 +4468,8 @@ QUERIES = {
     "q20_promotion_suppliers": q20_promotion_suppliers,
     "stream_cdc_apply": stream_cdc_apply,
     "stream_timer_sessions": stream_timer_sessions,
+    "stream_late_side_output": stream_late_side_output,
+    "q_python_udfs": q_python_udfs,
     "stream_hopping_agg": stream_hopping_agg,
     "stream_cumulate_agg": stream_cumulate_agg,
     "q_chunk_windows": q_chunk_windows,
@@ -4414,6 +4566,8 @@ ORACLES = {
     "q20_promotion_suppliers": _Q20_ORACLE,
     "stream_cdc_apply": _STREAM_CDC_ORACLE,
     "stream_timer_sessions": _STREAM_TIMER_ORACLE,
+    "stream_late_side_output": _STREAM_LATE_ORACLE,
+    "q_python_udfs": _PYTHON_UDFS_ORACLE,
     "stream_hopping_agg": _STREAM_HOP_ORACLE,
     "stream_cumulate_agg": _STREAM_CUMULATE_ORACLE,
     "q_chunk_windows": _CHUNK_ORACLE,

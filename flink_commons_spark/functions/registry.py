@@ -116,9 +116,17 @@ def definitions() -> dict[str, str]:
 
 
 def register_all(spark) -> list[str]:
-    """Register every fcs_* SQL UDF on the session; returns the names."""
+    """Register every fcs_* function on the session; returns the names.
+
+    SQL UDFs (pure-expression scalars) plus the Python set — scalar
+    pandas UDF, grouped-agg pandas UDAF, and UDTF
+    (:mod:`flink_commons_spark.functions.python_udfs`).
+    """
     names = []
     for name, ddl in definitions().items():
         spark.sql(ddl)
         names.append(name)
+    from flink_commons_spark.functions.python_udfs import register_python_functions
+
+    names.extend(register_python_functions(spark))
     return names

@@ -1,0 +1,64 @@
+"""Late-data side outputs — Flink's ``sideOutputLateData`` analog.
+
+Flink windowed aggregations route rows older than the watermark to a
+side output (``OutputTag``) instead of silently dropping them. Spark's
+windowed aggregates drop late rows with no hook, so the side output is
+built one operator EARLIER: a stateful pass that reads the batch's
+watermark (``state.getCurrentWatermarkMs()`` — the same value the
+downstream aggregate would filter on) and tags every row on-time/late.
+Downstream, ``late = 1`` rows are the side output (retry queue, audit
+sink, metrics) and ``late = 0`` rows feed the aggregate — exactly the
+Flink topology, with the tag column standing in for the OutputTag.
+
+Determinism: lateness depends on micro-batch boundaries. In
+production that is inherent (lateness IS a property of arrival order);
+for the oracle-checked contract query the batch boundaries are pinned
+by writing the source as K files processed one per micro-batch
+(``maxFilesPerTrigger = 1``, file order pinned via mtime), so the
+watermark progression — and therefore every row's tag — is a pure
+function of the data, restated exactly in SQL.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+#: output schema of :func:`tag_late_rows`
+TAGGED_SCHEMA = "user_id bigint, ts_us bigint, late int"
+
+
+def tag_late_rows(sdf: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Tag each row late/on-time against the batch's watermark.
+
+    The input must carry ``ts_us`` (event time, epoch micros) and have
+    a watermark defined upstream. A row is late when its ms-floored
+    event time is below the current watermark — the identical
+    comparison Spark's stateful operators use to drop rows, one
+    operator early. State is unused (the stateful form is what exposes
+    the watermark to Python); NoTimeout, nothing stored.
+    """
+
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        wm_ms = state.getCurrentWatermarkMs()
+        for pdf in batches:
+            out = pdf[["user_id", "ts_us"]].copy()
+            out["late"] = ((pdf["ts_us"] // 1000) < wm_ms).astype("int32")
+            yield out
+
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        fn,
+        TAGGED_SCHEMA,
+        "unused int",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
