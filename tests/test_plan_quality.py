@@ -23,6 +23,7 @@ ALLOWED_NESTED_LOOP = {
     # same 1-row broadcast scalar-aggregate cross join as q22:
     "q11_important_parts",  # global-total threshold
     "q15_top_supplier",  # global-max equality
+    "q_python_udfs",  # 1-row unit-norm count joined to the per-lang rows
 }
 
 BATCH_QUERIES = [
