@@ -115,6 +115,7 @@ HEADLINE = [
     "stream_timer_sessions",
     "stream_late_side_output",
     "q_python_udfs",
+    "stream_cdc_agg",
 ]
 
 

@@ -1596,6 +1596,91 @@ FROM ranked WHERE rn = 1 AND event_type <> 'error'
 
 
 @_with_stream_shuffle(8)
+def stream_cdc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retract-aware aggregation over a CHANGELOG — the deepest
+    Flink/Spark semantic gap. Flink aggregates an updating stream
+    directly (every upsert retracts the key's old contribution); Spark
+    aggregates only append streams, so the materialized-view loop is
+    built per micro-batch: apply the batch's changelog to keyed state
+    (``streaming/cdc.py``), recompute the aggregate over the compacted
+    CURRENT state, atomically overwrite the aggregate table. A user
+    whose latest event changes type MOVES between groups — retraction
+    semantics no append-stream aggregate can express. Exact integer
+    cents so regrouping is bit-stable."""
+    import os
+
+    from flink_commons_spark.streaming.cdc import (
+        OP_COL,
+        changelog_writer,
+        read_current_state,
+    )
+    from flink_commons_spark.streaming.upsert import KeyedParquetUpsertSink
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-cdcagg-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    changes = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .transform(_norm_ts)
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias(OP_COL),
+            F.col("event_type").alias("last_type"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            "ts",
+            "event_id",
+        )
+    )
+    sink = KeyedParquetUpsertSink(
+        tempfile.mkdtemp(prefix="fcs-upsert-cdcagg-"), ["user_id"]
+    )
+    agg_dir = tempfile.mkdtemp(prefix="fcs-cdcagg-out-")
+    apply_changelog = changelog_writer(sink, ["ts", "event_id"])
+
+    def apply_and_aggregate(bdf: DataFrame, epoch_id: int) -> None:
+        apply_changelog(bdf, epoch_id)
+        current = read_current_state(sink, bdf.sparkSession)
+        (
+            current.groupBy("last_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n_users"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+            .write.mode("overwrite")
+            .parquet(agg_dir)
+        )
+
+    query = (
+        changes.writeStream.outputMode("append")
+        .foreachBatch(apply_and_aggregate)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-cdcagg-"))
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.read.parquet(agg_dir)
+
+
+_STREAM_CDC_AGG_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type, round(value * 100)::bigint AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT event_type AS last_type,
+       count(*)::bigint AS n_users,
+       sum(cents)::bigint AS sum_cents
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+GROUP BY event_type
+"""
+
+
+@_with_stream_shuffle(8)
 def stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink ``KeyedProcessFunction`` + EVENT-TIME TIMERS: inactivity
     sessions (gap 4 h) closed by a per-key timer at ``last_event +
@@ -4467,6 +4552,7 @@ QUERIES = {
     "q15_top_supplier": q15_top_supplier,
     "q20_promotion_suppliers": q20_promotion_suppliers,
     "stream_cdc_apply": stream_cdc_apply,
+    "stream_cdc_agg": stream_cdc_agg,
     "stream_timer_sessions": stream_timer_sessions,
     "stream_late_side_output": stream_late_side_output,
     "q_python_udfs": q_python_udfs,
@@ -4565,6 +4651,7 @@ ORACLES = {
     "q15_top_supplier": _Q15_ORACLE,
     "q20_promotion_suppliers": _Q20_ORACLE,
     "stream_cdc_apply": _STREAM_CDC_ORACLE,
+    "stream_cdc_agg": _STREAM_CDC_AGG_ORACLE,
     "stream_timer_sessions": _STREAM_TIMER_ORACLE,
     "stream_late_side_output": _STREAM_LATE_ORACLE,
     "q_python_udfs": _PYTHON_UDFS_ORACLE,

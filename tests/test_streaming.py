@@ -407,3 +407,59 @@ def test_transform_with_state_processor_gated(spark, tmp_path):
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, old)
+
+
+def test_timer_sessions_multi_batch(spark, tmp_path):
+    """Sessions spanning micro-batch boundaries: state carries across
+    batches, superseded timers are replaced, and the trailing-session
+    timer fires on the final watermark."""
+    from flink_commons_spark.streaming.timers import inactivity_sessions
+
+    # batch 1 (file 001): user 1 events at 100s, 110s
+    # batch 2 (file 002): user 1 events at 120s (same session — within
+    #   gap of 110), 1000s (closes [100,120] in-batch); user 2 at 2000s
+    # final watermark 2000s: user1 trailing [1000,1000] emits
+    #   (1000+60 <= 2000); user2 trailing stays open.
+    import os
+
+    src = tmp_path / "ev"
+    os.makedirs(src)
+    schema = "user_id long, sec long"
+    for fname, rows, mtime in [
+        ("001.parquet", [(1, 100), (1, 110)], 1000),
+        ("002.parquet", [(1, 120), (1, 1000), (2, 2000)], 2000),
+    ]:
+        part = tmp_path / ("part_" + fname)
+        spark.createDataFrame(rows, schema).select(
+            "user_id", F.timestamp_seconds("sec").alias("ts")
+        ).coalesce(1).write.mode("overwrite").parquet(str(part))
+        import glob, shutil
+
+        f = glob.glob(str(part / "part-*.parquet"))[0]
+        dst = str(src / fname)
+        shutil.move(f, dst)
+        os.utime(dst, (mtime, mtime))
+
+    ts_schema = "user_id bigint, ts timestamp"
+    sdf = (
+        spark.readStream.schema(ts_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "0 seconds")
+        .select("user_id", "ts", F.expr("unix_micros(ts)").alias("ts_us"))
+    )
+    q = (
+        inactivity_sessions(sdf, gap_s=60)
+        .writeStream.format("memory")
+        .queryName("t_timer_mb")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.start_us // 1_000_000, r.end_us // 1_000_000, r.n_events)
+        for r in spark.table("t_timer_mb").collect()
+    }
+    assert got == {(1, 100, 120, 3), (1, 1000, 1000, 1)}
