@@ -116,6 +116,7 @@ HEADLINE = [
     "stream_late_side_output",
     "q_python_udfs",
     "stream_cdc_agg",
+    "stream_outer_join",
 ]
 
 

@@ -2227,7 +2227,8 @@ def q_python_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT count(*) AS n_unit_norm FROM fcs_embs
           WHERE abs(fcs_norm_l2(embedding) - 1.0) < 1e-4
         )
-        SELECT lang, med_chars, n_chunks, sum_chunk_tokens, n_unit_norm
+        SELECT /*+ BROADCAST(norms) */
+               lang, med_chars, n_chunks, sum_chunk_tokens, n_unit_norm
         FROM med JOIN chunks USING (lang) CROSS JOIN norms
         ORDER BY lang
         """
@@ -4398,6 +4399,81 @@ WHERE doc_id % 50 = 0
 
 
 @_with_stream_shuffle(8)
+@_with_stream_shuffle(8)
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER window join — the semantics beyond the
+    inner form (``stream_window_join``): a view with no same-window
+    purchase emits a null-padded row, but only WHEN ITS WINDOW'S STATE
+    IS EVICTED (watermark past window end) — until then the match
+    might still arrive. Flink's outer interval/window joins behave
+    identically. The oracle states the eviction condition explicitly:
+    unmatched rows appear iff ``window_end ≤ final watermark``; the
+    final (open) window's unmatched views are correctly absent."""
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-loj-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    raw = spark.readStream.schema(schema).parquet(stream_dir)
+    ev = raw.transform(_norm_ts).withWatermark("ts", "0 seconds")
+
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.window("ts", "1 hour").alias("vw"),
+        F.col("event_id").alias("view_event"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.window("ts", "1 hour").alias("pw"),
+        F.col("event_id").alias("purch_event"),
+    )
+    joined = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user")) & (F.col("vw") == F.col("pw")),
+        "left_outer",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        F.col("vw.start").cast("long").alias("win_start_s"),
+        "view_event",
+        # no-match sentinel instead of NULL: a nullable bigint column
+        # surfaces as float64+NaN through the pandas comparison path
+        F.coalesce(F.col("purch_event"), F.lit(-1)).alias("purch_event"),
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="fcs-loj-out-")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-loj-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.schema(joined.schema).parquet(out_dir)
+
+
+_STREAM_OUTER_JOIN_ORACLE = """
+WITH v AS (
+  SELECT user_id, (epoch_us(ts) // 3600000000) * 3600 AS win_start_s,
+         event_id AS view_event
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, (epoch_us(ts) // 3600000000) * 3600 AS win_start_s,
+         event_id AS purch_event
+  FROM events WHERE event_type = 'purchase'
+),
+wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events)
+SELECT v.user_id, v.win_start_s, v.view_event,
+       coalesce(p.purch_event, -1) AS purch_event
+FROM v LEFT JOIN p USING (user_id, win_start_s) CROSS JOIN wm
+WHERE p.purch_event IS NOT NULL
+   OR (v.win_start_s + 3600) * 1000 <= wm_ms
+"""
+
+
 def stream_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink 1.14+ WINDOW JOIN: views and purchases of the same user
     falling in the same tumbling 1-hour window, as a stream-stream
@@ -4553,6 +4629,7 @@ QUERIES = {
     "q20_promotion_suppliers": q20_promotion_suppliers,
     "stream_cdc_apply": stream_cdc_apply,
     "stream_cdc_agg": stream_cdc_agg,
+    "stream_outer_join": stream_outer_join,
     "stream_timer_sessions": stream_timer_sessions,
     "stream_late_side_output": stream_late_side_output,
     "q_python_udfs": q_python_udfs,
@@ -4652,6 +4729,7 @@ ORACLES = {
     "q20_promotion_suppliers": _Q20_ORACLE,
     "stream_cdc_apply": _STREAM_CDC_ORACLE,
     "stream_cdc_agg": _STREAM_CDC_AGG_ORACLE,
+    "stream_outer_join": _STREAM_OUTER_JOIN_ORACLE,
     "stream_timer_sessions": _STREAM_TIMER_ORACLE,
     "stream_late_side_output": _STREAM_LATE_ORACLE,
     "q_python_udfs": _PYTHON_UDFS_ORACLE,
