@@ -4474,6 +4474,7 @@ WHERE p.purch_event IS NOT NULL
 """
 
 
+@_with_stream_shuffle(8)
 def stream_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink 1.14+ WINDOW JOIN: views and purchases of the same user
     falling in the same tumbling 1-hour window, as a stream-stream
