@@ -75,3 +75,36 @@ def test_classifier_case_invariant(pair, upper):
     text, expected = pair
     mutated = text.upper() if upper else text.lower()
     assert classify(mutated) is expected
+
+
+# ------------------------------------------------------------- dialect
+
+_TRIGGERS = re.compile(
+    r"unix_timestamp|timestamp\s*\(|proctime|TUMBLE|HOP|SESSION|CUMULATE"
+    r"|SYSTEM_TIME|OPTIONS|SPLIT_INDEX|JSON_VALUE|TO_TIMESTAMP_LTZ|RAND_INTEGER",
+    re.IGNORECASE,
+)
+
+
+@given(st.text(alphabet="abcdefg XY,()';*=<>0123456789\n_-", max_size=120))
+def test_adapt_sql_total_and_identity_without_triggers(sql):
+    """adapt_sql never raises on arbitrary input, and leaves SQL with
+    none of the Flink trigger constructs byte-identical."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+
+    out = adapt_sql(sql)  # must not raise
+    if not _TRIGGERS.search(sql):
+        assert out == sql
+
+
+@given(
+    inner=st.text(alphabet="abc XY9_", min_size=1, max_size=20).map(str.strip).filter(bool),
+    idx=st.integers(0, 9),
+)
+def test_split_index_rewrite_shape(inner, idx):
+    """SPLIT_INDEX rewrites to try_element_at with the 1-based shift,
+    whatever the (stripped) first argument expression looks like."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+
+    out = adapt_sql(f"SELECT SPLIT_INDEX({inner}, ',', {idx}) FROM t")
+    assert out == f"SELECT try_element_at(split({inner}, ','), ({idx}) + 1) FROM t"
