@@ -117,6 +117,8 @@ HEADLINE = [
     "q_python_udfs",
     "stream_cdc_agg",
     "stream_outer_join",
+    "q_key_skew_profile",
+    "pipeline_tokens_end_to_end",
 ]
 
 

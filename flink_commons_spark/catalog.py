@@ -2989,6 +2989,92 @@ GROUP BY shard, bin
 """
 
 
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profiling — the measurement you run BEFORE choosing a
+    salting/AQE strategy for a key: per-key row counts folded to
+    distribution stats (key count, max, exact interpolated p50/p99,
+    top-1 key's share in ppm). Two aggregations, the second over
+    |keys| rows; all-integer inputs so every statistic is bit-stable."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    return counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99"),
+        F.round(F.max("cnt") / F.sum("cnt") * 1000000)
+        .cast("bigint")
+        .alias("top1_ppm"),
+    )
+
+
+_KEY_SKEW_ORACLE = """
+WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+SELECT count(*)::bigint AS n_keys,
+       sum(cnt)::bigint AS n_rows,
+       max(cnt)::bigint AS max_cnt,
+       round(quantile_cont(cnt, 0.5), 4) AS p50,
+       round(quantile_cont(cnt, 0.99), 4) AS p99,
+       round(max(cnt)::double / sum(cnt)::double * 1000000)::bigint AS top1_ppm
+FROM c
+"""
+
+
+def pipeline_tokens_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TOKEN-side training-data flow as ONE composed plan: quality
+    filter → context-window chunking → sequence packing → per-pack
+    stats. Each stage is the already-verified operator
+    (``with_text_stats``, ``chunk_windows``, ``pack_stats``); this
+    entry checks their composition — the chunk explode stays an
+    integer map (no text duplication), packing's only shuffle keys on
+    the hash shard, and pack assignment is a pure function of
+    (item id, token count) so reruns bin identically."""
+    from flink_commons_spark.operators.curation import chunk_windows
+    from flink_commons_spark.operators.packing import pack_stats
+
+    d = T.with_text_stats(_tp(spark, sf_dir, "documents"))
+    filtered = d.where((F.col("n_tokens") >= 10) & (F.col("quality") >= 0.5))
+    chunks = chunk_windows(filtered, window=64, stride=48)
+    items = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("item_id"),
+        F.col("chunk_tokens"),
+    )
+    return pack_stats(items, "item_id", "chunk_tokens", budget=256, shards=8)
+
+
+_PIPELINE_TOKENS_ORACLE = f"""
+WITH enriched AS (
+  SELECT doc_id, len({_TOKS_SQL}) AS n, {_QUALITY_SQL} AS quality
+  FROM documents
+),
+filtered AS (SELECT doc_id, n FROM enriched WHERE n >= 10 AND quality >= 0.5),
+chunks AS (
+  SELECT doc_id * 1000 + i AS item_id, least(64, n - i * 48) AS chunk_tokens
+  FROM filtered, LATERAL unnest(generate_series(0, (n - 1) // 48)) AS u(i)
+  WHERE n > 0
+),
+sh AS (
+  SELECT item_id, chunk_tokens,
+         (('0x' || substr(md5('pack|' || item_id::varchar), 1, 8))::bigint % 10000) % 8 AS shard
+  FROM chunks
+),
+c AS (
+  SELECT item_id, chunk_tokens, shard,
+         coalesce(sum(chunk_tokens) OVER (PARTITION BY shard ORDER BY item_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM sh
+)
+SELECT shard,
+       (cum // 256)::bigint AS bin,
+       count(*) AS n_docs,
+       (sum(chunk_tokens))::bigint AS sum_tokens,
+       min(item_id) AS first_doc
+FROM c
+GROUP BY shard, bin
+"""
+
+
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY CUBE over orders: all status × priority subtotal
     combinations in one Expand pass."""
@@ -4634,6 +4720,8 @@ QUERIES = {
     "stream_timer_sessions": stream_timer_sessions,
     "stream_late_side_output": stream_late_side_output,
     "q_python_udfs": q_python_udfs,
+    "q_key_skew_profile": q_key_skew_profile,
+    "pipeline_tokens_end_to_end": pipeline_tokens_end_to_end,
     "stream_hopping_agg": stream_hopping_agg,
     "stream_cumulate_agg": stream_cumulate_agg,
     "q_chunk_windows": q_chunk_windows,
@@ -4734,6 +4822,8 @@ ORACLES = {
     "stream_timer_sessions": _STREAM_TIMER_ORACLE,
     "stream_late_side_output": _STREAM_LATE_ORACLE,
     "q_python_udfs": _PYTHON_UDFS_ORACLE,
+    "q_key_skew_profile": _KEY_SKEW_ORACLE,
+    "pipeline_tokens_end_to_end": _PIPELINE_TOKENS_ORACLE,
     "stream_hopping_agg": _STREAM_HOP_ORACLE,
     "stream_cumulate_agg": _STREAM_CUMULATE_ORACLE,
     "q_chunk_windows": _CHUNK_ORACLE,
