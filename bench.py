@@ -118,6 +118,7 @@ HEADLINE = [
     "stream_cdc_agg",
     "stream_outer_join",
     "q_key_skew_profile",
+    "q_histogram",
     "pipeline_tokens_end_to_end",
 ]
 

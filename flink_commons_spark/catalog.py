@@ -2989,6 +2989,36 @@ GROUP BY shard, bin
 """
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram (the ``width_bucket`` shape) over
+    order totals: integer bucket = ⌊price/500⌋ — pure integer-stable
+    bucketing (no interpolation), one hash aggregate, map-side
+    partial."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 500).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(_dec(F.col("o_totalprice"))).cast("double"), 2).alias(
+                "sum_price"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+_HISTOGRAM_ORACLE = """
+SELECT floor(o_totalprice / 500)::bigint AS bucket,
+       count(*) AS n_orders,
+       round((sum(o_totalprice::decimal(18,6)))::double, 2) AS sum_price
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
 def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew profiling — the measurement you run BEFORE choosing a
     salting/AQE strategy for a key: per-key row counts folded to
@@ -4721,6 +4751,7 @@ QUERIES = {
     "stream_late_side_output": stream_late_side_output,
     "q_python_udfs": q_python_udfs,
     "q_key_skew_profile": q_key_skew_profile,
+    "q_histogram": q_histogram,
     "pipeline_tokens_end_to_end": pipeline_tokens_end_to_end,
     "stream_hopping_agg": stream_hopping_agg,
     "stream_cumulate_agg": stream_cumulate_agg,
@@ -4823,6 +4854,7 @@ ORACLES = {
     "stream_late_side_output": _STREAM_LATE_ORACLE,
     "q_python_udfs": _PYTHON_UDFS_ORACLE,
     "q_key_skew_profile": _KEY_SKEW_ORACLE,
+    "q_histogram": _HISTOGRAM_ORACLE,
     "pipeline_tokens_end_to_end": _PIPELINE_TOKENS_ORACLE,
     "stream_hopping_agg": _STREAM_HOP_ORACLE,
     "stream_cumulate_agg": _STREAM_CUMULATE_ORACLE,
