@@ -3,8 +3,11 @@
 Re-expresses the reference's core (``SQLSubmitAction.java:50-83``) on
 Spark: ordered fail-fast statement execution with the same routing —
 ``SET`` → config translation, ``SELECT`` → execute-and-print,
-``UNSET``/``EXPLAIN``/``UNKNOWN`` → warn-and-skip, everything else →
-the SQL engine. Three Spark-specific layers are added on top:
+``UNKNOWN`` → warn-and-skip, everything else → the SQL engine.
+``UNSET``/``EXPLAIN`` are warn-and-skip under ``--strict-compat``
+(matching the reference) and EXECUTED by default (Flink ≥1.13
+``UNSET``; ``EXPLAIN`` prints Spark's plan). Three Spark-specific
+layers are added on top:
 
 1. a **connector DDL interceptor**: Flink-style ``CREATE TABLE ... WITH
    ('connector' = ...)`` statements (which Spark's parser rejects) are
@@ -144,6 +147,19 @@ class SqlSubmitAction(Action):
             apply_set(self.config, spark, key, value)
         elif stype is StatementType.SELECT:
             self._run_select(spark, stmt)
+        elif stype is StatementType.EXPLAIN and not self.strict_compat:
+            # extension beyond the reference (which skips EXPLAIN,
+            # SQLSubmitAction.java:69-73): surface Spark's plan. Under
+            # --strict-compat the reference's warn-and-skip is kept.
+            for row in spark.sql(self._rewrite(stmt)).collect():
+                print(row[0])
+        elif stype is StatementType.UNSET and not self.strict_compat:
+            # extension: Flink ≥1.13 executes UNSET 'key'; mirror it by
+            # clearing the runner conf entry (and any translated Spark
+            # conf) instead of the reference's skip
+            from flink_commons_spark.conf import apply_unset, parse_unset_statement
+
+            apply_unset(self.config, spark, parse_unset_statement(stmt))
         elif stype in (StatementType.UNSET, StatementType.EXPLAIN, StatementType.UNKNOWN):
             # warn-and-skip, SQLSubmitAction.java:69-73
             log.warning("Unsupported operation [%s], ignored: %s", stype.type_name, stmt)

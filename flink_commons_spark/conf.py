@@ -100,6 +100,45 @@ def apply_set(config: RunnerConfig, spark, key: str, value: str) -> None:
         log.warning("SET %s = %s: no Spark mapping; stored but inactive", key, value)
 
 
+def apply_unset(config: RunnerConfig, spark, key: str) -> None:
+    """Revert one configuration key (Flink ≥1.13 ``UNSET 'key'``).
+
+    The raw entry is dropped and any derived runner field returns to
+    its default; ``spark.*`` passthrough keys are unset on the session.
+    """
+    key = key.strip()
+    config.raw.pop(key, None)
+    if key == "pipeline.name":
+        config.pipeline_name = None
+    elif key == "parallelism.default":
+        config.parallelism = None
+    elif key == "execution.runtime-mode":
+        config.runtime_mode = "streaming"
+    elif key == "execution.checkpointing.enabled":
+        config.checkpointing_enabled = False
+    elif key == "execution.checkpointing.interval":
+        config.checkpoint_interval_s = None
+    elif key == "table.exec.mini-batch.allow-latency":
+        config.trigger_interval_s = None
+    elif key.startswith("spark.") and spark is not None:
+        try:
+            spark.conf.unset(key)
+        except Exception:  # non-session key or already unset
+            log.debug("UNSET %s: nothing to unset on the session", key)
+
+
+def parse_unset_statement(statement: str) -> str:
+    """``UNSET 'key'`` → key; malformed input raises."""
+    body = re.sub(r"^\s*UNSET\s+", "", statement, flags=re.IGNORECASE).strip()
+    body = body.rstrip(";").strip()
+    if not body:
+        raise ValueError(
+            f"Statement '{statement}' is not a valid UNSET operation; "
+            "expected UNSET key"
+        )
+    return _unquote(body)
+
+
 def parse_set_statement(statement: str) -> tuple[str, str]:
     """``SET k = v`` → (k, v); malformed input raises, mirroring
     ``SQLSubmitAction.java:88-91``."""

@@ -192,3 +192,51 @@ def test_fcs_split_functions_match_operator(spark):
     via_sql = {r.doc_id: r.s for r in
                spark.sql("SELECT doc_id, fcs_split(cast(doc_id as string)) AS s FROM fcs_split_t").collect()}
     assert via_op == via_sql
+
+
+def test_unset_executes_by_default_and_skips_under_strict():
+    from flink_commons_spark.conf import (
+        RunnerConfig,
+        apply_set,
+        apply_unset,
+        parse_unset_statement,
+    )
+
+    cfg = RunnerConfig()
+    apply_set(cfg, None, "pipeline.name", "job1")
+    apply_set(cfg, None, "execution.runtime-mode", "batch")
+    assert cfg.pipeline_name == "job1" and cfg.runtime_mode == "batch"
+
+    assert parse_unset_statement("UNSET 'pipeline.name'") == "pipeline.name"
+    apply_unset(cfg, None, "pipeline.name")
+    apply_unset(cfg, None, "execution.runtime-mode")
+    assert cfg.pipeline_name is None
+    assert cfg.runtime_mode == "streaming"  # back to the Flink default
+    assert "pipeline.name" not in cfg.raw
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_unset_statement("UNSET   ")
+
+
+def test_explain_executes_by_default(spark, capsys):
+    from flink_commons_spark.actions.sql_submit import SqlSubmitAction
+
+    script = """
+    SET 'execution.runtime-mode' = 'batch';
+    CREATE TABLE li WITH (
+        'connector' = 'filesystem',
+        'path' = '/root/testdata/sf0.001/lineitem.parquet',
+        'format' = 'parquet'
+    );
+    EXPLAIN SELECT l_returnflag, count(*) FROM li GROUP BY l_returnflag;
+    """
+    SqlSubmitAction(sql_text=script, spark=spark).run()
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out or "Aggregate" in out
+
+    # strict mode keeps the reference's skip: no plan printed
+    SqlSubmitAction(sql_text=script, spark=spark, strict_compat=True).run()
+    out2 = capsys.readouterr().out
+    assert "Physical Plan" not in out2
