@@ -119,6 +119,7 @@ HEADLINE = [
     "stream_outer_join",
     "q_key_skew_profile",
     "q_histogram",
+    "dedup_apply",
     "pipeline_tokens_end_to_end",
 ]
 

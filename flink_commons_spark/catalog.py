@@ -876,7 +876,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs)
 
 
-_DEDUP_CLUSTERS_ORACLE = f"""
+#: shared recursive-CTE chain: MinHash bands → candidate pairs →
+#: connected-component labels (node, label) — the DuckDB twin of
+#: ``operators/graph.py:connected_components`` over the same pairs
+_CLUSTER_LABELS_CTE = f"""
 WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
 seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
 sig AS (
@@ -906,12 +909,53 @@ reach(node, m) AS (
 ),
 labels AS (
   SELECT node, least(node, min(m)) AS label FROM reach GROUP BY node
-)
+)"""
+
+_DEDUP_CLUSTERS_ORACLE = f"""
+{_CLUSTER_LABELS_CTE}
 SELECT label AS cluster_id,
        count(*) AS n_docs,
        max(node) AS max_doc
 FROM labels
 GROUP BY label
+"""
+
+
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the dedup decision — the step every pair/cluster lister
+    feeds: drop each near-dup cluster's non-canonical members (keep
+    the minimum id, the usual keep-first policy), keep all singletons,
+    and summarize the surviving corpus per language. The drop list is
+    |clustered docs − clusters| rows — tiny relative to the corpus —
+    so the anti join broadcasts; nothing else shuffles beyond the
+    pair-mining pipeline itself."""
+    from flink_commons_spark.operators.graph import connected_components
+
+    d = _tp(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(
+        d, num_hashes=8, bands=4, ngram=3, threshold=0.0
+    ).select("a", "b")
+    comps = connected_components(pairs, "a", "b")
+    drop = comps.where(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = d.join(F.broadcast(drop), "doc_id", "left_anti")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+_DEDUP_APPLY_ORACLE = f"""
+{_CLUSTER_LABELS_CTE},
+dropped AS (SELECT node AS doc_id FROM labels WHERE node <> label)
+SELECT lang, count(*) AS n_docs,
+       (sum(n_chars))::bigint AS sum_chars,
+       min(doc_id) AS min_doc
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+GROUP BY lang
 """
 
 
@@ -4752,6 +4796,7 @@ QUERIES = {
     "q_python_udfs": q_python_udfs,
     "q_key_skew_profile": q_key_skew_profile,
     "q_histogram": q_histogram,
+    "dedup_apply": dedup_apply,
     "pipeline_tokens_end_to_end": pipeline_tokens_end_to_end,
     "stream_hopping_agg": stream_hopping_agg,
     "stream_cumulate_agg": stream_cumulate_agg,
@@ -4855,6 +4900,7 @@ ORACLES = {
     "q_python_udfs": _PYTHON_UDFS_ORACLE,
     "q_key_skew_profile": _KEY_SKEW_ORACLE,
     "q_histogram": _HISTOGRAM_ORACLE,
+    "dedup_apply": _DEDUP_APPLY_ORACLE,
     "pipeline_tokens_end_to_end": _PIPELINE_TOKENS_ORACLE,
     "stream_hopping_agg": _STREAM_HOP_ORACLE,
     "stream_cumulate_agg": _STREAM_CUMULATE_ORACLE,
