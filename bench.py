@@ -120,6 +120,7 @@ HEADLINE = [
     "q_key_skew_profile",
     "q_histogram",
     "dedup_apply",
+    "ann_recall",
     "pipeline_tokens_end_to_end",
 ]
 

@@ -1121,6 +1121,33 @@ GROUP BY vec_id, p // {_PLANES}
 """
 
 
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall@5 of the LSH ANN against exact brute force —
+    in-engine, not a notebook claim: both pipelines run on the same
+    probes, the hit count is an equi-join on (query, neighbor), and
+    recall lands as exact integer counts + one rounded percentage.
+    The quality/throughput trade of every approximate index should be
+    continuously measurable exactly like this on a sample."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    probes = emb.where("vec_id < 10")
+    truth = S.cosine_topk(probes, emb, k=5).select("query_id", "neighbor_id")
+    approx = S.lsh_ann_topk(
+        probes, emb, k=5, num_planes=_PLANES, dims=_DIMS, num_tables=_TABLES
+    ).select("query_id", "neighbor_id")
+    hits = approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        truth.agg(F.count("*").alias("n_truth"))
+        .join(F.broadcast(hits.agg(F.count("*").alias("n_hits"))))
+        .select(
+            "n_hits",
+            "n_truth",
+            F.round(F.col("n_hits") * 100.0 / F.col("n_truth"), 2).alias(
+                "recall_pct"
+            ),
+        )
+    )
+
+
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via multi-table random-hyperplane LSH
     (5 tables × 2 planes — OR-amplification; measured recall@5 = 0.88
@@ -1159,6 +1186,16 @@ SELECT query_id,
        neighbor_id, sim
 FROM scored
 QUALIFY rank <= 5
+"""
+
+
+_ANN_RECALL_ORACLE = f"""
+WITH truth AS (SELECT query_id, neighbor_id FROM ({_KNN_ORACLE})),
+approx AS (SELECT query_id, neighbor_id FROM ({_ANN_ORACLE})),
+h AS (SELECT count(*) AS n_hits FROM approx SEMI JOIN truth USING (query_id, neighbor_id)),
+t AS (SELECT count(*) AS n_truth FROM truth)
+SELECT n_hits, n_truth, round(n_hits * 100.0 / n_truth, 2) AS recall_pct
+FROM t CROSS JOIN h
 """
 
 
@@ -4797,6 +4834,7 @@ QUERIES = {
     "q_key_skew_profile": q_key_skew_profile,
     "q_histogram": q_histogram,
     "dedup_apply": dedup_apply,
+    "ann_recall": ann_recall,
     "pipeline_tokens_end_to_end": pipeline_tokens_end_to_end,
     "stream_hopping_agg": stream_hopping_agg,
     "stream_cumulate_agg": stream_cumulate_agg,
@@ -4901,6 +4939,7 @@ ORACLES = {
     "q_key_skew_profile": _KEY_SKEW_ORACLE,
     "q_histogram": _HISTOGRAM_ORACLE,
     "dedup_apply": _DEDUP_APPLY_ORACLE,
+    "ann_recall": _ANN_RECALL_ORACLE,
     "pipeline_tokens_end_to_end": _PIPELINE_TOKENS_ORACLE,
     "stream_hopping_agg": _STREAM_HOP_ORACLE,
     "stream_cumulate_agg": _STREAM_CUMULATE_ORACLE,

@@ -24,6 +24,7 @@ ALLOWED_NESTED_LOOP = {
     "q11_important_parts",  # global-total threshold
     "q15_top_supplier",  # global-max equality
     "q_python_udfs",  # 1-row unit-norm count joined to the per-lang rows
+    "ann_recall",  # 1-row hit count × 1-row truth count
 }
 
 BATCH_QUERIES = [
