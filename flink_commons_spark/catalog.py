@@ -1611,6 +1611,106 @@ FROM r WHERE rnk <= 3
 
 
 @_with_stream_shuffle(8)
+def stream_two_source_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source WATERMARK ALIGNMENT — Flink aligns watermarks
+    across sources; Spark's union takes the MIN of the per-branch
+    watermarks (``multipleWatermarkPolicy = min``, the default). Two
+    file-stream sources advance at different speeds (source A's first
+    file covers 15 days, source B's only 7), each branch carries its
+    own ``withWatermark`` BEFORE the union, and the downstream
+    late-tagger therefore sees the LAGGING source's watermark — rows
+    the fast source alone would call late stay on-time, while the fast
+    source's pre-Jan-3 stragglers (riding its second file) are late
+    under EITHER policy. The oracle states exactly that: the batch-2
+    lateness cut is ``min(maxA₁, maxB₁) − delay``, not the max."""
+    import glob
+    import os
+    import shutil
+
+    from flink_commons_spark.streaming.late import tag_late_rows
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    jan3 = F.lit("2024-01-03").cast("timestamp")
+    src_dirs = {}
+    for src, cutoff in ((0, "2024-01-16"), (1, "2024-01-08")):
+        part = ev.where(F.col("user_id") % 2 == src)
+        d = tempfile.mkdtemp(prefix=f"fcs-stream-2src{src}-")
+        src_dirs[src] = d
+        cut = F.lit(cutoff).cast("timestamp")
+        if src == 0:
+            # fast source: pre-Jan-3 stragglers arrive OUT OF ORDER in
+            # its second file — genuinely late even under min-policy
+            conds = (
+                (1, (F.col("ts") >= jan3) & (F.col("ts") < cut)),
+                (2, (F.col("ts") >= cut) | (F.col("ts") < jan3)),
+            )
+        else:
+            conds = (
+                (1, F.col("ts") < cut),
+                (2, F.col("ts") >= cut),
+            )
+        for k, cond in conds:
+            stage = tempfile.mkdtemp(prefix=f"fcs-2src-part{src}{k}-")
+            part.where(cond).coalesce(1).write.mode("overwrite").parquet(stage)
+            f = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"{k:03d}.parquet")
+            shutil.move(f, dst)
+            os.utime(dst, (k * 1000, k * 1000))
+
+    def branch(src: int):
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dirs[src])
+            .withWatermark("ts", "1 hour")
+        )
+
+    unioned = branch(0).union(branch(1)).select(
+        "user_id", "ts", F.expr("unix_micros(ts)").alias("ts_us")
+    )
+    name = "fcs_stream_2src"
+    query = (
+        tag_late_rows(unioned)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-2src-"))
+        .start()
+    )
+    query.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.sum("late").cast("bigint").alias("n_late"),
+            F.sum(1 - F.col("late")).cast("bigint").alias("n_on_time"),
+        )
+    )
+
+
+_STREAM_TWO_SOURCE_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, user_id % 2 AS src,
+         CASE WHEN user_id % 2 = 0
+              THEN CASE WHEN ts >= TIMESTAMP '2024-01-03'
+                          AND ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 2 END
+              ELSE CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 2 END
+         END AS f
+  FROM events
+),
+m AS (SELECT src, max(us // 1000) AS max_ms FROM e WHERE f = 1 GROUP BY src),
+wm AS (SELECT min(max_ms) - 3600000 AS wm_ms FROM m)
+SELECT user_id,
+       sum(CASE WHEN f = 2 AND us // 1000 < wm_ms THEN 1 ELSE 0 END)::bigint AS n_late,
+       sum(CASE WHEN f = 2 AND us // 1000 < wm_ms THEN 0 ELSE 1 END)::bigint AS n_on_time
+FROM e CROSS JOIN wm
+GROUP BY user_id
+"""
+
+
+@_with_stream_shuffle(8)
 def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog (CDC) application — Flink's upsert/retract stream
     materialized into current table state (``streaming/cdc.py``). The
@@ -4830,6 +4930,7 @@ QUERIES = {
     "stream_outer_join": stream_outer_join,
     "stream_timer_sessions": stream_timer_sessions,
     "stream_late_side_output": stream_late_side_output,
+    "stream_two_source_watermark": stream_two_source_watermark,
     "q_python_udfs": q_python_udfs,
     "q_key_skew_profile": q_key_skew_profile,
     "q_histogram": q_histogram,
@@ -4935,6 +5036,7 @@ ORACLES = {
     "stream_outer_join": _STREAM_OUTER_JOIN_ORACLE,
     "stream_timer_sessions": _STREAM_TIMER_ORACLE,
     "stream_late_side_output": _STREAM_LATE_ORACLE,
+    "stream_two_source_watermark": _STREAM_TWO_SOURCE_ORACLE,
     "q_python_udfs": _PYTHON_UDFS_ORACLE,
     "q_key_skew_profile": _KEY_SKEW_ORACLE,
     "q_histogram": _HISTOGRAM_ORACLE,
