@@ -121,6 +121,7 @@ HEADLINE = [
     "q_histogram",
     "dedup_apply",
     "ann_recall",
+    "ivf_recall",
     "stream_two_source_watermark",
     "pipeline_tokens_end_to_end",
 ]

@@ -1199,6 +1199,32 @@ FROM t CROSS JOIN h
 """
 
 
+def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall@5 of the IVF index vs exact brute force — the
+    same in-engine measurement as ``ann_recall`` for the cell-probing
+    index (nprobe controls the recall/cost dial; 2 of 8 cells here).
+    Exact integer hit counts; the oracle composes the two pipelines'
+    SQL."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    probes = emb.where("vec_id < 10")
+    truth = S.cosine_topk(probes, emb, k=5).select("query_id", "neighbor_id")
+    approx = S.ivf_topk(
+        probes, emb, _t(spark, sf_dir, "embeddings"), k=5, nlist=8, nprobe=2
+    ).select("query_id", "neighbor_id")
+    hits = approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        truth.agg(F.count("*").alias("n_truth"))
+        .join(F.broadcast(hits.agg(F.count("*").alias("n_hits"))))
+        .select(
+            "n_hits",
+            "n_truth",
+            F.round(F.col("n_hits") * 100.0 / F.col("n_truth"), 2).alias(
+                "recall_pct"
+            ),
+        )
+    )
+
+
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (seeded coarse quantizer, 8 cells, nprobe=2):
     corpus bucketed by nearest centroid, probes scan only their 2
@@ -1256,6 +1282,17 @@ SELECT query_id,
 FROM scored
 QUALIFY rank <= 5
 """
+
+
+_IVF_RECALL_ORACLE = f"""
+WITH truth AS (SELECT query_id, neighbor_id FROM ({_KNN_ORACLE})),
+approx AS (SELECT query_id, neighbor_id FROM ({_ANN_IVF_ORACLE})),
+h AS (SELECT count(*) AS n_hits FROM approx SEMI JOIN truth USING (query_id, neighbor_id)),
+t AS (SELECT count(*) AS n_truth FROM truth)
+SELECT n_hits, n_truth, round(n_hits * 100.0 / n_truth, 2) AS recall_pct
+FROM t CROSS JOIN h
+"""
+
 
 
 def emb_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4936,6 +4973,7 @@ QUERIES = {
     "q_histogram": q_histogram,
     "dedup_apply": dedup_apply,
     "ann_recall": ann_recall,
+    "ivf_recall": ivf_recall,
     "pipeline_tokens_end_to_end": pipeline_tokens_end_to_end,
     "stream_hopping_agg": stream_hopping_agg,
     "stream_cumulate_agg": stream_cumulate_agg,
@@ -5042,6 +5080,7 @@ ORACLES = {
     "q_histogram": _HISTOGRAM_ORACLE,
     "dedup_apply": _DEDUP_APPLY_ORACLE,
     "ann_recall": _ANN_RECALL_ORACLE,
+    "ivf_recall": _IVF_RECALL_ORACLE,
     "pipeline_tokens_end_to_end": _PIPELINE_TOKENS_ORACLE,
     "stream_hopping_agg": _STREAM_HOP_ORACLE,
     "stream_cumulate_agg": _STREAM_CUMULATE_ORACLE,

@@ -86,6 +86,12 @@ def apply_set(config: RunnerConfig, spark, key: str, value: str) -> None:
         # Flink buffers up to this latency between state flushes; the
         # Structured-Streaming analog is the micro-batch trigger cadence.
         config.trigger_interval_s = parse_duration_seconds(value)
+    elif key == "table.optimizer.join.broadcast-threshold":
+        # Flink's broadcast-join size cutoff (bytes, -1 disables) maps
+        # 1:1 onto Spark's autoBroadcastJoinThreshold
+        conf_set("spark.sql.autoBroadcastJoinThreshold", value)
+    elif key == "table.local-time-zone":
+        conf_set("spark.sql.session.timeZone", value)
     elif key in ("table.exec.mini-batch.enabled", "table.exec.mini-batch.size",
                  "table.dynamic-table-options.enabled"):
         # Micro-batching is inherent to Structured Streaming; dynamic table

@@ -240,3 +240,19 @@ def test_explain_executes_by_default(spark, capsys):
     SqlSubmitAction(sql_text=script, spark=spark, strict_compat=True).run()
     out2 = capsys.readouterr().out
     assert "Physical Plan" not in out2
+
+
+def test_broadcast_threshold_and_timezone_set_mappings(spark):
+    from flink_commons_spark.conf import RunnerConfig, apply_set
+
+    cfg = RunnerConfig()
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        apply_set(cfg, spark, "table.optimizer.join.broadcast-threshold", "-1")
+        assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+        apply_set(cfg, spark, "table.local-time-zone", "America/New_York")
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

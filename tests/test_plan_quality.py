@@ -25,6 +25,7 @@ ALLOWED_NESTED_LOOP = {
     "q15_top_supplier",  # global-max equality
     "q_python_udfs",  # 1-row unit-norm count joined to the per-lang rows
     "ann_recall",  # 1-row hit count × 1-row truth count
+    "ivf_recall",  # same shape
 }
 
 BATCH_QUERIES = [
