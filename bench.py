@@ -34,6 +34,7 @@ HEADLINE = [
     "q_json_kpis",
     "q_above_brand_avg",
     "q_asof_join",
+    "q_asof_forward",
     "text_stats",
     "text_quality_filter",
     "dedup_exact",

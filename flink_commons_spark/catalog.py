@@ -631,6 +631,53 @@ ASOF LEFT JOIN o_dedup o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
 """
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each event ← the user's NEXT order at or
+    after the event time (the "next quote" direction pandas calls
+    ``merge_asof(direction='forward')``). Same union-sort plan as the
+    backward form, scanned in descending time order — one shuffle, no
+    range theta-join. DuckDB's ASOF is backward-only, so the oracle
+    states forward with a LATERAL first-row lookup."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("user_id", "o_orderdate").orderBy(F.asc("o_orderkey"))
+    o_dedup = o.withColumn("__rn", F.row_number().over(w)).where("__rn = 1").drop("__rn")
+    joined = asof_join(
+        e, o_dedup, on="user_id", left_time="ts", right_time="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"], direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        _epoch(F.col("ts")).alias("ts_epoch"),
+        F.coalesce(F.col("o_orderkey"), F.lit(-1)).alias("next_orderkey"),
+        F.round(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), 2).alias("next_totalprice"),
+    )
+
+
+_ASOF_FORWARD_ORACLE = """
+WITH o_dedup AS (
+  SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice
+  FROM orders
+  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey ASC) = 1
+)
+SELECT e.event_id, e.user_id,
+       floor(epoch(e.ts))::bigint AS ts_epoch,
+       coalesce(n.o_orderkey, -1) AS next_orderkey,
+       round(coalesce(n.o_totalprice, 0.0), 2) AS next_totalprice
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM o_dedup o
+  WHERE o.user_id = e.user_id AND o.o_orderdate >= e.ts
+  ORDER BY o.o_orderdate, o.o_orderkey
+  LIMIT 1
+) n ON TRUE
+"""
+
+
 # =====================================================================
 # Text analysis (LLM-pipeline operators)
 # =====================================================================
@@ -4894,6 +4941,7 @@ QUERIES = {
     "q_json_kpis": q_json_kpis,
     "q_above_brand_avg": q_above_brand_avg,
     "q_asof_join": q_asof_join,
+    "q_asof_forward": q_asof_forward,
     "text_stats": text_stats,
     "text_quality_filter": text_quality_filter,
     "dedup_exact": dedup_exact,
@@ -5001,6 +5049,7 @@ ORACLES = {
     "q_json_kpis": _JSON_ORACLE,
     "q_above_brand_avg": _ABOVE_AVG_ORACLE,
     "q_asof_join": _ASOF_ORACLE,
+    "q_asof_forward": _ASOF_FORWARD_ORACLE,
     "text_stats": _TEXT_STATS_ORACLE,
     "text_quality_filter": _TEXT_FILTER_ORACLE,
     "dedup_exact": _DEDUP_EXACT_ORACLE,

@@ -34,14 +34,21 @@ def asof_join(
     left_time: str,
     right_time: str,
     payload: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
     """Point-in-time join; returns all left columns + ``payload`` columns
-    from the latest right row at-or-before the left row's time.
+    from the latest right row at-or-before the left row's time
+    (``direction="backward"``, the default) or the EARLIEST right row
+    at-or-after it (``direction="forward"`` — the "next quote/order"
+    lookup). Forward is the same union-sort plan scanned in descending
+    time order; cost and scale posture are identical.
 
     ``on`` is the equality key present in both inputs. Right rows that
     tie on (key, time) must be pre-deduplicated by the caller if a
     deterministic winner is required.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     left_cols = left.columns
     l = left.withColumn("__t", F.col(left_time)).withColumn("__side", F.lit(1))
     for p in payload:
@@ -53,9 +60,14 @@ def asof_join(
     cols = [on, "__t", "__side", *[c for c in left_cols if c != on], *payload]
     unioned = l.select(*cols).unionByName(r.select(*cols))
 
+    # backward scans ascending time (last right seen = latest ≤ t);
+    # forward scans DESCENDING (last right seen = earliest ≥ t). Either
+    # way right rows (__side 0) sort before left at equal timestamps so
+    # the match is inclusive.
+    time_order = F.col("__t") if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("__t"), F.col("__side"))
+        .orderBy(time_order, F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
