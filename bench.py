@@ -35,6 +35,7 @@ HEADLINE = [
     "q_above_brand_avg",
     "q_asof_join",
     "q_asof_forward",
+    "stream_temporal_join",
     "text_stats",
     "text_quality_filter",
     "dedup_exact",

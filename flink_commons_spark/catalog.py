@@ -631,6 +631,63 @@ ASOF LEFT JOIN o_dedup o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
 """
 
 
+@_with_stream_shuffle(8)
+def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's EVENT-TIME TEMPORAL (versioned-table) JOIN, streaming:
+    every micro-batch of events joins as-of against the versioned
+    order table — each event sees the version current AT ITS EVENT
+    TIME, not the latest (that distinction is the whole point of
+    Flink's ``FOR SYSTEM_TIME AS OF o.rowtime`` on a versioned side).
+    Per batch the bounded union-sort as-of runs distributed inside
+    ``foreachBatch`` and appends to a parquet sink; the final table
+    equals the batch as-of bit-for-bit (same oracle)."""
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-tpj-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .transform(_norm_ts)
+        .select("event_id", "user_id", "ts")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("user_id", "o_orderdate").orderBy(F.desc("o_orderkey"))
+    versions = (
+        o.withColumn("__rn", F.row_number().over(w)).where("__rn = 1").drop("__rn")
+    )
+    out_dir = tempfile.mkdtemp(prefix="fcs-tpj-out-")
+
+    def join_batch(bdf: DataFrame, epoch_id: int) -> None:
+        joined = asof_join(
+            bdf, versions, on="user_id", left_time="ts",
+            right_time="o_orderdate", payload=["o_orderkey", "o_totalprice"],
+        ).select(
+            "event_id",
+            "user_id",
+            _epoch(F.col("ts")).alias("ts_epoch"),
+            F.coalesce(F.col("o_orderkey"), F.lit(-1)).alias("o_orderkey"),
+            F.round(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), 2).alias(
+                "o_totalprice"
+            ),
+        )
+        joined.write.mode("append").parquet(out_dir)
+
+    query = (
+        sdf.writeStream.outputMode("append")
+        .foreachBatch(join_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-tpj-"))
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.read.parquet(out_dir)
+
+
 def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of join: each event ← the user's NEXT order at or
     after the event time (the "next quote" direction pandas calls
@@ -4942,6 +4999,7 @@ QUERIES = {
     "q_above_brand_avg": q_above_brand_avg,
     "q_asof_join": q_asof_join,
     "q_asof_forward": q_asof_forward,
+    "stream_temporal_join": stream_temporal_join,
     "text_stats": text_stats,
     "text_quality_filter": text_quality_filter,
     "dedup_exact": dedup_exact,
@@ -5050,6 +5108,7 @@ ORACLES = {
     "q_above_brand_avg": _ABOVE_AVG_ORACLE,
     "q_asof_join": _ASOF_ORACLE,
     "q_asof_forward": _ASOF_FORWARD_ORACLE,
+    "stream_temporal_join": _ASOF_ORACLE,
     "text_stats": _TEXT_STATS_ORACLE,
     "text_quality_filter": _TEXT_FILTER_ORACLE,
     "dedup_exact": _DEDUP_EXACT_ORACLE,
