@@ -335,6 +335,12 @@ class SqlSubmitAction(Action):
             try:
                 df = connectors.build_source(spark, spec, streaming=self.config.is_streaming)
                 df.createOrReplaceTempView(spec.name)
+            except connectors.PermanentConnectorError:
+                # failures no retry can heal (bad options, kafka package
+                # absent) surface at the DDL, not as a confusing
+                # TABLE_NOT_FOUND on a later statement; other connector
+                # errors may resolve once a sink materializes → defer
+                raise
             except Exception as exc:
                 if spec.connector in connectors.SINK_CONNECTORS:
                     # e.g. a filesystem sink whose path doesn't exist yet;

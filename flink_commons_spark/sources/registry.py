@@ -28,12 +28,22 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from flink_commons_spark.plans.ddl import TableSpec
 from flink_commons_spark.sources import datagen
 
-SOURCE_CONNECTORS = {"datagen", "filesystem", "rate", "upsert-filesystem"}
-SINK_CONNECTORS = {"print", "blackhole", "filesystem", "upsert-filesystem"}
+SOURCE_CONNECTORS = {
+    "datagen", "filesystem", "rate", "upsert-filesystem", "kafka", "upsert-kafka",
+}
+SINK_CONNECTORS = {
+    "print", "blackhole", "filesystem", "upsert-filesystem", "kafka", "upsert-kafka",
+}
 
 
 class ConnectorError(ValueError):
     """Unknown connector or invalid connector options."""
+
+
+class PermanentConnectorError(ConnectorError):
+    """A connector failure no retry can heal (invalid configuration,
+    required integration package absent) — surface at the DDL instead
+    of deferring like a not-yet-materialized source."""
 
 
 def is_source_connector(spec: TableSpec) -> bool:
@@ -93,6 +103,8 @@ def build_source(spark: SparkSession, spec: TableSpec, streaming: bool) -> DataF
             .option("rowsPerSecond", spec.options.get("rows-per-second", "1000"))
             .load()
         )
+    elif spec.connector in ("kafka", "upsert-kafka"):
+        base = _kafka_source(spark, spec, streaming)
     else:
         raise ConnectorError(
             f"Connector {spec.connector!r} cannot be read as a source "
@@ -248,6 +260,81 @@ def _next_upsert_batch_id(df: DataFrame, path: str) -> int:
         return 0
 
 
+def _kafka_unavailable(spec: TableSpec, exc: Exception) -> ConnectorError:
+    return PermanentConnectorError(
+        f"{spec.connector} table {spec.name!r}: option mapping succeeded but "
+        "Spark's kafka integration is not on this build's classpath — launch "
+        "with --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark "
+        f"version> to enable it ({exc})"
+    )
+
+
+def _kafka_source(spark: SparkSession, spec: TableSpec, streaming: bool) -> DataFrame:
+    """Flink kafka/upsert-kafka source → Spark's kafka data source.
+
+    Option translation (Flink → Spark): ``properties.bootstrap.servers``
+    → ``kafka.bootstrap.servers``, ``topic`` → ``subscribe``,
+    ``scan.startup.mode`` ``earliest-offset``/``latest-offset`` →
+    ``startingOffsets``. The JSON value payload is parsed with the
+    table's declared schema (``value.format``/``format`` = json — the
+    only format wired). The kafka package itself is not bundled with
+    pyspark; without it the mapped reader fails with a precise,
+    actionable error rather than an unknown-connector one.
+    """
+    servers = spec.options.get("properties.bootstrap.servers")
+    topic = spec.options.get("topic")
+    if not servers or not topic:
+        raise PermanentConnectorError(
+            f"{spec.connector} table {spec.name!r} requires "
+            "'properties.bootstrap.servers' and 'topic'"
+        )
+    fmt = spec.options.get("value.format", spec.options.get("format", "json"))
+    if fmt != "json":
+        raise PermanentConnectorError(
+            f"{spec.connector} value.format {fmt!r} is not wired (json only)"
+        )
+    if not spec.columns:
+        raise PermanentConnectorError(
+            f"{spec.connector} table {spec.name!r} requires declared columns "
+            "(the JSON value payload is parsed with the table schema)"
+        )
+    reader = (spark.readStream if streaming else spark.read).format("kafka")
+    reader = reader.option("kafka.bootstrap.servers", servers).option(
+        "subscribe", topic
+    )
+    offsets = {"earliest-offset": "earliest", "latest-offset": "latest"}.get(
+        spec.options.get("scan.startup.mode", "")
+    )
+    if offsets:
+        reader = reader.option("startingOffsets", offsets)
+    try:
+        raw = reader.load()
+    except Exception as exc:
+        raise _kafka_unavailable(spec, exc) from exc
+    schema_str = ", ".join(f"{name} {typ}" for name, typ in spec.columns)
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema_str).alias("__v")
+    ).select("__v.*")
+
+
+def _kafka_batch_writer(df: DataFrame, spec: TableSpec):
+    servers = spec.options.get("properties.bootstrap.servers")
+    topic = spec.options.get("topic")
+    if not servers or not topic:
+        raise ConnectorError(
+            f"{spec.connector} sink {spec.name!r} requires "
+            "'properties.bootstrap.servers' and 'topic'"
+        )
+    payload = df.select(
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
+    )
+    return (
+        payload.write.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("topic", topic)
+    )
+
+
 def write_batch_sink(df: DataFrame, spec: TableSpec, *, overwrite: bool = False) -> None:
     """Route a batch INSERT INTO / INSERT OVERWRITE <sink table>.
 
@@ -274,6 +361,13 @@ def write_batch_sink(df: DataFrame, spec: TableSpec, *, overwrite: bool = False)
     elif spec.connector == "upsert-filesystem":
         sink = _upsert_sink(spec)
         sink.writer()(df, _next_upsert_batch_id(df, sink.path))
+    elif spec.connector in ("kafka", "upsert-kafka"):
+        try:
+            _kafka_batch_writer(df, spec).save()
+        except ConnectorError:
+            raise
+        except Exception as exc:
+            raise _kafka_unavailable(spec, exc) from exc
     else:
         raise ConnectorError(f"Connector {spec.connector!r} is not writable")
 
@@ -309,4 +403,16 @@ def start_stream_sink(df: DataFrame, spec: TableSpec, *, query_name: str,
         # where the reference demo's retraction stream would land on a
         # Flink upsert sink (SURVEY.md §1.4 changelog mapping)
         return writer.foreachBatch(_upsert_sink(spec).writer()).start()
+    if spec.connector in ("kafka", "upsert-kafka"):
+        # each micro-batch routes through the same option-mapped batch
+        # writer (update-mode upsert-kafka rows are keyed JSON updates)
+        def _emit_kafka(batch_df: DataFrame, epoch_id: int) -> None:
+            try:
+                _kafka_batch_writer(batch_df, spec).save()
+            except ConnectorError:
+                raise
+            except Exception as exc:
+                raise _kafka_unavailable(spec, exc) from exc
+
+        return writer.foreachBatch(_emit_kafka).start()
     raise ConnectorError(f"Connector {spec.connector!r} is not stream-writable")

@@ -130,3 +130,43 @@ def test_partitioned_by_unknown_column_raises():
              WITH ('connector' = 'filesystem', 'path' = '/tmp/x')"""
     with pytest.raises(DDLParseError):
         parse_create_table(ddl)
+
+
+def test_kafka_connector_option_mapping_and_gating(spark):
+    """kafka/upsert-kafka DDL is recognized and fully option-mapped;
+    in a build without the kafka package the failure is the precise
+    'not on classpath' error, never an unknown-connector one."""
+    import pytest
+
+    from flink_commons_spark.plans.ddl import parse_create_table
+    from flink_commons_spark.sources.registry import ConnectorError, build_source
+
+    spec = parse_create_table(
+        """
+        CREATE TABLE clicks (
+            user_id BIGINT,
+            url STRING,
+            ts TIMESTAMP(3)
+        ) WITH (
+            'connector' = 'kafka',
+            'topic' = 'clicks',
+            'properties.bootstrap.servers' = 'localhost:9092',
+            'scan.startup.mode' = 'earliest-offset',
+            'value.format' = 'json'
+        )
+        """
+    )
+    assert spec.connector == "kafka" and spec.options["topic"] == "clicks"
+    try:
+        build_source(spark, spec, streaming=False)
+        has_kafka = True  # environment ships the package: mapping worked
+    except ConnectorError as exc:
+        has_kafka = False
+        assert "classpath" in str(exc) and "spark-sql-kafka" in str(exc)
+    if not has_kafka:
+        # missing mandatory options fail BEFORE the classpath gate
+        bad = parse_create_table(
+            "CREATE TABLE b (x INT) WITH ('connector' = 'kafka')"
+        )
+        with pytest.raises(ConnectorError, match="requires"):
+            build_source(spark, bad, streaming=False)
