@@ -15,6 +15,10 @@ Connectors covered (reference usage in parens):
   ``key`` (comma-separated key columns), ``format``
 - ``blackhole``  — discard-everything sink (Flink parity)
 - ``rate``       — raw Spark rate source passthrough (extension)
+- ``kafka`` / ``upsert-kafka`` — option-mapped onto Spark's kafka data
+  source (JSON value payloads); the integration package is not bundled
+  with pyspark, so without it the mapped reader/writer raises a precise
+  ``--packages`` instruction (``PermanentConnectorError``)
 
 Computed columns and watermarks declared in the DDL are applied here so
 every reader of the registered view sees them — mirroring how Flink
