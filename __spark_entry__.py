@@ -27,7 +27,9 @@ from flink_commons_spark import catalog  # noqa: E402
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (the reference demo's aggregation, batch form) on
     /root/testdata/sf0.001."""
-    return catalog.q_minute_agg(spark, "/root/testdata/sf0.001")
+    # go through QUERIES (not the bare function) so the session-conf
+    # save/restore wrapper applies to the driver's smoke check too
+    return catalog.QUERIES["q_minute_agg"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

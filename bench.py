@@ -1,7 +1,10 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (summary stats + the 10 slowest queries):
 ``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+and writes the full per-query timing dict to ``BENCH_DETAIL.json``
+next to this script (the driver's stdout capture keeps only a ~2 KB
+tail, which a 106-entry dict overruns).
 
 The headline set covers every operator family (scan-agg, multi-join,
 window, sessionization, as-of, text, dedup, similarity, multimodal,
@@ -149,6 +152,7 @@ def main() -> None:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .getOrCreate()
     )
@@ -232,14 +236,39 @@ def main() -> None:
         # pinned (e.g. the minhash shingle table) before timing the next
         spark.catalog.clearCache()
 
-    print(json.dumps({
+    # The driver keeps only a ~2 KB tail of stdout; a 106-entry queries
+    # dict (~2.5 KB) overran it in round 2 and BENCH_r02 recorded
+    # `parsed: null`. Keep the stdout line compact — summary stats plus
+    # the slowest few — and write the full per-query dict to a sidecar.
+    ok = sorted(v for v in timings.values() if v >= 0)
+    n_failed = sum(1 for v in timings.values() if v < 0)
+    slowest = dict(
+        sorted(((k, v) for k, v in timings.items() if v >= 0),
+               key=lambda kv: -kv[1])[:10]
+    )
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "warm_runs": warm_runs,
-    }))
+    }, indent=1))
+
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "warm_runs": warm_runs,
+        "n_queries": len(timings),
+        "n_failed": n_failed,
+        "median_sec": round(ok[len(ok) // 2], 3) if ok else -1,
+        "p90_sec": round(ok[int(len(ok) * 0.9)], 3) if ok else -1,
+        "queries": slowest,
+        "detail": detail_path.name,
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

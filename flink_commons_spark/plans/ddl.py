@@ -83,6 +83,7 @@ class TableSpec:
     computed: list[tuple[str, str]] = field(default_factory=list)  # (name, SQL expr)
     watermark: tuple[str, str] | None = None    # (column, delay e.g. "5 seconds")
     partitioned_by: list[str] = field(default_factory=list)  # PARTITIONED BY cols
+    primary_key: list[str] = field(default_factory=list)  # PRIMARY KEY cols
     connector: str = ""
     options: dict[str, str] = field(default_factory=dict)
     if_not_exists: bool = False
@@ -248,8 +249,20 @@ def parse_create_table(statement: str) -> TableSpec:
                 (_strip_quotes(comp.group("col")), _normalize_expr(comp.group("expr")))
             )
             continue
-        if item.upper().startswith(("PRIMARY KEY", "UNIQUE", "CONSTRAINT")):
-            continue  # constraints are metadata-only in Flink; ignore
+        pk_m = re.match(
+            r"^(?:CONSTRAINT\s+`?\w+`?\s+)?PRIMARY\s+KEY\s*\((?P<cols>[^)]*)\)",
+            item,
+            re.IGNORECASE,
+        )
+        if pk_m:
+            # NOT ENFORCED is metadata in Flink, but the column list is
+            # load-bearing: upsert-kafka keys its records on it
+            spec.primary_key = [
+                _strip_quotes(c) for c in pk_m.group("cols").split(",") if c.strip()
+            ]
+            continue
+        if item.upper().startswith(("UNIQUE", "CONSTRAINT")):
+            continue  # other constraints are metadata-only in Flink; ignore
         col_m = _COLUMN_RE.match(item)
         if not col_m:
             raise DDLParseError(f"Unparseable column definition: {item!r}")

@@ -259,10 +259,18 @@ def _scalar_fn_replacement(fn: str, args: list[str]) -> str | None:
     (None if the arity isn't one we can rewrite faithfully)."""
     if fn == "SPLIT_INDEX" and len(args) == 3:
         # Flink is 0-based and NULL on out-of-range; try_element_at is
-        # 1-based and NULL on out-of-range. (Caveat: Spark's split()
-        # delimiter is a regex where Flink's is literal — identical for
-        # the plain single-character delimiters scripts actually use.)
-        return f"try_element_at(split({args[0]}, {args[1]}), ({args[2]}) + 1)"
+        # 1-based and NULL on out-of-range. Spark's split() delimiter is
+        # a REGEX where Flink's is a literal, so '.', '|', '+', '*', '$'
+        # would silently mis-split — regex-escape the contents of a
+        # quoted literal delimiter (the doubled backslash survives
+        # Spark's SQL-string unescaping). Non-literal delimiter
+        # expressions pass through unchanged: no value to inspect at
+        # rewrite time, documented as regex-semantics.
+        delim = args[1].strip()
+        m = re.fullmatch(r"'([^'\\]*)'", delim)
+        if m:
+            delim = "'" + re.escape(m.group(1)).replace("\\", "\\\\") + "'"
+        return f"try_element_at(split({args[0]}, {delim}), ({args[2]}) + 1)"
     if fn == "JSON_VALUE" and len(args) == 2:
         # same $.path syntax; both return NULL on missing paths
         return f"get_json_object({args[0]}, {args[1]})"

@@ -273,6 +273,116 @@ def _kafka_unavailable(spec: TableSpec, exc: Exception) -> ConnectorError:
     )
 
 
+def _require_upsert_kafka_pk(spec: TableSpec) -> list[str]:
+    """upsert-kafka is keyed by definition — Flink rejects the DDL
+    without a PRIMARY KEY, and so do we (round-2 advice: degrading to
+    value-only records silently breaks compacted topics)."""
+    if not spec.primary_key:
+        raise PermanentConnectorError(
+            f"upsert-kafka table {spec.name!r} requires a PRIMARY KEY "
+            "(the key columns become the Kafka record key; compaction "
+            "and tombstones are keyed on it)"
+        )
+    missing = [k for k in spec.primary_key if not any(c == k for c, _ in spec.columns)]
+    if missing:
+        raise PermanentConnectorError(
+            f"upsert-kafka table {spec.name!r}: PRIMARY KEY column(s) "
+            f"{missing} are not declared columns"
+        )
+    return spec.primary_key
+
+
+def upsert_kafka_payload(df: DataFrame, spec: TableSpec) -> DataFrame:
+    """Rows → keyed Kafka records (columns ``key``, ``value``).
+
+    Flink upsert-kafka semantics: the record key is the PRIMARY KEY
+    encoded with the key format (json here), the value is the full row
+    (``value.fields-include = ALL``, Flink's default); a DELETE becomes
+    a NULL-value tombstone on the same key. Deletes arrive from the
+    engine's changelog machinery as ``op = 'D'`` rows
+    (``streaming.cdc.OP_COL``); plain upsert streams have no op column
+    and every row is an upsert.
+    """
+    pk = _require_upsert_kafka_pk(spec)
+    data_cols = [c for c in df.columns if c != _CDC_OP_COL]
+    key = F.to_json(F.struct(*[F.col(c) for c in pk])).alias("key")
+    value = F.to_json(F.struct(*[F.col(c) for c in data_cols]))
+    if _CDC_OP_COL in df.columns:
+        value = F.when(F.col(_CDC_OP_COL) == "D", F.lit(None).cast("string")).otherwise(value)
+    return df.select(key, value.alias("value"))
+
+
+def upsert_kafka_compact(raw: DataFrame, spec: TableSpec) -> DataFrame:
+    """Raw keyed records → current table state (batch read).
+
+    Per key, the record with the highest offset wins (upsert-kafka
+    writes are keyed, so each key lives in one partition and its
+    offsets are totally ordered — the same ordering guarantee Flink's
+    ChangelogNormalize relies on); a winning NULL value is a tombstone
+    and suppresses the key (a later re-insert resurrects it). PK
+    columns are recovered from the record KEY so tombstones — which
+    have no value payload — still compact correctly.
+    """
+    from pyspark.sql import Window
+
+    pk = _require_upsert_kafka_pk(spec)
+    key_schema = ", ".join(f"{c} {t}" for c, t in spec.columns if c in pk)
+    val_schema = ", ".join(f"{c} {t}" for c, t in spec.columns)
+    parsed = raw.select(
+        F.from_json(F.col("key").cast("string"), key_schema).alias("__k"),
+        F.col("value").cast("string").alias("__raw_value"),
+        F.from_json(F.col("value").cast("string"), val_schema).alias("__v"),
+        "partition",
+        "offset",
+    )
+    w = Window.partitionBy(*[F.col(f"__k.{c}") for c in pk]).orderBy(F.desc("offset"))
+    latest = (
+        parsed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .where(F.col("__raw_value").isNotNull())  # tombstone suppresses the key
+    )
+    return latest.select(
+        *[
+            F.col(f"__k.{c}").alias(c) if c in pk else F.col(f"__v.{c}").alias(c)
+            for c, _ in spec.columns
+        ]
+    )
+
+
+def upsert_kafka_changelog(raw: DataFrame, spec: TableSpec) -> DataFrame:
+    """Raw keyed records → changelog rows with an ``op`` column
+    ('U' upsert / 'D' delete) — the streaming read shape.
+
+    Spark has no changelog source concept (Flink normalizes the keyed
+    topic inside ChangelogNormalize), so the streaming read exposes the
+    normalized changelog explicitly and the engine's CDC machinery
+    (``streaming.cdc``) applies it — the same contract as a streaming
+    ``upsert-filesystem`` read in ``scan.mode = 'changelog'``.
+    """
+    pk = _require_upsert_kafka_pk(spec)
+    key_schema = ", ".join(f"{c} {t}" for c, t in spec.columns if c in pk)
+    val_schema = ", ".join(f"{c} {t}" for c, t in spec.columns)
+    parsed = raw.select(
+        F.from_json(F.col("key").cast("string"), key_schema).alias("__k"),
+        F.col("value").cast("string").alias("__raw_value"),
+        F.from_json(F.col("value").cast("string"), val_schema).alias("__v"),
+    )
+    return parsed.select(
+        *[
+            F.col(f"__k.{c}").alias(c) if c in pk else F.col(f"__v.{c}").alias(c)
+            for c, _ in spec.columns
+        ],
+        F.when(F.col("__raw_value").isNull(), F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias(_CDC_OP_COL),
+    )
+
+
+#: changelog row-kind column name shared with streaming.cdc (inlined to
+#: keep this module import-light; asserted equal in tests)
+_CDC_OP_COL = "op"
+
+
 def _kafka_source(spark: SparkSession, spec: TableSpec, streaming: bool) -> DataFrame:
     """Flink kafka/upsert-kafka source → Spark's kafka data source.
 
@@ -284,6 +394,12 @@ def _kafka_source(spark: SparkSession, spec: TableSpec, streaming: bool) -> Data
     only format wired). The kafka package itself is not bundled with
     pyspark; without it the mapped reader fails with a precise,
     actionable error rather than an unknown-connector one.
+
+    upsert-kafka reads are keyed: a batch read compacts per key and
+    drops tombstoned keys (:func:`upsert_kafka_compact`); a streaming
+    read exposes the normalized changelog with an ``op`` column
+    (:func:`upsert_kafka_changelog`) for the CDC machinery to apply —
+    Spark has no changelog-source concept to hide it behind.
     """
     servers = spec.options.get("properties.bootstrap.servers")
     topic = spec.options.get("topic")
@@ -302,6 +418,8 @@ def _kafka_source(spark: SparkSession, spec: TableSpec, streaming: bool) -> Data
             f"{spec.connector} table {spec.name!r} requires declared columns "
             "(the JSON value payload is parsed with the table schema)"
         )
+    if spec.connector == "upsert-kafka":
+        _require_upsert_kafka_pk(spec)  # reject before touching the classpath
     reader = (spark.readStream if streaming else spark.read).format("kafka")
     reader = reader.option("kafka.bootstrap.servers", servers).option(
         "subscribe", topic
@@ -315,6 +433,10 @@ def _kafka_source(spark: SparkSession, spec: TableSpec, streaming: bool) -> Data
         raw = reader.load()
     except Exception as exc:
         raise _kafka_unavailable(spec, exc) from exc
+    if spec.connector == "upsert-kafka":
+        if streaming:
+            return upsert_kafka_changelog(raw, spec)
+        return upsert_kafka_compact(raw, spec)
     schema_str = ", ".join(f"{name} {typ}" for name, typ in spec.columns)
     return raw.select(
         F.from_json(F.col("value").cast("string"), schema_str).alias("__v")
@@ -329,9 +451,12 @@ def _kafka_batch_writer(df: DataFrame, spec: TableSpec):
             f"{spec.connector} sink {spec.name!r} requires "
             "'properties.bootstrap.servers' and 'topic'"
         )
-    payload = df.select(
-        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
-    )
+    if spec.connector == "upsert-kafka":
+        payload = upsert_kafka_payload(df, spec)
+    else:
+        payload = df.select(
+            F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
+        )
     return (
         payload.write.format("kafka")
         .option("kafka.bootstrap.servers", servers)

@@ -29,20 +29,36 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
 
-#: output schema of :func:`tag_late_rows`
+#: output schema of :func:`tag_late_rows` with the default columns
 TAGGED_SCHEMA = "user_id bigint, ts_us bigint, late int"
 
 
-def tag_late_rows(sdf: DataFrame, key_col: str = "user_id") -> DataFrame:
+def tag_late_rows(
+    sdf: DataFrame, key_col: str = "user_id", ts_col: str = "ts_us"
+) -> DataFrame:
     """Tag each row late/on-time against the batch's watermark.
 
-    The input must carry ``ts_us`` (event time, epoch micros) and have
-    a watermark defined upstream. A row is late when its ms-floored
-    event time is below the current watermark — the identical
-    comparison Spark's stateful operators use to drop rows, one
-    operator early. State is unused (the stateful form is what exposes
-    the watermark to Python); NoTimeout, nothing stored.
+    The input must carry ``ts_col`` (event time, epoch micros, bigint)
+    and have a watermark defined upstream. A row is late when its
+    ms-floored event time is below the current watermark — the
+    identical comparison Spark's stateful operators use to drop rows,
+    one operator early. State is unused (the stateful form is what
+    exposes the watermark to Python); NoTimeout, nothing stored.
+
+    The output schema is derived from ``key_col``/``ts_col`` and the
+    input's own types, so non-default key or timestamp columns work
+    (round-2 advice: the columns were hardcoded to the contract
+    query's ``user_id``/``ts_us`` despite the generic signature).
     """
+    dtypes = dict(sdf.dtypes)
+    for col in (key_col, ts_col):
+        if col not in dtypes:
+            raise ValueError(f"tag_late_rows: input lacks column {col!r}")
+    if dtypes[ts_col] != "bigint":
+        raise ValueError(
+            f"tag_late_rows: {ts_col!r} must be epoch-micros bigint, got {dtypes[ts_col]}"
+        )
+    schema = f"{key_col} {dtypes[key_col]}, {ts_col} bigint, late int"
 
     def fn(
         key: tuple[Any, ...],
@@ -51,13 +67,13 @@ def tag_late_rows(sdf: DataFrame, key_col: str = "user_id") -> DataFrame:
     ) -> Iterator["pd.DataFrame"]:
         wm_ms = state.getCurrentWatermarkMs()
         for pdf in batches:
-            out = pdf[["user_id", "ts_us"]].copy()
-            out["late"] = ((pdf["ts_us"] // 1000) < wm_ms).astype("int32")
+            out = pdf[[key_col, ts_col]].copy()
+            out["late"] = ((pdf[ts_col] // 1000) < wm_ms).astype("int32")
             yield out
 
     return sdf.groupBy(key_col).applyInPandasWithState(
         fn,
-        TAGGED_SCHEMA,
+        schema,
         "unused int",
         "append",
         GroupStateTimeout.NoTimeout,

@@ -192,6 +192,15 @@ def test_scalar_fn_rewrites_string_level():
     assert adapt_sql("SELECT SPLIT_INDEX(JSON_VALUE(j, '$.csv'), ',', 1)") == (
         "SELECT try_element_at(split(get_json_object(j, '$.csv'), ','), (1) + 1)"
     )
+    # regex metacharacters in a LITERAL delimiter are escaped (Flink's
+    # delimiter is literal; Spark's split() is regex)
+    assert adapt_sql("SELECT SPLIT_INDEX(s, '.', 0) FROM t") == (
+        "SELECT try_element_at(split(s, '\\\\.'), (0) + 1) FROM t"
+    )
+    # non-literal delimiter expressions pass through untouched
+    assert adapt_sql("SELECT SPLIT_INDEX(s, d, 0) FROM t") == (
+        "SELECT try_element_at(split(s, d), (0) + 1) FROM t"
+    )
 
 
 def test_scalar_fn_rewrites_execute(spark):
@@ -201,6 +210,8 @@ def test_scalar_fn_rewrites_execute(spark):
         adapt_sql(
             "SELECT SPLIT_INDEX('a,b,c', ',', 1) AS second, "
             "SPLIT_INDEX('a,b,c', ',', 9) AS missing, "
+            "SPLIT_INDEX('a.b.c', '.', 1) AS dotsecond, "
+            "SPLIT_INDEX('a|b|c', '|', 2) AS pipethird, "
             "JSON_VALUE('{\"k\": {\"v\": 7}}', '$.k.v') AS jv, "
             "TO_TIMESTAMP_LTZ(1700000000, 0) AS ts0, "
             "TO_TIMESTAMP_LTZ(1700000000123, 3) AS ts3, "
@@ -208,6 +219,7 @@ def test_scalar_fn_rewrites_execute(spark):
         )
     ).collect()[0]
     assert row.second == "b" and row.missing is None
+    assert row.dotsecond == "b" and row.pipethird == "c"
     assert row.jv == "7"
     assert str(row.ts0).startswith("2023-11-14")
     assert str(row.ts3).endswith("0.123000")
