@@ -2097,24 +2097,46 @@ def stream_late_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(3)
     )
     stream_dir = tempfile.mkdtemp(prefix="fcs-stream-late-")
-    for k in (1, 2, 3):
+    # one scan of events feeds all three splits, and the three
+    # coalesce(1) writes run as concurrent Spark jobs (independent
+    # one-task jobs; serializing them tripled the setup cost)
+    from concurrent.futures import ThreadPoolExecutor
+
+    tagged_src = ev.withColumn("__f", assign).persist()
+    tagged_src.count()
+
+    def _write_split(k: int) -> None:
         part_dir = tempfile.mkdtemp(prefix=f"fcs-late-part{k}-")
-        ev.where(assign == k).coalesce(1).write.mode("overwrite").parquet(part_dir)
+        tagged_src.where(F.col("__f") == k).drop("__f").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
         src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
         dst = os.path.join(stream_dir, f"{k:03d}.parquet")
         shutil.move(src, dst)
         # FileStreamSource processes oldest-mtime first: pin the order
         os.utime(dst, (k * 1000, k * 1000))
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(_write_split, (1, 2, 3)))
+    tagged_src.unpersist()
     sdf = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
         .withWatermark("ts", "1 hour")
-        .select("user_id", "ts", F.expr("unix_micros(ts)").alias("ts_us"))
+        .select(
+            "user_id",
+            "ts",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+            # tagging is watermark-vs-row only — key the stateful op on a
+            # bounded bucket so Python sees 64 pandas frames per batch
+            # instead of one per user (~20k); user_id passes through
+            F.pmod(F.col("user_id"), F.lit(64)).cast("bigint").alias("bucket"),
+        )
     )
     name = "fcs_stream_late"
     query = (
-        tag_late_rows(sdf)
+        tag_late_rows(sdf, key_col="bucket", passthrough=["user_id"])
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")

@@ -34,7 +34,10 @@ TAGGED_SCHEMA = "user_id bigint, ts_us bigint, late int"
 
 
 def tag_late_rows(
-    sdf: DataFrame, key_col: str = "user_id", ts_col: str = "ts_us"
+    sdf: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Tag each row late/on-time against the batch's watermark.
 
@@ -45,20 +48,32 @@ def tag_late_rows(
     one operator early. State is unused (the stateful form is what
     exposes the watermark to Python); NoTimeout, nothing stored.
 
-    The output schema is derived from ``key_col``/``ts_col`` and the
-    input's own types, so non-default key or timestamp columns work
-    (round-2 advice: the columns were hardcoded to the contract
+    The output schema is derived from ``key_col``/``ts_col``/
+    ``passthrough`` and the input's own types, so non-default columns
+    work (round-2 advice: the columns were hardcoded to the contract
     query's ``user_id``/``ts_us`` despite the generic signature).
+
+    Scale note: ``applyInPandasWithState`` hands Python ONE pandas
+    frame PER KEY per batch, so keying on a high-cardinality column
+    pays per-key Arrow overhead for no benefit — the watermark is
+    global to the batch, not per key. For pure tagging, key on a
+    bounded bucket (e.g. ``pmod(hash(id), 64)``) and list the real
+    id in ``passthrough``.
     """
+    passthrough = [c for c in (passthrough or []) if c != key_col]
     dtypes = dict(sdf.dtypes)
-    for col in (key_col, ts_col):
+    for col in (key_col, ts_col, *passthrough):
         if col not in dtypes:
             raise ValueError(f"tag_late_rows: input lacks column {col!r}")
     if dtypes[ts_col] != "bigint":
         raise ValueError(
             f"tag_late_rows: {ts_col!r} must be epoch-micros bigint, got {dtypes[ts_col]}"
         )
-    schema = f"{key_col} {dtypes[key_col]}, {ts_col} bigint, late int"
+    out_cols = [key_col, *passthrough]
+    schema = (
+        ", ".join(f"{c} {dtypes[c]}" for c in out_cols)
+        + f", {ts_col} bigint, late int"
+    )
 
     def fn(
         key: tuple[Any, ...],
@@ -67,7 +82,7 @@ def tag_late_rows(
     ) -> Iterator["pd.DataFrame"]:
         wm_ms = state.getCurrentWatermarkMs()
         for pdf in batches:
-            out = pdf[[key_col, ts_col]].copy()
+            out = pdf[[*out_cols, ts_col]].copy()
             out["late"] = ((pdf[ts_col] // 1000) < wm_ms).astype("int32")
             yield out
 

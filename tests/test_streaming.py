@@ -245,6 +245,134 @@ def test_runner_checkpoint_recovery(spark, tmp_path):
     assert sum(second.values()) == 42
 
 
+def test_tag_late_rows_generic_columns(spark, tmp_path):
+    """tag_late_rows derives its output schema from key/ts/passthrough
+    parameters (round-2 advice: they were hardcoded). Two files, one
+    per micro-batch: batch 1 advances the watermark, batch 2's
+    straggler tags late; non-default column names throughout."""
+    import os
+
+    from flink_commons_spark.streaming.late import tag_late_rows
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "dev string, ev_us long, seq long"
+    # batch 1: events at 100s and 200s → watermark after = 200s - 10s
+    f1 = spark.createDataFrame(
+        [("a", 100_000_000, 1), ("a", 200_000_000, 2)], schema
+    )
+    # batch 2: 150s is behind the 190s watermark → late; 210s on-time
+    f2 = spark.createDataFrame(
+        [("b", 150_000_000, 3), ("b", 210_000_000, 4)], schema
+    )
+    for i, df in enumerate((f1, f2)):
+        part = tmp_path / f"part{i}"
+        df.coalesce(1).write.parquet(str(part))
+        import glob as g
+        import shutil
+
+        dst = str(src / f"{i:03d}.parquet")
+        shutil.move(g.glob(f"{part}/part-*.parquet")[0], dst)
+        os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ev_ts", F.timestamp_micros(F.col("ev_us")))
+        .withWatermark("ev_ts", "10 seconds")
+    )
+    tagged = tag_late_rows(sdf, key_col="dev", ts_col="ev_us", passthrough=["seq"])
+    assert tagged.columns == ["dev", "seq", "ev_us", "late"]
+    q = (
+        tagged.writeStream.format("memory")
+        .queryName("fcs_test_tag_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.seq: r.late for r in spark.table("fcs_test_tag_late").collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 0}
+
+    with pytest.raises(ValueError, match="lacks column"):
+        tag_late_rows(sdf, key_col="nope")
+    with pytest.raises(ValueError, match="epoch-micros"):
+        tag_late_rows(
+            sdf.withColumn("ev_us", F.col("ev_us").cast("int")),
+            key_col="dev",
+            ts_col="ev_us",
+        )
+
+
+def test_midstream_kill_and_resume_exactly_once(spark, tmp_path):
+    """Hard stop WHILE the query is running (not after a clean
+    availableNow drain), then resume from the same checkpoint: the
+    reference's ``execution.checkpointing.*`` contract (test.sql:8-9)
+    is that a restart neither loses nor double-counts rows. The source
+    is pinned to one file per micro-batch; the kill lands after ≥2
+    batches committed but before all 6; the resumed run drains the
+    rest. An interrupted batch may replay into the sink with the same
+    epoch id — the upsert sink's (key, batch) dedup absorbs it, which
+    is exactly the exactly-once claim under test."""
+    import time
+
+    from flink_commons_spark.streaming.stateful import running_user_stats
+    from flink_commons_spark.streaming.upsert import KeyedParquetUpsertSink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, value double, epoch long"
+    n_files, rows_per_file = 6, 10
+    for f in range(n_files):
+        spark.createDataFrame(
+            [(i % 3, 1.0, 1 + f * rows_per_file + i) for i in range(rows_per_file)],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    sink = KeyedParquetUpsertSink(str(tmp_path / "state"), ["user_id"])
+
+    def start(trigger_kwargs):
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return (
+            running_user_stats(sdf)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink.writer())
+            .trigger(**trigger_kwargs)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # run 1: continuous micro-batches; kill once ≥2 batches committed
+    q = start({"processingTime": "0 seconds"})
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        done = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if len(done) >= 2:
+            break
+        time.sleep(0.2)
+    assert q.isActive, "query died before the kill point"
+    q.stop()  # hard stop — no drain
+    partial = {r.user_id: r.n_events for r in sink.read_final(spark).collect()}
+    assert 0 < sum(partial.values()) < n_files * rows_per_file, (
+        "kill must land mid-stream: got %s" % partial
+    )
+
+    # run 2: same checkpoint, drain the remainder
+    q2 = start({"availableNow": True})
+    q2.awaitTermination(120)
+
+    final = {r.user_id: r.n_events for r in sink.read_final(spark).collect()}
+    # 60 rows, i%3 over i<10 per file → 4/3/3 per file × 6 files, exactly once
+    assert final == {0: 24, 1: 18, 2: 18}
+
+
 def test_continuous_topn_tracks_rank_across_batches(spark, tmp_path):
     """Continuous Top-N: tallies accumulate in keyed state across
     micro-batches; each batch re-emits the current top-n per group, so
