@@ -1774,8 +1774,8 @@ def stream_two_source_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("user_id", "ts")
     jan3 = F.lit("2024-01-03").cast("timestamp")
     src_dirs = {}
+    splits = []
     for src, cutoff in ((0, "2024-01-16"), (1, "2024-01-08")):
-        part = ev.where(F.col("user_id") % 2 == src)
         d = tempfile.mkdtemp(prefix=f"fcs-stream-2src{src}-")
         src_dirs[src] = d
         cut = F.lit(cutoff).cast("timestamp")
@@ -1792,12 +1792,25 @@ def stream_two_source_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (2, F.col("ts") >= cut),
             )
         for k, cond in conds:
-            stage = tempfile.mkdtemp(prefix=f"fcs-2src-part{src}{k}-")
-            part.where(cond).coalesce(1).write.mode("overwrite").parquet(stage)
-            f = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-            dst = os.path.join(d, f"{k:03d}.parquet")
-            shutil.move(f, dst)
-            os.utime(dst, (k * 1000, k * 1000))
+            splits.append((src, k, (F.col("user_id") % 2 == src) & cond))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    ev_src = ev.persist()
+    ev_src.count()
+
+    def _write_split(job) -> None:
+        src, k, cond = job
+        stage = tempfile.mkdtemp(prefix=f"fcs-2src-part{src}{k}-")
+        ev_src.where(cond).coalesce(1).write.mode("overwrite").parquet(stage)
+        f = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src_dirs[src], f"{k:03d}.parquet")
+        shutil.move(f, dst)
+        os.utime(dst, (k * 1000, k * 1000))
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(_write_split, splits))
+    ev_src.unpersist()
 
     def branch(src: int):
         return (
@@ -1808,11 +1821,16 @@ def stream_two_source_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     unioned = branch(0).union(branch(1)).select(
-        "user_id", "ts", F.expr("unix_micros(ts)").alias("ts_us")
+        "user_id",
+        "ts",
+        F.expr("unix_micros(ts)").alias("ts_us"),
+        # tagging is watermark-vs-row only: bounded bucket key (64 pandas
+        # frames per batch, not one per user); user_id passes through
+        F.pmod(F.col("user_id"), F.lit(64)).cast("bigint").alias("bucket"),
     )
     name = "fcs_stream_2src"
     query = (
-        tag_late_rows(unioned)
+        tag_late_rows(unioned, key_col="bucket", passthrough=["user_id"])
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
