@@ -61,12 +61,20 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
 
+    # defaults suit the sf0.01 gate; at sf1+ raise both
+    # (SPARK_GRAFT_CPUS=32 SPARK_GRAFT_DRIVER_MEM=16g) or the 1g-default
+    # JVM dies mid-run and every later query reads "Connection refused"
+    import os
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(f"local[{cpus}]")
         .appName("check-correctness")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"))
         .getOrCreate()
     )
     con = duckdb.connect()
