@@ -84,6 +84,11 @@ class TableSpec:
     watermark: tuple[str, str] | None = None    # (column, delay e.g. "5 seconds")
     partitioned_by: list[str] = field(default_factory=list)  # PARTITIONED BY cols
     primary_key: list[str] = field(default_factory=list)  # PRIMARY KEY cols
+    #: METADATA columns: (name, spark type, metadata key, virtual).
+    #: Key defaults to the column name (Flink: `c TYPE METADATA` ==
+    #: `METADATA FROM 'c'`); VIRTUAL columns are read-only (excluded
+    #: from the sink schema).
+    metadata_cols: list[tuple[str, str, str, bool]] = field(default_factory=list)
     connector: str = ""
     options: dict[str, str] = field(default_factory=dict)
     if_not_exists: bool = False
@@ -247,6 +252,23 @@ def parse_create_table(statement: str) -> TableSpec:
         if comp and re.match(r"^`?\w+`?\s+AS\s", item, re.IGNORECASE):
             spec.computed.append(
                 (_strip_quotes(comp.group("col")), _normalize_expr(comp.group("expr")))
+            )
+            continue
+        md_m = re.match(
+            r"^(?P<col>`?\w+`?)\s+(?P<type>.+?)\s+METADATA"
+            r"(?:\s+FROM\s+'(?P<key>[^']+)')?(?P<virtual>\s+VIRTUAL)?$",
+            item,
+            re.IGNORECASE,
+        )
+        if md_m:
+            col = _strip_quotes(md_m.group("col"))
+            spec.metadata_cols.append(
+                (
+                    col,
+                    _map_type(md_m.group("type")),
+                    md_m.group("key") or col,
+                    md_m.group("virtual") is not None,
+                )
             )
             continue
         pk_m = re.match(

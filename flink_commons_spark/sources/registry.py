@@ -23,6 +23,14 @@ Connectors covered (reference usage in parens):
 Computed columns and watermarks declared in the DDL are applied here so
 every reader of the registered view sees them — mirroring how Flink
 evaluates computed columns and watermarks at the source.
+
+METADATA columns (``c TYPE METADATA [FROM 'key'] [VIRTUAL]``) are
+wired for the filesystem connector (``file.path`` / ``file.name`` /
+``file.size`` / ``file.modification-time`` via Spark's per-file
+``_metadata`` struct, batch and streaming) and the kafka connector
+(``topic`` / ``partition`` / ``offset`` / ``timestamp`` /
+``timestamp-type`` via the kafka source's native columns). Metadata is
+read-side; sinks ignore it.
 """
 
 from __future__ import annotations
@@ -143,6 +151,36 @@ def _ns_timestamp_cols(path: str) -> list[str]:
         return []
 
 
+# Flink filesystem-connector metadata keys → Spark's hidden per-file
+# ``_metadata`` struct (available on batch AND streaming file scans).
+_FILESYSTEM_METADATA = {
+    "file.path": "file_path",
+    "file.name": "file_name",
+    "file.size": "file_size",
+    "file.modification-time": "file_modification_time",
+}
+
+
+def apply_filesystem_metadata(df: DataFrame, spec: TableSpec) -> DataFrame:
+    """Materialize the DDL's METADATA columns from the file scan.
+
+    Flink's filesystem connector exposes ``file.path`` / ``file.name`` /
+    ``file.size`` / ``file.modification-time`` per row; Spark's file
+    sources carry the same facts in the ``_metadata`` struct — a narrow
+    projection, no extra I/O. VIRTUAL vs persisted is a write-side
+    distinction (sinks ignore metadata columns); reads materialize both.
+    """
+    for name, typ, key, _virtual in spec.metadata_cols:
+        field = _FILESYSTEM_METADATA.get(key)
+        if field is None:
+            raise ConnectorError(
+                f"filesystem table {spec.name!r}: metadata key {key!r} is not "
+                f"supported (supported: {sorted(_FILESYSTEM_METADATA)})"
+            )
+        df = df.withColumn(name, F.col(f"_metadata.{field}").cast(typ))
+    return df
+
+
 def _filesystem_source(spark: SparkSession, spec: TableSpec, streaming: bool) -> DataFrame:
     path = spec.options.get("path")
     if not path:
@@ -215,6 +253,8 @@ def _filesystem_source(spark: SparkSession, spec: TableSpec, streaming: bool) ->
     for c in ns_cols:
         if not spec.columns or any(name == c for name, _ in spec.columns):
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    if spec.metadata_cols:
+        df = apply_filesystem_metadata(df, spec)
     return df
 
 
@@ -420,6 +460,12 @@ def _kafka_source(spark: SparkSession, spec: TableSpec, streaming: bool) -> Data
         )
     if spec.connector == "upsert-kafka":
         _require_upsert_kafka_pk(spec)  # reject before touching the classpath
+        if spec.metadata_cols:
+            raise PermanentConnectorError(
+                f"upsert-kafka table {spec.name!r}: METADATA columns are not "
+                "wired for the keyed changelog path (kafka-connector parity: "
+                "use the plain kafka connector for metadata reads)"
+            )
     reader = (spark.readStream if streaming else spark.read).format("kafka")
     reader = reader.option("kafka.bootstrap.servers", servers).option(
         "subscribe", topic
@@ -437,10 +483,47 @@ def _kafka_source(spark: SparkSession, spec: TableSpec, streaming: bool) -> Data
         if streaming:
             return upsert_kafka_changelog(raw, spec)
         return upsert_kafka_compact(raw, spec)
+    return kafka_project(raw, spec)
+
+
+# Flink kafka-connector metadata keys → columns of Spark's kafka source.
+# ``timestamp-type`` maps through a cast to string ("CreateTime"/...).
+_KAFKA_METADATA = {
+    "topic": ("topic", None),
+    "partition": ("partition", None),
+    "offset": ("offset", None),
+    "timestamp": ("timestamp", None),
+    "timestamp-type": ("timestampType", "string"),
+}
+
+
+def kafka_project(raw: DataFrame, spec: TableSpec) -> DataFrame:
+    """Kafka records → declared columns (JSON value) + METADATA columns.
+
+    Pure transform over a kafka-shaped frame (``value`` plus the
+    source's metadata columns), so the projection is testable without a
+    broker. Flink's kafka connector reads ``topic`` / ``partition`` /
+    ``offset`` / ``timestamp`` / ``timestamp-type`` as metadata;
+    Spark's kafka source exposes each natively.
+    """
     schema_str = ", ".join(f"{name} {typ}" for name, typ in spec.columns)
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), schema_str).alias("__v")
-    ).select("__v.*")
+    parsed = raw.withColumn(
+        "__v", F.from_json(F.col("value").cast("string"), schema_str)
+    )
+    cols = [F.col(f"__v.{c}").alias(c) for c, _ in spec.columns]
+    for name, typ, key, _virtual in spec.metadata_cols:
+        mapping = _KAFKA_METADATA.get(key)
+        if mapping is None:
+            raise PermanentConnectorError(
+                f"kafka table {spec.name!r}: metadata key {key!r} is not "
+                f"supported (supported: {sorted(_KAFKA_METADATA)})"
+            )
+        src, pre_cast = mapping
+        col = F.col(src)
+        if pre_cast:
+            col = col.cast(pre_cast)
+        cols.append(col.cast(typ).alias(name))
+    return parsed.select(*cols)
 
 
 def _kafka_batch_writer(df: DataFrame, spec: TableSpec):
