@@ -184,6 +184,17 @@ class SqlSubmitAction(Action):
             # runner's module registry (same info Flink would print)
             for name in self.modules:
                 print(name)
+        elif stype is StatementType.SHOW and (
+            m := re.match(
+                r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<t>[`\w.]+)\s*$", stmt, re.IGNORECASE
+            )
+        ) and (
+            spec := self.tables.get(m.group("t").replace("`", "").split(".")[-1])
+        ) is not None:
+            # connector tables live in the runner's registry, not
+            # Spark's catalog — answer with the registered DDL text;
+            # Spark-catalog tables fall through to the generic path
+            print(spec.source_sql)
         elif stype is StatementType.USE and (
             m := re.match(
                 r"^\s*USE\s+CATALOG\s+(?P<cat>`?\w+`?)\s*$", stmt, re.IGNORECASE
@@ -329,6 +340,7 @@ class SqlSubmitAction(Action):
         if spec.name in self.tables and spec.if_not_exists:
             log.info("Table %s already registered; IF NOT EXISTS → skip", spec.name)
             return
+        spec.source_sql = stmt.strip()
         self.tables[spec.name] = spec
         self._register_rewrites(spec)
         if connectors.is_source_connector(spec):

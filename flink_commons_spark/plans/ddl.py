@@ -92,6 +92,10 @@ class TableSpec:
     connector: str = ""
     options: dict[str, str] = field(default_factory=dict)
     if_not_exists: bool = False
+    #: original CREATE TABLE text (post-LIKE expansion) — answers
+    #: SHOW CREATE TABLE for connector tables, which live in the
+    #: runner's registry rather than Spark's catalog
+    source_sql: str = ""
 
     @property
     def schema_ddl(self) -> str:

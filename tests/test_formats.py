@@ -1,0 +1,65 @@
+"""Filesystem connector format breadth (orc / json / csv round-trips
+through the CLI surface) + SHOW CREATE TABLE from the runner registry.
+
+Flink's filesystem connector is format-pluggable; the Spark mapping
+passes the ``format`` option straight to the DataFrame reader/writer,
+so every Spark-supported format works. These tests pin the three the
+reference ecosystem uses most beyond parquet, end-to-end: DDL →
+INSERT INTO sink → fresh source table → SELECT.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_commons_spark.actions.sql_submit import SqlSubmitAction
+
+
+@pytest.mark.parametrize("fmt", ["orc", "json", "csv"])
+def test_filesystem_format_round_trip(spark, tmp_path, fmt, capsys):
+    out = tmp_path / f"out_{fmt}"
+    script = f"""
+    SET 'execution.runtime-mode' = 'batch';
+    CREATE TABLE src (a BIGINT, s STRING) WITH (
+        'connector' = 'datagen', 'number-of-rows' = '5',
+        'fields.a.kind' = 'sequence', 'fields.a.start' = '1', 'fields.a.end' = '5',
+        'fields.s.length' = '4'
+    );
+    CREATE TABLE sink (a BIGINT, s STRING) WITH (
+        'connector' = 'filesystem', 'path' = '{out}', 'format' = '{fmt}'
+    );
+    INSERT INTO sink SELECT a, s FROM src;
+    CREATE TABLE back (a BIGINT, s STRING) WITH (
+        'connector' = 'filesystem', 'path' = '{out}', 'format' = '{fmt}'
+    );
+    SELECT count(*) AS n, min(a) AS lo, max(a) AS hi FROM back;
+    """
+    SqlSubmitAction(sql_text=script, spark=spark).run()
+    import re
+
+    shown = capsys.readouterr().out
+    # .show() table: 5 rows, sequence 1..5 intact through the format
+    assert re.search(r"\|\s*5\s*\|\s*1\s*\|\s*5\s*\|", shown), shown
+    rows = spark.read.format(fmt).options(
+        **({"header": "false"} if fmt == "csv" else {})
+    ).schema("a bigint, s string").load(str(out)).collect()
+    assert sorted(r.a for r in rows) == [1, 2, 3, 4, 5]
+    assert all(isinstance(r.s, str) and len(r.s) == 4 for r in rows)
+
+
+def test_show_create_table_connector(spark, tmp_path, capsys):
+    """SHOW CREATE TABLE for a runner-registered connector table prints
+    the registered DDL (Spark's catalog has no row for it)."""
+    ddl = f"""CREATE TABLE t0 (a BIGINT) WITH (
+        'connector' = 'filesystem', 'path' = '{tmp_path}/t0', 'format' = 'parquet'
+    )"""
+    spark.createDataFrame([(1,)], "a bigint").write.parquet(str(tmp_path / "t0"))
+    script = f"""
+    SET 'execution.runtime-mode' = 'batch';
+    {ddl};
+    SHOW CREATE TABLE t0;
+    """
+    SqlSubmitAction(sql_text=script, spark=spark).run()
+    shown = capsys.readouterr().out
+    assert "'connector' = 'filesystem'" in shown
+    assert "CREATE TABLE t0" in shown
