@@ -92,18 +92,17 @@ def ngram_jaccard_pairs(
     """
     grams = exploded_distinct_ngrams(docs, n, id_col, text_col)
     df_counts = grams.groupBy("gram").agg(F.count("*").alias("gram_df"))
+    # one join attaches gram_df to every kept (id, gram) row; persisting
+    # the result means the tokenize+explode scan runs ONCE for its four
+    # consumers (sizes, and both sides of the self-join) instead of four
+    # times — the stage-reuse pattern the MinHash shingle table uses
     kept = grams.join(
-        df_counts.where(F.col("gram_df") <= max_df).select("gram"), "gram"
-    )
+        df_counts.where(F.col("gram_df") <= max_df), "gram"
+    ).persist()
     sizes = kept.groupBy(id_col).agg(F.count("*").alias("sz"))
     # grams with df == 1 cannot contribute to any intersection; pruning
     # them before the self-join removes the long unique-gram tail
-    joinable = kept.join(
-        df_counts.where(
-            (F.col("gram_df") >= 2) & (F.col("gram_df") <= max_df)
-        ).select("gram"),
-        "gram",
-    )
+    joinable = kept.where(F.col("gram_df") >= 2)
     left = joinable.select(F.col("gram"), F.col(id_col).alias("a"))
     right = joinable.select(F.col("gram"), F.col(id_col).alias("b"))
     inter = (
