@@ -542,6 +542,50 @@ FROM part
 """
 
 
+def q_flink_dialect_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink-only scalar builtins driven through the dialect adapter —
+    the SQL below is FLINK SQL (FLOOR(ts TO HOUR), IS_DIGIT,
+    JSON_EXISTS, STR_TO_MAP, TRUNCATE, CONVERT_TZ…), rewritten to
+    Spark SQL by ``plans.dialect.adapt_sql`` exactly as a sql-submit
+    script would be. Proof the bridge produces the same values an
+    ANSI engine computes natively. All codegen'd; one hash-agg."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("fcs_dialect_events")
+    return spark.sql(adapt_sql(
+        """
+        SELECT event_type,
+               count(*) AS n,
+               count(DISTINCT FLOOR(ts TO HOUR)) AS n_hours,
+               count(DISTINCT CEIL(ts TO DAY)) AS n_day_ceils,
+               sum(CASE WHEN IS_DIGIT(JSON_VALUE(props, '$.k')) THEN 1 ELSE 0 END) AS n_digit_k,
+               sum(CASE WHEN JSON_EXISTS(props, '$.k') THEN 1 ELSE 0 END) AS n_has_k,
+               round(sum(cast(TRUNCATE(value, 1) as decimal(18,6))), 4) AS trunc_total,
+               min(STR_TO_MAP('t=' || event_type || ',c=fixed')['t']) AS map_t,
+               min(CONVERT_TZ(cast(FLOOR(ts TO DAY) as string), 'UTC', 'Asia/Shanghai')) AS first_day_cst
+        FROM fcs_dialect_events
+        GROUP BY event_type
+        """
+    )).withColumn("trunc_total", F.col("trunc_total").cast("double"))
+
+
+_FLINK_DIALECT_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       count(DISTINCT date_trunc('hour', ts)) AS n_hours,
+       count(DISTINCT CASE WHEN ts = date_trunc('day', ts) THEN ts
+                           ELSE date_trunc('day', ts) + INTERVAL 1 DAY END) AS n_day_ceils,
+       (sum(CASE WHEN regexp_matches(coalesce(json_extract_string(props, '$.k'), ''), '^[0-9]+$')
+                 THEN 1 ELSE 0 END))::bigint AS n_digit_k,
+       (sum(CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END))::bigint AS n_has_k,
+       round((sum((sign(value) * floor(abs(value) * pow(10, 1)) / pow(10, 1))::decimal(18,6)))::double, 4) AS trunc_total,
+       min(event_type) AS map_t,
+       strftime(min(date_trunc('day', ts)) + INTERVAL 8 HOUR, '%Y-%m-%d %H:%M:%S') AS first_day_cst
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_json_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the events.props payload + aggregation."""
     e = _t(spark, sf_dir, "events")
@@ -5034,6 +5078,7 @@ QUERIES = {
     "q_sessionize": q_sessionize,
     "q_minute_agg": q_minute_agg,
     "q_scalar_gauntlet": q_scalar_gauntlet,
+    "q_flink_dialect_funcs": q_flink_dialect_funcs,
     "q_json_kpis": q_json_kpis,
     "q_above_brand_avg": q_above_brand_avg,
     "q_asof_join": q_asof_join,
@@ -5143,6 +5188,7 @@ ORACLES = {
     "q_sessionize": _SESSIONIZE_ORACLE,
     "q_minute_agg": _MINUTE_AGG_ORACLE,
     "q_scalar_gauntlet": _SCALAR_ORACLE,
+    "q_flink_dialect_funcs": _FLINK_DIALECT_ORACLE,
     "q_json_kpis": _JSON_ORACLE,
     "q_above_brand_avg": _ABOVE_AVG_ORACLE,
     "q_asof_join": _ASOF_ORACLE,

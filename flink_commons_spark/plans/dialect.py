@@ -21,7 +21,16 @@ value, ``test.sql:55,60``). Spark 4 under ANSI mode throws
   ``try_element_at(split(...), i+1)``, ``JSON_VALUE`` →
   ``get_json_object`` (same ``$.path`` syntax), ``TO_TIMESTAMP_LTZ(x,
   0|3)`` → ``timestamp_seconds``/``timestamp_millis``,
-  ``RAND_INTEGER([seed,] n)`` → ``cast(floor(rand(...) * n) as int)``;
+  ``RAND_INTEGER([seed,] n)`` → ``cast(floor(rand(...) * n) as int)``,
+  ``STR_TO_MAP`` (Flink's literal delimiters + ``'='`` kv default vs
+  Spark's regex delimiters + ``':'``), ``CONVERT_TZ`` (string→string)
+  → ``convert_timezone`` wrapped in parse/format, numeric ``TRUNCATE``
+  (toward zero — sign-aware floor), ``IS_DIGIT``/``IS_ALPHA``/
+  ``IS_DECIMAL`` → rlike/try_cast predicates, ``JSON_EXISTS``/
+  ``JSON_QUERY`` → ``get_json_object`` forms, and the time-unit
+  rounding syntax ``FLOOR(ts TO UNIT)`` / ``CEIL(ts TO UNIT)`` →
+  ``date_trunc`` (+ one-unit bump for CEIL; WEEK/QUARTER bump via
+  days/add_months since Spark lacks those interval qualifiers);
 - Flink **windowing TVFs** (the ≥1.13 syntax, `TVFs`): ``FROM
   TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), size))`` /
   ``HOP(…, slide, size)`` / ``CUMULATE(…, step, size)`` → a derived
@@ -249,9 +258,29 @@ def _window_tvf_replacement(fn: str, args: list[str]) -> str | None:
 
 
 _SCALAR_FN_RE = re.compile(
-    r"\b(?P<fn>SPLIT_INDEX|JSON_VALUE|TO_TIMESTAMP_LTZ|RAND_INTEGER)\s*\(",
+    r"\b(?P<fn>SPLIT_INDEX|JSON_VALUE|TO_TIMESTAMP_LTZ|RAND_INTEGER"
+    r"|STR_TO_MAP|CONVERT_TZ|TRUNCATE|IS_DIGIT|IS_ALPHA|IS_DECIMAL"
+    r"|JSON_EXISTS|JSON_QUERY|FLOOR|CEIL|CEILING)\s*\(",
     re.IGNORECASE,
 )
+
+#: FLOOR/CEIL(ts TO UNIT) — Flink's time-unit rounding syntax
+#: (FLOOR <timepoint> TO <timeintervalunit>); Spark's FLOOR/CEIL are
+#: numeric-only, its parser rejects the TO form outright.
+_TO_UNIT_RE = re.compile(
+    r"^(?P<expr>.+?)\s+TO\s+(?P<unit>YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _escape_literal_delim(arg: str) -> str:
+    """Regex-escape the contents of a quoted literal delimiter (Flink
+    treats split delimiters as literals, Spark as regexes); non-literal
+    expressions pass through unchanged."""
+    m = re.fullmatch(r"'([^'\\]*)'", arg.strip())
+    if m:
+        return "'" + re.escape(m.group(1)).replace("\\", "\\\\") + "'"
+    return arg
 
 
 def _scalar_fn_replacement(fn: str, args: list[str]) -> str | None:
@@ -285,6 +314,61 @@ def _scalar_fn_replacement(fn: str, args: list[str]) -> str | None:
         seed = f"rand({args[0]})" if len(args) == 2 else "rand()"
         bound = args[-1]
         return f"cast(floor({seed} * ({bound})) as int)"
+    if fn == "STR_TO_MAP" and len(args) in (1, 3):
+        # Flink: literal delimiters, defaults (',', '='); Spark:
+        # REGEX delimiters, defaults (',', ':') — both the default kv
+        # separator and the literal-vs-regex semantics differ.
+        if len(args) == 1:
+            return f"str_to_map({args[0]}, ',', '=')"
+        return (
+            f"str_to_map({args[0]}, {_escape_literal_delim(args[1])}, "
+            f"{_escape_literal_delim(args[2])})"
+        )
+    if fn == "CONVERT_TZ" and len(args) == 3:
+        # Flink: (datetime STRING, from_tz, to_tz) -> STRING in
+        # 'yyyy-MM-dd HH:mm:ss'. Spark's convert_timezone takes
+        # (sourceTz, targetTz, timestamp_ntz) — wrap both directions.
+        return (
+            f"date_format(convert_timezone({args[1]}, {args[2]}, "
+            f"to_timestamp({args[0]})), 'yyyy-MM-dd HH:mm:ss')"
+        )
+    if fn == "TRUNCATE" and len(args) in (1, 2):
+        # Flink: truncate toward zero to d decimal places (d may be
+        # negative); Spark has no numeric TRUNCATE — floor() rounds
+        # toward -inf, so build a sign-aware form.
+        x, d = args[0], (args[1] if len(args) == 2 else "0")
+        return (
+            f"(sign({x}) * floor(abs({x}) * pow(10, ({d}))) / pow(10, ({d})))"
+        )
+    if fn == "IS_DIGIT" and len(args) == 1:
+        return f"(coalesce({args[0]}, '') rlike '^[0-9]+$')"
+    if fn == "IS_ALPHA" and len(args) == 1:
+        return f"(coalesce({args[0]}, '') rlike '^[a-zA-Z]+$')"
+    if fn == "IS_DECIMAL" and len(args) == 1:
+        return f"(try_cast({args[0]} as decimal(38,18)) is not null)"
+    if fn == "JSON_EXISTS" and len(args) == 2:
+        # lax-mode existence check; get_json_object is NULL on a
+        # missing path, which is exactly the boolean Flink returns
+        return f"(get_json_object({args[0]}, {args[1]}) is not null)"
+    if fn == "JSON_QUERY" and len(args) == 2:
+        # both return the matched JSON fragment as text, NULL if absent
+        return f"get_json_object({args[0]}, {args[1]})"
+    if fn in ("FLOOR", "CEIL", "CEILING") and len(args) == 1:
+        m = _TO_UNIT_RE.match(args[0])
+        if not m:
+            return None  # plain numeric FLOOR/CEIL — Spark-native
+        expr, unit = m.group("expr").strip(), m.group("unit").upper()
+        trunc = f"date_trunc('{unit}', {expr})"
+        if fn == "FLOOR":
+            return trunc
+        # CEIL: already-aligned timepoints stay; else round up one
+        # unit. WEEK/QUARTER aren't valid Spark interval qualifiers —
+        # add 7 days / 3 months instead.
+        bump = {
+            "WEEK": f"{trunc} + INTERVAL '7' DAY",
+            "QUARTER": f"add_months({trunc}, 3)",
+        }.get(unit, f"{trunc} + INTERVAL '1' {unit}")
+        return f"(case when {expr} = {trunc} then {trunc} else {bump} end)"
     return None
 
 
@@ -309,7 +393,11 @@ def _rewrite_scalar_funcs(sql: str) -> str:
         replacement = _scalar_fn_replacement(m.group("fn").upper(), args)
         out.append(sql[pos : m.start()])
         if replacement is None:
-            out.append(sql[m.start() : close + 1])
+            # unhandled shape (e.g. plain numeric FLOOR): keep the call
+            # but from the REWRITTEN args, so Flink built-ins nested
+            # inside it still get translated
+            fn_text = sql[m.start() : m.end() - 1].rstrip().rstrip("(").rstrip()
+            out.append(f"{fn_text}({', '.join(args)})")
         else:
             out.append(replacement)
         pos = close + 1

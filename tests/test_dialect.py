@@ -224,3 +224,78 @@ def test_scalar_fn_rewrites_execute(spark):
     assert str(row.ts0).startswith("2023-11-14")
     assert str(row.ts3).endswith("0.123000")
     assert 0 <= row.r < 10
+
+
+def test_new_scalar_fn_rewrites_string_level():
+    from flink_commons_spark.plans.dialect import adapt_sql
+
+    # STR_TO_MAP: Flink defaults are (',', '='); delimiters are literal
+    assert adapt_sql("SELECT STR_TO_MAP(s) FROM t") == (
+        "SELECT str_to_map(s, ',', '=') FROM t"
+    )
+    assert adapt_sql("SELECT STR_TO_MAP(s, '|', ':') FROM t") == (
+        "SELECT str_to_map(s, '\\\\|', ':') FROM t"
+    )
+    # FLOOR/CEIL time-unit rounding; plain numeric forms untouched
+    assert adapt_sql("SELECT FLOOR(ts TO HOUR) FROM t") == (
+        "SELECT date_trunc('HOUR', ts) FROM t"
+    )
+    out = adapt_sql("SELECT CEIL(ts TO DAY) FROM t")
+    assert "date_trunc('DAY', ts)" in out and "INTERVAL '1' DAY" in out
+    out = adapt_sql("SELECT CEIL(ts TO WEEK) FROM t")
+    assert "INTERVAL '7' DAY" in out
+    out = adapt_sql("SELECT CEIL(ts TO QUARTER) FROM t")
+    assert "add_months(date_trunc('QUARTER', ts), 3)" in out
+    assert adapt_sql("SELECT FLOOR(x) FROM t") == "SELECT FLOOR(x) FROM t"
+    # Flink built-ins nested inside an unrewritten FLOOR still translate
+    assert adapt_sql("SELECT FLOOR(TRUNCATE(x, 0))") == (
+        "SELECT FLOOR((sign(x) * floor(abs(x) * pow(10, (0))) / pow(10, (0))))"
+    )
+    assert "rlike '^[0-9]+$'" in adapt_sql("SELECT IS_DIGIT(s)")
+    assert "rlike '^[a-zA-Z]+$'" in adapt_sql("SELECT IS_ALPHA(s)")
+    assert "try_cast(s as decimal(38,18)) is not null" in adapt_sql(
+        "SELECT IS_DECIMAL(s)"
+    )
+    assert adapt_sql("SELECT JSON_QUERY(j, '$.a') FROM t") == (
+        "SELECT get_json_object(j, '$.a') FROM t"
+    )
+    assert adapt_sql("SELECT JSON_EXISTS(j, '$.a') FROM t") == (
+        "SELECT (get_json_object(j, '$.a') is not null) FROM t"
+    )
+    assert "convert_timezone('UTC', 'Asia/Shanghai', to_timestamp(s))" in adapt_sql(
+        "SELECT CONVERT_TZ(s, 'UTC', 'Asia/Shanghai')"
+    )
+
+
+def test_new_scalar_fn_rewrites_execute(spark):
+    from flink_commons_spark.plans.dialect import adapt_sql
+
+    row = spark.sql(
+        adapt_sql(
+            "SELECT STR_TO_MAP('a=1,b=2')['b'] AS m_default, "
+            "STR_TO_MAP('a.1|b.2', '|', '.')['a'] AS m_custom, "
+            "FLOOR(timestamp '2024-05-14 13:47:21' TO HOUR) AS fl_hour, "
+            "CEIL(timestamp '2024-05-14 13:47:21' TO DAY) AS ce_day, "
+            "CEIL(timestamp '2024-05-14 00:00:00' TO DAY) AS ce_aligned, "
+            "TRUNCATE(-12.345, 2) AS tr_neg, "
+            "TRUNCATE(12.399, 1) AS tr_pos, "
+            "IS_DIGIT('0451') AS dig, IS_DIGIT('a1') AS notdig, "
+            "IS_ALPHA('abc') AS alpha, IS_DECIMAL('1.5e2') AS dec1, "
+            "IS_DECIMAL('x') AS dec0, "
+            "JSON_EXISTS('{\"a\": 1}', '$.a') AS je1, "
+            "JSON_EXISTS('{\"a\": 1}', '$.b') AS je0, "
+            "JSON_QUERY('{\"a\": {\"b\": 2}}', '$.a') AS jq, "
+            "CONVERT_TZ('2024-01-01 00:00:00', 'UTC', 'Asia/Shanghai') AS tz"
+        )
+    ).collect()[0]
+    assert row.m_default == "2" and row.m_custom == "1"
+    assert str(row.fl_hour) == "2024-05-14 13:00:00"
+    assert str(row.ce_day) == "2024-05-15 00:00:00"
+    assert str(row.ce_aligned) == "2024-05-14 00:00:00"
+    assert abs(row.tr_neg - (-12.34)) < 1e-9
+    assert abs(row.tr_pos - 12.3) < 1e-9
+    assert row.dig is True and row.notdig is False and row.alpha is True
+    assert row.dec1 is True and row.dec0 is False
+    assert row.je1 is True and row.je0 is False
+    assert row.jq == '{"b":2}'
+    assert row.tz == "2024-01-01 08:00:00"
