@@ -4697,6 +4697,60 @@ GROUP BY lang
 """
 
 
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling: hashed-bigram LLR weights
+    against an English-target distribution, top-100 selection with a
+    total (weight, doc_id) order, summarized per source. See
+    ``operators/sampling.py:dsir_weights`` for the scale analysis."""
+    from flink_commons_spark.operators.sampling import dsir_weights
+
+    d = _tp(spark, sf_dir, "documents")
+    scored = dsir_weights(d, F.col("lang") == F.lit("en"))
+    top = scored.orderBy(F.desc("log_weight"), F.asc("doc_id")).limit(100)
+    return top.groupBy("source").agg(
+        F.count("*").alias("n_sel"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+        F.round(
+            F.sum(F.col("log_weight").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("sum_lw"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+_DSIR_ORACLE = f"""
+WITH toks AS (SELECT doc_id, lang, source, {_TOKS_SQL} AS toks FROM documents),
+feats AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 14))::bigint % 4096 AS bucket
+  FROM toks, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)
+),
+bstats AS (
+  SELECT bucket, count(*) AS s, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t
+  FROM feats GROUP BY bucket
+),
+llr AS (
+  SELECT bucket,
+         round(ln((t + 0.5) / ((SELECT sum(t) FROM bstats) + 0.5 * 4096))
+             - ln((s + 0.5) / ((SELECT sum(s) FROM bstats) + 0.5 * 4096)), 6)::decimal(18,6) AS llr
+  FROM bstats
+),
+wts AS (
+  SELECT f.doc_id, sum(l.llr) AS lw
+  FROM feats f JOIN llr l USING (bucket) GROUP BY f.doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.lang, d.source, coalesce(w.lw, 0::decimal(18,6)) AS lw
+  FROM documents d LEFT JOIN wts w USING (doc_id)
+),
+top AS (SELECT * FROM scored ORDER BY lw DESC, doc_id ASC LIMIT 100)
+SELECT source, count(*) AS n_sel,
+       (sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END))::bigint AS n_en,
+       round((sum(lw))::double, 4) AS sum_lw,
+       min(doc_id) AS min_doc
+FROM top GROUP BY source
+"""
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Target-mixture downsampling (50/30/20 over three sources): the
     cuts are DERIVED from the target weights by pure integer
@@ -5169,6 +5223,7 @@ QUERIES = {
     "stream_cumulate_agg": stream_cumulate_agg,
     "q_chunk_windows": q_chunk_windows,
     "q_mixture_sample": q_mixture_sample,
+    "dsir_select": dsir_select,
     "stream_topn": stream_topn,
     "q_match_recognize": q_match_recognize,
     "q_over_range": q_over_range,
@@ -5279,6 +5334,7 @@ ORACLES = {
     "stream_cumulate_agg": _STREAM_CUMULATE_ORACLE,
     "q_chunk_windows": _CHUNK_ORACLE,
     "q_mixture_sample": _MIXTURE_ORACLE,
+    "dsir_select": _DSIR_ORACLE,
     "stream_topn": _STREAM_TOPN_ORACLE,
     "q_match_recognize": _MATCH_RECOGNIZE_ORACLE,
     "q_over_range": _OVER_RANGE_ORACLE,

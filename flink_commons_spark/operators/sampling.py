@@ -14,7 +14,7 @@ no shuffle, no sampling state.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: bucket space for fraction cuts — 1/10000 granularity
 BUCKETS = 10_000
@@ -113,3 +113,103 @@ def with_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+# ------------------------------------------- importance resampling (DSIR)
+
+
+def dsir_weights(
+    df: DataFrame,
+    is_target: Column,
+    buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed-bigram importance weights for target-matched data
+    selection, after the DSIR recipe (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score each
+    document by how much more likely its features are under the
+    TARGET distribution than under the corpus (source) distribution,
+    then keep the highest-weight documents.
+
+    Features are word bigrams hashed into ``buckets`` md5 buckets (the
+    paper's hashed n-gram feature space). Per-bucket probabilities are
+    Laplace-smoothed counts; the per-document log weight is
+
+        log w(d) = Σ_f  ln p_target(f) - ln p_source(f)
+
+    summed over the document's feature OCCURRENCES. The per-bucket
+    log-likelihood ratio is rounded to 6 decimals and fixed as
+    ``decimal(18,6)``, so the per-doc sum is exact integer-decimal
+    arithmetic — bit-stable across engines (float only at the very
+    edges: the two ``ln`` calls, proven portable by the scalar
+    gauntlet, and the final cast).
+
+    Scale posture: one explode pass over the corpus; the bucket stats
+    are a map-side-combined hash-agg to ``buckets`` rows; the LLR
+    table (≤ ``buckets`` rows) broadcasts back onto the feature
+    stream; one keyed agg by document and one keyed join to re-attach
+    the corpus. No window over data, no driver state beyond the
+    broadcast LLR table.
+
+    Returns the input columns + ``n_feats`` (bigint) + ``log_weight``
+    (double, 0.0 for documents with fewer than two tokens).
+    """
+    from flink_commons_spark.operators.text import tokens
+
+    toks = tokens(F.lower(F.col(text_col)))
+    tdf = df.select(id_col, is_target.alias("__tgt"), toks.alias("__toks"))
+    bigram_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.get(F.col("__toks"), i), F.get(F.col("__toks"), i + 1)
+    )
+    # guard: sequence(0, -1) would DESCEND — short docs get no features
+    bigrams = F.when(
+        F.size(F.col("__toks")) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(F.col("__toks")) - 2), bigram_at),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = (
+        tdf.withColumn("__feat", F.explode(bigrams))
+        .select(
+            id_col,
+            "__tgt",
+            (
+                F.conv(F.substring(F.md5(F.col("__feat")), 1, 14), 16, 10)
+                .cast("bigint") % buckets
+            ).alias("__bucket"),
+        )
+    )
+    w_all = Window.partitionBy()  # over the bucket table only (≤ buckets rows)
+    # NB: names must differ by more than case — Spark's default
+    # case-insensitive resolution makes withColumn("__T", …) REPLACE "__t"
+    bstats = (
+        feats.groupBy("__bucket")
+        .agg(
+            F.count("*").alias("__s"),
+            F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__t"),
+        )
+        .withColumn("__s_tot", F.sum("__s").over(w_all))
+        .withColumn("__t_tot", F.sum("__t").over(w_all))
+    )
+    llr = F.round(
+        F.log((F.col("__t") + 0.5) / (F.col("__t_tot") + 0.5 * buckets))
+        - F.log((F.col("__s") + 0.5) / (F.col("__s_tot") + 0.5 * buckets)),
+        6,
+    ).cast("decimal(18,6)")
+    bucket_llr = bstats.select("__bucket", llr.alias("__llr"))
+    weights = (
+        feats.join(F.broadcast(bucket_llr), "__bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("__llr").alias("__lw"),
+        )
+    )
+    return (
+        df.join(weights, id_col, "left")
+        .withColumn("n_feats", F.coalesce(F.col("n_feats"), F.lit(0)))
+        .withColumn(
+            "log_weight",
+            F.coalesce(F.col("__lw").cast("double"), F.lit(0.0)),
+        )
+        .drop("__lw")
+    )

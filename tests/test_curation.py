@@ -159,3 +159,28 @@ def test_chunk_windows_rejects_bad_params(spark):
 def test_tfidf_rare_term_outranks_common(spark, docs):
     rows = {r["rnk"]: r for r in C.tfidf_top_terms(docs, k=2).collect() if r["doc_id"] == 2}
     assert rows[1]["tok"] == "x"  # df=1 beats the df=4 'a'/'b' terms
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """Docs sharing bigrams with the target population must outweigh
+    docs that don't; short docs (<2 tokens) get weight 0."""
+    from flink_commons_spark.operators.sampling import dsir_weights
+
+    rows = [
+        (1, "the quick brown fox jumps", "en"),      # target
+        (2, "the quick brown dog runs", "en"),       # target
+        (3, "the quick brown cat sits", "xx"),       # target-like source doc
+        (4, "uno dos tres cuatro cinco", "xx"),      # target-unlike
+        (5, "solo", "xx"),                           # no bigrams
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    from pyspark.sql import functions as F
+
+    out = {r["doc_id"]: r for r in dsir_weights(
+        d, F.col("lang") == "en", buckets=64
+    ).collect()}
+    assert out[5]["n_feats"] == 0 and out[5]["log_weight"] == 0.0
+    # target-like doc 3 scores above target-unlike doc 4
+    assert out[3]["log_weight"] > out[4]["log_weight"]
+    # every doc with features got a finite weight and the right count
+    assert out[1]["n_feats"] == 4 and out[4]["n_feats"] == 4
