@@ -2473,6 +2473,108 @@ GROUP BY c_mktsegment
 """
 
 
+def stream_broadcast_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's BROADCAST-STATE pattern (``BroadcastProcessFunction``):
+    a small rules changelog is re-read and broadcast onto EVERY
+    micro-batch of the main stream inside ``foreachBatch``, so each
+    batch applies the rules current at its own processing time
+    (``streaming/rules.py``). Determinism protocol: events split into
+    3 mtime-ordered files, one per micro-batch; the rules changelog is
+    versioned and batch N applies versions ≤ N — replaying "rules that
+    arrived by then" exactly. Rule evolution: batch 1 promotes clicks
+    to 'hot', batch 2 promotes errors to 'alert'; earlier batches keep
+    the default tag, which the output proves."""
+    import glob
+    import os
+    import shutil
+    from concurrent.futures import ThreadPoolExecutor
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "ts")
+    assign = (
+        F.when(F.col("ts") < F.lit("2024-01-11").cast("timestamp"), 1)
+        .when(F.col("ts") < F.lit("2024-01-21").cast("timestamp"), 2)
+        .otherwise(3)
+    )
+    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-rules-")
+    tagged_src = ev.withColumn("__f", assign).persist()
+    tagged_src.count()
+
+    def _write_split(k: int) -> None:
+        part_dir = tempfile.mkdtemp(prefix=f"fcs-rules-part{k}-")
+        tagged_src.where(F.col("__f") == k).drop("__f").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        src = glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = os.path.join(stream_dir, f"{k:03d}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (k * 1000, k * 1000))  # oldest-mtime-first order
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(_write_split, (1, 2, 3)))
+    tagged_src.unpersist()
+
+    rules_dir = tempfile.mkdtemp(prefix="fcs-rules-tbl-")
+    spark.createDataFrame(
+        [(1, "click", "hot"), (2, "error", "alert")],
+        ["version", "event_type", "tag"],
+    ).coalesce(1).write.mode("overwrite").parquet(rules_dir)
+    out_dir = tempfile.mkdtemp(prefix="fcs-rules-out-")
+
+    from flink_commons_spark.streaming.rules import broadcast_rules_batch
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        out = broadcast_rules_batch(
+            batch_df, rules_dir, ["event_type"], upto=batch_id, how="left"
+        ).withColumn("tag", F.coalesce(F.col("tag"), F.lit("std")))
+        out.select("event_type", "tag", "value").write.mode("append").parquet(
+            out_dir
+        )
+
+    sdf = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stream_dir)
+    query = (
+        sdf.writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-rules-"))
+        .start()
+    )
+    query.awaitTermination(300)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type", "tag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(_dec(F.col("value"))).cast("double"), 4).alias("sum_value"),
+        )
+    )
+
+
+_STREAM_RULES_ORACLE = """
+WITH e AS (
+  SELECT event_type, value,
+         CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 0
+              WHEN ts < TIMESTAMP '2024-01-21' THEN 1
+              ELSE 2 END AS b
+  FROM events
+),
+rules(version, event_type, tag) AS (
+  VALUES (1, 'click', 'hot'), (2, 'error', 'alert')
+),
+applied AS (
+  SELECT e.event_type, e.value,
+         coalesce((SELECT r.tag FROM rules r
+                   WHERE r.event_type = e.event_type AND r.version <= e.b
+                   ORDER BY r.version DESC LIMIT 1), 'std') AS tag
+  FROM e
+)
+SELECT event_type, tag, count(*) AS n,
+       round((sum(value::decimal(18,6)))::double, 4) AS sum_value
+FROM applied GROUP BY event_type, tag
+"""
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup scan: LSH-bucketed (6 planes) pair
     similarities → histogram (bucket = floor(sim·10))."""
@@ -5176,6 +5278,7 @@ QUERIES = {
     "q_string_funcs": q_string_funcs,
     "dedup_nearest": dedup_nearest,
     "stream_lookup_join": stream_lookup_join,
+    "stream_broadcast_rules": stream_broadcast_rules,
     "q_ntile_quality": q_ntile_quality,
     "pipeline_end_to_end": pipeline_end_to_end,
     "emb_quantize_stats": emb_quantize_stats,
@@ -5287,6 +5390,7 @@ ORACLES = {
     "q_string_funcs": _STRING_ORACLE,
     "dedup_nearest": _DEDUP_NEAREST_ORACLE,
     "stream_lookup_join": _STREAM_LOOKUP_ORACLE,
+    "stream_broadcast_rules": _STREAM_RULES_ORACLE,
     "q_ntile_quality": _NTILE_ORACLE,
     "pipeline_end_to_end": _PIPELINE_ORACLE,
     "emb_quantize_stats": _QUANTIZE_ORACLE,

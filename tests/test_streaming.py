@@ -591,3 +591,20 @@ def test_timer_sessions_multi_batch(spark, tmp_path):
         for r in spark.table("t_timer_mb").collect()
     }
     assert got == {(1, 100, 120, 3), (1, 1000, 1000, 1)}
+
+
+def test_latest_rules_resolves_version_horizon(spark):
+    """Broadcast-state resolution: newest rule per key at or below the
+    horizon; keys with no rule yet are simply absent."""
+    from flink_commons_spark.streaming.rules import latest_rules
+
+    rules = spark.createDataFrame(
+        [(0, "a", "r0"), (2, "a", "r2"), (1, "b", "r1")],
+        ["version", "key", "rule"],
+    )
+    at0 = {r["key"]: r["rule"] for r in latest_rules(rules, ["key"], upto=0).collect()}
+    at1 = {r["key"]: r["rule"] for r in latest_rules(rules, ["key"], upto=1).collect()}
+    full = {r["key"]: r["rule"] for r in latest_rules(rules, ["key"]).collect()}
+    assert at0 == {"a": "r0"}
+    assert at1 == {"a": "r0", "b": "r1"}
+    assert full == {"a": "r2", "b": "r1"}
