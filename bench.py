@@ -144,6 +144,11 @@ def main() -> None:
 
     from flink_commons_spark import catalog
 
+    # catalog entries added after this list was written still get timed:
+    # the ordering above stays stable for round-over-round comparison,
+    # new queries append at the end
+    HEADLINE.extend(n for n in catalog.QUERIES if n not in HEADLINE)
+
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("flink-commons-spark-bench")

@@ -2473,6 +2473,7 @@ GROUP BY c_mktsegment
 """
 
 
+@_with_stream_shuffle(4)
 def stream_broadcast_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink's BROADCAST-STATE pattern (``BroadcastProcessFunction``):
     a small rules changelog is re-read and broadcast onto EVERY
@@ -2515,9 +2516,12 @@ def stream_broadcast_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged_src.unpersist()
 
     rules_dir = tempfile.mkdtemp(prefix="fcs-rules-tbl-")
-    spark.createDataFrame(
-        [(1, "click", "hot"), (2, "error", "alert")],
-        ["version", "event_type", "tag"],
+    # VALUES keeps the tiny rules write JVM-only; coalesce(1) over
+    # createDataFrame would chain 32 Python partition evaluations into
+    # one task (~5 s for 2 rows, measured)
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'click', 'hot'), (2, 'error', 'alert')"
+        " AS t(version, event_type, tag)"
     ).coalesce(1).write.mode("overwrite").parquet(rules_dir)
     out_dir = tempfile.mkdtemp(prefix="fcs-rules-out-")
 
@@ -2527,9 +2531,13 @@ def stream_broadcast_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = broadcast_rules_batch(
             batch_df, rules_dir, ["event_type"], upto=batch_id, how="left"
         ).withColumn("tag", F.coalesce(F.col("tag"), F.lit("std")))
-        out.select("event_type", "tag", "value").write.mode("append").parquet(
-            out_dir
-        )
+        # pre-aggregate per batch: the sink carries |types × tags| rows
+        # per micro-batch, not the batch's event rows (decimal partials
+        # keep the final sum exact)
+        out.groupBy("event_type", "tag").agg(
+            F.count("*").alias("n"),
+            F.sum(_dec(F.col("value"))).alias("sum_dec"),
+        ).coalesce(1).write.mode("append").parquet(out_dir)
 
     sdf = spark.readStream.schema(ev.schema).option(
         "maxFilesPerTrigger", 1
@@ -2545,8 +2553,8 @@ def stream_broadcast_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(out_dir)
         .groupBy("event_type", "tag")
         .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum(_dec(F.col("value"))).cast("double"), 4).alias("sum_value"),
+            F.sum("n").cast("bigint").alias("n"),
+            F.round(F.sum("sum_dec").cast("double"), 4).alias("sum_value"),
         )
     )
 
