@@ -4767,6 +4767,45 @@ FROM e
 """
 
 
+def corpus_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE corpus-health dashboard — the first report a
+    training-data build runs on a new crawl: volume, exact-dup rate
+    (distinct fingerprints vs docs), language mix, length median, and
+    URL density per domain. One hash-agg over the corpus; fingerprint
+    and regex counts are narrow codegen'd maps."""
+    d = _tp(spark, sf_dir, "documents")
+    enr = (
+        d.withColumn("fp", T.fingerprint(F.col("text")))
+        .withColumn(
+            "n_url",
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(_URL_RE), 0)),
+        )
+    )
+    return enr.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.expr("percentile(n_chars, 0.5D)").alias("med_chars"),
+        F.sum("n_url").cast("bigint").alias("n_urls"),
+    )
+
+
+_DOMAIN_PROFILE_ORACLE = f"""
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT {_FP_SQL}) AS n_unique,
+       count(DISTINCT lang) AS n_langs,
+       (sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END))::bigint AS n_en,
+       (sum(n_chars))::bigint AS sum_chars,
+       quantile_cont(n_chars, 0.5) AS med_chars,
+       (sum(len(regexp_extract_all(text, '{_URL_RE}'))))::bigint AS n_urls
+FROM documents
+GROUP BY source
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified (per-language) sampling — the domain-
     mixing step of a corpus build. Rates are enforced by the same
@@ -5296,6 +5335,7 @@ QUERIES = {
     "text_decontaminate": text_decontaminate,
     "text_repetition": text_repetition,
     "text_pii_scan": text_pii_scan,
+    "corpus_domain_profile": corpus_domain_profile,
     "q_stratified_sample": q_stratified_sample,
     "text_tfidf": text_tfidf,
     "q4_priority_exists": q4_priority_exists,
@@ -5408,6 +5448,7 @@ ORACLES = {
     "text_decontaminate": _DECONTAMINATE_ORACLE,
     "text_repetition": _REPETITION_ORACLE,
     "text_pii_scan": _PII_ORACLE,
+    "corpus_domain_profile": _DOMAIN_PROFILE_ORACLE,
     "q_stratified_sample": _STRATIFIED_ORACLE,
     "text_tfidf": _TFIDF_ORACLE,
     "q4_priority_exists": _Q4_ORACLE,
