@@ -1069,6 +1069,51 @@ GROUP BY label
 """
 
 
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2022): maximal shared
+    token spans ≥ 10 tokens between document pairs via positional
+    8-grams + diagonal gaps-and-islands
+    (``operators/dedup.py:longest_shared_runs``), summarized per pair.
+    All-integer output; the df-capped inverted index bounds the join
+    exactly like the n-gram Jaccard pass."""
+    d = _tp(spark, sf_dir, "documents")
+    runs = D.longest_shared_runs(d, n=8, max_df=50, min_tokens=10)
+    return runs.groupBy("a", "b").agg(
+        F.max("run_tokens").cast("bigint").alias("longest_tokens"),
+        F.count("*").alias("n_runs"),
+        F.min("start_a").cast("bigint").alias("first_a"),
+    )
+
+
+_DEDUP_SUBSTRING_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+pg AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+  FROM toks, LATERAL unnest(generate_series(1, len(toks) - 7)) AS u(i)
+),
+dfc AS (SELECT gram, count(*) AS gram_df FROM pg GROUP BY gram),
+j AS (
+  SELECT pg.doc_id, pg.pos, pg.gram
+  FROM pg JOIN dfc USING (gram) WHERE gram_df BETWEEN 2 AND 50
+),
+m AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb,
+         x.pos - y.pos AS d
+  FROM j x JOIN j y USING (gram) WHERE x.doc_id < y.doc_id
+),
+runs AS (
+  SELECT a, b, d, min(pa) AS start_a, min(pb) AS start_b,
+         count(*) + 7 AS run_tokens
+  FROM (SELECT *, pa - row_number() OVER (PARTITION BY a, b, d ORDER BY pa) AS island
+        FROM m)
+  GROUP BY a, b, d, island
+)
+SELECT a, b, (max(run_tokens))::bigint AS longest_tokens,
+       count(*) AS n_runs, (min(start_a))::bigint AS first_a
+FROM runs WHERE run_tokens >= 10 GROUP BY a, b
+"""
+
+
 def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPLY the dedup decision — the step every pair/cluster lister
     feeds: drop each near-dup cluster's non-canonical members (keep
@@ -5367,6 +5412,7 @@ QUERIES = {
     "q_key_skew_profile": q_key_skew_profile,
     "q_histogram": q_histogram,
     "dedup_apply": dedup_apply,
+    "dedup_substring": dedup_substring,
     "ann_recall": ann_recall,
     "ivf_recall": ivf_recall,
     "pipeline_tokens_end_to_end": pipeline_tokens_end_to_end,
@@ -5480,6 +5526,7 @@ ORACLES = {
     "q_key_skew_profile": _KEY_SKEW_ORACLE,
     "q_histogram": _HISTOGRAM_ORACLE,
     "dedup_apply": _DEDUP_APPLY_ORACLE,
+    "dedup_substring": _DEDUP_SUBSTRING_ORACLE,
     "ann_recall": _ANN_RECALL_ORACLE,
     "ivf_recall": _IVF_RECALL_ORACLE,
     "pipeline_tokens_end_to_end": _PIPELINE_TOKENS_ORACLE,

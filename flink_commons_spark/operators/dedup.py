@@ -181,6 +181,84 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
 # (a single-column-expression simhash16 twin used to live here; it
 # re-hashed every token 16× and was removed in favor of simhash_table)
 
+# ------------------------------------------------- shared substring runs
+
+def longest_shared_runs(
+    df: DataFrame,
+    n: int = 8,
+    max_df: int = 100,
+    min_tokens: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Longest EXACT duplicated token span between document pairs —
+    substring-level dedup in the style of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"),
+    which removes repeated SPANS rather than whole near-dup documents.
+
+    Method: positional word ``n``-grams; grams shared by a pair at
+    positions (pa, pb) lie on the diagonal ``d = pa − pb``, and a
+    duplicated span of length L tokens appears as L−n+1 CONSECUTIVE
+    diagonal hits — a gaps-and-islands pass over the match table
+    recovers each maximal run as ``n + hits − 1`` tokens. Exactness:
+    every output is an integer (positions, token counts), so any
+    engine derives identical rows.
+
+    Scale posture: the match table is the inverted-index self-join
+    bounded by the ``max_df`` stop-gram cap (Σ min(df, max_df)² — same
+    analysis as n-gram Jaccard, never all-pairs); the islands window
+    partitions on (a, b, d) — a fine-grained key whose groups are runs
+    on one diagonal, so no skew. Grams with df == 1 are pruned before
+    the join.
+
+    Returns one row per maximal shared run of ≥ ``max(min_tokens, n)``
+    tokens: (a, b, d, start_a, start_b, run_tokens), a < b.
+    """
+    from pyspark.sql import Window
+
+    toks_df = df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    pos_grams = toks_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size(F.col("__toks")) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(F.col("__toks")) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "gram"),
+    )
+    df_counts = pos_grams.groupBy("gram").agg(F.count("*").alias("gram_df"))
+    joinable = pos_grams.join(
+        df_counts.where(
+            (F.col("gram_df") >= 2) & (F.col("gram_df") <= max_df)
+        ).select("gram"),
+        "gram",
+    )
+    left = joinable.select("gram", F.col(id_col).alias("a"), F.col("pos").alias("pa"))
+    right = joinable.select("gram", F.col(id_col).alias("b"), F.col("pos").alias("pb"))
+    matches = (
+        left.join(right, "gram")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("d"))
+    )
+    w = Window.partitionBy("a", "b", "d").orderBy("pa")
+    runs = (
+        matches.withColumn("__island", F.col("pa") - F.row_number().over(w))
+        .groupBy("a", "b", "d", "__island")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.count("*") + (n - 1)).cast("bigint").alias("run_tokens"),
+        )
+        .drop("__island")
+    )
+    return runs.where(F.col("run_tokens") >= max(min_tokens, n))
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

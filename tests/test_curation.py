@@ -184,3 +184,24 @@ def test_dsir_weights_favor_target_like_docs(spark):
     assert out[3]["log_weight"] > out[4]["log_weight"]
     # every doc with features got a finite weight and the right count
     assert out[1]["n_feats"] == 4 and out[4]["n_feats"] == 4
+
+
+def test_longest_shared_runs_finds_exact_span(spark):
+    """A 12-token span shared by two docs must surface as one maximal
+    run of exactly 12 tokens; unrelated docs produce no rows."""
+    from flink_commons_spark.operators.dedup import longest_shared_runs
+
+    span = "a b c d e f g h i j k l"  # 12 shared tokens
+    rows = [
+        (1, "x y " + span + " q r"),          # span at tokens 2..13
+        (2, span + " z w v u"),               # span at tokens 0..11
+        (3, "totally different words only here unique tokens galore"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    runs = longest_shared_runs(d, n=8, max_df=10).collect()
+    assert len(runs) == 1
+    r = runs[0]
+    assert (r["a"], r["b"]) == (1, 2)
+    assert r["run_tokens"] == 12
+    assert r["start_a"] == 2 and r["start_b"] == 0
+    assert r["d"] == 2
