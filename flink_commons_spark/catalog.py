@@ -3181,6 +3181,72 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_pq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT quantization of the embedding corpus (m=8 subspaces,
+    ksub=16 seed codewords → 8 bytes/vector, a 32x cut over float32):
+    per-label code checksums and mean squared reconstruction error.
+    See ``operators/similarity.py:pq_codebooks``/``with_pq_codes``;
+    codes and the decimal-fixed error are bit-stable across engines."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    cbs = S.pq_codebooks(_t(spark, sf_dir, "embeddings"), m=8, ksub=16, dims=64)
+    q = S.with_pq_codes(emb, cbs)
+    code_sum = F.aggregate(
+        F.col("pq_codes"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return (
+        q.withColumn("csum", code_sum)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("csum").cast("bigint").alias("sum_codes"),
+            F.countDistinct(F.element_at("pq_codes", 1)).alias("n_c0"),
+            F.round(
+                F.sum(F.col("pq_err").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_err"),
+        )
+    )
+
+
+_PQ_ORACLE = """
+WITH seeds AS (
+  SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+cb AS (
+  SELECT j, code, embedding[j * 8 + 1 : j * 8 + 8] AS cw
+  FROM seeds, (SELECT unnest(generate_series(0, 7)) AS j)
+),
+dists AS (
+  SELECT e.vec_id, e.label, cb.j, cb.code,
+         round(list_sum(list_transform(generate_series(1, 8),
+               i -> (e.embedding[cb.j * 8 + i]::double - cb.cw[i]::double)
+                  * (e.embedding[cb.j * 8 + i]::double - cb.cw[i]::double))), 6) AS d
+  FROM embeddings e CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, label, j, code, d FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+per_vec AS (
+  SELECT vec_id, label,
+         sum(code) AS csum,
+         min(CASE WHEN j = 0 THEN code END) AS c0,
+         sum(d::decimal(18,6)) AS err
+  FROM best GROUP BY vec_id, label
+)
+SELECT label,
+       count(*) AS n_vecs,
+       (sum(csum))::bigint AS sum_codes,
+       count(DISTINCT c0) AS n_c0,
+       round((sum(err))::double / count(*), 6) AS avg_err
+FROM per_vec GROUP BY label
+"""
+
+
 def emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar quantization of the embedding corpus → per-label
     stats: quantized checksum (exact integers) and mean reconstruction
@@ -5374,6 +5440,7 @@ QUERIES = {
     "q_ntile_quality": q_ntile_quality,
     "pipeline_end_to_end": pipeline_end_to_end,
     "emb_quantize_stats": emb_quantize_stats,
+    "emb_pq_stats": emb_pq_stats,
     "stream_dedup": stream_dedup,
     "q_hourly_profile": q_hourly_profile,
     "dedup_ngram": dedup_ngram,
@@ -5488,6 +5555,7 @@ ORACLES = {
     "q_ntile_quality": _NTILE_ORACLE,
     "pipeline_end_to_end": _PIPELINE_ORACLE,
     "emb_quantize_stats": _QUANTIZE_ORACLE,
+    "emb_pq_stats": _PQ_ORACLE,
     "stream_dedup": _STREAM_DEDUP_ORACLE,
     "q_hourly_profile": _HOURLY_ORACLE,
     "dedup_ngram": _DEDUP_NGRAM_ORACLE,

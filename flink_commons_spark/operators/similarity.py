@@ -447,3 +447,97 @@ def with_quantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x) / F.size(F.col("__v")),
     )
     return d.drop("__v", "__maxabs", "__scale", "__inv")
+
+
+# ------------------------------------------------- product quantization
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: ``codebooks[j][c]`` is subvector
+    ``j`` of the ``c``-th lowest-id corpus vector — the quantizer
+    structure of product quantization (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search") with seed codewords
+    instead of per-subspace k-means, keeping the operator reproducible
+    and SQL-oracle-checkable (the same seeding stance as
+    :func:`ivf_topk`; refined codebooks drop in unchanged).
+
+    Driver state is m x ksub x (dims/m) floats = dims x ksub — tiny.
+    """
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    d_sub = dims // m
+    rows = corpus.orderBy(id_col).limit(ksub).select(vec_col).collect()
+    if len(rows) < ksub:
+        raise ValueError(f"corpus has fewer than ksub={ksub} vectors")
+    return [
+        [[float(x) for x in r[0][j * d_sub:(j + 1) * d_sub]] for r in rows]
+        for j in range(m)
+    ]
+
+
+def with_pq_codes(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign PQ codes: per subspace, the codeword minimizing the
+    (round-6) squared L2 distance, ties to the lower code id.
+
+    Adds ``pq_codes`` (array<int>, length m — the dims/m-fold storage
+    cut: 8 bytes replace 256 at the default shape) and ``pq_err``
+    (total squared reconstruction error, each subspace distance fixed
+    at 6 decimals and summed as decimal so the value is bit-stable
+    across engines). The argmin is an ``array_sort`` over (dist, code)
+    structs — lexicographic order IS the tie rule. Subvectors are
+    materialized as real columns before any lambda touches them (HOF
+    lambdas re-evaluate inlined expressions per element). Narrow map,
+    no Python, no shuffle; codebooks ride the plan as literals.
+    """
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    out = df
+    code_exprs = []
+    err_exprs = []
+    for j, cb in enumerate(codebooks):
+        sub_col = f"__pq_sub{j}"
+        out = out.withColumn(
+            sub_col,
+            F.transform(
+                F.slice(F.col(vec_col), j * d_sub + 1, d_sub),
+                lambda x: x.cast("double"),
+            ),
+        )
+        cands = []
+        for c, cw in enumerate(cb):
+            lit_cw = F.array(*[F.lit(float(v)) for v in cw])
+            dist = F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(sub_col), lit_cw, lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+            cands.append(F.struct(dist.alias("d"), F.lit(c).cast("int").alias("c")))
+        best_col = f"__pq_best{j}"
+        out = out.withColumn(best_col, F.element_at(F.array_sort(F.array(*cands)), 1))
+        code_exprs.append(F.col(best_col)["c"])
+        err_exprs.append(F.col(best_col)["d"].cast("decimal(18,6)"))
+    total_err = err_exprs[0]
+    for e in err_exprs[1:]:
+        total_err = total_err + e
+    out = (
+        out.withColumn("pq_codes", F.array(*code_exprs))
+        .withColumn("pq_err", total_err.cast("double"))
+    )
+    return out.drop(
+        *[f"__pq_sub{j}" for j in range(m)], *[f"__pq_best{j}" for j in range(m)]
+    )

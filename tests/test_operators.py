@@ -524,3 +524,19 @@ def test_quantize_embedding_roundtrip(spark):
     assert out[2].q == [0, 0, 0, 0] and out[2].qerr == 0.0
     assert all(-127 <= x <= 127 for x in out[1].q)
     assert 0.0 <= out[1].qerr < 0.01              # <= 0.5/127 per dim
+
+
+def test_pq_codes_reconstruct_seeds_exactly(spark):
+    """A vector that IS a seed codeword must quantize to its own code
+    in every subspace with zero reconstruction error."""
+    from flink_commons_spark.operators.similarity import pq_codebooks, with_pq_codes
+    from pyspark.sql import functions as F
+
+    rows = [(i, [float(i * 64 + d) for d in range(64)]) for i in range(16)]
+    d = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cbs = pq_codebooks(d, m=8, ksub=16, dims=64)
+    assert len(cbs) == 8 and len(cbs[0]) == 16 and len(cbs[0][0]) == 8
+    out = {r["vec_id"]: r for r in with_pq_codes(d, cbs).collect()}
+    for i in (0, 7, 15):
+        assert out[i]["pq_codes"] == [i] * 8
+        assert out[i]["pq_err"] == 0.0
