@@ -3247,6 +3247,58 @@ FROM per_vec GROUP BY label
 """
 
 
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance ANN: per-query distance tables against
+    the seed codebooks, summed by code lookup over the coded corpus
+    (``operators/similarity.py:pq_adc_topk``). Bounded probe set
+    broadcasts; the corpus never shuffles — the brute-force layout at
+    1/32nd the bytes per candidate."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    cbs = S.pq_codebooks(_t(spark, sf_dir, "embeddings"), m=8, ksub=16, dims=64)
+    return S.pq_adc_topk(emb.where("vec_id < 10"), emb, cbs, k=5)
+
+
+_ANN_PQ_ORACLE = """
+WITH seeds AS (
+  SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+cb AS (
+  SELECT j, code, embedding[j * 8 + 1 : j * 8 + 8] AS cw
+  FROM seeds, (SELECT unnest(generate_series(0, 7)) AS j)
+),
+dists AS (
+  SELECT e.vec_id, cb.j, cb.code,
+         round(list_sum(list_transform(generate_series(1, 8),
+               i -> (e.embedding[cb.j * 8 + i]::double - cb.cw[i]::double)
+                  * (e.embedding[cb.j * 8 + i]::double - cb.cw[i]::double))), 6) AS d
+  FROM embeddings e CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+probe AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+adc AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id,
+         sum((round(list_sum(list_transform(generate_series(1, 8),
+              i -> (p.qv[b.j * 8 + i]::double - c.cw[i]::double)
+                 * (p.qv[b.j * 8 + i]::double - c.cw[i]::double))), 6))::decimal(18,6)) AS dist
+  FROM probe p
+  CROSS JOIN best b
+  JOIN cb c ON c.j = b.j AND c.code = b.code
+  WHERE b.vec_id <> p.query_id
+  GROUP BY p.query_id, b.vec_id
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank,
+       neighbor_id, dist::double AS dist
+FROM adc QUALIFY rank <= 5
+"""
+
+
 def emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar quantization of the embedding corpus → per-label
     stats: quantized checksum (exact integers) and mean reconstruction
@@ -5441,6 +5493,7 @@ QUERIES = {
     "pipeline_end_to_end": pipeline_end_to_end,
     "emb_quantize_stats": emb_quantize_stats,
     "emb_pq_stats": emb_pq_stats,
+    "ann_pq": ann_pq,
     "stream_dedup": stream_dedup,
     "q_hourly_profile": q_hourly_profile,
     "dedup_ngram": dedup_ngram,
@@ -5556,6 +5609,7 @@ ORACLES = {
     "pipeline_end_to_end": _PIPELINE_ORACLE,
     "emb_quantize_stats": _QUANTIZE_ORACLE,
     "emb_pq_stats": _PQ_ORACLE,
+    "ann_pq": _ANN_PQ_ORACLE,
     "stream_dedup": _STREAM_DEDUP_ORACLE,
     "q_hourly_profile": _HOURLY_ORACLE,
     "dedup_ngram": _DEDUP_NGRAM_ORACLE,

@@ -540,3 +540,19 @@ def test_pq_codes_reconstruct_seeds_exactly(spark):
     for i in (0, 7, 15):
         assert out[i]["pq_codes"] == [i] * 8
         assert out[i]["pq_err"] == 0.0
+
+
+def test_pq_adc_topk_ranks_by_reconstruction_distance(spark):
+    """ADC distance to a seed vector's own codes must be 0, so each
+    seed's nearest PQ neighbor set starts with distance 0 (its exact
+    duplicate under the codebooks)."""
+    from flink_commons_spark.operators.similarity import pq_codebooks, pq_adc_topk
+
+    rows = [(i, [float(i * 64 + d) for d in range(64)]) for i in range(16)]
+    # vec 100 duplicates vec 0: ADC distance 0 at rank 1 for query 0
+    rows.append((100, [float(d) for d in range(64)]))
+    d = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cbs = pq_codebooks(d, m=8, ksub=16, dims=64)
+    top = pq_adc_topk(d.where("vec_id = 0"), d, cbs, k=3).collect()
+    assert top[0]["neighbor_id"] == 100 and top[0]["dist"] == 0.0
+    assert [r["rank"] for r in top] == [1, 2, 3]

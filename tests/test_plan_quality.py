@@ -26,6 +26,7 @@ ALLOWED_NESTED_LOOP = {
     "q_python_udfs",  # 1-row unit-norm count joined to the per-lang rows
     "ann_recall",  # 1-row hit count × 1-row truth count
     "ivf_recall",  # same shape
+    "ann_pq",  # bounded probe set + distance tables broadcast (knn_brute shape)
 }
 
 BATCH_QUERIES = [
