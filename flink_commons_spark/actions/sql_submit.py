@@ -88,6 +88,7 @@ class SqlSubmitAction(Action):
         self.stream_timeout_s = stream_timeout_s
         self.config = RunnerConfig()
         self.tables: dict[str, TableSpec] = {}
+        self.catalogs: dict[str, dict[str, str]] = {}  # CREATE CATALOG registry
         self._rewrites: list[tuple[re.Pattern[str], str]] = []
         self._started_queries: list = []
         self._sink_queries: dict[str, object] = {}   # table name → StreamingQuery
@@ -164,6 +165,15 @@ class SqlSubmitAction(Action):
             # warn-and-skip, SQLSubmitAction.java:69-73
             log.warning("Unsupported operation [%s], ignored: %s", stype.type_name, stmt)
         elif stype is StatementType.CREATE and (
+            m := re.match(
+                r"^\s*CREATE\s+CATALOG\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                r"(?P<cat>`?\w+`?)\s*(?:WITH\s*\((?P<opts>.*)\))?\s*$",
+                stmt,
+                re.IGNORECASE | re.DOTALL,
+            )
+        ):
+            self._run_create_catalog(spark, m)
+        elif stype is StatementType.CREATE and (
             is_connector_ddl(stmt) or self._is_connector_like(stmt)
         ):
             self._register_connector_table(spark, stmt)
@@ -201,11 +211,23 @@ class SqlSubmitAction(Action):
             )
         ):
             # Flink's USE CATALOG isn't Spark syntax; map the default
-            # Flink catalog name onto Spark's session catalog
+            # Flink catalog name onto Spark's session catalog, and a
+            # CREATE CATALOG-registered name onto its database
             cat = m.group("cat").strip("`")
-            spark.catalog.setCurrentCatalog(
-                "spark_catalog" if cat == "default_catalog" else cat
-            )
+            if cat in self.catalogs:
+                spark.catalog.setCurrentCatalog("spark_catalog")
+                spark.sql(f"USE `{cat}`")
+            else:
+                spark.catalog.setCurrentCatalog(
+                    "spark_catalog" if cat == "default_catalog" else cat
+                )
+        elif stype is StatementType.SHOW and re.match(
+            r"^\s*SHOW\s+CATALOGS\s*$", stmt, re.IGNORECASE
+        ):
+            # Flink lists its catalogs; answer from the runner registry
+            # (default_catalog = Spark's session catalog)
+            for name in ["default_catalog", *self.catalogs]:
+                print(name)
         elif stype is StatementType.ALTER and self._try_alter_options(spark, stmt):
             pass
         elif stype is StatementType.ADD:
@@ -445,7 +467,49 @@ class SqlSubmitAction(Action):
 
     # ---------------------------------------------------------------- DROP
 
+    def _run_create_catalog(self, spark, m: "re.Match[str]") -> None:
+        """Flink ``CREATE CATALOG c WITH ('type'=…)`` → a database in
+        Spark's session catalog.
+
+        Spark catalogs are jar-backed plugins bound via
+        ``spark.sql.catalog.<name>`` — there is no SQL that creates one
+        at runtime. The portable mapping: the Flink catalog becomes a
+        session-catalog DATABASE; ``c.default_database.t`` /
+        ``c.default.t`` references rewrite to ``c.t``; USE CATALOG c →
+        USE c. External types (hive, iceberg, jdbc…) get a warning
+        naming the plugin conf they'd need on a real deployment."""
+        cat = m.group("cat").strip("`")
+        opts = m.group("opts") or ""
+        tm = re.search(r"'type'\s*=\s*'([^']*)'", opts)
+        ctype = tm.group(1) if tm else "generic_in_memory"
+        if ctype != "generic_in_memory":
+            log.warning(
+                "catalog type %r needs a Spark catalog plugin "
+                "(spark.sql.catalog.%s=<impl> + jars); mapping %r onto a "
+                "session-catalog database instead",
+                ctype, cat, cat,
+            )
+        self.catalogs[cat] = {"type": ctype}
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS `{cat}`")
+        self._rewrites.append((
+            re.compile(
+                rf"(?<![\w`]){re.escape(cat)}\.(?:default_database|default)\.",
+                re.IGNORECASE,
+            ),
+            f"`{cat}`.",
+        ))
+
     def _run_drop(self, spark, stmt: str) -> None:
+        cm = re.match(
+            r"^\s*DROP\s+CATALOG\s+(?:IF\s+EXISTS\s+)?(?P<cat>`?\w+`?)\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if cm:
+            cat = cm.group("cat").strip("`")
+            self.catalogs.pop(cat, None)
+            spark.sql(f"DROP DATABASE IF EXISTS `{cat}` CASCADE")
+            return
         m = re.match(
             r"^\s*DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(?P<name>(?:`[^`]+`|[\w.])+)",
             stmt,
@@ -473,12 +537,18 @@ class SqlSubmitAction(Action):
             max_rows = int(self.config.raw.get("flinkcommons.select.max-rows", "1000"))
             df.show(n=max_rows, truncate=False)
             return
-        query = (
+        writer = (
             df.writeStream.format("console")
-            .outputMode(self._infer_output_mode(stmt))
+            .outputMode(self._infer_output_mode(stmt, df))
             .queryName(self._query_name("select"))
-            .trigger(**self._trigger())
-            .option("checkpointLocation", self._checkpoint_dir("select"))
+        )
+        if trigger := self._trigger():
+            # .trigger() with zero kwargs is an ERROR in PySpark
+            # (ONLY_ALLOW_SINGLE_TRIGGER) — default micro-batching needs
+            # no call at all
+            writer = writer.trigger(**trigger)
+        query = (
+            writer.option("checkpointLocation", self._checkpoint_dir("select"))
             .option("truncate", "false")
             .start()
         )
@@ -542,7 +612,7 @@ class SqlSubmitAction(Action):
                     df,
                     spec,
                     query_name=self._query_name(target),
-                    output_mode=self._infer_output_mode(query_sql),
+                    output_mode=self._infer_output_mode(query_sql, df),
                     trigger=self._trigger(),
                     checkpoint=self._checkpoint_dir(target),
                 )
@@ -608,12 +678,20 @@ class SqlSubmitAction(Action):
         out.append(sql[i:])
         return "".join(out)
 
-    def _infer_output_mode(self, sql: str) -> str:
+    def _infer_output_mode(self, sql: str, df=None) -> str:
         override = self.config.raw.get("flinkcommons.output-mode")
         if override:
             return override
         # Unwindowed streaming aggregation must emit updates (Flink's
-        # retract stream); plain projections append.
+        # retract stream); plain projections append. Prefer asking the
+        # ANALYZED plan — a global `SELECT count(*)` aggregates with no
+        # GROUP BY text for the regex to see.
+        if df is not None:
+            try:
+                plan = df._jdf.queryExecution().analyzed().toString()
+                return "update" if re.search(r"\bAggregate\b", plan) else "append"
+            except Exception:  # pragma: no cover - py4j edge; regex fallback
+                pass
         return "update" if _GROUP_BY_RE.search(sql) else "append"
 
     def _trigger(self) -> dict:

@@ -256,3 +256,50 @@ def test_broadcast_threshold_and_timezone_set_mappings(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_create_catalog_maps_to_database(spark, capsys):
+    """Flink CREATE CATALOG becomes a session-catalog database:
+    3-part references through the catalog resolve, USE CATALOG enters
+    it, SHOW CATALOGS lists it, DROP CATALOG removes it."""
+    from flink_commons_spark.actions.sql_submit import SqlSubmitAction
+
+    script = """
+    CREATE CATALOG mycat WITH ('type' = 'generic_in_memory');
+    CREATE TABLE mycat.default_database.t1 AS SELECT 7 AS x;
+    USE CATALOG mycat;
+    SHOW CATALOGS;
+    SELECT x FROM t1;
+    USE CATALOG default_catalog;
+    SELECT x FROM mycat.default.t1;
+    DROP CATALOG mycat;
+    """
+    action = SqlSubmitAction(sql_text=script, spark=spark)
+    action.run()
+    out = capsys.readouterr().out
+    assert "mycat" in out and "default_catalog" in out  # SHOW CATALOGS
+    assert out.count("|7  |") + out.count("|7|") >= 1   # both SELECTs printed
+    assert "mycat" not in action.catalogs
+    assert not spark.catalog.databaseExists("mycat")
+
+
+def test_streaming_select_without_trigger_conf(spark, tmp_path):
+    """The reference's most basic streaming flow - no trigger-related
+    SET at all - must run: .trigger() with zero kwargs is a PySpark
+    error (ONLY_ALLOW_SINGLE_TRIGGER, the pre-fix failure), and a
+    global count(*) needs update mode despite having no GROUP BY text
+    (the analyzed-plan inference). Console output prints from the JVM
+    (not Python-capturable), so completing without error IS the
+    assertion - both bugs raised before any batch ran."""
+    from flink_commons_spark.actions.sql_submit import SqlSubmitAction
+
+    src = str(tmp_path / "ev")
+    spark.range(5).selectExpr("id", "id * 2 AS v").write.parquet(src)
+    script = f"""
+    SET 'flinkcommons.stream.timeout' = '10s';
+    CREATE TABLE ev WITH ('connector'='filesystem','path'='{src}','format'='parquet');
+    SELECT count(*) AS n FROM ev;
+    """
+    action = SqlSubmitAction(sql_text=script, spark=spark)
+    action.run()
+    assert action._started_queries and not action._started_queries[0].isActive
