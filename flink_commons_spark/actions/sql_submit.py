@@ -508,7 +508,15 @@ class SqlSubmitAction(Action):
         if cm:
             cat = cm.group("cat").strip("`")
             self.catalogs.pop(cat, None)
+            try:
+                was_current = spark.catalog.currentDatabase() == cat
+            except Exception:  # pragma: no cover - catalog backend quirk
+                was_current = False
             spark.sql(f"DROP DATABASE IF EXISTS `{cat}` CASCADE")
+            if was_current:
+                # dropping the CURRENT database would leave every later
+                # statement (and the session after us) unresolvable
+                spark.sql("USE default")
             return
         m = re.match(
             r"^\s*DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(?P<name>(?:`[^`]+`|[\w.])+)",

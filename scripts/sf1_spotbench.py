@@ -41,11 +41,18 @@ HEAVY = [
     "stream_exact_uv",
     "stream_interval_join",
     "stream_late_side_output",
+    # round-3 additions / optimizations
+    "dedup_ngram",
+    "q_match_recognize",
+    "ann_pq",
+    "emb_pq_stats",
+    "dedup_substring",
+    "dsir_select",
 ]
 
 # same shapes the plan-quality test allows: bounded 1-row-scalar or
 # probe-set broadcasts legitimately plan as BroadcastNestedLoopJoin
-NLJ_ALLOWED = {"dedup_nearest", "dedup_apply", "knn_brute", "ann_lsh",
+NLJ_ALLOWED = {"ann_pq", "dedup_nearest", "dedup_apply", "knn_brute", "ann_lsh",
                "ann_recall", "ivf_recall", "q18_large_orders"}
 
 

@@ -281,6 +281,11 @@ def test_create_catalog_maps_to_database(spark, capsys):
     assert out.count("|7  |") + out.count("|7|") >= 1   # both SELECTs printed
     assert "mycat" not in action.catalogs
     assert not spark.catalog.databaseExists("mycat")
+    # dropping the catalog we were inside must not strand the session
+    # in a nonexistent current database
+    assert spark.catalog.currentDatabase() == "default"
+    spark.range(1).write.mode("overwrite").saveAsTable("fcs_post_drop_probe")
+    spark.sql("DROP TABLE fcs_post_drop_probe")
 
 
 def test_streaming_select_without_trigger_conf(spark, tmp_path):
