@@ -547,3 +547,21 @@ def test_flink_scalar_builtins_script(spark, capsys):
     assert "2023-11-14" in out
     # 'click' splits on 'i' -> 'cl', 'signup' -> 's'
     assert "|cl" in out and "|s" in out
+
+
+def test_catalog_dialect_tour_script(spark, capsys):
+    """The queries/ catalog+dialect tour: Flink CREATE CATALOG flow and
+    the round-3 scalar-builtin translations end to end."""
+    action = SqlSubmitAction(
+        str(QUERIES_DIR / "catalog_dialect_tour.sql"),
+        {"data": "/root/testdata/sf0.001"},
+        spark=spark,
+    )
+    action.run()
+    out = capsys.readouterr().out
+    assert "lake" in out and "default_catalog" in out  # SHOW CATALOGS
+    # every event has a numeric $.k, so with_k == numeric_k == n per type
+    assert "|click" in out.replace(" ", "") or "click" in out
+    # CONVERT_TZ day floor renders as a date string
+    assert "2024-" in out
+    assert not spark.catalog.databaseExists("lake")
