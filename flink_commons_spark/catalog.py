@@ -1172,11 +1172,18 @@ def dedup_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b").alias("doc_id"), F.col("a").alias("nn"), j_micro.alias("j_micro")
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("j_micro"), F.asc("nn"))
+    # top-1 per key as max(struct(j_micro, -nn)): a partial-aggregating
+    # hash-agg (map-side combine, no per-key sort) replacing the
+    # ranking window — same (j_micro desc, nn asc) order, ~2x at sf0.1
+    best = F.max(F.struct(F.col("j_micro"), (-F.col("nn")).alias("neg_nn")))
     return (
-        sym.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "nn", "j_micro")
+        sym.groupBy("doc_id")
+        .agg(best.alias("b"))
+        .select(
+            "doc_id",
+            (-F.col("b.neg_nn")).cast("bigint").alias("nn"),
+            F.col("b.j_micro"),
+        )
     )
 
 
