@@ -260,7 +260,8 @@ def _window_tvf_replacement(fn: str, args: list[str]) -> str | None:
 _SCALAR_FN_RE = re.compile(
     r"\b(?P<fn>SPLIT_INDEX|JSON_VALUE|TO_TIMESTAMP_LTZ|RAND_INTEGER"
     r"|STR_TO_MAP|CONVERT_TZ|TRUNCATE|IS_DIGIT|IS_ALPHA|IS_DECIMAL"
-    r"|JSON_EXISTS|JSON_QUERY|FLOOR|CEIL|CEILING)\s*\(",
+    r"|JSON_EXISTS|JSON_QUERY|FLOOR|CEIL|CEILING"
+    r"|WEEK|SHA224|SHA256|SHA384|SHA512)\s*\(",
     re.IGNORECASE,
 )
 
@@ -353,6 +354,11 @@ def _scalar_fn_replacement(fn: str, args: list[str]) -> str | None:
     if fn == "JSON_QUERY" and len(args) == 2:
         # both return the matched JSON fragment as text, NULL if absent
         return f"get_json_object({args[0]}, {args[1]})"
+    if fn == "WEEK" and len(args) == 1:
+        # Flink WEEK(date) = ISO week of year; Spark spells it weekofyear
+        return f"weekofyear({args[0]})"
+    if fn in ("SHA224", "SHA256", "SHA384", "SHA512") and len(args) == 1:
+        return f"sha2({args[0]}, {fn[3:]})"
     if fn in ("FLOOR", "CEIL", "CEILING") and len(args) == 1:
         m = _TO_UNIT_RE.match(args[0])
         if not m:

@@ -299,3 +299,18 @@ def test_new_scalar_fn_rewrites_execute(spark):
     assert row.je1 is True and row.je0 is False
     assert row.jq == '{"b":2}'
     assert row.tz == "2024-01-01 08:00:00"
+
+
+def test_week_and_sha_rewrites(spark):
+    from flink_commons_spark.plans.dialect import adapt_sql
+
+    assert adapt_sql("SELECT WEEK(d) FROM t") == "SELECT weekofyear(d) FROM t"
+    assert adapt_sql("SELECT SHA256(s)") == "SELECT sha2(s, 256)"
+    assert adapt_sql("SELECT SHA512(s)") == "SELECT sha2(s, 512)"
+    row = spark.sql(adapt_sql(
+        "SELECT WEEK(date '2024-01-15') AS w, SHA256('abc') AS h"
+    )).collect()[0]
+    assert row.w == 3
+    assert row.h == (
+        "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
+    )
