@@ -3306,6 +3306,58 @@ FROM adc QUALIFY rank <= 5
 """
 
 
+def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall@5 of PQ asymmetric-distance search vs EXACT
+    squared-L2 brute force — the same in-engine audit as
+    ``ann_recall``/``ivf_recall`` for the compressed-domain index
+    (16 seed codewords per subspace bound the quantization error, and
+    this query states what that costs in neighbor quality)."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    probes = emb.where("vec_id < 10")
+    truth = S.l2_topk(probes, emb, k=5).select("query_id", "neighbor_id")
+    cbs = S.pq_codebooks(_t(spark, sf_dir, "embeddings"), m=8, ksub=16, dims=64)
+    approx = S.pq_adc_topk(probes, emb, cbs, k=5).select("query_id", "neighbor_id")
+    hits = approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        truth.agg(F.count("*").alias("n_truth"))
+        .join(F.broadcast(hits.agg(F.count("*").alias("n_hits"))))
+        .select(
+            "n_hits",
+            "n_truth",
+            F.round(F.col("n_hits") * 100.0 / F.col("n_truth"), 2).alias(
+                "recall_pct"
+            ),
+        )
+    )
+
+
+_L2_TRUTH_SQL = """
+SELECT query_id, neighbor_id FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(generate_series(1, 64),
+               i -> (q.embedding[i]::double - c.embedding[i]::double)
+                  * (q.embedding[i]::double - c.embedding[i]::double))), 6) AS dist,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_sum(list_transform(generate_series(1, 64),
+                 i -> (q.embedding[i]::double - c.embedding[i]::double)
+                    * (q.embedding[i]::double - c.embedding[i]::double))), 6),
+                 c.vec_id) AS rank
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+) WHERE rank <= 5
+"""
+
+_PQ_RECALL_ORACLE = f"""
+WITH truth AS ({_L2_TRUTH_SQL}),
+approx AS (SELECT query_id, neighbor_id FROM ({_ANN_PQ_ORACLE})),
+h AS (SELECT count(*) AS n_hits FROM approx SEMI JOIN truth USING (query_id, neighbor_id)),
+t AS (SELECT count(*) AS n_truth FROM truth)
+SELECT n_hits, n_truth, round(n_hits * 100.0 / n_truth, 2) AS recall_pct
+FROM t CROSS JOIN h
+"""
+
+
 def emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar quantization of the embedding corpus → per-label
     stats: quantized checksum (exact integers) and mean reconstruction
@@ -5501,6 +5553,7 @@ QUERIES = {
     "emb_quantize_stats": emb_quantize_stats,
     "emb_pq_stats": emb_pq_stats,
     "ann_pq": ann_pq,
+    "pq_recall": pq_recall,
     "stream_dedup": stream_dedup,
     "q_hourly_profile": q_hourly_profile,
     "dedup_ngram": dedup_ngram,
@@ -5617,6 +5670,7 @@ ORACLES = {
     "emb_quantize_stats": _QUANTIZE_ORACLE,
     "emb_pq_stats": _PQ_ORACLE,
     "ann_pq": _ANN_PQ_ORACLE,
+    "pq_recall": _PQ_RECALL_ORACLE,
     "stream_dedup": _STREAM_DEDUP_ORACLE,
     "q_hourly_profile": _HOURLY_ORACLE,
     "dedup_ngram": _DEDUP_NGRAM_ORACLE,

@@ -626,3 +626,96 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "dist")
     )
+
+
+_L2_BATCH = None
+
+
+def l2_batch(a: Column, b: Column) -> Column:
+    """Arrow-vectorized squared-L2 distance over two array columns
+    (the exact twin of :func:`cosine_batch` for distance-ranked
+    search; used as ground truth for the PQ recall audit)."""
+    global _L2_BATCH
+    if _L2_BATCH is None:
+
+        @pandas_udf("double")
+        def _l2(a: pd.Series, b: pd.Series) -> pd.Series:
+            A = np.stack(a.to_numpy()).astype(np.float64)
+            B = np.stack(b.to_numpy()).astype(np.float64)
+            D = A - B
+            return pd.Series(np.einsum("ij,ij->i", D, D))
+
+        _L2_BATCH = _l2
+    return _L2_BATCH(a, b)
+
+
+def l2_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k squared-L2 neighbors per query (ascending distance,
+    neighbor-id tie-break; self-matches excluded) — the brute-force
+    layout of :func:`cosine_topk` with a distance metric, serving as
+    ground truth for ADC/PQ recall measurement."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(l2_batch(F.col("qv"), F.col("cv")), 6).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    dims: int = 64,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Refine the seed PQ codebooks with per-subspace k-means (Lloyd)
+    iterations — the training step real PQ deployments run (Jégou et
+    al. 2011 §III).
+
+    Each iteration: one distributed assignment pass (the same
+    Arrow-vectorized :func:`with_pq_codes`), then per-(subspace, code)
+    subvector means via a posexplode + hash-agg — the only driver-side
+    data is m × ksub × (dims/m) floats, exactly the
+    :func:`train_ivf_centroids` stance. Empty cells keep their
+    previous codeword.
+    """
+    cbs = pq_codebooks(corpus, m, ksub, dims, id_col, vec_col)
+    d_sub = dims // m
+    for _ in range(iterations):
+        coded = with_pq_codes(corpus, cbs, vec_col)
+        ex = coded.select(
+            F.posexplode("pq_codes").alias("j", "code"), F.col(vec_col).alias("v")
+        )
+        aggs = [F.count("*").alias("n")] + [
+            F.sum(
+                F.element_at(F.col("v"), F.col("j") * d_sub + i + 1).cast("double")
+            ).alias(f"s{i}")
+            for i in range(d_sub)
+        ]
+        sums = ex.groupBy("j", "code").agg(*aggs)
+        new = [[list(cw) for cw in cb] for cb in cbs]
+        for row in sums.collect():
+            new[row["j"]][row["code"]] = [
+                row[f"s{i}"] / row["n"] for i in range(d_sub)
+            ]
+        cbs = new
+    return cbs

@@ -556,3 +556,22 @@ def test_pq_adc_topk_ranks_by_reconstruction_distance(spark):
     top = pq_adc_topk(d.where("vec_id = 0"), d, cbs, k=3).collect()
     assert top[0]["neighbor_id"] == 100 and top[0]["dist"] == 0.0
     assert [r["rank"] for r in top] == [1, 2, 3]
+
+
+def test_train_pq_codebooks_reduces_reconstruction_error(spark):
+    """One Lloyd iteration must not increase total quantization error
+    (k-means monotonicity), and codebook shapes are preserved."""
+    from pyspark.sql import functions as F
+    from flink_commons_spark.operators.similarity import (
+        pq_codebooks, train_pq_codebooks, with_pq_codes,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeded = pq_codebooks(emb)
+    trained = train_pq_codebooks(emb, iterations=1)
+    assert len(trained) == 8 and len(trained[0]) == 16 and len(trained[0][0]) == 8
+
+    def total_err(cbs):
+        return with_pq_codes(emb, cbs).agg(F.sum("pq_err")).collect()[0][0]
+
+    assert total_err(trained) <= total_err(seeded) + 1e-6

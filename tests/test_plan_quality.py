@@ -27,6 +27,7 @@ ALLOWED_NESTED_LOOP = {
     "ann_recall",  # 1-row hit count × 1-row truth count
     "ivf_recall",  # same shape
     "ann_pq",  # bounded probe set + distance tables broadcast (knn_brute shape)
+    "pq_recall",  # 1-row hit count × 1-row truth count (ann_recall shape)
 }
 
 BATCH_QUERIES = [
