@@ -1114,6 +1114,105 @@ FROM runs WHERE run_tokens >= 10 GROUP BY a, b
 """
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ingest dedup — the production shape: a new batch
+    (here the top doc_id quartile) lands against an already-indexed
+    corpus, and only NEW-vs-INDEX comparisons run (never
+    index-vs-index, the whole point of incrementality). Exact dups by
+    fingerprint anti-join against the index's 8-byte fingerprint set;
+    near-dup candidates by sharing a MinHash LSH band bucket with any
+    indexed doc. Per-batch verdict counts: exact_dup / near_dup /
+    novel. Scale: the index side of both joins is its fingerprint /
+    band-bucket projection, not documents; new-batch work is
+    proportional to the batch, not the corpus."""
+    d = _tp(spark, sf_dir, "documents")
+    import math
+
+    cut = d.agg(F.expr("percentile(doc_id, 0.75D)").alias("c")).collect()[0]["c"]
+    cut = int(math.floor(cut))  # explicit floor: DuckDB's ::bigint ROUNDS
+    new = d.where(F.col("doc_id") > cut)
+    index = d.where(F.col("doc_id") <= cut)
+
+    fp = T.fingerprint(F.col("text"))
+    idx_fp = index.select(fp.alias("fp")).distinct()
+    new_fp = new.select("doc_id", fp.alias("fp"))
+    exact = new_fp.join(idx_fp, "fp", "left_semi").select("doc_id")
+
+    sig_new = D.minhash_signatures(D.shingle_table(new), 8)
+    sig_idx = D.minhash_signatures(D.shingle_table(index), 8)
+
+    def _buckets(sig):
+        cols = []
+        for b in range(4):
+            parts = [F.col(f"mh{b * 2 + r}").cast("string") for r in range(2)]
+            cols.append(F.struct(F.lit(b).alias("band"),
+                                 F.concat_ws("_", *parts).alias("bucket")))
+        return sig.select(
+            "doc_id", F.explode(F.array(*cols)).alias("bb")
+        ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    near = (
+        _buckets(sig_new)
+        .join(_buckets(sig_idx).select("band", "bucket").distinct(), ["band", "bucket"], "left_semi")
+        .select("doc_id").distinct()
+    )
+    verdict = (
+        new.select("doc_id", "lang")
+        .join(exact.withColumn("is_exact", F.lit(1)), "doc_id", "left")
+        .join(near.withColumn("is_near", F.lit(1)), "doc_id", "left")
+        .withColumn(
+            "verdict",
+            F.when(F.col("is_exact") == 1, "exact_dup")
+            .when(F.col("is_near") == 1, "near_dup")
+            .otherwise("novel"),
+        )
+    )
+    return verdict.groupBy("lang", "verdict").agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+_DEDUP_INCR_ORACLE = f"""
+WITH cut AS (SELECT floor(quantile_cont(doc_id, 0.75))::bigint AS c FROM documents),
+newb AS (SELECT * FROM documents WHERE doc_id > (SELECT c FROM cut)),
+index_docs AS (SELECT * FROM documents WHERE doc_id <= (SELECT c FROM cut)),
+idx_fp AS (SELECT DISTINCT {_FP_SQL} AS fp FROM index_docs),
+new_fp AS (SELECT doc_id, {_FP_SQL} AS fp FROM newb),
+exact AS (SELECT doc_id FROM new_fp SEMI JOIN idx_fp USING (fp)),
+sh AS ({_SHINGLES_SQL}),
+seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+sig AS (
+  SELECT doc_id, seed,
+         min(('0x' || substr(md5(seed::varchar || '|' || shingle), 1, 14))::bigint) AS mh
+  FROM sh, seeds GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, b.band,
+         string_agg(mh::varchar, '_' ORDER BY seed) AS bucket
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b
+  WHERE sig.seed // 2 = b.band
+  GROUP BY doc_id, b.band
+),
+near AS (
+  SELECT DISTINCT nb.doc_id
+  FROM bands nb
+  SEMI JOIN (SELECT band, bucket FROM bands
+             WHERE doc_id <= (SELECT c FROM cut)) ib USING (band, bucket)
+  WHERE nb.doc_id > (SELECT c FROM cut)
+),
+verdicts AS (
+  SELECT n.doc_id, n.lang,
+         CASE WHEN n.doc_id IN (SELECT doc_id FROM exact) THEN 'exact_dup'
+              WHEN n.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+              ELSE 'novel' END AS verdict
+  FROM newb n
+)
+SELECT lang, verdict, count(*) AS n, min(doc_id) AS min_doc
+FROM verdicts GROUP BY lang, verdict
+"""
+
+
 def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPLY the dedup decision — the step every pair/cluster lister
     feeds: drop each near-dup cluster's non-canonical members (keep
@@ -5593,6 +5692,7 @@ QUERIES = {
     "q_histogram": q_histogram,
     "dedup_apply": dedup_apply,
     "dedup_substring": dedup_substring,
+    "dedup_incremental": dedup_incremental,
     "ann_recall": ann_recall,
     "ivf_recall": ivf_recall,
     "pipeline_tokens_end_to_end": pipeline_tokens_end_to_end,
@@ -5710,6 +5810,7 @@ ORACLES = {
     "q_histogram": _HISTOGRAM_ORACLE,
     "dedup_apply": _DEDUP_APPLY_ORACLE,
     "dedup_substring": _DEDUP_SUBSTRING_ORACLE,
+    "dedup_incremental": _DEDUP_INCR_ORACLE,
     "ann_recall": _ANN_RECALL_ORACLE,
     "ivf_recall": _IVF_RECALL_ORACLE,
     "pipeline_tokens_end_to_end": _PIPELINE_TOKENS_ORACLE,
