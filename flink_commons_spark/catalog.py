@@ -5693,6 +5693,7 @@ QUERIES = {
     "dedup_apply": dedup_apply,
     "dedup_substring": dedup_substring,
     "dedup_incremental": dedup_incremental,
+    "dsir_select": dsir_select,
     "ann_recall": ann_recall,
     "ivf_recall": ivf_recall,
     "pipeline_tokens_end_to_end": pipeline_tokens_end_to_end,
@@ -5700,7 +5701,6 @@ QUERIES = {
     "stream_cumulate_agg": stream_cumulate_agg,
     "q_chunk_windows": q_chunk_windows,
     "q_mixture_sample": q_mixture_sample,
-    "dsir_select": dsir_select,
     "stream_topn": stream_topn,
     "q_match_recognize": q_match_recognize,
     "q_over_range": q_over_range,
