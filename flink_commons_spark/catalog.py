@@ -2284,6 +2284,82 @@ WHERE (end_us + 14400000000 + 999) // 1000 <= max_us // 1000
 
 
 @_with_stream_shuffle(8)
+def stream_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CEP — Flink's event-time MATCH_RECOGNIZE
+    (``streaming/cep_stream.py``): per-key buffers hold out-of-order
+    events until the watermark closes them, then the same greedy
+    backtracking NFA the batch operator uses emits completed
+    ``view click+ purchase`` matches. Emission is watermark-gated
+    exactly like the timer-session query: a key fires once the
+    watermark passes its newest event (keys holding the stream's
+    final ms never close — still-open semantics), which the oracle
+    states as an integer ms-grid condition."""
+    import os
+
+    from flink_commons_spark.streaming.cep_stream import stream_match_conversions
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-cep-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .transform(_norm_ts)
+        .withWatermark("ts", "0 seconds")
+        .select(
+            "user_id",
+            "ts",  # the watermarked column must survive the projection
+            "event_type",
+            "event_id",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+        )
+    )
+    name = "fcs_stream_cep"
+    query = (
+        stream_match_conversions(sdf)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-cep-"))
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name)
+
+
+_STREAM_MATCH_ORACLE = """
+WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
+closed_keys AS (
+  SELECT user_id FROM events GROUP BY user_id
+  HAVING max(epoch_us(ts)) // 1000 + 1 <= (SELECT wm_ms FROM wm)
+),
+seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE user_id IN (SELECT user_id FROM closed_keys)
+),
+isl AS (
+  SELECT user_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type = 'click'
+),
+runs AS (
+  SELECT user_id, min(rn) AS srn, max(rn) AS ern, count(*)::bigint AS n_clicks
+  FROM isl GROUP BY user_id, grp
+)
+SELECT r.user_id, v.ts_us AS start_us, p.ts_us AS end_us, r.n_clicks
+FROM runs r
+JOIN seq v ON v.user_id = r.user_id AND v.rn = r.srn - 1
+          AND v.event_type = 'view'
+JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
+          AND p.event_type = 'purchase'
+"""
+
+
+@_with_stream_shuffle(8)
 def stream_late_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data SIDE OUTPUT — Flink's ``sideOutputLateData``
     (``streaming/late.py``): rows are tagged on-time/late against the
@@ -5647,6 +5723,7 @@ QUERIES = {
     "dedup_nearest": dedup_nearest,
     "stream_lookup_join": stream_lookup_join,
     "stream_broadcast_rules": stream_broadcast_rules,
+    "stream_match_recognize": stream_match_recognize,
     "q_ntile_quality": q_ntile_quality,
     "pipeline_end_to_end": pipeline_end_to_end,
     "emb_quantize_stats": emb_quantize_stats,
@@ -5765,6 +5842,7 @@ ORACLES = {
     "dedup_nearest": _DEDUP_NEAREST_ORACLE,
     "stream_lookup_join": _STREAM_LOOKUP_ORACLE,
     "stream_broadcast_rules": _STREAM_RULES_ORACLE,
+    "stream_match_recognize": _STREAM_MATCH_ORACLE,
     "q_ntile_quality": _NTILE_ORACLE,
     "pipeline_end_to_end": _PIPELINE_ORACLE,
     "emb_quantize_stats": _QUANTIZE_ORACLE,

@@ -608,3 +608,40 @@ def test_latest_rules_resolves_version_horizon(spark):
     assert at0 == {"a": "r0"}
     assert at1 == {"a": "r0", "b": "r1"}
     assert full == {"a": "r2", "b": "r1"}
+
+
+def test_stream_match_conversions_watermark_gated(spark, tmp_path):
+    """Streaming CEP: matches emit only for keys the watermark closed;
+    the key holding the stream's final millisecond stays open."""
+    from pyspark.sql import functions as F
+    from flink_commons_spark.streaming.cep_stream import stream_match_conversions
+
+    rows = [
+        # key 1: view click click purchase (closes - key 2 has later ts)
+        (1, 1_000_000, "view", 1), (1, 2_000_000, "click", 2),
+        (1, 3_000_000, "click", 3), (1, 4_000_000, "purchase", 4),
+        # key 2: a complete funnel ending at the global max ts - open
+        (2, 5_000_000, "view", 5), (2, 6_000_000, "click", 6),
+        (2, 9_000_000, "purchase", 7),
+    ]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, ["user_id", "ts_us", "event_type", "event_id"]
+    ).withColumn("ts", F.expr("timestamp_micros(ts_us)")).repartition(1).write.parquet(src)
+    sdf = (
+        spark.readStream.schema("user_id long, ts_us long, event_type string, event_id long, ts timestamp")
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+    )
+    import tempfile
+    q = (
+        stream_match_conversions(sdf)
+        .writeStream.format("memory").queryName("cep_unit")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp()).start()
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"]: r for r in spark.table("cep_unit").collect()}
+    assert list(got) == [1]
+    assert got[1]["start_us"] == 1_000_000 and got[1]["end_us"] == 4_000_000
+    assert got[1]["n_clicks"] == 2
