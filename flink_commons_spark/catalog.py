@@ -3533,6 +3533,43 @@ FROM t CROSS JOIN h
 """
 
 
+def ann_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: sign-bit codes (1 bit/dim — 32x over
+    float32), Hamming-ranked top-5 per probe
+    (``operators/similarity.py:with_binary_codes``/``hamming_topk``).
+    Two XORs + two popcounts per candidate, all whole-stage codegen —
+    the cheapest possible first-pass scan of a 100 TB vector store,
+    usually followed by a float re-rank of the survivors."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    return S.hamming_topk(emb.where("vec_id < 10"), emb, k=5)
+
+
+_BQ_SQL = """
+  SELECT vec_id,
+         list_sum(list_transform(generate_series(1, 32),
+           i -> CASE WHEN embedding[i] >= 0 THEN (1::bigint << (i - 1)) ELSE 0 END))::bigint AS lo,
+         list_sum(list_transform(generate_series(33, 64),
+           i -> CASE WHEN embedding[i] >= 0 THEN (1::bigint << (i - 33)) ELSE 0 END))::bigint AS hi
+  FROM embeddings
+"""
+
+_ANN_HAMMING_ORACLE = f"""
+WITH codes AS ({_BQ_SQL}),
+probe AS (SELECT vec_id AS query_id, lo AS q_lo, hi AS q_hi FROM codes WHERE vec_id < 10),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         (bit_count(xor(p.q_lo, c.lo)) + bit_count(xor(p.q_hi, c.hi)))::bigint AS ham
+  FROM codes c CROSS JOIN probe p
+  WHERE c.vec_id <> p.query_id
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY ham, neighbor_id) AS rank,
+       neighbor_id, ham
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
 def emb_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar quantization of the embedding corpus → per-label
     stats: quantized checksum (exact integers) and mean reconstruction
@@ -5730,6 +5767,7 @@ QUERIES = {
     "emb_pq_stats": emb_pq_stats,
     "ann_pq": ann_pq,
     "pq_recall": pq_recall,
+    "ann_hamming": ann_hamming,
     "stream_dedup": stream_dedup,
     "q_hourly_profile": q_hourly_profile,
     "dedup_ngram": dedup_ngram,
@@ -5849,6 +5887,7 @@ ORACLES = {
     "emb_pq_stats": _PQ_ORACLE,
     "ann_pq": _ANN_PQ_ORACLE,
     "pq_recall": _PQ_RECALL_ORACLE,
+    "ann_hamming": _ANN_HAMMING_ORACLE,
     "stream_dedup": _STREAM_DEDUP_ORACLE,
     "q_hourly_profile": _HOURLY_ORACLE,
     "dedup_ngram": _DEDUP_NGRAM_ORACLE,

@@ -719,3 +719,66 @@ def train_pq_codebooks(
             ]
         cbs = new
     return cbs
+
+
+# ----------------------------------------------- binary quantization
+
+def with_binary_codes(
+    df: DataFrame, vec_col: str = "embedding", dims: int = 64
+) -> DataFrame:
+    """Sign-bit binary quantization: bit d = (v_d >= 0), packed into
+    two 32-bit halves (``bq_lo``/``bq_hi`` — two bigints avoid the
+    sign-bit hazard of one 64-bit pack). 1 bit/dim = a 32x cut over
+    float32; Hamming distance between codes approximates angular
+    distance, the re-rank prefilter binary-quantized vector stores
+    scan first. Pure codegen'd CASE/bit arithmetic — no UDF, no
+    shuffle, and the same expression is spellable in any SQL engine.
+    """
+    if dims != 64:
+        raise ValueError("with_binary_codes packs exactly 64 dims")
+    halves = []
+    for h in range(2):
+        expr = None
+        for i in range(32):
+            d = h * 32 + i
+            term = F.when(
+                F.element_at(F.col(vec_col), d + 1) >= 0,
+                F.lit(1 << i).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            expr = term if expr is None else expr + term
+        halves.append(expr)
+    return df.withColumn("bq_lo", halves[0]).withColumn("bq_hi", halves[1])
+
+
+def hamming_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by Hamming distance over binary codes (ascending, ties to
+    the lower neighbor id; self-matches excluded). The scan per
+    candidate is two XORs + two popcounts over 16 bytes — entirely
+    inside whole-stage codegen; the bounded probe side broadcasts
+    (the brute-force layout at 1/32nd the bytes)."""
+    q = with_binary_codes(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("bq_lo").alias("q_lo"),
+        F.col("bq_hi").alias("q_hi"),
+    )
+    c = with_binary_codes(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "bq_lo", "bq_hi"
+    )
+    ham = F.expr("bit_count(q_lo ^ bq_lo) + bit_count(q_hi ^ bq_hi)").cast("bigint")
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", ham.alias("ham"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("ham"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "ham")
+    )

@@ -575,3 +575,21 @@ def test_train_pq_codebooks_reduces_reconstruction_error(spark):
         return with_pq_codes(emb, cbs).agg(F.sum("pq_err")).collect()[0][0]
 
     assert total_err(trained) <= total_err(seeded) + 1e-6
+
+
+def test_binary_codes_and_hamming(spark):
+    """Sign-bit packing: identical vectors have Hamming 0; a vector
+    with one flipped dim has Hamming 1, regardless of which half."""
+    from flink_commons_spark.operators.similarity import hamming_topk
+
+    base = [1.0] * 64
+    flip5 = list(base); flip5[5] = -1.0       # low half
+    flip40 = list(base); flip40[40] = -1.0    # high half
+    d = spark.createDataFrame(
+        [(0, base), (1, list(base)), (2, flip5), (3, flip40)],
+        ["vec_id", "embedding"],
+    )
+    top = hamming_topk(d.where("vec_id = 0"), d, k=3).collect()
+    got = {r["neighbor_id"]: r["ham"] for r in top}
+    assert got == {1: 0, 2: 1, 3: 1}
+    assert [r["rank"] for r in top] == [1, 2, 3]

@@ -28,6 +28,7 @@ ALLOWED_NESTED_LOOP = {
     "ivf_recall",  # same shape
     "ann_pq",  # bounded probe set + distance tables broadcast (knn_brute shape)
     "pq_recall",  # 1-row hit count × 1-row truth count (ann_recall shape)
+    "ann_hamming",  # bounded probe codes broadcast (knn_brute shape)
 }
 
 BATCH_QUERIES = [
