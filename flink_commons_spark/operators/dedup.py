@@ -158,6 +158,47 @@ def jaccard_pairs(candidates: DataFrame, shingles: DataFrame,
     )
 
 
+def exact_jaccard_pairs(shingles: DataFrame, threshold: float = 0.5,
+                        id_col: str = "doc_id") -> DataFrame:
+    """ALL pairs with exact shingle-Jaccard ≥ ``threshold`` — the
+    ground truth the MinHash banding path approximates, computed over
+    an inverted index on the shingle value (never all-pairs: only
+    docs that SHARE a shingle ever meet, and the shuffle key is the
+    shingle itself).
+
+    This is the measurement half of the dedup family: run it on a
+    sample next to :func:`lsh_candidates` and the quotient is the
+    banding recall (see ``catalog.dedup_minhash_recall``) — the same
+    continuously-measurable quality dial ``ann_recall`` gives the ANN
+    index. At 100 TB run the truth side on a sampled slice; the
+    banding side is the production path.
+
+    The threshold cut uses integer arithmetic (``|A∩B|·den ≥
+    num·|A∪B|``), never the rounded float, so the cut is bit-stable
+    across engines.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
+    left = shingles.select(F.col("shingle"), F.col(id_col).alias("a"))
+    right = shingles.select(F.col("shingle"), F.col(id_col).alias("b"))
+    inter = (
+        left.join(right, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    num, den = int(round(threshold * 1000)), 1000
+    return (
+        inter
+        .join(sizes.withColumnRenamed(id_col, "a").withColumnRenamed("sz", "sz_a"), "a")
+        .join(sizes.withColumnRenamed(id_col, "b").withColumnRenamed("sz", "sz_b"), "b")
+        .where(
+            F.col("n_inter") * den
+            >= F.lit(num) * (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+        )
+        .select("a", "b", "n_inter", "sz_a", "sz_b")
+    )
+
+
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         num_hashes: int = 8, bands: int = 4, ngram: int = 3,
                         threshold: float = 0.8) -> DataFrame:

@@ -400,6 +400,71 @@ def embedding_near_dup_pairs(
     )
 
 
+def assign_cells(
+    corpus: DataFrame,
+    centroid_source,
+    nlist: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id, v, cell)`` coarse-quantizer assignment (cosine argmax,
+    the :func:`ivf_assign_udf` total order). Callers that fan the
+    result into several consumers (pair legs + per-cell counts, as
+    ``catalog.dedup_semantic`` does) should ``persist`` it so the
+    Python assignment stage runs ONCE per corpus pass."""
+    if isinstance(centroid_source, list):
+        centroids = centroid_source
+    else:
+        centroids = [
+            [float(x) for x in r[1]]
+            for r in centroid_source.orderBy(id_col).limit(nlist)
+            .select(id_col, vec_col).collect()
+        ]
+    assign = ivf_assign_udf(centroids)
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        assign(F.col(vec_col)).alias("cell"),
+    )
+
+
+def semantic_dedup_pairs(
+    cells: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: cluster the
+    embedding space with a coarse quantizer, then compare ONLY within
+    a cluster (Abbas et al. 2023, "SemDeDup" — public paper; the
+    within-cluster restriction is what makes semantic dedup tractable
+    at corpus scale).
+
+    ``cells`` is the :func:`assign_cells` output ``(id, v, cell)`` —
+    persist it when you also aggregate per-cell stats from it, so the
+    Python assignment stage runs once. Returns ``(cell, a, b, sim)``
+    with ``a < b`` and rounded cosine ``sim ≥ threshold``. The
+    self-join shuffles on the cell id, so the quadratic term is bounded
+    per cell, not per corpus: with ``nlist ≈ √N`` cells the expected
+    pair work is O(N^1.5) instead of O(N²), and each cell's pair block
+    fits one task. Centroid seeding matches :func:`ivf_topk` (lowest-id
+    rows, or a trained list from :func:`train_ivf_centroids`) —
+    deterministic and oracle-checkable.
+    """
+    left = cells.select("cell", F.col(id_col).alias("a"), F.col("v").alias("va"))
+    right = cells.select("cell", F.col(id_col).alias("b"), F.col("v").alias("vb"))
+    return (
+        left.join(right, "cell")
+        .where(F.col("a") < F.col("b"))
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            "a",
+            "b",
+            F.round(cosine_batch(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
 # --------------------------------------------------------- quantization
 
 def with_quantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:

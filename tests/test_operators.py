@@ -79,6 +79,48 @@ def test_minhash_finds_near_dups(spark):
     assert pairs[0].jaccard > 0.5
 
 
+def test_exact_jaccard_pairs_ground_truth(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    near = base.replace("tonight", "today")
+    far = "completely unrelated text about spark dataframes and shuffles here now"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    sh = D.shingle_table(df)
+    got = D.exact_jaccard_pairs(sh, threshold=0.5).collect()
+    assert [(p.a, p.b) for p in got] == [(1, 2)]
+    p = got[0]
+    # 14 tokens -> 12 shingles each; only the final shingle contains
+    # the changed last word, so J = 11/13 ~ 0.846
+    assert (p.sz_a, p.sz_b, p.n_inter) == (12, 12, 11)
+    assert p.n_inter * 2 >= (p.sz_a + p.sz_b - p.n_inter)
+    # threshold above the true Jaccard excludes the pair
+    assert D.exact_jaccard_pairs(sh, threshold=0.9).count() == 0
+
+
+def test_semantic_dedup_within_cell_only(spark):
+    # two tight clusters on opposing axes; near-dups only within a cluster
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),   # near vec 0
+        (3, [0.1, 0.9, 0.0, 0.0]),   # near vec 1
+        (4, [0.0, -1.0, 0.0, 0.0]),  # anti-parallel to vec 1
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cells = S.assign_cells(df, df, nlist=2)
+    by_id = {r.vec_id: r.cell for r in cells.collect()}
+    assert by_id[0] == by_id[2] == 0 and by_id[1] == by_id[3] == 1
+    assert by_id[4] == 0  # cos(v4, c1) = -1 < cos(v4, c0) = 0
+    pairs = S.semantic_dedup_pairs(cells, threshold=0.9).collect()
+    got = {(p.a, p.b) for p in pairs}
+    assert got == {(0, 2), (1, 3)}
+    assert all(p.sim > 0.97 for p in pairs)
+    # cross-cluster near-misses never scored: cos(0,1)=0 pair absent even at low tau
+    low = {(p.a, p.b) for p in S.semantic_dedup_pairs(cells, threshold=-1.0).collect()}
+    assert (0, 1) not in low and (1, 4) not in low  # different cells
+
+
 def test_winnow_shared_substring_guarantee(spark):
     # winnowing guarantees: a shared substring of length >= k+window-1
     # (= 11 here) produces at least one shared fingerprint
