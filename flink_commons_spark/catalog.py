@@ -1420,6 +1420,26 @@ GROUP BY vec_id, p // {_PLANES}
 """
 
 
+def _recall_counts(truth: DataFrame, approx: DataFrame, keys: list) -> DataFrame:
+    """(n_hits, n_truth, recall_pct) in ONE job: left-join the approx
+    flag onto truth and count both in the same aggregate. The naive
+    two-scalar-aggregate cross join runs the (expensive) truth pipeline
+    once per count job — twice — and plans a nested-loop broadcast."""
+    return (
+        truth.join(
+            approx.withColumn("__hit", F.lit(1)), keys, "left"
+        )
+        .agg(F.count("__hit").alias("n_hits"), F.count("*").alias("n_truth"))
+        .select(
+            "n_hits",
+            "n_truth",
+            F.round(F.col("n_hits") * 100.0 / F.col("n_truth"), 2).alias(
+                "recall_pct"
+            ),
+        )
+    )
+
+
 def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MEASURED recall@5 of the LSH ANN against exact brute force —
     in-engine, not a notebook claim: both pipelines run on the same
@@ -1433,18 +1453,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = S.lsh_ann_topk(
         probes, emb, k=5, num_planes=_PLANES, dims=_DIMS, num_tables=_TABLES
     ).select("query_id", "neighbor_id")
-    hits = approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
-    return (
-        truth.agg(F.count("*").alias("n_truth"))
-        .join(F.broadcast(hits.agg(F.count("*").alias("n_hits"))))
-        .select(
-            "n_hits",
-            "n_truth",
-            F.round(F.col("n_hits") * 100.0 / F.col("n_truth"), 2).alias(
-                "recall_pct"
-            ),
-        )
-    )
+    return _recall_counts(truth, approx, ["query_id", "neighbor_id"])
 
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1510,18 +1519,7 @@ def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = S.ivf_topk(
         probes, emb, _t(spark, sf_dir, "embeddings"), k=5, nlist=8, nprobe=2
     ).select("query_id", "neighbor_id")
-    hits = approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
-    return (
-        truth.agg(F.count("*").alias("n_truth"))
-        .join(F.broadcast(hits.agg(F.count("*").alias("n_hits"))))
-        .select(
-            "n_hits",
-            "n_truth",
-            F.round(F.col("n_hits") * 100.0 / F.col("n_truth"), 2).alias(
-                "recall_pct"
-            ),
-        )
-    )
+    return _recall_counts(truth, approx, ["query_id", "neighbor_id"])
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3492,18 +3490,7 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = S.l2_topk(probes, emb, k=5).select("query_id", "neighbor_id")
     cbs = S.pq_codebooks(_t(spark, sf_dir, "embeddings"), m=8, ksub=16, dims=64)
     approx = S.pq_adc_topk(probes, emb, cbs, k=5).select("query_id", "neighbor_id")
-    hits = approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
-    return (
-        truth.agg(F.count("*").alias("n_truth"))
-        .join(F.broadcast(hits.agg(F.count("*").alias("n_hits"))))
-        .select(
-            "n_hits",
-            "n_truth",
-            F.round(F.col("n_hits") * 100.0 / F.col("n_truth"), 2).alias(
-                "recall_pct"
-            ),
-        )
-    )
+    return _recall_counts(truth, approx, ["query_id", "neighbor_id"])
 
 
 _L2_TRUTH_SQL = """
@@ -5725,18 +5712,7 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = D.minhash_signatures(sh, num_hashes=8)
     cand = D.lsh_candidates(sig, num_hashes=8, bands=4)
     truth = D.exact_jaccard_pairs(sh, threshold=0.5).select("a", "b")
-    hits = cand.join(truth, ["a", "b"], "left_semi")
-    return (
-        truth.agg(F.count("*").alias("n_truth"))
-        .join(F.broadcast(hits.agg(F.count("*").alias("n_hits"))))
-        .select(
-            "n_hits",
-            "n_truth",
-            F.round(F.col("n_hits") * 100.0 / F.col("n_truth"), 2).alias(
-                "recall_pct"
-            ),
-        )
-    )
+    return _recall_counts(truth, cand.select("a", "b"), ["a", "b"])
 
 
 _MINHASH_RECALL_ORACLE = f"""

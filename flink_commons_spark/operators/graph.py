@@ -50,6 +50,13 @@ def connected_components(
     )
     labels = nodes.withColumn("label", F.col("node"))
     adj = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # min-propagation is monotone (labels only ever decrease), so the
+    # label SUM is a fixpoint detector: one tiny aggregate job per
+    # iteration instead of a join + filter + count probe. decimal(38,0)
+    # keeps the sum exact at any node-count × id-range scale.
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)"))
+    ).first()[0]
     for _ in range(max_iter):
         nbr = adj.join(
             labels.withColumnRenamed("node", "v"), "v"
@@ -58,16 +65,13 @@ def connected_components(
             labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).first()[0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             return labels
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
     )

@@ -48,6 +48,9 @@ HEAVY = [
     "emb_pq_stats",
     "dedup_substring",
     "dsir_select",
+    # round-3 late additions
+    "dedup_minhash_recall",
+    "dedup_semantic",
 ]
 
 # same shapes the plan-quality test allows: bounded 1-row-scalar or

@@ -29,7 +29,6 @@ ALLOWED_NESTED_LOOP = {
     "ann_pq",  # bounded probe set + distance tables broadcast (knn_brute shape)
     "pq_recall",  # 1-row hit count × 1-row truth count (ann_recall shape)
     "ann_hamming",  # bounded probe codes broadcast (knn_brute shape)
-    "dedup_minhash_recall",  # 1-row hit count × 1-row truth count (ann_recall shape)
 }
 
 BATCH_QUERIES = [

@@ -395,6 +395,26 @@ def test_lakehouse_pipeline_script(spark, tmp_path, capsys):
     assert "click" in out
 
 
+def test_dedup_pipeline_script(spark, tmp_path, capsys):
+    """The queries/ curation demo: exact dedup → quality gate →
+    deterministic split → materialized kept corpus + survivor profile."""
+    action = SqlSubmitAction(
+        str(QUERIES_DIR / "dedup_pipeline.sql"),
+        {"data": "/root/testdata/sf0.001", "out": str(tmp_path)},
+        spark=spark,
+    )
+    action.run()
+    out = capsys.readouterr().out
+    kept = spark.read.parquet(f"{tmp_path}/kept_docs").collect()
+    n_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert 0 < len(kept) <= n_docs
+    assert all(r.quality >= 0.5 for r in kept)
+    assert {r.split for r in kept} <= {"train", "val", "test"}
+    # dedup kept one id per fingerprint: ids unique
+    assert len({r.doc_id for r in kept}) == len(kept)
+    assert "train" in out  # survivor profile printed through the runner
+
+
 def test_upsert_filesystem_batch_inserts_last_write_wins(spark, tmp_path):
     """Two sequential BATCH inserts into an upsert table: monotonic
     changelog batch ids, second write wins per key on read."""
