@@ -181,11 +181,36 @@ def apply_filesystem_metadata(df: DataFrame, spec: TableSpec) -> DataFrame:
     return df
 
 
+def _resolve_format(spec: TableSpec) -> str:
+    """Flink format name → Spark source name.
+
+    Flink's ``raw`` format (one record = one opaque string; constrained
+    to a single physical column — its public format contract) maps onto
+    Spark's ``text`` source, which has the same shape. Every other name
+    passes through to the DataFrame reader/writer unchanged.
+    """
+    fmt = spec.options.get("format", "parquet")
+    if fmt != "raw":
+        return fmt
+    if spec.columns:
+        ok = len(spec.columns) == 1 and spec.columns[0][1].lower().startswith(
+            ("string", "varchar", "char")
+        )
+        if not ok:
+            # invalid declaration, not a missing file: no retry heals it,
+            # so surface at the DDL instead of deferring as sink-only
+            raise PermanentConnectorError(
+                f"raw format table {spec.name!r} must declare exactly one"
+                " STRING column (Flink raw-format contract)"
+            )
+    return "text"
+
+
 def _filesystem_source(spark: SparkSession, spec: TableSpec, streaming: bool) -> DataFrame:
     path = spec.options.get("path")
     if not path:
         raise ConnectorError(f"filesystem table {spec.name!r} requires a 'path' option")
-    fmt = spec.options.get("format", "parquet")
+    fmt = _resolve_format(spec)
     ns_cols = _ns_timestamp_cols(path) if fmt == "parquet" else []
 
     def declared_schema() -> str:
@@ -562,7 +587,7 @@ def write_batch_sink(df: DataFrame, spec: TableSpec, *, overwrite: bool = False)
         path = spec.options.get("path")
         if not path:
             raise ConnectorError(f"filesystem sink {spec.name!r} requires 'path'")
-        fmt = spec.options.get("format", "parquet")
+        fmt = _resolve_format(spec)
         mode = "overwrite" if overwrite else spec.options.get("sink.mode", "append")
         writer = df.write.format(fmt).mode(mode)
         if spec.partitioned_by:
@@ -605,7 +630,7 @@ def start_stream_sink(df: DataFrame, spec: TableSpec, *, query_name: str,
         path = spec.options.get("path")
         if not path:
             raise ConnectorError(f"filesystem sink {spec.name!r} requires 'path'")
-        fmt = spec.options.get("format", "parquet")
+        fmt = _resolve_format(spec)
         w = writer.format(fmt).option("path", path)
         if spec.partitioned_by:
             w = w.partitionBy(*spec.partitioned_by)

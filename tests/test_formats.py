@@ -47,6 +47,50 @@ def test_filesystem_format_round_trip(spark, tmp_path, fmt, capsys):
     assert all(isinstance(r.s, str) and len(r.s) == 4 for r in rows)
 
 
+def test_raw_format_round_trip(spark, tmp_path, capsys):
+    """Flink's raw format (one record = one opaque string) maps onto
+    Spark's text source. Reference contract: raw tables carry exactly
+    one STRING column."""
+    out = tmp_path / "out_raw"
+    script = f"""
+    SET 'execution.runtime-mode' = 'batch';
+    CREATE TABLE src (a BIGINT) WITH (
+        'connector' = 'datagen', 'number-of-rows' = '5',
+        'fields.a.kind' = 'sequence', 'fields.a.start' = '1', 'fields.a.end' = '5'
+    );
+    CREATE TABLE sink (line STRING) WITH (
+        'connector' = 'filesystem', 'path' = '{out}', 'format' = 'raw'
+    );
+    INSERT INTO sink SELECT concat('row-', cast(a AS STRING)) FROM src;
+    CREATE TABLE back (line STRING) WITH (
+        'connector' = 'filesystem', 'path' = '{out}', 'format' = 'raw'
+    );
+    SELECT count(*) AS n, min(line) AS lo FROM back;
+    """
+    SqlSubmitAction(sql_text=script, spark=spark).run()
+    import re
+
+    shown = capsys.readouterr().out
+    assert re.search(r"\|\s*5\s*\|\s*row-1\s*\|", shown), shown
+    lines = {r.value for r in spark.read.text(str(out)).collect()}
+    assert lines == {f"row-{i}" for i in range(1, 6)}
+
+
+def test_raw_format_rejects_multi_column(spark, tmp_path):
+    script = f"""
+    SET 'execution.runtime-mode' = 'batch';
+    CREATE TABLE bad (a BIGINT, s STRING) WITH (
+        'connector' = 'filesystem', 'path' = '{tmp_path}/x', 'format' = 'raw'
+    );
+    """
+    with pytest.raises(Exception) as exc_info:
+        SqlSubmitAction(sql_text=script, spark=spark).run()
+    # surfaces AT THE DDL (PermanentConnectorError — no retry heals a
+    # bad declaration), wrapped in the reference's per-statement message
+    assert "CREATE TABLE bad" in str(exc_info.value)
+    assert "exactly one" in str(exc_info.value.__cause__)
+
+
 def test_show_create_table_connector(spark, tmp_path, capsys):
     """SHOW CREATE TABLE for a runner-registered connector table prints
     the registered DDL (Spark's catalog has no row for it)."""
