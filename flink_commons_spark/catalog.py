@@ -5907,6 +5907,49 @@ CROSS JOIN LATERAL (
 """
 
 
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM quality score (perplexity-proxy filter):
+    the corpus trains its own Laplace-smoothed bigram model in the same
+    job, and each document is scored by its average log transition
+    probability — CCNet's KenLM filtering, Spark-first. Low scores mark
+    corpus-atypical word sequences. Engine-portable via the DSIR
+    decimal-sum trick (see ``operators/curation.py:bigram_lm_scores``)."""
+    import flink_commons_spark.operators.curation as C
+
+    d = _tp(spark, sf_dir, "documents")
+    return C.bigram_lm_scores(d).select("doc_id", "n_bigrams", "avg_logp")
+
+
+_TEXT_LM_ORACLE = f"""
+WITH tdf AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+feats AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 2
+                THEN list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i + 1])
+                ELSE []::varchar[] END) AS bg
+  FROM tdf
+),
+f2 AS (SELECT doc_id, string_split(bg, ' ')[1] AS w1, bg FROM feats),
+c2 AS (SELECT w1, bg, count(*) AS n2 FROM f2 GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY 1),
+lm AS (
+  SELECT bg,
+         round(ln((n2 + 1) / (n1 + (SELECT count(*) FROM c1))), 6)::decimal(18,6) AS logp
+  FROM c2 JOIN c1 USING (w1)
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_bigrams, sum(logp) AS s
+  FROM f2 JOIN lm USING (bg)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(n_bigrams, 0)::bigint AS n_bigrams,
+       round(s::double / n_bigrams, 6) AS avg_logp
+FROM tdf t LEFT JOIN scored USING (doc_id)
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6033,6 +6076,7 @@ QUERIES = {
     "dedup_semantic": dedup_semantic,
     "q_recursive_cte": q_recursive_cte,
     "q_lateral_topk": q_lateral_topk,
+    "text_lm_score": text_lm_score,
 }
 
 ORACLES = {
@@ -6157,6 +6201,7 @@ ORACLES = {
     "dedup_semantic": _SEMANTIC_DEDUP_ORACLE,
     "q_recursive_cte": _RECURSIVE_CTE_ORACLE,
     "q_lateral_topk": _LATERAL_TOPK_ORACLE,
+    "text_lm_score": _TEXT_LM_ORACLE,
 }
 
 # ---------------------------------------------------------------------------

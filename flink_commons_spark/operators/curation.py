@@ -185,6 +185,81 @@ def decontaminate(
     )
 
 
+def bigram_lm_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """In-corpus bigram language-model score per document — the
+    perplexity-proxy quality filter (CCNet's KenLM filtering recast
+    Spark-first: the LM is trained ON the corpus in the same job, so
+    low scores mark documents whose word transitions are atypical for
+    the corpus — gibberish, boilerplate, wrong-language residue).
+
+    Per document: ``avg log P(w2 | w1)`` over its word-bigram
+    occurrences, Laplace-smoothed,
+
+        P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V),
+
+    with ``V`` = number of distinct bigram prefixes (the smoothing
+    vocabulary; a fixed config constant at production scale). Engine
+    portability uses the DSIR trick: each bigram's log-probability is
+    rounded to 6 decimals and fixed as ``decimal(18,6)``, so the
+    per-document SUM is exact integer-decimal arithmetic — order
+    independent, bit-stable across engines; float touches only the
+    ``ln`` itself and the final average.
+
+    Scale: one explode pass; the LM table is |distinct bigrams| rows
+    (vocab², too big to broadcast at scale) joined back on the bigram
+    key — a keyed equi-join, gram-distributed like the dedup inverted
+    indexes; V rides the LM table through an unpartitioned window over
+    the |prefixes| aggregate (vocab-sized, not corpus-sized).
+
+    Returns ``(id, n_bigrams, avg_logp)``; docs with < 2 tokens get
+    ``n_bigrams = 0`` and NULL ``avg_logp``.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.lower(F.col(text_col)))
+    tdf = docs.select(id_col, toks.alias("__toks"))
+    bigram_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.get(F.col("__toks"), i), F.get(F.col("__toks"), i + 1)
+    )
+    bigrams = F.when(
+        F.size(F.col("__toks")) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(F.col("__toks")) - 2), bigram_at),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = tdf.withColumn("__bg", F.explode(bigrams)).select(
+        id_col,
+        F.split_part(F.col("__bg"), F.lit(" "), F.lit(1)).alias("__w1"),
+        "__bg",
+    )
+    c2 = feats.groupBy("__w1", "__bg").agg(F.count("*").alias("__c2"))
+    c1 = c2.groupBy("__w1").agg(F.sum("__c2").alias("__c1"))
+    w_all = Window.partitionBy()  # over the |prefixes| table only
+    c1v = c1.withColumn("__v", F.count("*").over(w_all))
+    lm = c2.join(c1v, "__w1").select(
+        "__bg",
+        F.round(
+            F.log((F.col("__c2") + 1) / (F.col("__c1") + F.col("__v"))), 6
+        ).cast("decimal(18,6)").alias("__logp"),
+    )
+    scored = (
+        feats.join(lm, "__bg")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bigrams"), F.sum("__logp").alias("__s"))
+    )
+    return (
+        tdf.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.round(
+                F.col("__s").cast("double") / F.col("n_bigrams"), 6
+            ).alias("avg_logp"),
+        )
+    )
+
+
 # --------------------------------------------------- repetition metrics
 
 

@@ -67,6 +67,23 @@ def test_decontaminate_counts_and_zero_overlap(spark, docs):
     assert rows[3]["n_overlap"] == 0 and not rows[3]["contaminated"]
 
 
+def test_bigram_lm_scores_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c d"), (3, "solo")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in C.bigram_lm_scores(df).collect()}
+    # corpus counts: c2("a b")=2, c2("b a")=1, c2("c d")=1; prefixes V=3
+    # P(b|a)=(2+1)/(2+3)=0.6  P(a|b)=(1+1)/(1+3)=0.5  P(d|c)=0.5
+    lp_ab = round(math.log(0.6), 6)
+    lp_ba = round(math.log(0.5), 6)
+    assert got[1].n_bigrams == 3
+    assert got[1].avg_logp == round((2 * lp_ab + lp_ba) / 3, 6)
+    assert got[2].n_bigrams == 1 and got[2].avg_logp == lp_ba
+    assert got[3].n_bigrams == 0 and got[3].avg_logp is None
+
+
 def test_repetition_stats_counts(spark):
     d = spark.createDataFrame([(1, "a a a b"), (2, "x y")], ["doc_id", "text"])
     rows = {r["doc_id"]: r for r in C.repetition_stats(d).collect()}
