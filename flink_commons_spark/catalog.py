@@ -5834,6 +5834,11 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     blow-up — and each iteration is one narrow projection (the DIV is
     computed per row; no join inside the recursive step).
     """
+    # Spark guards runaway recursion at 1M rows (spark.sql.
+    # cteRecursionRowLimit), read at EXECUTION time — so it must be a
+    # session-level setting in whatever harness collects this query
+    # (bench.py / scripts/* set it): this traversal is provably bounded
+    # (rows = parts × digit-count) and crosses 1M at ~sf0.5.
     _t(spark, sf_dir, "part").createOrReplaceTempView("fcs_rc_part")
     return spark.sql("""
       WITH RECURSIVE chain AS (

@@ -75,6 +75,8 @@ def main() -> int:
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"))
+        # q_recursive_cte is row-bounded but crosses the 1M default guard ~sf0.5
+        .config("spark.sql.cteRecursionRowLimit", "500000000")
         .getOrCreate()
     )
     con = duckdb.connect()

@@ -79,6 +79,8 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "16g")
+        # q_recursive_cte is row-bounded but crosses the 1M default guard ~sf0.5
+        .config("spark.sql.cteRecursionRowLimit", "500000000")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
