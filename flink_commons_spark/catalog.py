@@ -5912,6 +5912,60 @@ CROSS JOIN LATERAL (
 """
 
 
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with LOCF (Timescale's
+    ``time_bucket_gapfill`` + ``locf``, Flink's windowed fill): densify
+    each series' minute grid between its own first and last
+    observation, count 0 for empty minutes, and carry the last observed
+    value forward.
+
+    Per-series spine = ``sequence(min_minute, max_minute)`` exploded —
+    rows bounded by the series' time span, derived in the same
+    aggregate that buckets the data (no second scan). The LOCF is one
+    ``last(ignorenulls)`` running window per series key; at scale the
+    window partition is the series id (here 5 event types — real
+    deployments have high-cardinality series, which is exactly what
+    the partitioning wants). The carried metric is the per-minute MAX
+    (order-independent, bit-exact across engines).
+    """
+    e = _t(spark, sf_dir, "events")
+    minute = F.floor(F.col("ts").cast("double") / 60).cast("bigint")
+    m = e.groupBy(F.col("event_type").alias("dim"), minute.alias("minute")).agg(
+        F.count("*").alias("n"), F.max("value").alias("v")
+    )
+    spine = (
+        m.groupBy("dim")
+        .agg(F.min("minute").alias("lo"), F.max("minute").alias("hi"))
+        .select("dim", F.explode(F.sequence("lo", "hi")).alias("minute"))
+    )
+    j = spine.join(m, ["dim", "minute"], "left").select(
+        "dim", "minute", F.coalesce("n", F.lit(0)).alias("n"), "v"
+    )
+    w = Window.partitionBy("dim").orderBy("minute")
+    return j.select(
+        "dim", "minute", "n",
+        F.last("v", ignorenulls=True).over(w).alias("v_locf"),
+    )
+
+
+_GAPFILL_ORACLE = """
+WITH m AS (
+  SELECT event_type AS dim, floor(epoch(ts) / 60)::bigint AS minute,
+         count(*) AS n, max(value) AS v
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT dim, min(minute) AS lo, max(minute) AS hi FROM m GROUP BY 1),
+spine AS (SELECT dim, unnest(generate_series(lo, hi)) AS minute FROM b),
+j AS (
+  SELECT s.dim, s.minute, coalesce(n, 0)::bigint AS n, v
+  FROM spine s LEFT JOIN m ON m.dim = s.dim AND m.minute = s.minute
+)
+SELECT dim, minute, n,
+       last_value(v IGNORE NULLS) OVER (PARTITION BY dim ORDER BY minute) AS v_locf
+FROM j
+"""
+
+
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bigram-LM quality score (perplexity-proxy filter):
     the corpus trains its own Laplace-smoothed bigram model in the same
@@ -6082,6 +6136,7 @@ QUERIES = {
     "q_recursive_cte": q_recursive_cte,
     "q_lateral_topk": q_lateral_topk,
     "text_lm_score": text_lm_score,
+    "q_gapfill_locf": q_gapfill_locf,
 }
 
 ORACLES = {
@@ -6207,6 +6262,7 @@ ORACLES = {
     "q_recursive_cte": _RECURSIVE_CTE_ORACLE,
     "q_lateral_topk": _LATERAL_TOPK_ORACLE,
     "text_lm_score": _TEXT_LM_ORACLE,
+    "q_gapfill_locf": _GAPFILL_ORACLE,
 }
 
 # ---------------------------------------------------------------------------
