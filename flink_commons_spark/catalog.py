@@ -5966,6 +5966,91 @@ FROM j
 """
 
 
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (the financial resample; Timescale/ClickHouse
+    ``first``/``last`` aggregates): per (event_type, hour) the first,
+    max, min and last observed value. First/last are decided by a
+    TOTAL order — (ts, event_id) — via one row_number window per
+    direction-free pass: rn ASC picks the open, rn DESC the close, so
+    ties on the timestamp are deterministic in both engines. One
+    window + one aggregate, both partitioned on the series-bucket key;
+    no self-joins.
+    """
+    e = _t(spark, sf_dir, "events")
+    hour = F.floor(F.col("ts").cast("double") / 3600).cast("bigint")
+    base = e.select(
+        F.col("event_type").alias("dim"), hour.alias("hour"),
+        "ts", "event_id", "value",
+    )
+    w = Window.partitionBy("dim", "hour").orderBy("ts", "event_id")
+    wd = Window.partitionBy("dim", "hour").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        base.withColumn("rn_a", F.row_number().over(w))
+        .withColumn("rn_d", F.row_number().over(wd))
+        .groupBy("dim", "hour")
+        .agg(
+            F.count("*").alias("n"),
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        )
+    )
+
+
+_OHLC_ORACLE = """
+WITH base AS (
+  SELECT event_type AS dim, floor(epoch(ts) / 3600)::bigint AS hour,
+         ts, event_id, value,
+         row_number() OVER (PARTITION BY event_type, floor(epoch(ts) / 3600)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, floor(epoch(ts) / 3600)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT dim, hour, count(*) AS n,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close
+FROM base
+GROUP BY dim, hour
+"""
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the canonical product-analytics
+    rollup: users are cohorted by their FIRST week of activity, and
+    each later week counts how many of that cohort came back. Two hash
+    aggregates (first-week per user, then distinct users per
+    (cohort, offset)) — both keyed on user_id first, so the heavy
+    exchange is one user-keyed pass over the activity log; the matrix
+    itself is tiny (weeks × horizon).
+    """
+    e = _t(spark, sf_dir, "events")
+    week = F.floor(F.col("ts").cast("double") / 604800).cast("bigint")
+    activity = e.select(F.col("user_id"), week.alias("week")).distinct()
+    first = activity.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (
+        activity.join(first, "user_id")
+        .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_RETENTION_ORACLE = """
+WITH activity AS (
+  SELECT DISTINCT user_id, floor(epoch(ts) / 604800)::bigint AS week FROM events
+),
+first AS (SELECT user_id, min(week) AS cohort FROM activity GROUP BY 1)
+SELECT cohort, week - cohort AS week_offset, count(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bigram-LM quality score (perplexity-proxy filter):
     the corpus trains its own Laplace-smoothed bigram model in the same
@@ -6137,6 +6222,8 @@ QUERIES = {
     "q_lateral_topk": q_lateral_topk,
     "text_lm_score": text_lm_score,
     "q_gapfill_locf": q_gapfill_locf,
+    "q_ohlc": q_ohlc,
+    "q_retention": q_retention,
 }
 
 ORACLES = {
@@ -6263,6 +6350,8 @@ ORACLES = {
     "q_lateral_topk": _LATERAL_TOPK_ORACLE,
     "text_lm_score": _TEXT_LM_ORACLE,
     "q_gapfill_locf": _GAPFILL_ORACLE,
+    "q_ohlc": _OHLC_ORACLE,
+    "q_retention": _RETENTION_ORACLE,
 }
 
 # ---------------------------------------------------------------------------
