@@ -39,10 +39,12 @@ def connected_components(
     raise the bound or pre-contract).
     """
     # materialize the edge list once — its lineage (e.g. a full
-    # MinHash-LSH pipeline) must not be re-executed every iteration
+    # MinHash-LSH pipeline) must not be re-executed every iteration.
+    # Lazy: the initial label-sum probe below triggers it, so the
+    # checkpoint doesn't cost a job of its own.
     edges = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("u").alias("node"))
         .union(edges.select(F.col("v").alias("node")))
@@ -64,7 +66,9 @@ def connected_components(
         new_labels = (
             labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # lazy checkpoint: the convergence probe right after is the
+        # materializing action — one job per iteration, not two
+        new_labels = new_labels.localCheckpoint(eager=False)
         cur_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).first()[0]
