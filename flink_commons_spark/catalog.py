@@ -6094,6 +6094,286 @@ FROM tdf t LEFT JOIN scored USING (doc_id)
 """
 
 
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top-20 part pairs ordered together.
+    The basket formulation beats the naive self-join at scale: ONE
+    orderkey-keyed shuffle builds each basket, the pair expansion is a
+    per-row array transform (zero extra exchange, bounded by the max
+    basket size — 7 lines in TPC-H), and only then do the (pa, pb)
+    pair counts shuffle. A self-join would shuffle the fact twice and
+    concentrate popular parts onto hot reducers. Total order
+    (n_orders DESC, pa, pb) makes top-20 deterministic."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), "
+                "y -> struct(x AS pa, y AS pb))))"
+            )
+        ).alias("pr")
+    ).select("pr.pa", "pr.pb")
+    return (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "pa", "pb")
+        .limit(20)
+    )
+
+
+_COOCCURRENCE_ORACLE = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT x.l_partkey AS pa, y.l_partkey AS pb, count(*) AS n_orders
+FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, pa, pb
+LIMIT 20
+"""
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly detection: hourly event counts flagged when
+    they sit >2 standard deviations from their type's mean. The z-score
+    is derived from EXACT integer sums (n, Σcnt, Σcnt²) so both engines
+    perform the identical sequence of IEEE double ops — no float-
+    summation-order wobble. Two hash aggregates plus a broadcast of the
+    |event_type|-row stats table back onto the hourly counts."""
+    e = _t(spark, sf_dir, "events")
+    hour = F.floor(F.col("ts").cast("double") / 3600).cast("bigint")
+    hourly = e.groupBy(
+        "event_type", hour.alias("hour")
+    ).agg(F.count("*").alias("cnt"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    j = hourly.join(F.broadcast(stats), "event_type")
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    z = (F.col("cnt") - mean) / F.sqrt(var)
+    return (
+        j.where(var > 1e-12)
+        .withColumn("z", F.round(z, 6))
+        .where(F.abs(F.col("z")) > 2)
+        .select("event_type", "hour", "cnt", "z")
+    )
+
+
+_ANOMALY_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, floor(epoch(ts) / 3600)::bigint AS hour, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, count(*)::bigint AS n, sum(cnt)::bigint AS s1,
+         sum(cnt * cnt)::bigint AS s2
+  FROM hourly GROUP BY 1
+),
+scored AS (
+  SELECT event_type, hour, cnt,
+         round((cnt - s1::double / n)
+               / sqrt(s2::double / n - (s1::double / n) * (s1::double / n)),
+               6) AS z
+  FROM hourly JOIN stats USING (event_type)
+  WHERE s2::double / n - (s1::double / n) * (s1::double / n) > 1e-12
+)
+SELECT event_type, hour, cnt, z FROM scored WHERE abs(z) > 2
+"""
+
+
+def sketch_rollup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct-count rollup with an in-engine accuracy
+    audit: per-(type, day) HLL sketches (one pass over the raw keys) are
+    UNIONED up to per-type estimates — sketch bytes, not raw user_ids,
+    move in the rollup shuffle, the pattern that makes distinct-count
+    cubes affordable at 100 TB. Each engine then checks ITS OWN estimate
+    against the exact distinct count (est within 10%) so the
+    approximate value never crosses the engine boundary — only the
+    exact count and the boolean verdict do."""
+    from flink_commons_spark.operators import sketches as SK
+
+    e = _t(spark, sf_dir, "events")
+    day = (F.col("ts").cast("double") / 86400).cast("bigint")
+    fine = SK.sketch_by_group(
+        e.withColumn("day", day), ["event_type", "day"], "user_id"
+    )
+    est = SK.rollup_estimates(fine, ["event_type", "day"], ["event_type"])
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("distinct_est") - F.col("exact_users"))
+            <= 0.1 * F.col("exact_users")
+        ).alias("est_ok"),
+    )
+
+
+_SKETCH_AUDIT_ORACLE = """
+WITH exact AS (
+  SELECT event_type, count(DISTINCT user_id)::bigint AS exact_users
+  FROM events GROUP BY 1
+),
+est AS (
+  SELECT event_type, approx_count_distinct(user_id)::bigint AS u
+  FROM events GROUP BY 1
+)
+SELECT event_type, exact_users,
+       abs(u - exact_users) <= 0.1 * exact_users AS est_ok
+FROM exact JOIN est USING (event_type)
+"""
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PageRank over the nation-to-nation trade graph
+    (customer nation → supplier nation edges mined from the order
+    facts). Exact-integer fixed-point formulation — bigint micro-unit
+    ranks, 17/20 damping, integer division — so five distributed
+    iterations land bit-identical on any engine/partitioning (see
+    ``operators/graph.py:pagerank``). Edge mining is the expensive
+    part at scale: dims broadcast onto the fact, then a distinct on
+    the 25×25 pair space; the iterations touch only |V|+|E| rows."""
+    from flink_commons_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(
+            c.c_nationkey.alias("src"), s.s_nationkey.alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    return pagerank(nodes, edges).withColumnRenamed("node", "nation_key")
+
+
+_PAGERANK_ORACLE = """
+WITH nodes AS (SELECT n_nationkey AS node FROM nation),
+edges AS (
+  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM nodes),
+it0 AS (
+  SELECT node, (1000000000000 // n)::bigint AS r FROM nodes, nn
+),
+it1 AS (
+  SELECT nd.node,
+         ((1000000000000 * 3) // (20 * (SELECT n FROM nn))
+          + coalesce(sum(c.contrib), 0) * 17 // 20)::bigint AS r
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst, p.r // o.outdeg AS contrib
+    FROM edges e JOIN it0 p ON p.node = e.src JOIN outdeg o ON o.src = e.src
+  ) c ON c.dst = nd.node
+  GROUP BY nd.node
+),
+it2 AS (
+  SELECT nd.node,
+         ((1000000000000 * 3) // (20 * (SELECT n FROM nn))
+          + coalesce(sum(c.contrib), 0) * 17 // 20)::bigint AS r
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst, p.r // o.outdeg AS contrib
+    FROM edges e JOIN it1 p ON p.node = e.src JOIN outdeg o ON o.src = e.src
+  ) c ON c.dst = nd.node
+  GROUP BY nd.node
+),
+it3 AS (
+  SELECT nd.node,
+         ((1000000000000 * 3) // (20 * (SELECT n FROM nn))
+          + coalesce(sum(c.contrib), 0) * 17 // 20)::bigint AS r
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst, p.r // o.outdeg AS contrib
+    FROM edges e JOIN it2 p ON p.node = e.src JOIN outdeg o ON o.src = e.src
+  ) c ON c.dst = nd.node
+  GROUP BY nd.node
+),
+it4 AS (
+  SELECT nd.node,
+         ((1000000000000 * 3) // (20 * (SELECT n FROM nn))
+          + coalesce(sum(c.contrib), 0) * 17 // 20)::bigint AS r
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst, p.r // o.outdeg AS contrib
+    FROM edges e JOIN it3 p ON p.node = e.src JOIN outdeg o ON o.src = e.src
+  ) c ON c.dst = nd.node
+  GROUP BY nd.node
+),
+it5 AS (
+  SELECT nd.node,
+         ((1000000000000 * 3) // (20 * (SELECT n FROM nn))
+          + coalesce(sum(c.contrib), 0) * 17 // 20)::bigint AS r
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst, p.r // o.outdeg AS contrib
+    FROM edges e JOIN it4 p ON p.node = e.src JOIN outdeg o ON o.src = e.src
+  ) c ON c.dst = nd.node
+  GROUP BY nd.node
+)
+SELECT node AS nation_key, r AS rank_micro FROM it5
+"""
+
+
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the session-flow analysis behind "what do users do
+    after X". One user-keyed window pass derives (prev, next) pairs,
+    one hash aggregate counts them, and the per-prev row totals come
+    back as a broadcast; the probability is reported in exact ppm
+    (integer division) so the matrix is bit-stable."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    totals = counts.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    return counts.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("n * 1000000 DIV total").cast("bigint").alias("ppm"),
+    )
+
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (SELECT prev_type, sum(n) AS total FROM counts GROUP BY 1)
+SELECT prev_type, next_type, n::bigint AS n,
+       (n * 1000000 // total)::bigint AS ppm
+FROM counts JOIN totals USING (prev_type)
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6224,6 +6504,11 @@ QUERIES = {
     "q_gapfill_locf": q_gapfill_locf,
     "q_ohlc": q_ohlc,
     "q_retention": q_retention,
+    "q_cooccurrence": q_cooccurrence,
+    "q_anomaly_zscore": q_anomaly_zscore,
+    "sketch_rollup_audit": sketch_rollup_audit,
+    "graph_pagerank": graph_pagerank,
+    "q_transition_matrix": q_transition_matrix,
 }
 
 ORACLES = {
@@ -6352,6 +6637,11 @@ ORACLES = {
     "q_gapfill_locf": _GAPFILL_ORACLE,
     "q_ohlc": _OHLC_ORACLE,
     "q_retention": _RETENTION_ORACLE,
+    "q_cooccurrence": _COOCCURRENCE_ORACLE,
+    "q_anomaly_zscore": _ANOMALY_ORACLE,
+    "sketch_rollup_audit": _SKETCH_AUDIT_ORACLE,
+    "graph_pagerank": _PAGERANK_ORACLE,
+    "q_transition_matrix": _TRANSITION_ORACLE,
 }
 
 # ---------------------------------------------------------------------------

@@ -81,6 +81,60 @@ def connected_components(
     )
 
 
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-iteration PageRank in exact integer arithmetic.
+
+    Ranks are bigint micro-units (``scale`` = total mass), damping is
+    the rational 17/20 (=0.85), and every division is integer ``DIV`` —
+    so the result is bit-identical on any engine and any partitioning
+    (float summation order can never perturb it). Per iteration: one
+    join of ranks to edges (ranks side is |nodes| rows — broadcast) and
+    one ``dst``-keyed sum; driver holds no graph state. Fixed iteration
+    count keeps the lineage shallow (no checkpoint needed) and is the
+    standard production choice (convergence-to-epsilon needs float
+    ranks anyway).
+
+    Returns ``(node, rank_micro)``; dangling-node mass is dropped, not
+    redistributed, matching the straightforward textbook formulation.
+    """
+    nodes = nodes.select(F.col(node_col).alias("node"))
+    edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    n = nodes.count()
+    base = (scale * 3) // (20 * n)  # (1-d)/N in micro-units
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # pre-join the per-edge denominator once; tiny vs re-deriving per pass
+    eo = edges.join(outdeg, "src").persist()
+    ranks = nodes.withColumn("rank_micro", F.lit(scale // n).cast("bigint"))
+    for _ in range(iterations):
+        contrib = eo.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select(
+            "dst", F.expr("rank_micro DIV outdeg").alias("contrib")
+        )
+        incoming = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("contrib").alias("s")
+        )
+        ranks = (
+            nodes.join(incoming, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr("coalesce(s, 0L) * 17 DIV 20")
+                ).cast("bigint").alias("rank_micro"),
+            )
+        )
+    return ranks
+
+
 def dup_clusters(
     pairs: DataFrame,
     id_a: str = "a",

@@ -309,6 +309,32 @@ def test_connected_components_multi_hop(spark):
     assert clusters == {1: (4, 4), 10: (2, 11)}
 
 
+def test_pagerank_matches_integer_reference(spark):
+    """Distributed PageRank equals a pure-python integer replica on an
+    asymmetric 3-node graph (one dangling node, one 2-out hub)."""
+    from flink_commons_spark.operators.graph import pagerank
+
+    # A -> B, A -> C, B -> C; C dangling
+    nodes_py = [1, 2, 3]
+    edges_py = [(1, 2), (1, 3), (2, 3)]
+    scale, n, iters = 10**12, 3, 5
+    base = (scale * 3) // (20 * n)
+    outdeg = {1: 2, 2: 1}
+    ranks = {v: scale // n for v in nodes_py}
+    for _ in range(iters):
+        incoming = {v: 0 for v in nodes_py}
+        for s, d in edges_py:
+            incoming[d] += ranks[s] // outdeg[s]
+        ranks = {v: base + (incoming[v] * 17) // 20 for v in nodes_py}
+
+    nodes = spark.createDataFrame([(v,) for v in nodes_py], ["node"])
+    edges = spark.createDataFrame(edges_py, ["src", "dst"])
+    got = {r.node: r.rank_micro for r in pagerank(nodes, edges).collect()}
+    assert got == ranks
+    # rank mass ordering: sink C > hub-fed B > source A
+    assert got[3] > got[2] > got[1]
+
+
 def test_connected_components_non_convergence_raises(spark):
     from flink_commons_spark.operators.graph import connected_components
 
