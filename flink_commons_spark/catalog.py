@@ -6374,6 +6374,141 @@ FROM counts JOIN totals USING (prev_type)
 """
 
 
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training step one: the first BPE merge table — corpus
+    char-pair frequencies weighted by word count. Two hash aggregates:
+    word counts (the vocab table, |V| rows), then an in-partition array
+    expansion of each DISTINCT word into adjacent char pairs (pair work
+    scales with vocab size, not corpus size — the reason BPE trainers
+    pre-aggregate to a vocab first) and a pair-keyed sum. Top-20 with
+    total (n DESC, c1, c2) order."""
+    d = _tp(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count("*").alias("n"))
+    pairs = (
+        vocab.where(F.length("w") >= 2)
+        .select(
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), i -> "
+                    "struct(substring(w, i, 1) AS c1, "
+                    "substring(w, i + 1, 1) AS c2))"
+                )
+            ).alias("p"),
+        )
+        .select("p.c1", "p.c2", "n")
+    )
+    return (
+        pairs.groupBy("c1", "c2")
+        .agg(F.sum("n").cast("bigint").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "c1", "c2")
+        .limit(20)
+    )
+
+
+_BPE_ORACLE = f"""
+WITH words AS (SELECT unnest({_TOKS_SQL}) AS w FROM documents),
+vocab AS (SELECT w, count(*) AS n FROM words GROUP BY 1),
+pairs AS (
+  SELECT substr(w, i, 1) AS c1, substr(w, i + 1, 1) AS c2, n
+  FROM vocab, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+)
+SELECT c1, c2, sum(n)::bigint AS n_pairs
+FROM pairs
+GROUP BY 1, 2
+ORDER BY n_pairs DESC, c1, c2
+LIMIT 20
+"""
+
+
+def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch accuracy audit: the approximate median
+    (``percentile_approx`` — Spark's mergeable GK-style sketch, the
+    only affordable quantile at 100 TB since exact percentiles sort
+    the full column per group) is checked by EACH ENGINE against its
+    own exact p45–p55 band, so the sketch value never crosses the
+    engine boundary — only the exact interpolated median and the
+    boolean verdict do."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_exact"),
+        F.expr(
+            "percentile_approx(value, 0.5, 10000) "
+            "BETWEEN percentile(value, 0.45) AND percentile(value, 0.55)"
+        ).alias("est_ok"),
+    )
+
+
+_QUANTILE_AUDIT_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50_exact,
+       approx_quantile(value, 0.5)
+         BETWEEN quantile_cont(value, 0.45) AND quantile_cont(value, 0.55)
+         AS est_ok
+FROM events
+GROUP BY event_type
+"""
+
+
+def stream_over_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OVER aggregation — Flink SQL's event-time ``ROWS
+    BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW`` window, which Spark
+    streaming has no built-in operator for: per-row running count and
+    exact-cents running sum per user, via a keyed
+    ``applyInPandasWithState`` that sorts each key's batch slice on
+    (event-time, event_id) and carries two bigints of state (see
+    ``streaming/stateful.py:running_over_rows``). Every input row is
+    emitted exactly once → append mode, distributed parquet sink."""
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-over-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .transform(_norm_ts)
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("unix_micros(ts)").alias("ord_us"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    from flink_commons_spark.streaming.stateful import running_over_rows
+
+    out_dir = tempfile.mkdtemp(prefix="fcs-over-out-")
+    query = (
+        running_over_rows(sdf)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-over-"))
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.read.parquet(out_dir).select(
+        "event_id", "user_id", "running_n", "running_cents"
+    )
+
+
+_STREAM_OVER_ORACLE = """
+SELECT event_id, user_id,
+       (count(*) OVER w)::bigint AS running_n,
+       (sum(round(value * 100)::bigint) OVER w)::bigint AS running_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6509,6 +6644,9 @@ QUERIES = {
     "sketch_rollup_audit": sketch_rollup_audit,
     "graph_pagerank": graph_pagerank,
     "q_transition_matrix": q_transition_matrix,
+    "text_bpe_merges": text_bpe_merges,
+    "q_quantile_sketch_audit": q_quantile_sketch_audit,
+    "stream_over_rows": stream_over_rows,
 }
 
 ORACLES = {
@@ -6642,6 +6780,9 @@ ORACLES = {
     "sketch_rollup_audit": _SKETCH_AUDIT_ORACLE,
     "graph_pagerank": _PAGERANK_ORACLE,
     "q_transition_matrix": _TRANSITION_ORACLE,
+    "text_bpe_merges": _BPE_ORACLE,
+    "q_quantile_sketch_audit": _QUANTILE_AUDIT_ORACLE,
+    "stream_over_rows": _STREAM_OVER_ORACLE,
 }
 
 # ---------------------------------------------------------------------------

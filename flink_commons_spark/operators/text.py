@@ -134,6 +134,64 @@ def detect_language(col: Column) -> Column:
     return result
 
 
+#: C4's line-level blocklist (lowercased substring match drops the line).
+C4_LINE_BLOCKLIST = ["lorem ipsum", "javascript", "cookie policy", "{"]
+
+#: terminal punctuation a kept line must end with (C4 rule 1)
+C4_TERMINAL_PUNCT = (".", "!", "?", '"', "'")
+
+
+def c4_clean_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 3,
+    blocklist: list[str] | None = None,
+) -> DataFrame:
+    """C4-style line-level document cleaning (Raffel et al. 2020),
+    entirely as in-partition array expressions — a narrow map, no
+    shuffle, no Python:
+
+    - split the document on newlines;
+    - drop lines that do not end in terminal punctuation;
+    - drop lines with fewer than ``min_words`` words;
+    - drop lines containing a blocklist phrase (case-insensitive);
+    - rejoin the survivors; add kept/dropped line counts.
+
+    The famous companion rule — discard any line that appears more
+    than once in the ENTIRE corpus — is the line-granular exact dedup
+    already provided by :mod:`..operators.dedup` (explode lines, keep
+    ``row_number() = 1`` over the line fingerprint); compose the two
+    for the full C4 pipeline.
+
+    Returns the input plus ``clean_text``, ``n_lines_kept``,
+    ``n_lines_dropped``.
+    """
+    block = blocklist if blocklist is not None else C4_LINE_BLOCKLIST
+    c = F.col(text_col)
+    lines = F.split(c, r"\n")
+
+    def _keep(line: Column) -> Column:
+        trimmed = F.trim(line)
+        low = F.lower(trimmed)
+        ends_ok = F.lit(False)
+        for p in C4_TERMINAL_PUNCT:
+            ends_ok = ends_ok | trimmed.endswith(p)
+        blocked = F.lit(False)
+        for phrase in block:
+            blocked = blocked | low.contains(phrase.lower())
+        enough_words = F.size(tokens(trimmed)) >= min_words
+        return ends_ok & enough_words & ~blocked
+
+    kept = F.filter(lines, _keep)
+    return (
+        df.withColumn("clean_text", F.concat_ws("\n", kept))
+        .withColumn("n_lines_kept", F.size(kept))
+        .withColumn(
+            "n_lines_dropped", (F.size(lines) - F.size(kept)).cast("int")
+        )
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis column family (narrow map, no shuffle)."""
     c = F.col(text_col)

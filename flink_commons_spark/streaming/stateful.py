@@ -128,3 +128,66 @@ def running_user_stats(sdf: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+#: output schema of :func:`running_over_rows`
+OVER_OUTPUT_SCHEMA = (
+    "event_id bigint, user_id bigint, running_n bigint, running_cents bigint"
+)
+#: state layout: totals carried across micro-batches
+OVER_STATE_SCHEMA = "n bigint, cents bigint"
+
+
+def running_over_rows(sdf: DataFrame) -> DataFrame:
+    """Streaming OVER aggregation — Flink SQL's event-time ``ROWS
+    BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW`` window on a stream,
+    which Spark's built-in streaming has no operator for (batch OVER is
+    unsupported on streams). Each input row is emitted exactly once
+    with its per-key running count and running exact-cents sum; rows
+    are ordered (ord_us, event_id) inside each micro-batch — the same
+    sort Flink's over-window operator performs when the watermark
+    fires — and the carried state is two bigints per key.
+
+    Input columns: ``event_id``, ``user_id``, ``ord_us`` (event-time
+    micros, the ORDER BY key), ``cents`` (bigint). Per-row emission
+    makes this append-mode: pair with any append sink.
+
+    Scale posture: state is O(distinct keys) × 16 bytes, partitioned by
+    key; per batch the work is one in-memory sort of that key's batch
+    slice (bounded by batch size, not history) — identical cost shape
+    to Flink's RowTimeRangeUnboundedPrecedingFunction.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, cents = state.get if state.exists else (0, 0)
+        pdf = pd.concat(list(batches), ignore_index=True)
+        pdf = pdf.sort_values(["ord_us", "event_id"], kind="mergesort")
+        run_cents = pdf["cents"].astype("int64").cumsum() + cents
+        out = pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].astype("int64"),
+                "user_id": pd.array([key[0]] * len(pdf), dtype="int64"),
+                "running_n": pd.array(
+                    range(n + 1, n + len(pdf) + 1), dtype="int64"
+                ),
+                "running_cents": run_cents.astype("int64"),
+            }
+        )
+        state.update((n + len(pdf), int(run_cents.iloc[-1]) if len(pdf) else cents))
+        yield out
+
+    return (
+        sdf.select("event_id", "user_id", "ord_us", "cents")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=OVER_OUTPUT_SCHEMA,
+            stateStructType=OVER_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

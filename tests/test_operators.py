@@ -26,6 +26,29 @@ def test_bpe_ish_count(spark):
     assert df.select(T.bpe_ish_token_count(F.col("text")).alias("n")).first().n == 4
 
 
+def test_c4_clean_lines(spark):
+    doc = "\n".join(
+        [
+            "This is a proper sentence.",       # kept
+            "short.",                           # < 3 words
+            "No terminal punctuation here",     # bad ending
+            "Contains lorem ipsum filler text.",  # blocklist
+            "Another good line stays!",         # kept
+            "  Trimmed ending works too?  ",    # kept (trim before checks)
+        ]
+    )
+    df = spark.createDataFrame([(doc,), ("",)], ["text"])
+    got = T.c4_clean_lines(df).collect()
+    assert got[0].n_lines_kept == 3
+    assert got[0].n_lines_dropped == 3
+    assert got[0].clean_text.splitlines() == [
+        "This is a proper sentence.",
+        "Another good line stays!",
+        "  Trimmed ending works too?  ",
+    ]
+    assert got[1].n_lines_kept == 0
+
+
 def test_fingerprint_normalization(spark):
     df = spark.createDataFrame([("The  Quick Fox",), ("the quick   fox",)], ["text"])
     fps = [r.f for r in df.select(T.fingerprint(F.col("text")).alias("f")).collect()]
