@@ -6509,6 +6509,191 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def _zorder_terms(a: str, b: str, bits: int, spark_side: bool) -> str:
+    """The 2·bits-term bit-interleave expression (Morton / Z-order key),
+    generated for either engine. Pure integer shifts — codegen'd on
+    Spark, bit-identical everywhere."""
+    terms = []
+    for i in range(bits):
+        if spark_side:
+            terms.append(f"shiftleft(shiftright({a}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({b}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout — the clustering key behind
+    Delta/Iceberg ``OPTIMIZE ZORDER BY``: interleaving the bits of
+    (user_id, hour) gives a single sort key under which file-sized
+    buckets stay RECTANGULAR in both dimensions, so min/max data
+    skipping prunes on either predicate. The query derives the key
+    (a pure integer map, whole-stage codegen'd), buckets the curve,
+    and reports each bucket's span in both source dimensions — the
+    locality evidence. One hash aggregate."""
+    e = _t(spark, sf_dir, "events")
+    hour = F.floor(F.col("ts").cast("double") / 3600).cast("bigint")
+    keyed = e.select(
+        F.pmod(F.col("user_id"), F.lit(4096)).alias("u"),
+        F.pmod(hour, F.lit(4096)).alias("h"),
+    ).selectExpr("u", "h", f"({_zorder_terms('u', 'h', 12, True)}) AS zkey")
+    return (
+        keyed.groupBy(F.expr("zkey DIV 16384").cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("u").alias("n_users"),
+            F.countDistinct("h").alias("n_hours"),
+            (F.max("u") - F.min("u")).cast("bigint").alias("u_span"),
+            (F.max("h") - F.min("h")).cast("bigint").alias("h_span"),
+        )
+    )
+
+
+_ZORDER_ORACLE = f"""
+WITH keyed AS (
+  SELECT user_id % 4096 AS u,
+         floor(epoch(ts) / 3600)::bigint % 4096 AS h
+  FROM events
+),
+z AS (SELECT u, h, ({_zorder_terms('u', 'h', 12, False)}) AS zkey FROM keyed)
+SELECT (zkey // 16384)::bigint AS bucket,
+       count(*) AS n,
+       count(DISTINCT u)::bigint AS n_users,
+       count(DISTINCT h)::bigint AS n_hours,
+       (max(u) - min(u))::bigint AS u_span,
+       (max(h) - min(h))::bigint AS h_span
+FROM z
+GROUP BY 1
+"""
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting on the nation trade graph — the
+    canonical graph-analytics join pattern. Edges are canonicalized to
+    (a < b) so each triangle is enumerated exactly once as a < b < c:
+    wedge enumeration is one equi-join of the edge list with itself on
+    the middle vertex, closed by a second equi-join back onto the edge
+    list. At real-graph scale the wedge join is the cost driver and is
+    keyed on a single vertex — degree-skew is handled by the same
+    salting/AQE machinery as any skewed equi-join (and the canonical
+    orientation already halves wedge counts at high-degree hubs).
+    Per-node membership counts land via one explode + hash agg."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    und = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(
+            F.least(c.c_nationkey, s.s_nationkey).alias("a"),
+            F.greatest(c.c_nationkey, s.s_nationkey).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = und.join(e2, "b").select("a", "b", "c")
+    e3 = und.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tris = wedges.join(e3, ["a", "c"])
+    nodes = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nation_key")
+    )
+    member = tris.select(
+        F.explode(F.array("a", "b", "c")).alias("nation_key")
+    ).groupBy("nation_key").agg(F.count("*").alias("n_triangles"))
+    return nodes.join(member, "nation_key", "left").select(
+        "nation_key",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias(
+            "n_triangles"
+        ),
+    )
+
+
+_TRIANGLES_ORACLE = """
+WITH und AS (
+  SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
+                  greatest(c.c_nationkey, s.s_nationkey) AS b
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+),
+tris AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+member AS (
+  SELECT unnest([a, b, c]) AS nation_key FROM tris
+),
+cnt AS (SELECT nation_key, count(*) AS n FROM member GROUP BY 1)
+SELECT n_nationkey AS nation_key, coalesce(n, 0)::bigint AS n_triangles
+FROM nation LEFT JOIN cnt ON n_nationkey = nation_key
+"""
+
+
+def stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned streaming filesystem sink — Flink's
+    ``filesystem`` connector with ``PARTITIONED BY`` and partition
+    commit, Spark-native: the stream writes parquet partitioned by
+    event_type (each micro-batch appends into the right partition
+    directories; the _spark_metadata commit log plays the role of
+    Flink's success-file partition commit), and the verification pass
+    reads the committed layout back through partition discovery — the
+    partition column never stored in the data files, scan pruned per
+    directory."""
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-part-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .transform(_norm_ts)
+        .select(
+            "event_type",
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="fcs-part-out-")
+    query = (
+        sdf.writeStream.format("parquet")
+        .option("path", out_dir)
+        .partitionBy("event_type")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-part-"))
+        .start()
+    )
+    query.awaitTermination(300)
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+
+
+_STREAM_PART_ORACLE = """
+SELECT event_type, count(*) AS n,
+       count(DISTINCT user_id)::bigint AS n_users,
+       sum(round(value * 100)::bigint)::bigint AS total_cents
+FROM events
+GROUP BY event_type
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6647,6 +6832,9 @@ QUERIES = {
     "text_bpe_merges": text_bpe_merges,
     "q_quantile_sketch_audit": q_quantile_sketch_audit,
     "stream_over_rows": stream_over_rows,
+    "q_zorder_layout": q_zorder_layout,
+    "graph_triangles": graph_triangles,
+    "stream_partitioned_sink": stream_partitioned_sink,
 }
 
 ORACLES = {
@@ -6783,6 +6971,9 @@ ORACLES = {
     "text_bpe_merges": _BPE_ORACLE,
     "q_quantile_sketch_audit": _QUANTILE_AUDIT_ORACLE,
     "stream_over_rows": _STREAM_OVER_ORACLE,
+    "q_zorder_layout": _ZORDER_ORACLE,
+    "graph_triangles": _TRIANGLES_ORACLE,
+    "stream_partitioned_sink": _STREAM_PART_ORACLE,
 }
 
 # ---------------------------------------------------------------------------
