@@ -6694,6 +6694,212 @@ GROUP BY event_type
 """
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse each user's
+    event stream into validity intervals — one row per run of equal
+    event_type, ``[valid_from, valid_to)`` epochs plus a version
+    number. One user-keyed window pass (lag to find change points,
+    running sum to number versions, lead on the collapsed runs for the
+    closing edge); the open current version carries a far-future
+    sentinel instead of NULL (NULL bigints round-trip as NaN through
+    the comparison path). The standard dimension-history builder any
+    warehouse feeds from a CDC stream."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.expr("unix_micros(ts) div 1000000")
+    marked = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        epoch.alias("ep"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).withColumn(
+        "is_change",
+        (F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .cast("int"),
+    )
+    # second-granular ep can collide; keep the full (ts, event_id) order
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    runs = marked.withColumn("version_n", F.sum("is_change").over(w2))
+    # ep is strictly increasing per user only if timestamps are unique;
+    # group to interval bounds keyed by the version number instead
+    intervals = runs.groupBy("user_id", "version_n").agg(
+        F.first("event_type").alias("event_type"),
+        F.min("ep").alias("valid_from"),
+    )
+    w3 = Window.partitionBy("user_id").orderBy("version_n")
+    return intervals.select(
+        "user_id",
+        F.col("version_n").cast("bigint").alias("version_n"),
+        "event_type",
+        "valid_from",
+        F.coalesce(
+            F.lead("valid_from").over(w3), F.lit(9999999999)
+        ).cast("bigint").alias("valid_to"),
+    )
+
+
+_SCD2_ORACLE = """
+WITH marked AS (
+  SELECT user_id, event_type, floor(epoch(ts))::bigint AS ep,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS is_change,
+         ts, event_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT *, sum(is_change) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS version_n
+  FROM marked
+),
+intervals AS (
+  SELECT user_id, version_n, min(ep) AS valid_from,
+         arg_min(event_type, ep) AS event_type
+  FROM runs GROUP BY 1, 2
+)
+SELECT user_id, version_n::bigint AS version_n, event_type, valid_from,
+       coalesce(lead(valid_from) OVER (PARTITION BY user_id
+                                       ORDER BY version_n),
+                9999999999)::bigint AS valid_to
+FROM intervals
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the change-data-feed computation between two
+    table versions (Delta CDF / Iceberg changelog semantics): version A
+    is the order book below a date cutoff, version B extends the cutoff
+    AND applies a price correction to urgent orders. One full outer
+    join on the key classifies every row as inserted / deleted /
+    updated / unchanged; counts + exact value deltas per class. The
+    join is key-partitioned (no broadcast — both sides are the fact);
+    at 100 TB this is exactly the shuffle a MERGE would pay."""
+    o = _t(spark, sf_dir, "orders")
+    cut_a = F.to_timestamp(F.lit("1995-06-01"))
+    cut_b = F.to_timestamp(F.lit("1996-01-01"))
+    snap_a = o.where(F.col("o_orderdate") < cut_a).select(
+        "o_orderkey", F.round(_dec(F.col("o_totalprice")), 2).alias("price_a")
+    )
+    snap_b = o.where(F.col("o_orderdate") < cut_b).select(
+        "o_orderkey",
+        F.round(
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT",
+                _dec(F.col("o_totalprice"))
+                * F.lit("1.1").cast("decimal(2,1)"),
+            ).otherwise(_dec(F.col("o_totalprice"))),
+            2,
+        ).alias("price_b"),
+    )
+    j = snap_a.join(snap_b, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("price_a").isNull(), F.lit("inserted"))
+        .when(F.col("price_b").isNull(), F.lit("deleted"))
+        .when(F.col("price_a") != F.col("price_b"), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.groupBy(change.alias("change_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(
+                    F.coalesce(F.col("price_b"), F.lit(0))
+                    - F.coalesce(F.col("price_a"), F.lit(0))
+                ).cast("double"),
+                2,
+            ).alias("value_delta"),
+        )
+    )
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH a AS (
+  SELECT o_orderkey, round(o_totalprice::decimal(18,6), 2) AS price_a
+  FROM orders WHERE o_orderdate < TIMESTAMP '1995-06-01'
+),
+b AS (
+  SELECT o_orderkey,
+         round(CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN o_totalprice::decimal(18,6) * 1.1
+                    ELSE o_totalprice::decimal(18,6) END, 2) AS price_b
+  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+),
+j AS (SELECT * FROM a FULL OUTER JOIN b USING (o_orderkey))
+SELECT CASE WHEN price_a IS NULL THEN 'inserted'
+            WHEN price_b IS NULL THEN 'deleted'
+            WHEN price_a <> price_b THEN 'updated'
+            ELSE 'unchanged' END AS change_type,
+       count(*) AS n,
+       round(sum(coalesce(price_b, 0) - coalesce(price_a, 0))::double, 2)
+         AS value_delta
+FROM j
+GROUP BY 1
+"""
+
+
+def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution survivorship — after blocking groups candidate
+    records of the same entity, merge each group into ONE golden record
+    by field-level rules (here: longest text wins, ties to the oldest
+    doc_id; counts of merged members kept for lineage). The blocking
+    key is a 56-bit fingerprint of the first five normalized tokens
+    (the title/prefix blocking every ER pipeline starts with); the
+    merge is a single hash aggregate of struct-max — no window sort,
+    no self-join. The keep-one complement of ``dedup_apply``."""
+    d = _tp(spark, sf_dir, "documents")
+    prefix = F.concat_ws(
+        " ", F.slice(T.tokens(F.lower(F.col("text"))), 1, 5)
+    )
+    fp = F.conv(F.substring(F.md5(prefix), 1, 14), 16, 10).cast("bigint")
+    # max over (n_chars, -doc_id) structs == longest text, oldest id tie-break
+    best = F.max(
+        F.struct(
+            F.col("n_chars").alias("len"),
+            (-F.col("doc_id")).alias("neg_id"),
+        )
+    )
+    return (
+        d.select(fp.alias("fingerprint"), "doc_id", "n_chars")
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_merged"),
+            best.alias("b"),
+            F.min("doc_id").alias("first_seen"),
+        )
+        .where(F.col("n_merged") >= 2)
+        .select(
+            "fingerprint",
+            "n_merged",
+            (-F.col("b.neg_id")).cast("bigint").alias("survivor_doc"),
+            F.col("b.len").cast("bigint").alias("survivor_len"),
+            "first_seen",
+        )
+    )
+
+
+_SURVIVORSHIP_ORACLE = f"""
+WITH fp AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5(array_to_string({_TOKS_SQL}[1:5], ' ')),
+                         1, 14))::bigint AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, count(*) AS n_merged,
+       arg_max(doc_id, n_chars::bigint * 1000000000 - doc_id) AS survivor_doc,
+       max(n_chars)::bigint AS survivor_len,
+       min(doc_id) AS first_seen
+FROM fp
+GROUP BY fingerprint
+HAVING count(*) >= 2
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -6835,6 +7041,9 @@ QUERIES = {
     "q_zorder_layout": q_zorder_layout,
     "graph_triangles": graph_triangles,
     "stream_partitioned_sink": stream_partitioned_sink,
+    "q_scd2_intervals": q_scd2_intervals,
+    "q_snapshot_diff": q_snapshot_diff,
+    "q_survivorship": q_survivorship,
 }
 
 ORACLES = {
@@ -6974,6 +7183,9 @@ ORACLES = {
     "q_zorder_layout": _ZORDER_ORACLE,
     "graph_triangles": _TRIANGLES_ORACLE,
     "stream_partitioned_sink": _STREAM_PART_ORACLE,
+    "q_scd2_intervals": _SCD2_ORACLE,
+    "q_snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
+    "q_survivorship": _SURVIVORSHIP_ORACLE,
 }
 
 # ---------------------------------------------------------------------------
