@@ -6900,6 +6900,68 @@ HAVING count(*) >= 2
 """
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture allocation — the multilingual-/
+    multi-source-sampling rule (weights ∝ n^(1/T), here T=2 so the
+    head sources flatten toward the tail) with exact largest-remainder
+    seat allocation of a 1000-doc budget. Weights are √n floored to
+    integer micro-units and every subsequent step is integer
+    arithmetic (sqrt is IEEE-correctly-rounded, so even the float step
+    is bit-identical across engines). The allocation runs on the
+    |sources|-row aggregate — window ops touch only that tiny table,
+    never the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    budget = 1000
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = counts.withColumn(
+        "wi", F.floor(F.sqrt(F.col("n_docs")) * 1e6).cast("bigint")
+    )
+    tot = w.agg(F.sum("wi").alias("W"))
+    j = w.crossJoin(F.broadcast(tot))
+    alloc = j.select(
+        "source",
+        "n_docs",
+        "W",
+        "wi",
+        F.expr(f"{budget} * wi DIV W").alias("base"),
+        F.expr(f"{budget} * wi - ({budget} * wi DIV W) * W").alias("rem"),
+    )
+    wsum = alloc.agg(F.sum("base").alias("allocated"))
+    leftover = F.lit(budget) - F.col("allocated")
+    rnk = Window.orderBy(F.desc("rem"), F.asc("source"))
+    return (
+        alloc.crossJoin(F.broadcast(wsum))
+        .withColumn("rnk", F.row_number().over(rnk))
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.col("base")
+                + F.when(F.col("rnk") <= leftover, F.lit(1)).otherwise(F.lit(0))
+            ).cast("bigint").alias("alloc"),
+        )
+    )
+
+
+_TEMPERATURE_ORACLE = """
+WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+w AS (SELECT *, floor(sqrt(n_docs) * 1e6)::bigint AS wi FROM counts),
+tot AS (SELECT sum(wi)::bigint AS W FROM w),
+alloc AS (
+  SELECT source, n_docs, wi, W,
+         (1000 * wi) // W AS base,
+         1000 * wi - ((1000 * wi) // W) * W AS rem
+  FROM w, tot
+),
+ws AS (SELECT sum(base)::bigint AS allocated FROM alloc)
+SELECT source, n_docs,
+       (base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                         <= 1000 - allocated
+                    THEN 1 ELSE 0 END)::bigint AS alloc
+FROM alloc, ws
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7044,6 +7106,7 @@ QUERIES = {
     "q_scd2_intervals": q_scd2_intervals,
     "q_snapshot_diff": q_snapshot_diff,
     "q_survivorship": q_survivorship,
+    "q_temperature_mixture": q_temperature_mixture,
 }
 
 ORACLES = {
@@ -7186,6 +7249,7 @@ ORACLES = {
     "q_scd2_intervals": _SCD2_ORACLE,
     "q_snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
     "q_survivorship": _SURVIVORSHIP_ORACLE,
+    "q_temperature_mixture": _TEMPERATURE_ORACLE,
 }
 
 # ---------------------------------------------------------------------------

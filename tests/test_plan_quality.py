@@ -29,6 +29,9 @@ ALLOWED_NESTED_LOOP = {
     "ann_pq",  # bounded probe set + distance tables broadcast (knn_brute shape)
     "pq_recall",  # 1-row hit count × 1-row truth count (ann_recall shape)
     "ann_hamming",  # bounded probe codes broadcast (knn_brute shape)
+    # 1-row broadcast scalar totals (ΣW, Σbase) joined onto the
+    # |sources|-row allocation table (q22 shape):
+    "q_temperature_mixture",
 }
 
 BATCH_QUERIES = [
