@@ -190,6 +190,34 @@ def _resolve_format(spec: TableSpec) -> str:
     passes through to the DataFrame reader/writer unchanged.
     """
     fmt = spec.options.get("format", "parquet")
+    if fmt == "avro":
+        # Flink's avro format → Spark's avro module, which is
+        # built-in-but-external (SPARK-24768): the 'avro' SHORT NAME
+        # only resolves when the spark-avro artifact's
+        # DataSourceRegister service entry is shipped, but the classes
+        # themselves ride inside spark-sql on this build line — so the
+        # fully-qualified format class works everywhere the classes
+        # exist. Probe the classpath at the DDL and either bridge to
+        # the FQCN or fail permanently WITH the --packages fix attached
+        # (same policy as the kafka connector's missing-package
+        # surfacing).
+        fqcn = "org.apache.spark.sql.avro.AvroFileFormat"
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return fqcn
+        try:
+            spark._jvm.java.lang.Class.forName(fqcn)
+            return fqcn
+        except Exception as exc:
+            raise PermanentConnectorError(
+                f"table {spec.name!r}: format 'avro' needs Spark's "
+                "avro module, which is not on this build's classpath — "
+                "launch with --packages "
+                "org.apache.spark:spark-avro_2.13:<spark version> to "
+                f"enable it ({exc.__class__.__name__})"
+            ) from None
     if fmt != "raw":
         return fmt
     if spec.columns:

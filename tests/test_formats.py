@@ -91,6 +91,49 @@ def test_raw_format_rejects_multi_column(spark, tmp_path):
     assert "exactly one" in str(exc_info.value.__cause__)
 
 
+def test_avro_format_round_trip(spark, tmp_path, capsys):
+    """Flink's avro format bridges to the fully-qualified Avro format
+    class (the 'avro' short name needs the external spark-avro
+    artifact's service registration, but the classes ship inside
+    spark-sql on this build line). Full write→read round trip through
+    the connector DDL; on a classes-absent build the same DDL fails
+    permanently with the --packages guidance (registry
+    `_resolve_format`)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.avro.AvroFileFormat"
+        )
+    except Exception:
+        pytest.skip("avro classes absent — guidance leg not testable here")
+    out = tmp_path / "out_avro"
+    script = f"""
+    SET 'execution.runtime-mode' = 'batch';
+    CREATE TABLE src (a BIGINT, s STRING) WITH (
+        'connector' = 'datagen', 'number-of-rows' = '5',
+        'fields.a.kind' = 'sequence', 'fields.a.start' = '1', 'fields.a.end' = '5',
+        'fields.s.length' = '4'
+    );
+    CREATE TABLE sink (a BIGINT, s STRING) WITH (
+        'connector' = 'filesystem', 'path' = '{out}', 'format' = 'avro'
+    );
+    INSERT INTO sink SELECT a, s FROM src;
+    CREATE TABLE back (a BIGINT, s STRING) WITH (
+        'connector' = 'filesystem', 'path' = '{out}', 'format' = 'avro'
+    );
+    SELECT count(*) AS n, min(a) AS lo, max(a) AS hi FROM back;
+    """
+    SqlSubmitAction(sql_text=script, spark=spark).run()
+    import re
+
+    shown = capsys.readouterr().out
+    assert re.search(r"\|\s*5\s*\|\s*1\s*\|\s*5\s*\|", shown), shown
+    # the files on disk are genuine avro containers
+    files = list(out.glob("*.avro")) + list(out.glob("part-*"))
+    assert files, list(out.iterdir())
+    with open(sorted(files)[0], "rb") as fh:
+        assert fh.read(4) == b"Obj\x01"
+
+
 def test_show_create_table_connector(spark, tmp_path, capsys):
     """SHOW CREATE TABLE for a runner-registered connector table prints
     the registered DDL (Spark's catalog has no row for it)."""
