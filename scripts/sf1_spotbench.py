@@ -51,6 +51,15 @@ HEAVY = [
     # round-3 late additions
     "dedup_minhash_recall",
     "dedup_semantic",
+    "q_cooccurrence",
+    "graph_pagerank",
+    "graph_triangles",
+    "text_bpe_merges",
+    "q_scd2_intervals",
+    "q_snapshot_diff",
+    "q_survivorship",
+    "stream_over_rows",
+    "stream_partitioned_sink",
 ]
 
 # same shapes the plan-quality test allows: bounded 1-row-scalar or
