@@ -6962,6 +6962,127 @@ FROM alloc, ws
 """
 
 
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit (the Deequ/Great-Expectations
+    shape): completeness, key uniqueness, referential integrity, and a
+    range check, each returning its violation count and verdict in ONE
+    result. Each check is one aggregate over its own scan — no check
+    multiplies another's cost — and the orphan check is a broadcast
+    anti-join against the distinct key projection, never the raw fact.
+    The audit you run before promoting a 100 TB drop to training."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    completeness = li.agg(
+        F.lit("lineitem.l_shipdate NOT NULL").alias("check"),
+        F.sum(F.col("l_shipdate").isNull().cast("bigint"))
+        .cast("bigint").alias("n_violations"),
+    )
+    uniq = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.lit("orders.o_orderkey UNIQUE").alias("check"),
+            F.sum((F.col("c") > 1).cast("bigint")).cast("bigint").alias(
+                "n_violations"
+            ),
+        )
+    )
+    orphans = (
+        li.select("l_orderkey")
+        .join(
+            F.broadcast(o.select(F.col("o_orderkey").alias("l_orderkey")).distinct()),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(
+            F.lit("lineitem.l_orderkey IN orders").alias("check"),
+            F.count("*").cast("bigint").alias("n_violations"),
+        )
+    )
+    rng = li.agg(
+        F.lit("lineitem.l_discount IN [0,1]").alias("check"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("bigint")
+        ).cast("bigint").alias("n_violations"),
+    )
+    return (
+        completeness.union(uniq)
+        .union(orphans)
+        .union(rng)
+        .withColumn("passed", F.col("n_violations") == 0)
+    )
+
+
+_DQ_ORACLE = """
+SELECT 'lineitem.l_shipdate NOT NULL' AS check,
+       sum((l_shipdate IS NULL)::int)::bigint AS n_violations,
+       sum((l_shipdate IS NULL)::int) = 0 AS passed
+FROM lineitem
+UNION ALL
+SELECT 'orders.o_orderkey UNIQUE',
+       sum((c > 1)::int)::bigint,
+       sum((c > 1)::int) = 0
+FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1)
+UNION ALL
+SELECT 'lineitem.l_orderkey IN orders',
+       count(*)::bigint,
+       count(*) = 0
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'lineitem.l_discount IN [0,1]',
+       sum((l_discount < 0 OR l_discount > 1)::int)::bigint,
+       sum((l_discount < 0 OR l_discount > 1)::int) = 0
+FROM lineitem
+"""
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the partition-append pattern
+    every warehouse rollup runs on: yesterday's materialized aggregate
+    (orders below a date cutoff, pre-aggregated) is MERGED with the new
+    partition's delta aggregate instead of recomputing the full
+    history. count/sum/min/max are the algebraic aggregates that merge
+    losslessly; the oracle recomputes from scratch, so the contract row
+    PROVES merged == full — the invariant incremental pipelines rely
+    on. Cost: one scan of the delta + a \\|keys\\|-sized merge, not a
+    full-history scan."""
+    o = _t(spark, sf_dir, "orders")
+    cut = F.to_timestamp(F.lit("1996-01-01"))
+
+    def agg_of(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum(_dec(F.col("o_totalprice"))).alias("total"),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+        )
+
+    old = agg_of(o.where(F.col("o_orderdate") < cut))
+    delta = agg_of(o.where(F.col("o_orderdate") >= cut))
+    merged = (
+        old.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.round(F.sum("total").cast("double"), 2).alias("total"),
+            F.min("first_key").alias("first_key"),
+            F.max("last_key").alias("last_key"),
+        )
+    )
+    return merged
+
+
+_INCREMENTAL_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n,
+       round(sum(o_totalprice::decimal(18,6))::double, 2) AS total,
+       min(o_orderkey) AS first_key,
+       max(o_orderkey) AS last_key
+FROM orders
+GROUP BY 1
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7107,6 +7228,8 @@ QUERIES = {
     "q_snapshot_diff": q_snapshot_diff,
     "q_survivorship": q_survivorship,
     "q_temperature_mixture": q_temperature_mixture,
+    "q_dq_checks": q_dq_checks,
+    "q_incremental_agg": q_incremental_agg,
 }
 
 ORACLES = {
@@ -7250,6 +7373,8 @@ ORACLES = {
     "q_snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
     "q_survivorship": _SURVIVORSHIP_ORACLE,
     "q_temperature_mixture": _TEMPERATURE_ORACLE,
+    "q_dq_checks": _DQ_ORACLE,
+    "q_incremental_agg": _INCREMENTAL_ORACLE,
 }
 
 # ---------------------------------------------------------------------------
