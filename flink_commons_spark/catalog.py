@@ -7083,6 +7083,58 @@ GROUP BY 1
 """
 
 
+def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit — the padding-waste estimate that
+    decides a training pipeline's bucketing strategy: docs grouped into
+    power-of-2 token-length buckets, and each bucket reports how much
+    of a padded batch would be padding (exact ppm — bucket·n is the
+    padded token count, Σtokens the real ones). Pure integer map +
+    one hash aggregate; the bucket key is 2^⌈log2 n⌉ computed with
+    bigint bit math, no floats anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    n = T.token_count(F.col("text"))
+    toks = d.select(n.alias("n_toks"))
+    # next power of two ≥ n as a pure integer CASE ladder — a float
+    # log2 is NOT engine-portable at exact powers of two (log(x)/log(2)
+    # may land a hair above the integer and ceil across it)
+    bucketed = toks.select(
+        "n_toks", F.expr(_POW2_CASE_SQL).cast("bigint").alias("bucket")
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "waste_ppm",
+            F.expr(
+                "(bucket * n_docs - n_tokens) * 1000000 DIV (bucket * n_docs)"
+            ).cast("bigint"),
+        )
+    )
+
+
+#: next power of two ≥ n_toks, branch-per-exponent (deterministic in
+#: any engine; the Spark side codegens to a jump table)
+_POW2_CASE_SQL = "CASE " + " ".join(
+    f"WHEN n_toks <= {1 << k} THEN {1 << k}" for k in range(21)
+) + " ELSE 2097152 END"
+
+_PADDING_ORACLE = f"""
+WITH toks AS (SELECT len({_TOKS_SQL})::bigint AS n_toks FROM documents),
+bucketed AS (
+  SELECT n_toks, ({_POW2_CASE_SQL})::bigint AS bucket
+  FROM toks
+)
+SELECT bucket, count(*) AS n_docs, sum(n_toks)::bigint AS n_tokens,
+       ((bucket * count(*) - sum(n_toks)) * 1000000
+          // (bucket * count(*)))::bigint AS waste_ppm
+FROM bucketed
+GROUP BY 1
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7230,6 +7282,7 @@ QUERIES = {
     "q_temperature_mixture": q_temperature_mixture,
     "q_dq_checks": q_dq_checks,
     "q_incremental_agg": q_incremental_agg,
+    "q_padding_waste": q_padding_waste,
 }
 
 ORACLES = {
@@ -7375,6 +7428,7 @@ ORACLES = {
     "q_temperature_mixture": _TEMPERATURE_ORACLE,
     "q_dq_checks": _DQ_ORACLE,
     "q_incremental_agg": _INCREMENTAL_ORACLE,
+    "q_padding_waste": _PADDING_ORACLE,
 }
 
 # ---------------------------------------------------------------------------
