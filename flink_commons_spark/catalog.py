@@ -7135,6 +7135,66 @@ GROUP BY 1
 """
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage (OOV) audit — the tokenizer-eval question
+    "what fraction of each source's tokens fall outside a fixed
+    vocab": the corpus's top-20 tokens (count DESC, token ASC — total
+    order) form the vocab, and every source reports exact token / OOV
+    counts and the OOV rate in integer ppm. The vocab is a broadcast
+    left join onto the (source, token) counts — the raw corpus shuffles
+    ONCE into those counts and every later stage works on the
+    |sources|×|vocab|-bounded aggregate."""
+    d = _tp(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    counts = toks.groupBy("source", "tok").agg(F.count("*").alias("n"))
+    vocab = (
+        counts.groupBy("tok")
+        .agg(F.sum("n").alias("total"))
+        .orderBy(F.desc("total"), "tok")
+        .limit(20)
+        .select("tok")
+    )
+    tagged = counts.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "tok", "left"
+    )
+    return tagged.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint").alias("n_oov"),
+        F.expr(
+            "sum(CASE WHEN in_vocab IS NULL THEN n ELSE 0 END) "
+            "* 1000000 DIV sum(n)"
+        ).cast("bigint").alias("oov_ppm"),
+    )
+
+
+_VOCAB_COVERAGE_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents
+),
+counts AS (SELECT source, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, sum(n) AS total FROM counts GROUP BY 1
+    ORDER BY total DESC, tok LIMIT 20
+  )
+),
+tagged AS (
+  SELECT c.*, (v.tok IS NOT NULL)::int AS in_vocab
+  FROM counts c LEFT JOIN vocab v USING (tok)
+)
+SELECT source,
+       sum(n)::bigint AS n_tokens,
+       sum(CASE WHEN in_vocab = 0 THEN n ELSE 0 END)::bigint AS n_oov,
+       (sum(CASE WHEN in_vocab = 0 THEN n ELSE 0 END) * 1000000
+          // sum(n))::bigint AS oov_ppm
+FROM tagged
+GROUP BY source
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7283,6 +7343,7 @@ QUERIES = {
     "q_dq_checks": q_dq_checks,
     "q_incremental_agg": q_incremental_agg,
     "q_padding_waste": q_padding_waste,
+    "q_vocab_coverage": q_vocab_coverage,
 }
 
 ORACLES = {
@@ -7429,6 +7490,7 @@ ORACLES = {
     "q_dq_checks": _DQ_ORACLE,
     "q_incremental_agg": _INCREMENTAL_ORACLE,
     "q_padding_waste": _PADDING_ORACLE,
+    "q_vocab_coverage": _VOCAB_COVERAGE_ORACLE,
 }
 
 # ---------------------------------------------------------------------------
