@@ -93,6 +93,65 @@ def test_running_user_stats_matches_batch(spark, event_stream):
     assert state == truth
 
 
+def test_running_over_rows_across_batches(spark, tmp_path):
+    """Streaming OVER (ROWS UNBOUNDED PRECEDING) must carry its per-key
+    running totals ACROSS micro-batches: two parquet files replayed one
+    per trigger, per-row output compared to the batch window truth.
+    Within each batch the slice is sorted on (ord_us, event_id); across
+    batches the carried (n, cents) state supplies the prefix."""
+    from pyspark.sql import Window
+    from flink_commons_spark.streaming.stateful import running_over_rows
+
+    # file 1 = seconds 0-59, file 2 = seconds 60-119 (in-order arrival)
+    rows1 = [(i, i, i % 3, (i + 1) * 100) for i in range(12)]
+    rows2 = [(i, i, i % 3, (i + 1) * 100) for i in range(60, 72)]
+    schema = "event_id long, sec long, user_id long, cents long"
+    path = str(tmp_path / "over_events")
+    spark.createDataFrame(rows1, schema).repartition(1).write.parquet(path)
+    spark.createDataFrame(rows2, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(path)
+
+    batch = spark.read.parquet(path).select(
+        "event_id", "user_id",
+        (F.col("sec") * 1_000_000).alias("ord_us"), "cents",
+    )
+    sdf = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(path).select("event_id", "user_id", "ord_us", "cents")
+
+    got = {}
+
+    def sink(bdf, epoch_id):
+        for r in bdf.collect():
+            got[r.event_id] = (r.user_id, r.running_n, r.running_cents)
+
+    q = (
+        running_over_rows(sdf)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-test-over-"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ord_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    truth = {
+        r.event_id: (r.user_id, r.rn, r.rc)
+        for r in batch.select(
+            "event_id", "user_id",
+            F.count("*").over(w).alias("rn"),
+            F.sum("cents").over(w).alias("rc"),
+        ).collect()
+    }
+    assert len(got) == 24 and got == truth
+
+
 def test_stateful_recovery_from_checkpoint(spark, tmp_path):
     """Kill-and-resume: a second run with the same checkpoint must
     continue from stored state (cumulative counts), not restart."""
