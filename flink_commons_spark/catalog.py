@@ -6262,8 +6262,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PAGERANK_ORACLE = """
-WITH nodes AS (SELECT n_nationkey AS node FROM nation),
-edges AS (
+WITH nodes AS MATERIALIZED (SELECT n_nationkey AS node FROM nation),
+edges AS MATERIALIZED (
   SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -6271,7 +6271,7 @@ edges AS (
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   WHERE c.c_nationkey <> s.s_nationkey
 ),
-outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+outdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
 nn AS (SELECT count(*) AS n FROM nodes),
 it0 AS (
   SELECT node, (1000000000000 // n)::bigint AS r FROM nodes, nn
@@ -6615,7 +6615,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRIANGLES_ORACLE = """
-WITH und AS (
+WITH und AS MATERIALIZED (
   SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
                   greatest(c.c_nationkey, s.s_nationkey) AS b
   FROM lineitem l
