@@ -7195,6 +7195,86 @@ GROUP BY source
 """
 
 
+def stream_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows — Flink's per-event session gap
+    (gap extractor), Spark-native: ``session_window`` takes a gap
+    EXPRESSION, so purchase events hold a session open 30 minutes
+    while everything else holds 10. Each event contributes the
+    interval [ts, ts+gap); overlapping intervals merge — the oracle
+    replays exactly that with the classic running-max interval-union
+    sweep. State per open session only, keyed by user; append mode
+    emits each session once its watermark closes."""
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-dynsess-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .transform(_norm_ts)
+        .withWatermark("ts", "5 seconds")
+    )
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    agg = sdf.groupBy(
+        F.session_window("ts", gap).alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    name = "fcs_stream_dynsess"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-dynsess-")
+        )
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id",
+        F.expr("unix_micros(w.start)").alias("start_us"),
+        F.expr("unix_micros(w.end)").alias("end_us"),
+        "n_events",
+    )
+
+
+_DYNAMIC_SESSIONS_ORACLE = """
+WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ep,
+         CASE WHEN event_type = 'purchase'
+              THEN 1800000000 ELSE 600000000 END AS gap
+  FROM events
+),
+m AS (
+  SELECT *, max(ep + gap) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_max
+  FROM t
+),
+isl AS (
+  SELECT *, sum(CASE WHEN prev_max IS NULL OR ep > prev_max
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ep, event_id
+                  ROWS UNBOUNDED PRECEDING) AS island
+  FROM m
+)
+SELECT user_id, min(ep) AS start_us, max(ep + gap) AS end_us,
+       count(*) AS n_events
+FROM isl
+GROUP BY user_id, island
+-- append-mode emission rule: a session only leaves the state store
+-- once the watermark (max event time − 5 s delay) passes its end;
+-- sessions still open when the bounded replay drains are never
+-- emitted, exactly like a Flink session window without a final flush
+HAVING max(ep + gap) <= (SELECT max(ep) - 5000000 FROM t)
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7344,6 +7424,7 @@ QUERIES = {
     "q_incremental_agg": q_incremental_agg,
     "q_padding_waste": q_padding_waste,
     "q_vocab_coverage": q_vocab_coverage,
+    "stream_dynamic_sessions": stream_dynamic_sessions,
 }
 
 ORACLES = {
@@ -7491,6 +7572,7 @@ ORACLES = {
     "q_incremental_agg": _INCREMENTAL_ORACLE,
     "q_padding_waste": _PADDING_ORACLE,
     "q_vocab_coverage": _VOCAB_COVERAGE_ORACLE,
+    "stream_dynamic_sessions": _DYNAMIC_SESSIONS_ORACLE,
 }
 
 # ---------------------------------------------------------------------------
