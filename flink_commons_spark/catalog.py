@@ -7275,6 +7275,73 @@ HAVING max(ep + gap) <= (SELECT max(ep) - 5000000 FROM t)
 """
 
 
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop reachability — minimum trade-hop distance from the
+    highest-volume nation to every other nation over the directed
+    trade graph (``operators/graph.py:bfs_distances``): the BFS/
+    shortest-path-by-hops member of the graph family, all-integer so
+    bit-stable anywhere. One dst-keyed join per hop over a |V|+|E|
+    frontier; unreachable = -1."""
+    from flink_commons_spark.operators.graph import bfs_distances
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(c.c_nationkey.alias("src"), s.s_nationkey.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    # deterministic source: the nation exporting the most trade edges,
+    # ties to the smaller key
+    source = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .orderBy(F.desc("deg"), "src")
+        .limit(1)
+        .select("src")
+    )
+    return bfs_distances(nodes, edges, source).withColumnRenamed(
+        "node", "nation_key"
+    )
+
+
+_BFS_ORACLE = """
+WITH RECURSIVE edges AS MATERIALIZED (
+  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+),
+source AS MATERIALIZED (
+  SELECT src FROM (
+    SELECT src, count(*) AS deg FROM edges GROUP BY 1
+    ORDER BY deg DESC, src LIMIT 1
+  )
+),
+reach(node, d) AS (
+  SELECT src, 0::bigint FROM source
+  UNION
+  SELECT e.dst, r.d + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.d < 6
+),
+best AS (SELECT node, min(d) AS d FROM reach GROUP BY 1)
+SELECT n_nationkey AS nation_key, coalesce(d, -1)::bigint AS hops
+FROM nation LEFT JOIN best ON n_nationkey = node
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -7425,6 +7492,7 @@ QUERIES = {
     "q_padding_waste": q_padding_waste,
     "q_vocab_coverage": q_vocab_coverage,
     "stream_dynamic_sessions": stream_dynamic_sessions,
+    "graph_bfs_hops": graph_bfs_hops,
 }
 
 ORACLES = {
@@ -7573,6 +7641,7 @@ ORACLES = {
     "q_padding_waste": _PADDING_ORACLE,
     "q_vocab_coverage": _VOCAB_COVERAGE_ORACLE,
     "stream_dynamic_sessions": _DYNAMIC_SESSIONS_ORACLE,
+    "graph_bfs_hops": _BFS_ORACLE,
 }
 
 # ---------------------------------------------------------------------------

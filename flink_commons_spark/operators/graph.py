@@ -135,6 +135,52 @@ def pagerank(
     return ranks
 
 
+def bfs_distances(
+    nodes: DataFrame,
+    edges: DataFrame,
+    sources: DataFrame,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Multi-hop BFS: minimum hop count from any source node, directed
+    edges, fixed ``max_hops`` frontier expansions. All-integer label
+    propagation (dist' = min(dist, 1 + dist over in-edges)) — the same
+    keyed join + min-aggregate shape as :func:`connected_components`,
+    so one dst-keyed exchange per hop and no driver graph state.
+    Unreachable nodes report -1 (a NULL bigint would round-trip as NaN
+    through comparison paths). Fixed hop count keeps lineage shallow;
+    dedup-style graphs need 2-3."""
+    nodes = nodes.select(F.col(node_col).alias("node"))
+    edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    dist = nodes.join(
+        sources.select(F.col(sources.columns[0]).alias("node")).withColumn(
+            "d", F.lit(0).cast("bigint")
+        ),
+        "node",
+        "left",
+    )
+    for _ in range(max_hops):
+        reached = (
+            edges.join(
+                dist.where(F.col("d").isNotNull()).withColumnRenamed(
+                    "node", "src"
+                ),
+                "src",
+            )
+            .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionByName(reached)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+    return dist.select(
+        "node", F.coalesce(F.col("d"), F.lit(-1)).cast("bigint").alias("hops")
+    )
+
+
 def dup_clusters(
     pairs: DataFrame,
     id_a: str = "a",

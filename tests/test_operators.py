@@ -358,6 +358,20 @@ def test_pagerank_matches_integer_reference(spark):
     assert got[3] > got[2] > got[1]
 
 
+def test_bfs_distances_chain_and_unreachable(spark):
+    """Directed chain 1→2→3 with isolated node 9: hop counts 0/1/2 and
+    -1 for the unreachable node; direction respected (nothing reaches
+    back to the source)."""
+    from flink_commons_spark.operators.graph import bfs_distances
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (9,)], ["node"])
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 2)], ["src", "dst"])
+    sources = spark.createDataFrame([(1,)], ["node"])
+    got = {r.nation_key if hasattr(r, "nation_key") else r.node: r.hops
+           for r in bfs_distances(nodes, edges, sources).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 9: -1}
+
+
 def test_connected_components_non_convergence_raises(spark):
     from flink_commons_spark.operators.graph import connected_components
 
