@@ -7295,7 +7295,11 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(c.c_nationkey.alias("src"), s.s_nationkey.alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .persist()
+        # cut lineage: the 6-hop frontier plan references this ≥7 times,
+        # and re-analyzing/re-running the 4-way edge mining per hop
+        # dominated the wall time (8.7 s → ~1 s); the source-selection
+        # aggregate below is the materializing action
+        .localCheckpoint(eager=False)
     )
     nodes = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("node")
