@@ -24,6 +24,8 @@ north-star LLM-pipeline extensions (``SURVEY.md §7.1`` step 7).
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
@@ -34,6 +36,38 @@ from flink_commons_spark.operators import similarity as S
 from flink_commons_spark.operators import text as T
 from flink_commons_spark.operators.asof import asof_join
 from flink_commons_spark.operators.sessionize import session_stats
+
+
+#: scratch dirs (stream staging, sinks, checkpoints) created per query
+#: invocation — removed at interpreter exit so a long bench session does
+#: not accumulate tmpfs.
+_SCRATCH_DIRS: "list[str]" = []
+
+
+@atexit.register
+def _cleanup_scratch_dirs() -> None:
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _scratch_dir(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
+def _await_stream(query, timeout: int = 300) -> None:
+    """Block until an ``availableNow`` query finishes; FAIL on timeout.
+
+    Reading the sink after a timed-out ``awaitTermination`` would
+    silently return a partial result — raise instead so the gate
+    reports the failure."""
+    if not query.awaitTermination(timeout):
+        query.stop()
+        raise RuntimeError(
+            f"streaming query {query.name or query.id} did not finish "
+            f"within {timeout}s"
+        )
 
 
 def _norm_ts(df: DataFrame, col: str = "ts") -> DataFrame:
@@ -689,7 +723,7 @@ def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-tpj-")
+    stream_dir = _scratch_dir(prefix="fcs-stream-tpj-")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     sdf = (
         spark.readStream.schema(schema)
@@ -704,7 +738,7 @@ def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     versions = (
         o.withColumn("__rn", F.row_number().over(w)).where("__rn = 1").drop("__rn")
     )
-    out_dir = tempfile.mkdtemp(prefix="fcs-tpj-out-")
+    out_dir = _scratch_dir(prefix="fcs-tpj-out-")
 
     def join_batch(bdf: DataFrame, epoch_id: int) -> None:
         joined = asof_join(
@@ -725,10 +759,10 @@ def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdf.writeStream.outputMode("append")
         .foreachBatch(join_batch)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-tpj-"))
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-tpj-"))
         .start()
     )
-    query.awaitTermination(300)
+    _await_stream(query)
     return spark.read.parquet(out_dir)
 
 
@@ -1665,7 +1699,7 @@ def stream_minute_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file through a temp dir symlink (testdata itself is read-only).
     import os
 
-    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-src-")
+    stream_dir = _scratch_dir(prefix="fcs-stream-src-")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     sdf = (
         spark.readStream.schema(schema)
@@ -1695,10 +1729,10 @@ def stream_minute_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-stream-"))
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-stream-"))
         .start()
     )
-    query.awaitTermination(300)
+    _await_stream(query)
     return spark.table(name)
 
 
@@ -1729,7 +1763,7 @@ def stream_exact_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-uv-")
+    stream_dir = _scratch_dir(prefix="fcs-stream-uv-")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     sdf = (
         spark.readStream.schema(schema)
@@ -1747,16 +1781,16 @@ def stream_exact_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("uv").cast("bigint").alias("uv"),
     )
     sink = KeyedParquetUpsertSink(
-        tempfile.mkdtemp(prefix="fcs-upsert-uv-"), ["window_start", "dim"]
+        _scratch_dir(prefix="fcs-upsert-uv-"), ["window_start", "dim"]
     )
     query = (
         agg.writeStream.outputMode("update")
         .foreachBatch(sink.writer())
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-uv-"))
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-uv-"))
         .start()
     )
-    query.awaitTermination(300)
+    _await_stream(query)
     return sink.read_final(spark).select("window_start", "dim", "uv")
 
 
@@ -1779,7 +1813,7 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-sess-")
+    stream_dir = _scratch_dir(prefix="fcs-stream-sess-")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     sdf = (
         spark.readStream.schema(schema)
@@ -1796,10 +1830,10 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-sess-"))
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-sess-"))
         .start()
     )
-    query.awaitTermination(300)
+    _await_stream(query)
     return spark.table(name).select(
         "user_id",
         _epoch(F.col("session_start")).alias("start_epoch"),
@@ -1844,7 +1878,7 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-state-")
+    stream_dir = _scratch_dir(prefix="fcs-stream-state-")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     sdf = (
         spark.readStream.schema(schema)
@@ -1865,16 +1899,16 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_epoch").cast("bigint").alias("last_epoch"),
     )
     sink = KeyedParquetUpsertSink(
-        tempfile.mkdtemp(prefix="fcs-upsert-state-"), ["user_id"]
+        _scratch_dir(prefix="fcs-upsert-state-"), ["user_id"]
     )
     query = (
         out.writeStream.outputMode("update")
         .foreachBatch(sink.writer())
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-state-"))
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-state-"))
         .start()
     )
-    query.awaitTermination(300)
+    _await_stream(query)
     return sink.read_final(spark).select(
         "user_id", "n_events", "total_cents", "last_epoch"
     )
@@ -1901,7 +1935,7 @@ def stream_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-topn-")
+    stream_dir = _scratch_dir(prefix="fcs-stream-topn-")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     sdf = spark.readStream.schema(schema).parquet(stream_dir)
 
@@ -1910,16 +1944,16 @@ def stream_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = continuous_topn(sdf, "event_type", "user_id", n=3)
     sink = KeyedParquetUpsertSink(
-        tempfile.mkdtemp(prefix="fcs-upsert-topn-"), ["grp", "rnk"]
+        _scratch_dir(prefix="fcs-upsert-topn-"), ["grp", "rnk"]
     )
     query = (
         out.writeStream.outputMode("update")
         .foreachBatch(sink.writer())
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-topn-"))
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-topn-"))
         .start()
     )
-    query.awaitTermination(300)
+    _await_stream(query)
     return sink.read_final(spark).select(
         F.col("grp").alias("event_type"),
         F.col("rnk").cast("int").alias("rnk"),
@@ -1969,7 +2003,7 @@ def stream_two_source_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dirs = {}
     splits = []
     for src, cutoff in ((0, "2024-01-16"), (1, "2024-01-08")):
-        d = tempfile.mkdtemp(prefix=f"fcs-stream-2src{src}-")
+        d = _scratch_dir(prefix=f"fcs-stream-2src{src}-")
         src_dirs[src] = d
         cut = F.lit(cutoff).cast("timestamp")
         if src == 0:
@@ -1994,7 +2028,7 @@ def stream_two_source_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _write_split(job) -> None:
         src, k, cond = job
-        stage = tempfile.mkdtemp(prefix=f"fcs-2src-part{src}{k}-")
+        stage = _scratch_dir(prefix=f"fcs-2src-part{src}{k}-")
         ev_src.where(cond).coalesce(1).write.mode("overwrite").parquet(stage)
         f = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
         dst = os.path.join(src_dirs[src], f"{k:03d}.parquet")
@@ -2028,10 +2062,10 @@ def stream_two_source_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-2src-"))
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-2src-"))
         .start()
     )
-    query.awaitTermination(300)
+    _await_stream(query)
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -2076,7 +2110,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-cdc-")
+    stream_dir = _scratch_dir(prefix="fcs-stream-cdc-")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     from flink_commons_spark.streaming.cdc import (
         OP_COL,
@@ -2101,16 +2135,16 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = KeyedParquetUpsertSink(
-        tempfile.mkdtemp(prefix="fcs-upsert-cdc-"), ["user_id"]
+        _scratch_dir(prefix="fcs-upsert-cdc-"), ["user_id"]
     )
     query = (
         changes.writeStream.outputMode("append")
         .foreachBatch(changelog_writer(sink, ["ts", "event_id"]))
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-cdc-"))
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-cdc-"))
         .start()
     )
-    query.awaitTermination(300)
+    _await_stream(query)
     return read_current_state(sink, spark).select(
         "user_id", "last_type", F.round(F.col("value").cast("double"), 4).alias("last_value")
     )
@@ -2151,7 +2185,7 @@ def stream_cdc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-cdcagg-")
+    stream_dir = _scratch_dir(prefix="fcs-stream-cdcagg-")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     changes = (
         spark.readStream.schema(schema)
@@ -2169,9 +2203,9 @@ def stream_cdc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = KeyedParquetUpsertSink(
-        tempfile.mkdtemp(prefix="fcs-upsert-cdcagg-"), ["user_id"]
+        _scratch_dir(prefix="fcs-upsert-cdcagg-"), ["user_id"]
     )
-    agg_dir = tempfile.mkdtemp(prefix="fcs-cdcagg-out-")
+    agg_dir = _scratch_dir(prefix="fcs-cdcagg-out-")
     apply_changelog = changelog_writer(sink, ["ts", "event_id"])
 
     def apply_and_aggregate(bdf: DataFrame, epoch_id: int) -> None:
@@ -2191,10 +2225,10 @@ def stream_cdc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         changes.writeStream.outputMode("append")
         .foreachBatch(apply_and_aggregate)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-cdcagg-"))
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-cdcagg-"))
         .start()
     )
-    query.awaitTermination(300)
+    _await_stream(query)
     return spark.read.parquet(agg_dir)
 
 
@@ -2232,7 +2266,7 @@ def stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-timer-")
+    stream_dir = _scratch_dir(prefix="fcs-stream-timer-")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     sdf = (
         spark.readStream.schema(schema)
@@ -2248,10 +2282,10 @@ def stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-timer-"))
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-timer-"))
         .start()
     )
-    query.awaitTermination(300)
+    _await_stream(query)
     return spark.table(name)
 
 
@@ -2298,7 +2332,7 @@ def stream_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-cep-")
+    stream_dir = _scratch_dir(prefix="fcs-stream-cep-")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     sdf = (
         spark.readStream.schema(schema)
@@ -2320,10 +2354,10 @@ def stream_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-cep-"))
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-cep-"))
         .start()
     )
-    query.awaitTermination(300)
+    _await_stream(query)
     return spark.table(name)
 
 
@@ -2383,7 +2417,7 @@ def stream_late_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("ts") < F.lit("2024-01-21").cast("timestamp"), 2)
         .otherwise(3)
     )
-    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-late-")
+    stream_dir = _scratch_dir(prefix="fcs-stream-late-")
     # one scan of events feeds all three splits, and the three
     # coalesce(1) writes run as concurrent Spark jobs (independent
     # one-task jobs; serializing them tripled the setup cost)
@@ -2393,7 +2427,7 @@ def stream_late_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged_src.count()
 
     def _write_split(k: int) -> None:
-        part_dir = tempfile.mkdtemp(prefix=f"fcs-late-part{k}-")
+        part_dir = _scratch_dir(prefix=f"fcs-late-part{k}-")
         tagged_src.where(F.col("__f") == k).drop("__f").coalesce(1).write.mode(
             "overwrite"
         ).parquet(part_dir)
@@ -2428,10 +2462,10 @@ def stream_late_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-late-"))
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-late-"))
         .start()
     )
-    query.awaitTermination(300)
+    _await_stream(query)
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -2483,7 +2517,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-dedup-")
+    stream_dir = _scratch_dir(prefix="fcs-stream-dedup-")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     sdf = (
         spark.readStream.schema(schema)
@@ -2502,10 +2536,10 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-dedup-"))
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-dedup-"))
         .start()
     )
-    query.awaitTermination(300)
+    _await_stream(query)
     return spark.table(name)
 
 
@@ -2530,7 +2564,7 @@ def stream_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-hop-")
+    stream_dir = _scratch_dir(prefix="fcs-stream-hop-")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     sdf = (
         spark.readStream.schema(schema)
@@ -2556,10 +2590,10 @@ def stream_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-hop-"))
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-hop-"))
         .start()
     )
-    query.awaitTermination(300)
+    _await_stream(query)
     return spark.table(name)
 
 
@@ -2590,7 +2624,7 @@ def stream_cumulate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-cumulate-")
+    stream_dir = _scratch_dir(prefix="fcs-stream-cumulate-")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     sdf = (
         spark.readStream.schema(schema)
@@ -2628,10 +2662,10 @@ def stream_cumulate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-cumulate-"))
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-cumulate-"))
         .start()
     )
-    query.awaitTermination(300)
+    _await_stream(query)
     return spark.table(name)
 
 
@@ -2665,7 +2699,7 @@ def stream_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-lkp-")
+    stream_dir = _scratch_dir(prefix="fcs-stream-lkp-")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     sdf = spark.readStream.schema(schema).parquet(stream_dir)
     dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
@@ -2682,10 +2716,10 @@ def stream_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-lkp-"))
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-lkp-"))
         .start()
     )
-    query.awaitTermination(300)
+    _await_stream(query)
     return spark.table(name)
 
 
@@ -2722,12 +2756,12 @@ def stream_broadcast_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("ts") < F.lit("2024-01-21").cast("timestamp"), 2)
         .otherwise(3)
     )
-    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-rules-")
+    stream_dir = _scratch_dir(prefix="fcs-stream-rules-")
     tagged_src = ev.withColumn("__f", assign).persist()
     tagged_src.count()
 
     def _write_split(k: int) -> None:
-        part_dir = tempfile.mkdtemp(prefix=f"fcs-rules-part{k}-")
+        part_dir = _scratch_dir(prefix=f"fcs-rules-part{k}-")
         tagged_src.where(F.col("__f") == k).drop("__f").coalesce(1).write.mode(
             "overwrite"
         ).parquet(part_dir)
@@ -2740,7 +2774,7 @@ def stream_broadcast_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(pool.map(_write_split, (1, 2, 3)))
     tagged_src.unpersist()
 
-    rules_dir = tempfile.mkdtemp(prefix="fcs-rules-tbl-")
+    rules_dir = _scratch_dir(prefix="fcs-rules-tbl-")
     # VALUES keeps the tiny rules write JVM-only; coalesce(1) over
     # createDataFrame would chain 32 Python partition evaluations into
     # one task (~5 s for 2 rows, measured)
@@ -2748,7 +2782,7 @@ def stream_broadcast_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT * FROM VALUES (1, 'click', 'hot'), (2, 'error', 'alert')"
         " AS t(version, event_type, tag)"
     ).coalesce(1).write.mode("overwrite").parquet(rules_dir)
-    out_dir = tempfile.mkdtemp(prefix="fcs-rules-out-")
+    out_dir = _scratch_dir(prefix="fcs-rules-out-")
 
     from flink_commons_spark.streaming.rules import broadcast_rules_batch
 
@@ -2770,10 +2804,10 @@ def stream_broadcast_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = (
         sdf.writeStream.foreachBatch(_apply)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-rules-"))
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-rules-"))
         .start()
     )
-    query.awaitTermination(300)
+    _await_stream(query)
     return (
         spark.read.parquet(out_dir)
         .groupBy("event_type", "tag")
@@ -3130,7 +3164,7 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle.
     """
     e = _t(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="fcs-partitioned-events-")
+    out = _scratch_dir(prefix="fcs-partitioned-events-")
     (
         e.select("event_id", "user_id", "value", "event_type")
         .write.partitionBy("event_type")
@@ -3309,7 +3343,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-ij-")
+    stream_dir = _scratch_dir(prefix="fcs-stream-ij-")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     sdf = (
         spark.readStream.schema(schema)
@@ -3346,10 +3380,10 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-ij-"))
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-ij-"))
         .start()
     )
-    query.awaitTermination(300)
+    _await_stream(query)
     return (
         spark.table(name)
         .groupBy(F.col("v_user").alias("user_id"))
@@ -5558,7 +5592,7 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-loj-")
+    stream_dir = _scratch_dir(prefix="fcs-stream-loj-")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     raw = spark.readStream.schema(schema).parquet(stream_dir)
     ev = raw.transform(_norm_ts).withWatermark("ts", "0 seconds")
@@ -5586,16 +5620,16 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("purch_event"), F.lit(-1)).alias("purch_event"),
     )
 
-    out_dir = tempfile.mkdtemp(prefix="fcs-loj-out-")
+    out_dir = _scratch_dir(prefix="fcs-loj-out-")
     q = (
         joined.writeStream.outputMode("append")
         .format("parquet")
         .option("path", out_dir)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-loj-"))
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-loj-"))
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.read.schema(joined.schema).parquet(out_dir)
 
 
@@ -5631,7 +5665,7 @@ def stream_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-wj-")
+    stream_dir = _scratch_dir(prefix="fcs-stream-wj-")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     raw = spark.readStream.schema(schema).parquet(stream_dir)
     ev = raw.transform(_norm_ts).withWatermark(
@@ -5657,16 +5691,16 @@ def stream_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purch_event",
     )
 
-    out_dir = tempfile.mkdtemp(prefix="fcs-wj-out-")
+    out_dir = _scratch_dir(prefix="fcs-wj-out-")
     q = (
         joined.writeStream.outputMode("append")
         .format("parquet")
         .option("path", out_dir)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-wj-"))
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-wj-"))
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.read.schema(joined.schema).parquet(out_dir)
 
 
@@ -6468,7 +6502,7 @@ def stream_over_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-over-")
+    stream_dir = _scratch_dir(prefix="fcs-stream-over-")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     sdf = (
         spark.readStream.schema(schema)
@@ -6483,17 +6517,17 @@ def stream_over_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from flink_commons_spark.streaming.stateful import running_over_rows
 
-    out_dir = tempfile.mkdtemp(prefix="fcs-over-out-")
+    out_dir = _scratch_dir(prefix="fcs-over-out-")
     query = (
         running_over_rows(sdf)
         .writeStream.format("parquet")
         .option("path", out_dir)
         .outputMode("append")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-over-"))
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-over-"))
         .start()
     )
-    query.awaitTermination(300)
+    _await_stream(query)
     return spark.read.parquet(out_dir).select(
         "event_id", "user_id", "running_n", "running_cents"
     )
@@ -6594,7 +6628,11 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .persist()
+        # lazy localCheckpoint, not persist: materialized once, reused
+        # by the two wedge joins, and released by the ContextCleaner
+        # when the frame drops out of scope (no pinned executor memory
+        # across a long multi-query session)
+        .localCheckpoint(eager=False)
     )
     e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
     wedges = und.join(e2, "b").select("a", "b", "c")
@@ -6654,7 +6692,7 @@ def stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-part-")
+    stream_dir = _scratch_dir(prefix="fcs-stream-part-")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     sdf = (
         spark.readStream.schema(schema)
@@ -6666,17 +6704,17 @@ def stream_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 100).cast("bigint").alias("cents"),
         )
     )
-    out_dir = tempfile.mkdtemp(prefix="fcs-part-out-")
+    out_dir = _scratch_dir(prefix="fcs-part-out-")
     query = (
         sdf.writeStream.format("parquet")
         .option("path", out_dir)
         .partitionBy("event_type")
         .outputMode("append")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-part-"))
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-part-"))
         .start()
     )
-    query.awaitTermination(300)
+    _await_stream(query)
     back = spark.read.parquet(out_dir)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -7209,7 +7247,7 @@ def stream_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream_dir = tempfile.mkdtemp(prefix="fcs-stream-dynsess-")
+    stream_dir = _scratch_dir(prefix="fcs-stream-dynsess-")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     sdf = (
         spark.readStream.schema(schema)
@@ -7230,11 +7268,11 @@ def stream_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("append")
         .trigger(availableNow=True)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="fcs-ckpt-dynsess-")
+            "checkpointLocation", _scratch_dir(prefix="fcs-ckpt-dynsess-")
         )
         .start()
     )
-    query.awaitTermination(300)
+    _await_stream(query)
     return spark.table(name).select(
         "user_id",
         F.expr("unix_micros(w.start)").alias("start_us"),

@@ -110,8 +110,12 @@ def pagerank(
     n = nodes.count()
     base = (scale * 3) // (20 * n)  # (1-d)/N in micro-units
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # pre-join the per-edge denominator once; tiny vs re-deriving per pass
-    eo = edges.join(outdeg, "src").persist()
+    # pre-join the per-edge denominator once; tiny vs re-deriving per
+    # pass. localCheckpoint (lazy) rather than persist: it cuts lineage
+    # the same way but is released by the ContextCleaner when the frame
+    # goes out of scope, so a long-lived session running hundreds of
+    # queries does not accumulate pinned executor memory.
+    eo = edges.join(outdeg, "src").localCheckpoint(eager=False)
     ranks = nodes.withColumn("rank_micro", F.lit(scale // n).cast("bigint"))
     for _ in range(iterations):
         contrib = eo.join(

@@ -208,7 +208,15 @@ def _resolve_format(spec: TableSpec) -> str:
         if spark is None:
             return fqcn
         try:
-            spark._jvm.java.lang.Class.forName(fqcn)
+            # resolve through Spark's context classloader (the one
+            # DataSource.lookupDataSource consults), so jars added at
+            # runtime (--jars / addJar / --packages) are visible —
+            # py4j's root Class.forName would miss them
+            (
+                spark._jvm.java.lang.Thread.currentThread()
+                .getContextClassLoader()
+                .loadClass(fqcn)
+            )
             return fqcn
         except Exception as exc:
             raise PermanentConnectorError(

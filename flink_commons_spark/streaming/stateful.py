@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -134,28 +135,40 @@ def running_user_stats(sdf: DataFrame) -> DataFrame:
 OVER_OUTPUT_SCHEMA = (
     "event_id bigint, user_id bigint, running_n bigint, running_cents bigint"
 )
-#: state layout: totals carried across micro-batches
-OVER_STATE_SCHEMA = "n bigint, cents bigint"
+#: state layout: finalized totals + the watermark-gated row buffer
+OVER_STATE_SCHEMA = (
+    "n bigint, cents bigint, buf_eid array<bigint>, "
+    "buf_ord array<bigint>, buf_cents array<bigint>"
+)
 
 
-def running_over_rows(sdf: DataFrame) -> DataFrame:
+def running_over_rows(sdf: DataFrame, delay: str = "0 seconds") -> DataFrame:
     """Streaming OVER aggregation — Flink SQL's event-time ``ROWS
     BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW`` window on a stream,
     which Spark's built-in streaming has no operator for (batch OVER is
-    unsupported on streams). Each input row is emitted exactly once
-    with its per-key running count and running exact-cents sum; rows
-    are ordered (ord_us, event_id) inside each micro-batch — the same
-    sort Flink's over-window operator performs when the watermark
-    fires — and the carried state is two bigints per key.
+    unsupported on streams).
+
+    Watermark-buffered, matching Flink's RowTime over-window operator
+    (``RowTimeRowsUnboundedPrecedingFunction``): arriving rows are
+    HELD in keyed state until the watermark (derived from ``ord_us``
+    with the given ``delay``) passes their event time, then emitted in
+    (ord_us, event_id) order with the per-key running count and exact
+    running-cents sum. Rows that arrive at-or-below the current
+    watermark are dropped as late — the same policy Flink applies. An
+    event-time timeout re-invokes each buffering key when the
+    watermark advances, so held rows drain even in micro-batches where
+    the key sees no new data (including the terminal no-data batch an
+    ``availableNow`` replay runs after its last data batch).
 
     Input columns: ``event_id``, ``user_id``, ``ord_us`` (event-time
     micros, the ORDER BY key), ``cents`` (bigint). Per-row emission
     makes this append-mode: pair with any append sink.
 
-    Scale posture: state is O(distinct keys) × 16 bytes, partitioned by
-    key; per batch the work is one in-memory sort of that key's batch
-    slice (bounded by batch size, not history) — identical cost shape
-    to Flink's RowTimeRangeUnboundedPrecedingFunction.
+    Scale posture: finalized state is 16 bytes per key; the buffer
+    holds only rows above the watermark — the in-flight window, the
+    same bound as the MapState Flink's over-window keeps. Watermark
+    comparisons happen at Spark's millisecond watermark granularity;
+    ordering uses the full microsecond key.
     """
 
     def update(
@@ -163,31 +176,61 @@ def running_over_rows(sdf: DataFrame) -> DataFrame:
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        n, cents = state.get if state.exists else (0, 0)
-        pdf = pd.concat(list(batches), ignore_index=True)
-        pdf = pdf.sort_values(["ord_us", "event_id"], kind="mergesort")
-        run_cents = pdf["cents"].astype("int64").cumsum() + cents
-        out = pd.DataFrame(
-            {
-                "event_id": pdf["event_id"].astype("int64"),
-                "user_id": pd.array([key[0]] * len(pdf), dtype="int64"),
-                "running_n": pd.array(
-                    range(n + 1, n + len(pdf) + 1), dtype="int64"
-                ),
-                "running_cents": run_cents.astype("int64"),
-            }
-        )
-        state.update((n + len(pdf), int(run_cents.iloc[-1]) if len(pdf) else cents))
-        yield out
+        wm_ms = state.getCurrentWatermarkMs()
+        if state.exists:
+            n, cents, b_eid, b_ord, b_cents = state.get
+            b_eid, b_ord, b_cents = list(b_eid), list(b_ord), list(b_cents)
+        else:
+            n, cents, b_eid, b_ord, b_cents = 0, 0, [], [], []
+        if not state.hasTimedOut:
+            chunks = list(batches)
+            if chunks:
+                pdf = pd.concat(chunks, ignore_index=True)
+                eids = pdf["event_id"].to_numpy("int64")
+                ords = pdf["ord_us"].to_numpy("int64")
+                cts = pdf["cents"].to_numpy("int64")
+                if wm_ms > 0:
+                    fresh = (ords // 1000) > wm_ms  # late-row drop (Flink)
+                    eids, ords, cts = eids[fresh], ords[fresh], cts[fresh]
+                b_eid.extend(eids.tolist())
+                b_ord.extend(ords.tolist())
+                b_cents.extend(cts.tolist())
+        if wm_ms > 0 and b_ord:
+            eids = np.asarray(b_eid, dtype="int64")
+            ords = np.asarray(b_ord, dtype="int64")
+            cts = np.asarray(b_cents, dtype="int64")
+            order = np.lexsort((eids, ords))
+            eids, ords, cts = eids[order], ords[order], cts[order]
+            k = int(((ords // 1000) <= wm_ms).sum())  # ripe = sorted prefix
+            if k:
+                run_cents = cts[:k].cumsum() + cents
+                yield pd.DataFrame(
+                    {
+                        "event_id": eids[:k],
+                        "user_id": np.full(k, key[0], dtype="int64"),
+                        "running_n": np.arange(n + 1, n + k + 1, dtype="int64"),
+                        "running_cents": run_cents,
+                    }
+                )
+                n += k
+                cents = int(run_cents[-1])
+            b_eid = eids[k:].tolist()
+            b_ord = ords[k:].tolist()
+            b_cents = cts[k:].tolist()
+        state.update((n, cents, b_eid, b_ord, b_cents))
+        if b_ord:
+            state.setTimeoutTimestamp(max(min(b_ord) // 1000, wm_ms + 1))
 
     return (
         sdf.select("event_id", "user_id", "ord_us", "cents")
+        .withColumn("_evt_ts", F.timestamp_micros(F.col("ord_us").cast("long")))
+        .withWatermark("_evt_ts", delay)
         .groupBy("user_id")
         .applyInPandasWithState(
             update,
             outputStructType=OVER_OUTPUT_SCHEMA,
             stateStructType=OVER_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -93,33 +93,45 @@ def test_running_user_stats_matches_batch(spark, event_stream):
     assert state == truth
 
 
-def test_running_over_rows_across_batches(spark, tmp_path):
-    """Streaming OVER (ROWS UNBOUNDED PRECEDING) must carry its per-key
-    running totals ACROSS micro-batches: two parquet files replayed one
-    per trigger, per-row output compared to the batch window truth.
-    Within each batch the slice is sorted on (ord_us, event_id); across
-    batches the carried (n, cents) state supplies the prefix."""
-    from pyspark.sql import Window
+def _run_over_rows_replay(spark, tmp_path, files, delay, sentinel_sec=None):
+    """Replay parquet ``files`` (lists of (event_id, sec, user_id, cents))
+    one-per-trigger in the given order through ``running_over_rows`` and
+    return {event_id: (user_id, running_n, running_cents)}. mtimes are
+    forced ascending so FileStreamSource's mod-time ordering replays the
+    files in list order. An optional far-future sentinel file advances
+    the watermark so the terminal no-data batch drains the buffer."""
+    import os
+    import time
+
     from flink_commons_spark.streaming.stateful import running_over_rows
 
-    # file 1 = seconds 0-59, file 2 = seconds 60-119 (in-order arrival)
-    rows1 = [(i, i, i % 3, (i + 1) * 100) for i in range(12)]
-    rows2 = [(i, i, i % 3, (i + 1) * 100) for i in range(60, 72)]
     schema = "event_id long, sec long, user_id long, cents long"
     path = str(tmp_path / "over_events")
-    spark.createDataFrame(rows1, schema).repartition(1).write.parquet(path)
-    spark.createDataFrame(rows2, schema).repartition(1).write.mode(
-        "append"
-    ).parquet(path)
+    if sentinel_sec is not None:
+        files = files + [[(999_999, sentinel_sec, 999, 0)]]
+    base = time.time()
+    seen = set()
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).repartition(1).write.mode(
+            "append"
+        ).parquet(path)
+        for name in os.listdir(path):
+            if name.endswith(".parquet") and name not in seen:
+                seen.add(name)
+                full = os.path.join(path, name)
+                os.utime(full, (base + i, base + i))
 
-    batch = spark.read.parquet(path).select(
-        "event_id", "user_id",
-        (F.col("sec") * 1_000_000).alias("ord_us"), "cents",
+    sdf = (
+        spark.readStream.schema(
+            spark.read.parquet(path).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select(
+            "event_id", "user_id",
+            (F.col("sec") * 1_000_000).alias("ord_us"), "cents",
+        )
     )
-    sdf = spark.readStream.schema(batch.schema).option(
-        "maxFilesPerTrigger", 1
-    ).parquet(path).select("event_id", "user_id", "ord_us", "cents")
-
     got = {}
 
     def sink(bdf, epoch_id):
@@ -127,29 +139,91 @@ def test_running_over_rows_across_batches(spark, tmp_path):
             got[r.event_id] = (r.user_id, r.running_n, r.running_cents)
 
     q = (
-        running_over_rows(sdf)
+        running_over_rows(sdf, delay=delay)
         .writeStream.outputMode("append")
         .foreachBatch(sink)
         .trigger(availableNow=True)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-test-over-"))
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "over-rows replay timed out"
+    return got
 
+
+def _over_rows_truth(spark, rows):
+    """Batch OVER (ROWS UNBOUNDED PRECEDING) truth for the same rows."""
+    from pyspark.sql import Window
+
+    schema = "event_id long, sec long, user_id long, cents long"
     w = (
         Window.partitionBy("user_id")
         .orderBy("ord_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    truth = {
+    return {
         r.event_id: (r.user_id, r.rn, r.rc)
-        for r in batch.select(
+        for r in spark.createDataFrame(rows, schema)
+        .select(
+            "event_id", "user_id",
+            (F.col("sec") * 1_000_000).alias("ord_us"), "cents",
+        )
+        .select(
             "event_id", "user_id",
             F.count("*").over(w).alias("rn"),
             F.sum("cents").over(w).alias("rc"),
-        ).collect()
+        )
+        .collect()
     }
+
+
+def test_running_over_rows_across_batches(spark, tmp_path):
+    """Streaming OVER (ROWS UNBOUNDED PRECEDING) must carry its per-key
+    running totals ACROSS micro-batches: two in-order parquet files
+    replayed one per trigger, per-row output compared to the batch
+    window truth. The far-future sentinel advances the watermark so the
+    terminal no-data batch drains the buffer (rows are watermark-held,
+    Flink over-window parity)."""
+    rows1 = [(i, i + 1, i % 3, (i + 1) * 100) for i in range(12)]
+    rows2 = [(i, i + 1, i % 3, (i + 1) * 100) for i in range(60, 72)]
+    got = _run_over_rows_replay(
+        spark, tmp_path, [rows1, rows2], delay="2 minutes",
+        sentinel_sec=1_000_000,
+    )
+    truth = _over_rows_truth(spark, rows1 + rows2)
     assert len(got) == 24 and got == truth
+
+
+def test_running_over_rows_out_of_order_batches(spark, tmp_path):
+    """A later micro-batch carrying EARLIER event times (still above the
+    watermark) must be buffered and interleaved into event-time order —
+    the watermark-buffered semantics Flink's RowTime over-window has,
+    which a sort-within-batch implementation gets wrong. File A (secs
+    60-71) arrives before file B (secs 0-11); the 2-minute watermark
+    delay keeps B on time; output must equal the batch window truth."""
+    late_file = [(i, i + 1, i % 3, (i + 1) * 100) for i in range(12)]
+    early_file = [(i, i + 1, i % 3, (i + 1) * 100) for i in range(60, 72)]
+    got = _run_over_rows_replay(
+        spark, tmp_path, [early_file, late_file], delay="2 minutes",
+        sentinel_sec=1_000_000,
+    )
+    truth = _over_rows_truth(spark, late_file + early_file)
+    assert len(got) == 24 and got == truth
+
+
+def test_running_over_rows_drops_late_rows(spark, tmp_path):
+    """With a zero watermark delay, rows arriving below the advanced
+    watermark are DROPPED (Flink's over-window late policy), not
+    silently given an out-of-order running prefix: file A (secs 60-71)
+    pushes the watermark to 71 s; file B (secs 0-11) is then entirely
+    late. Output = file A rows only, with A-only running totals."""
+    file_a = [(i, i + 1, i % 3, (i + 1) * 100) for i in range(60, 72)]
+    file_b = [(i, i + 1, i % 3, (i + 1) * 100) for i in range(12)]
+    got = _run_over_rows_replay(
+        spark, tmp_path, [file_a, file_b], delay="0 seconds",
+        sentinel_sec=1_000_000,
+    )
+    truth = _over_rows_truth(spark, file_a)
+    assert len(got) == 12 and got == truth
 
 
 def test_stateful_recovery_from_checkpoint(spark, tmp_path):
