@@ -3554,6 +3554,154 @@ FROM t CROSS JOIN h
 """
 
 
+def pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall@5 of PQ-ADC search with TRAINED codebooks (one
+    per-subspace k-means Lloyd pass over the corpus,
+    ``operators/similarity.py:train_pq_codebooks``) vs exact squared-L2
+    brute force — the trained counterpart of ``pq_recall``'s seeded
+    audit, stating what the k-means refinement buys in neighbor
+    quality. Training is fully in-engine (one assignment pass + one
+    (subspace, code)-keyed mean aggregate; driver holds 128 rows) and
+    decimal-fixed, so the oracle replicates the whole trainer in SQL."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    probes = emb.where("vec_id < 10")
+    truth = S.l2_topk(probes, emb, k=5).select("query_id", "neighbor_id")
+    cbs = S.train_pq_codebooks(
+        _t(spark, sf_dir, "embeddings"), m=8, ksub=16, dims=64, iterations=1
+    )
+    approx = S.pq_adc_topk(probes, emb, cbs, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    return _recall_counts(truth, approx, ["query_id", "neighbor_id"])
+
+
+# the seeded assignment (cb0/d0/a0), one Lloyd mean step (decimal-exact,
+# empty cells fall back to their seed codeword), then the same ADC
+# re-assignment + top-k shape as _ANN_PQ_ORACLE against the trained cb
+_ANN_PQ_TRAINED_TMPL = """
+WITH seeds AS (
+  SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+cb0 AS (
+  SELECT j, code, embedding[j * 8 + 1 : j * 8 + 8] AS cw
+  FROM seeds, (SELECT unnest(generate_series(0, 7)) AS j)
+),
+d0 AS (
+  SELECT e.vec_id, cb0.j, cb0.code,
+         round(list_sum(list_transform(generate_series(1, 8),
+               i -> (e.embedding[cb0.j * 8 + i]::double - cb0.cw[i]::double)
+                  * (e.embedding[cb0.j * 8 + i]::double - cb0.cw[i]::double))), 6) AS d
+  FROM embeddings e CROSS JOIN cb0
+),
+a0 AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+    FROM d0
+  ) WHERE rn = 1
+),
+means AS (
+  SELECT a0.j, a0.code, t.i,
+         round((sum((e.embedding[a0.j * 8 + t.i]::double)::decimal(18,6)))::double
+               / count(*), 6) AS cwv
+  FROM a0 JOIN embeddings e USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) t
+  GROUP BY a0.j, a0.code, t.i
+),
+tr AS (
+  SELECT j, code, list(cwv ORDER BY i) AS cw FROM means GROUP BY j, code
+),
+cb AS (
+  SELECT cb0.j, cb0.code,
+         coalesce(tr.cw, list_transform(cb0.cw, x -> x::double)) AS cw
+  FROM cb0 LEFT JOIN tr ON tr.j = cb0.j AND tr.code = cb0.code
+),
+dists AS (
+  SELECT e.vec_id, cb.j, cb.code,
+         round(list_sum(list_transform(generate_series(1, 8),
+               i -> (e.embedding[cb.j * 8 + i]::double - cb.cw[i])
+                  * (e.embedding[cb.j * 8 + i]::double - cb.cw[i]))), 6) AS d
+  FROM embeddings e CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+probe AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+adc AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id,
+         sum((round(list_sum(list_transform(generate_series(1, 8),
+              i -> (p.qv[b.j * 8 + i]::double - c.cw[i])
+                 * (p.qv[b.j * 8 + i]::double - c.cw[i]))), 6))::decimal(18,6)) AS dist
+  FROM probe p
+  CROSS JOIN best b
+  JOIN cb c ON c.j = b.j AND c.code = b.code
+  WHERE b.vec_id <> p.query_id
+  GROUP BY p.query_id, b.vec_id
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank,
+       neighbor_id, dist::double AS dist
+FROM adc QUALIFY rank <= {k}
+"""
+
+_PQ_TRAINED_RECALL_ORACLE = f"""
+WITH truth AS ({_L2_TRUTH_SQL}),
+approx AS (SELECT query_id, neighbor_id FROM ({_ANN_PQ_TRAINED_TMPL.format(k=5)})),
+h AS (SELECT count(*) AS n_hits FROM approx SEMI JOIN truth USING (query_id, neighbor_id)),
+t AS (SELECT count(*) AS n_truth FROM truth)
+SELECT n_hits, n_truth, round(n_hits * 100.0 / n_truth, 2) AS recall_pct
+FROM t CROSS JOIN h
+"""
+
+
+def pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall@5 of the PRODUCTION PQ search shape: trained-ADC
+    shortlist (top-100 of ~3k candidates = ~3% of the corpus touched at
+    full precision) re-ranked by exact squared-L2
+    (``operators/similarity.py:pq_rerank_topk``). This is how a 100 TB
+    vector store actually serves: the 8-byte-code scan prunes, the
+    float re-rank restores quality — recall jumps from the pure-ADC
+    32% to the IVF-class 80% while the full-precision work stays
+    bounded by the shortlist size."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    probes = emb.where("vec_id < 10")
+    truth = S.l2_topk(probes, emb, k=5).select("query_id", "neighbor_id")
+    cbs = S.train_pq_codebooks(
+        _t(spark, sf_dir, "embeddings"), m=8, ksub=16, dims=64, iterations=1
+    )
+    approx = S.pq_rerank_topk(probes, emb, cbs, k=5, shortlist=100).select(
+        "query_id", "neighbor_id"
+    )
+    return _recall_counts(truth, approx, ["query_id", "neighbor_id"])
+
+
+_PQ_RERANK_RECALL_ORACLE = f"""
+WITH truth AS ({_L2_TRUTH_SQL}),
+short AS (SELECT query_id, neighbor_id FROM ({_ANN_PQ_TRAINED_TMPL.format(k=100)})),
+rer AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT s.query_id, s.neighbor_id,
+           row_number() OVER (
+             PARTITION BY s.query_id
+             ORDER BY round(list_sum(list_transform(generate_series(1, 64),
+                   i -> (q.embedding[i]::double - c.embedding[i]::double)
+                      * (q.embedding[i]::double - c.embedding[i]::double))), 6),
+                   s.neighbor_id) AS rank
+    FROM short s
+    JOIN embeddings q ON q.vec_id = s.query_id
+    JOIN embeddings c ON c.vec_id = s.neighbor_id
+  ) WHERE rank <= 5
+),
+h AS (SELECT count(*) AS n_hits FROM rer SEMI JOIN truth USING (query_id, neighbor_id)),
+t AS (SELECT count(*) AS n_truth FROM truth)
+SELECT n_hits, n_truth, round(n_hits * 100.0 / n_truth, 2) AS recall_pct
+FROM t CROSS JOIN h
+"""
+
+
 def ann_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-quantized ANN: sign-bit codes (1 bit/dim — 32x over
     float32), Hamming-ranked top-5 per probe
@@ -7452,6 +7600,8 @@ QUERIES = {
     "emb_pq_stats": emb_pq_stats,
     "ann_pq": ann_pq,
     "pq_recall": pq_recall,
+    "pq_trained_recall": pq_trained_recall,
+    "pq_rerank_recall": pq_rerank_recall,
     "ann_hamming": ann_hamming,
     "stream_dedup": stream_dedup,
     "q_hourly_profile": q_hourly_profile,
@@ -7601,6 +7751,8 @@ ORACLES = {
     "emb_pq_stats": _PQ_ORACLE,
     "ann_pq": _ANN_PQ_ORACLE,
     "pq_recall": _PQ_RECALL_ORACLE,
+    "pq_trained_recall": _PQ_TRAINED_RECALL_ORACLE,
+    "pq_rerank_recall": _PQ_RERANK_RECALL_ORACLE,
     "ann_hamming": _ANN_HAMMING_ORACLE,
     "stream_dedup": _STREAM_DEDUP_ORACLE,
     "q_hourly_profile": _HOURLY_ORACLE,

@@ -546,6 +546,68 @@ def pq_codebooks(
     ]
 
 
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    dims: int = 64,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace k-means (Lloyd) refinement of the seeded PQ
+    codebooks — the trained quantizer of Jégou et al. 2011 §II-A
+    (each subspace clustered independently with k-means), mirroring
+    :func:`train_ivf_centroids` for the coarse quantizer.
+
+    Per iteration: one distributed assignment pass (reuses
+    :func:`with_pq_codes` — round-6 squared-L2, first-min tie-break)
+    and ONE ``(subspace, code)``-keyed aggregate computing the
+    per-cell per-dimension mean; the driver only ever holds the
+    m × ksub aggregate rows (128 at the default shape). Empty cells
+    keep their previous codeword.
+
+    Determinism/portability: elements are summed as ``decimal(18,6)``
+    (order-independent, exact) and the mean is rounded to 6 inside the
+    engine — so the trained codewords are bit-identical across engines
+    and partitionings, and the whole trainer is replicable in ANSI SQL
+    (see the ``pq_trained_recall`` oracle).
+    """
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    d_sub = dims // m
+    cbs = pq_codebooks(
+        corpus, m=m, ksub=ksub, dims=dims, id_col=id_col, vec_col=vec_col
+    )
+    for _ in range(iterations):
+        coded = with_pq_codes(corpus, cbs, vec_col)
+        jc = coded.select(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+            F.posexplode("pq_codes").alias("j", "code"),
+        )
+        means = jc.groupBy("j", "code").agg(
+            *[
+                F.round(
+                    F.sum(
+                        F.get(F.col("__v"), F.col("j") * d_sub + i).cast(
+                            "decimal(18,6)"
+                        )
+                    ).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias(f"c{i}")
+                for i in range(d_sub)
+            ],
+        )
+        new = [[list(cw) for cw in cb] for cb in cbs]
+        for row in means.collect():
+            new[row["j"]][row["code"]] = [
+                float(row[f"c{i}"]) for i in range(d_sub)
+            ]
+        cbs = new
+    return cbs
+
+
 def with_pq_codes(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -686,6 +748,50 @@ def pq_adc_topk(
         .select("query_id", "neighbor_id", dist.alias("dist"))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dist")
+    )
+
+
+def pq_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ search the way a production vector store runs it: the
+    compressed-domain ADC scan (:func:`pq_adc_topk`) prunes the corpus
+    to a ``shortlist`` per query, then an EXACT squared-L2 re-rank of
+    just those candidates restores neighbor quality (the
+    shortlist-re-rank pattern of Jégou et al. 2011 §V). Full-precision
+    work is bounded by |queries| × shortlist — the corpus itself is
+    only ever touched through its 8-byte codes.
+
+    Returns (query_id, rank, neighbor_id, dist) with round-6 exact
+    distances, ties on neighbor id.
+    """
+    short = pq_adc_topk(
+        queries, corpus, codebooks, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    cand = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).join(F.broadcast(short), "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    scored = cand.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(l2_batch(F.col("qv"), F.col("cv")), 6).alias("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.asc("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

@@ -682,6 +682,29 @@ def test_train_pq_codebooks_reduces_reconstruction_error(spark):
     assert total_err(trained) <= total_err(seeded) + 1e-6
 
 
+def test_pq_rerank_recovers_exact_neighbors(spark):
+    """The shortlist + exact-re-rank pass must return the TRUE nearest
+    neighbors whenever they survive the ADC shortlist: with shortlist
+    = corpus size, pq_rerank_topk degenerates to exact L2 top-k."""
+    from flink_commons_spark.operators.similarity import (
+        l2_topk, pq_codebooks, pq_rerank_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    cbs = pq_codebooks(emb)
+    probes = emb.where("vec_id < 3")
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in l2_topk(probes, emb, k=3).collect()
+    }
+    rer = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in pq_rerank_topk(probes, emb, cbs, k=3, shortlist=n).collect()
+    }
+    assert rer == exact
+
+
 def test_binary_codes_and_hamming(spark):
     """Sign-bit packing: identical vectors have Hamming 0; a vector
     with one flipped dim has Hamming 1, regardless of which half."""

@@ -28,6 +28,8 @@ ALLOWED_NESTED_LOOP = {
     "ivf_recall",  # same shape
     "ann_pq",  # bounded probe set + distance tables broadcast (knn_brute shape)
     "pq_recall",  # 1-row hit count × 1-row truth count (ann_recall shape)
+    "pq_trained_recall",  # same shape, trained codebooks
+    "pq_rerank_recall",  # same shape + bounded shortlist broadcast
     "ann_hamming",  # bounded probe codes broadcast (knn_brute shape)
     # 1-row broadcast scalar totals (ΣW, Σbase) joined onto the
     # |sources|-row allocation table (q22 shape):
