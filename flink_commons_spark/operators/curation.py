@@ -89,20 +89,58 @@ def ngram_jaccard_pairs(
 
     Returns ``(a, b, n_inter, sz_a, sz_b, jaccard)`` for pairs with
     ``jaccard >= threshold``; ``a < b``.
+
+    The scale fix for duplicate-HEAVY corpora (the regime a 100 TB
+    crawl actually is): EXACT CLONES ARE COLLAPSED FIRST. Identical
+    text implies an identical gram set, so every clone of a document
+    produces exactly the same pair statistics — the miner therefore
+    runs on one representative per distinct text, with each gram's
+    document frequency weighted by clone multiplicity (semantics
+    identical to mining the raw corpus), and mined pairs are expanded
+    back to member pairs at the end (plus the analytic intra-clone
+    pairs: identical non-empty gram sets have Jaccard exactly 1).
+    Inverted-index work then scales with DISTINCT content, not raw
+    rows — on a ×10-clone corpus the gram join shrinks 100×, while
+    the expansion is bounded by true output size. (A lossless
+    prefix-filter candidate stage — AllPairs, Bayardo et al. WWW'07 —
+    was measured here and LOST: on clone-heavy data its candidate
+    join plus exact-verification joins cost more than the direct
+    capped inverted index. See PERFORMANCE.md.)
     """
-    grams = exploded_distinct_ngrams(docs, n, id_col, text_col)
-    df_counts = grams.groupBy("gram").agg(F.count("*").alias("gram_df"))
-    # one join attaches gram_df to every kept (id, gram) row; persisting
-    # the result means the tokenize+explode scan runs ONCE for its four
-    # consumers (sizes, and both sides of the self-join) instead of four
-    # times — the stage-reuse pattern the MinHash shingle table uses
+    d = docs.select(id_col, text_col)
+    g = (
+        d.groupBy(F.md5(F.col(text_col)).alias("__h"))
+        .agg(
+            F.min(id_col).alias("__rep"),
+            F.count("*").alias("__n_clones"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("__members"),
+            F.min(text_col).alias(text_col),
+        )
+        .localCheckpoint(eager=False)
+    )
+    reps = g.select(
+        F.col("__rep").alias(id_col), text_col, F.col("__n_clones")
+    )
+    grams = exploded_distinct_ngrams(reps, n, id_col, text_col)
+    # clone-weighted document frequency == raw-corpus df; n_reps is the
+    # distinct-text df (cross-rep intersections need n_reps >= 2)
+    df_counts = grams.join(
+        reps.select(id_col, "__n_clones"), id_col
+    ).groupBy("gram").agg(
+        F.sum("__n_clones").alias("gram_df"),
+        F.count("*").alias("n_reps"),
+    )
+    # one join attaches the df stats to every kept (rep, gram) row;
+    # persisting means the tokenize+explode scan runs ONCE for its
+    # consumers (sizes and both sides of the self-join) — the
+    # stage-reuse pattern the MinHash shingle table uses
     kept = grams.join(
         df_counts.where(F.col("gram_df") <= max_df), "gram"
-    ).persist()
+    ).localCheckpoint(eager=False)
     sizes = kept.groupBy(id_col).agg(F.count("*").alias("sz"))
-    # grams with df == 1 cannot contribute to any intersection; pruning
-    # them before the self-join removes the long unique-gram tail
-    joinable = kept.where(F.col("gram_df") >= 2)
+    # grams held by a single rep cannot contribute to any cross-rep
+    # intersection; pruning them removes the long unique-gram tail
+    joinable = kept.where(F.col("n_reps") >= 2)
     left = joinable.select(F.col("gram"), F.col(id_col).alias("a"))
     right = joinable.select(F.col("gram"), F.col(id_col).alias("b"))
     inter = (
@@ -128,10 +166,62 @@ def ngram_jaccard_pairs(
     # threshold on the integer form (n_inter vs sizes), not the rounded
     # float, so the cut is exact: J >= t  <=>  n_inter*(1) >= t*(union)
     t_num, t_den = _ratio(threshold)
-    return scored.where(
+    rep_pairs = scored.where(
         F.col("n_inter") * t_den
         >= F.lit(t_num) * (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
     ).select("a", "b", "n_inter", "sz_a", "sz_b", "jaccard")
+
+    # -------- expand rep-level pairs back to raw-corpus member pairs
+    mem = g.select(F.col("__rep"), F.col("__members"))
+    cross = (
+        rep_pairs
+        .join(mem.select(F.col("__rep").alias("a"),
+                         F.col("__members").alias("__ma")), "a")
+        .join(mem.select(F.col("__rep").alias("b"),
+                         F.col("__members").alias("__mb")), "b")
+        .select(
+            F.explode("__ma").alias("__ia"),
+            F.col("__mb"),
+            "n_inter", "sz_a", "sz_b", "jaccard",
+        )
+        .select(
+            F.col("__ia"),
+            F.explode("__mb").alias("__jb"),
+            "n_inter", "sz_a", "sz_b", "jaccard",
+        )
+        .select(
+            F.least("__ia", "__jb").alias("a"),
+            F.greatest("__ia", "__jb").alias("b"),
+            "n_inter",
+            # sz_a/sz_b follow the doc in the (a, b) slot, so swap the
+            # sizes when least/greatest flips the mined orientation
+            F.when(F.col("__ia") < F.col("__jb"), F.col("sz_a"))
+            .otherwise(F.col("sz_b")).alias("sz_a"),
+            F.when(F.col("__ia") < F.col("__jb"), F.col("sz_b"))
+            .otherwise(F.col("sz_a")).alias("sz_b"),
+            "jaccard",
+        )
+    )
+    # intra-clone pairs: identical non-empty gram sets, Jaccard = 1
+    # (only qualify when t <= 1, i.e. always for sane thresholds)
+    intra_src = g if t_num <= t_den else g.where(F.lit(False))
+    intra = (
+        intra_src.where(F.col("__n_clones") >= 2)
+        .select(F.col("__rep").alias(id_col), "__members")
+        .join(sizes, id_col)
+        .select(F.col("__members"), F.col("sz"))
+        .select(F.explode("__members").alias("a"), "__members", "sz")
+        .select("a", F.explode("__members").alias("b"), "sz")
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.col("sz").alias("n_inter"),
+            F.col("sz").alias("sz_a"),
+            F.col("sz").alias("sz_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def _ratio(x: float, den: int = 1000) -> tuple[int, int]:
