@@ -6412,6 +6412,46 @@ FROM exact JOIN est USING (event_type)
 """
 
 
+def graph_cc_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components on a CHAIN-shaped graph — the adversarial
+    diameter case: per-nation customer chains (consecutive custkeys
+    linked) give 25 components whose diameters grow linearly with the
+    scale factor, so the dup-cluster min-propagation CC (O(diameter)
+    rounds) is the wrong tool. This query runs the
+    large-star/small-star contraction
+    (``operators/graph.py:connected_components_star``, Kiveris et al.
+    SoCC 2014), which converges in O(log diameter) rounds — ~6 rounds
+    for the sf0.1 600-node chains where propagation would need 600.
+    The oracle exploits the known construction: every customer's
+    component minimum is its nation's minimum custkey (nations with a
+    single customer form edgeless singletons and are excluded, the
+    same membership rule as the operator's edge-derived node set)."""
+    from flink_commons_spark.operators.graph import connected_components_star
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    edges = (
+        c.withColumn("__prev", F.lag("c_custkey").over(w))
+        .where(F.col("__prev").isNotNull())
+        .select(F.col("__prev").alias("a"), F.col("c_custkey").alias("b"))
+    )
+    return connected_components_star(edges, max_iter=15).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("label").cast("bigint").alias("label"),
+    )
+
+
+_CC_CHAIN_ORACLE = """
+WITH g AS (
+  SELECT c_nationkey, count(*) AS n, min(c_custkey) AS mn
+  FROM customer GROUP BY 1
+)
+SELECT c.c_custkey::bigint AS node, g.mn::bigint AS label
+FROM customer c JOIN g ON c.c_nationkey = g.c_nationkey
+WHERE g.n >= 2
+"""
+
+
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PageRank over the nation-to-nation trade graph
     (customer nation → supplier nation edges mined from the order
@@ -7668,6 +7708,7 @@ QUERIES = {
     "q_anomaly_zscore": q_anomaly_zscore,
     "sketch_rollup_audit": sketch_rollup_audit,
     "graph_pagerank": graph_pagerank,
+    "graph_cc_chain": graph_cc_chain,
     "q_transition_matrix": q_transition_matrix,
     "text_bpe_merges": text_bpe_merges,
     "q_quantile_sketch_audit": q_quantile_sketch_audit,
@@ -7819,6 +7860,7 @@ ORACLES = {
     "q_anomaly_zscore": _ANOMALY_ORACLE,
     "sketch_rollup_audit": _SKETCH_AUDIT_ORACLE,
     "graph_pagerank": _PAGERANK_ORACLE,
+    "graph_cc_chain": _CC_CHAIN_ORACLE,
     "q_transition_matrix": _TRANSITION_ORACLE,
     "text_bpe_merges": _BPE_ORACLE,
     "q_quantile_sketch_audit": _QUANTILE_AUDIT_ORACLE,

@@ -524,6 +524,38 @@ def test_connected_components_matches_union_find(spark):
     assert got == want
 
 
+def test_star_contraction_handles_long_chain(spark):
+    """A 200-node chain has diameter 199 — min-propagation needs 199
+    rounds, the large-star/small-star contraction O(log d): it must
+    converge within 12 rounds and label every node with the chain
+    minimum."""
+    from flink_commons_spark.operators.graph import connected_components_star
+
+    edges = [(i, i + 1) for i in range(199)] + [(1000, 1001), (1001, 1002)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {r.node: r.label for r in connected_components_star(df, max_iter=12).collect()}
+    want = {i: 0 for i in range(200)} | {1000: 1000, 1001: 1000, 1002: 1000}
+    assert got == want
+
+
+def test_star_contraction_matches_propagation(spark):
+    """Both CC variants must produce identical (node, label) maps on a
+    seeded random graph (shared contract: label = component min)."""
+    from flink_commons_spark.operators.graph import (
+        connected_components, connected_components_star,
+    )
+
+    import random
+
+    rng = random.Random(13)
+    edges = [(rng.randrange(48), rng.randrange(48)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    prop = {r.node: r.label for r in connected_components(df).collect()}
+    star = {r.node: r.label for r in connected_components_star(df).collect()}
+    assert star == prop
+
+
 # ------------------------------------------------------------- sketches
 
 def test_hll_sketch_rollup_accuracy(spark):
