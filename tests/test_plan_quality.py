@@ -52,3 +52,83 @@ def test_no_cartesian_or_nested_loop(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} plans a nested-loop join"
         )
+
+
+@pytest.mark.slow
+def test_aqe_splits_skewed_join(spark):
+    """The 100 TB failure mode the shape assertions can't see: one hot
+    join key owning ~30% of the fact rows. With AQE skew-join enabled
+    (the repo's standing config) the sort-merge join must be split at
+    runtime — the executed plan carries ``skew=true`` — and the skewed
+    run must stay within ~2× of an equal-size unskewed run instead of
+    serializing on one straggler partition."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    tuned = {
+        # force the sort-merge path and make the skew detector's
+        # byte thresholds reachable at test scale
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512k",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        n, keys, hot = 1_000_000, 100_000, 300_000
+        dim = spark.range(keys + 1).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("attr")
+        )
+
+        def run(fact):
+            t0 = time.time()
+            # sum(length(payload)) keeps the wide high-entropy payload
+            # in the shuffle: a pruned or compressible payload hides
+            # the byte skew from the AQE detector (a constant hot key
+            # compresses ~perfectly), which is itself a finding this
+            # test encodes
+            out = fact.join(dim, "k").agg(
+                F.sum(F.length("payload")).alias("c"),
+                F.sum("attr").alias("s"),
+            )
+            out.collect()
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            return time.time() - t0, plan
+
+        skewed = spark.range(n).select(
+            F.when(F.col("id") < hot, F.lit(0))
+            .otherwise(F.pmod(F.col("id"), keys) + 1)
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        uniform = spark.range(n).select(
+            (F.pmod(F.col("id"), keys) + 1).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        t_uni, _ = run(uniform)
+        t_skew, plan_skew = run(skewed)
+        assert "skew=true" in plan_skew, (
+            f"AQE did not split the skewed join:\n{plan_skew}"
+        )
+        # generous 2.5x bound: local[32] timing noise on a ~seconds-long
+        # join; without the split the hot partition serializes ~30% of
+        # the work on one task and blows far past this
+        assert t_skew <= 2.5 * max(t_uni, 0.5), (
+            f"skewed join {t_skew:.1f}s vs uniform {t_uni:.1f}s"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
