@@ -1626,6 +1626,105 @@ FROM t CROSS JOIN h
 
 
 
+def ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall@5 of the IVF index with TRAINED coarse centroids
+    (one spherical-k-means Lloyd pass,
+    ``operators/similarity.py:train_ivf_centroids``) vs exact cosine
+    brute force — the trained counterpart of ``ivf_recall``'s seeded
+    audit. Training is fully in-engine (one vectorized assignment pass
+    + one cell-keyed decimal-exact mean aggregate; the driver holds 8
+    centroids), so the oracle replicates seeding, the Lloyd step, and
+    the probe pipeline end to end in SQL."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    probes = emb.where("vec_id < 10")
+    truth = S.cosine_topk(probes, emb, k=5).select("query_id", "neighbor_id")
+    cents = S.train_ivf_centroids(
+        _t(spark, sf_dir, "embeddings"), nlist=8, iterations=1
+    )
+    approx = S.ivf_topk(probes, emb, cents, k=5, nlist=8, nprobe=2).select(
+        "query_id", "neighbor_id"
+    )
+    return _recall_counts(truth, approx, ["query_id", "neighbor_id"])
+
+
+_ANN_IVF_TRAINED_SQL = f"""
+WITH cent0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+s0 AS (
+  SELECT vec_id, cid, round({_DOT_SQL} / ({_NORM_Q_SQL} * {_NORM_C_SQL}), 6) AS sim
+  FROM (
+    SELECT e.vec_id, c.cid, e.embedding AS qv, c.cv
+    FROM embeddings e CROSS JOIN cent0 c
+  )
+),
+a0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM s0
+  ) WHERE rn = 1
+),
+means AS (
+  SELECT a0.cid, t.i,
+         round((sum((e.embedding[t.i]::double)::decimal(18,6)))::double
+               / count(*), 6) AS cv_i
+  FROM a0 JOIN embeddings e USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) t
+  GROUP BY a0.cid, t.i
+),
+tr AS (SELECT cid, list(cv_i ORDER BY i) AS cw FROM means GROUP BY cid),
+cent AS (
+  SELECT c0.cid, coalesce(tr.cw, list_transform(c0.cv, x -> x::double)) AS cv
+  FROM cent0 c0 LEFT JOIN tr ON tr.cid = c0.cid
+),
+cent_scored AS ({_IVF_SCORED_SQL}),
+assign AS (
+  SELECT vec_id AS neighbor_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM cent_scored
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM cent_scored
+    WHERE vec_id < 10
+  ) WHERE rn <= 2
+),
+pairs AS (
+  SELECT p.query_id, a.neighbor_id, q.embedding AS qv, c.embedding AS cv
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings c ON c.vec_id = a.neighbor_id
+  WHERE a.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round({_DOT_SQL} / ({_NORM_Q_SQL} * {_NORM_C_SQL}), 6) AS sim
+  FROM pairs
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,
+       neighbor_id, sim
+FROM scored
+QUALIFY rank <= 5
+"""
+
+_IVF_TRAINED_RECALL_ORACLE = f"""
+WITH truth AS (SELECT query_id, neighbor_id FROM ({_KNN_ORACLE})),
+approx AS (SELECT query_id, neighbor_id FROM ({_ANN_IVF_TRAINED_SQL})),
+h AS (SELECT count(*) AS n_hits FROM approx SEMI JOIN truth USING (query_id, neighbor_id)),
+t AS (SELECT count(*) AS n_truth FROM truth)
+SELECT n_hits, n_truth, round(n_hits * 100.0 / n_truth, 2) AS recall_pct
+FROM t CROSS JOIN h
+"""
+
+
 def emb_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding statistics (count, mean norm) — array
     aggregation via higher-order functions, one tiny shuffle."""
@@ -7686,6 +7785,7 @@ QUERIES = {
     "dsir_select": dsir_select,
     "ann_recall": ann_recall,
     "ivf_recall": ivf_recall,
+    "ivf_trained_recall": ivf_trained_recall,
     "pipeline_tokens_end_to_end": pipeline_tokens_end_to_end,
     "stream_hopping_agg": stream_hopping_agg,
     "stream_cumulate_agg": stream_cumulate_agg,
@@ -7837,6 +7937,7 @@ ORACLES = {
     "dedup_incremental": _DEDUP_INCR_ORACLE,
     "ann_recall": _ANN_RECALL_ORACLE,
     "ivf_recall": _IVF_RECALL_ORACLE,
+    "ivf_trained_recall": _IVF_TRAINED_RECALL_ORACLE,
     "pipeline_tokens_end_to_end": _PIPELINE_TOKENS_ORACLE,
     "stream_hopping_agg": _STREAM_HOP_ORACLE,
     "stream_cumulate_agg": _STREAM_CUMULATE_ORACLE,

@@ -280,6 +280,12 @@ def train_ivf_centroids(
     per-cell mean (one small groupBy aggregate over per-dimension sums —
     the only driver-side data is nlist × dims floats). Empty cells keep
     their previous centroid.
+
+    The mean is decimal-fixed (elements summed as ``decimal(18,6)``,
+    mean rounded to 6 in-engine) so trained centroids are
+    order-independent and bit-identical across engines — the same
+    portability stance as :func:`train_pq_codebooks`, which makes the
+    trainer replicable in the ``ivf_trained_recall`` SQL oracle.
     """
     centroids = [
         [float(x) for x in r[1]]
@@ -292,13 +298,21 @@ def train_ivf_centroids(
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         )
         dims = len(centroids[0])
-        sums = assigned.groupBy("cell").agg(
-            F.count("*").alias("n"),
-            *[F.sum(F.element_at("v", d + 1)).alias(f"s{d}") for d in range(dims)],
+        means = assigned.groupBy("cell").agg(
+            *[
+                F.round(
+                    F.sum(
+                        F.element_at("v", d + 1).cast("decimal(18,6)")
+                    ).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias(f"c{d}")
+                for d in range(dims)
+            ],
         )
         new = list(centroids)
-        for row in sums.collect():
-            new[row["cell"]] = [row[f"s{d}"] / row["n"] for d in range(dims)]
+        for row in means.collect():
+            new[row["cell"]] = [float(row[f"c{d}"]) for d in range(dims)]
         centroids = new
     return centroids
 

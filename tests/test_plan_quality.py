@@ -26,6 +26,7 @@ ALLOWED_NESTED_LOOP = {
     "q_python_udfs",  # 1-row unit-norm count joined to the per-lang rows
     "ann_recall",  # 1-row hit count × 1-row truth count
     "ivf_recall",  # same shape
+    "ivf_trained_recall",  # same shape, trained centroids
     "ann_pq",  # bounded probe set + distance tables broadcast (knn_brute shape)
     "pq_recall",  # 1-row hit count × 1-row truth count (ann_recall shape)
     "pq_trained_recall",  # same shape, trained codebooks
