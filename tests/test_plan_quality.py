@@ -56,6 +56,62 @@ def test_no_cartesian_or_nested_loop(spark, name):
 
 
 @pytest.mark.slow
+def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
+    """Runtime filter evidence for the selective-dim join shape every
+    TPC-H-style query uses: with a filtered small side, Spark must
+    inject a bloom filter built from the dim keys into the fact side
+    (`bloom_filter_agg` creation + `might_contain` application), so at
+    100 TB the fact scan drops non-qualifying rows before the shuffle
+    instead of exchanging them. Thresholds are lowered to test scale;
+    the default applicationSideScanSizeThreshold (10 GB) only fires on
+    real fact tables."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        base = str(tmp_path)
+        spark.range(300_000).select(
+            (F.col("id") % 1000).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        ).write.parquet(base + "/fact")
+        spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        ).write.parquet(base + "/dim")
+        fact = spark.read.parquet(base + "/fact")
+        dim = spark.read.parquet(base + "/dim").where(F.col("k") % 100 == 0)
+        out = fact.join(dim, "k").agg(
+            F.count("*").alias("n"), F.sum(F.length("payload")).alias("s")
+        )
+        assert out.collect()[0]["n"] == 3_000
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, (
+            f"no bloom filter built from the dim side:\n{plan}"
+        )
+        assert "might_contain" in plan, (
+            f"bloom filter not applied to the fact side:\n{plan}"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@pytest.mark.slow
 def test_aqe_splits_skewed_join(spark):
     """The 100 TB failure mode the shape assertions can't see: one hot
     join key owning ~30% of the fact rows. With AQE skew-join enabled
