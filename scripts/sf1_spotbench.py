@@ -60,12 +60,18 @@ HEAVY = [
     "q_survivorship",
     "stream_over_rows",
     "stream_partitioned_sink",
+    # round-4 additions
+    "pq_trained_recall",
+    "pq_rerank_recall",
+    "ivf_trained_recall",
+    "graph_cc_chain",
 ]
 
 # same shapes the plan-quality test allows: bounded 1-row-scalar or
 # probe-set broadcasts legitimately plan as BroadcastNestedLoopJoin
 NLJ_ALLOWED = {"ann_pq", "dedup_nearest", "dedup_apply", "knn_brute", "ann_lsh",
-               "ann_recall", "ivf_recall", "q18_large_orders"}
+               "ann_recall", "ivf_recall", "q18_large_orders",
+               "pq_trained_recall", "pq_rerank_recall", "ivf_trained_recall"}
 
 
 def main() -> None:
