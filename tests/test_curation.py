@@ -58,6 +58,60 @@ def test_ngram_jaccard_threshold_is_exact_cut(spark, docs):
     assert (1, 2) not in {(r["a"], r["b"]) for r in drop.collect()}
 
 
+def test_ngram_jaccard_clone_expansion_matches_raw_semantics(spark):
+    """The exact-clone collapse must be invisible in the output: clone
+    groups expand to every member pair (intra AND cross), gram df is
+    clone-weighted (a gram over max_df because of clones is a stop
+    gram even though distinct texts holding it are few), and sizes
+    follow the (a, b) slot order."""
+    docs = spark.createDataFrame(
+        [
+            # group A: 3 clones of "a b c d e"; group B: 2 of "a b c d x"
+            (10, "a b c d e"), (11, "a b c d e"), (12, "a b c d e"),
+            (20, "a b c d x"), (21, "a b c d x"),
+            (30, "q r s t u"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["a"], r["b"]): (r["n_inter"], r["sz_a"], r["sz_b"], r["jaccard"])
+        for r in C.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.4, max_df=10
+        ).collect()
+    }
+    # intra-A: C(3,2)=3 pairs at J=1; intra-B: 1 pair; cross A×B: 3·2=6
+    assert len(pairs) == 10
+    for ab in [(10, 11), (10, 12), (11, 12)]:
+        assert pairs[ab] == (3, 3, 3, 1.0)
+    assert pairs[(20, 21)] == (3, 3, 3, 1.0)
+    for a in (10, 11, 12):
+        for b in (20, 21):
+            assert pairs[(a, b)] == (2, 3, 3, 0.5)
+    # clone-weighted stop-gram cap: "a b c" has distinct-text df 2 but
+    # raw df 5 — max_df=4 must remove it from BOTH sides' gram space
+    capped = {
+        (r["a"], r["b"]): (r["n_inter"], r["sz_a"], r["sz_b"])
+        for r in C.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.4, max_df=4
+        ).collect()
+    }
+    # "a b c" and "b c d" (df 5) are stop grams; each text keeps 1 gram
+    assert capped[(10, 20)] == (0, 1, 1) if (10, 20) in capped else True
+    # cross pairs now share nothing -> only intra-clone pairs remain
+    assert set(capped) == {(10, 11), (10, 12), (11, 12), (20, 21)}
+    assert capped[(10, 11)] == (1, 1, 1)
+
+
+def test_ngram_jaccard_null_and_empty_texts_produce_no_pairs(spark):
+    """NULL/empty/too-short texts have empty kept gram sets: no pairs
+    — including no intra-clone pairs for identical degenerate texts."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, ""), (5, "a b"), (6, "a b")],
+        "doc_id long, text string",
+    )
+    assert C.ngram_jaccard_pairs(docs, n=3, threshold=0.1, max_df=10).count() == 0
+
+
 def test_decontaminate_counts_and_zero_overlap(spark, docs):
     corpus = docs.where("doc_id < 4")
     bench = docs.where("doc_id >= 4")  # "a b" + "a b c d e"
