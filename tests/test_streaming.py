@@ -210,6 +210,69 @@ def test_running_over_rows_out_of_order_batches(spark, tmp_path):
     assert len(got) == 24 and got == truth
 
 
+def test_running_over_rows_buffer_survives_restart(spark, tmp_path):
+    """The watermark-held row buffer is keyed STATE: rows ingested in
+    one run (never emitted — the watermark hasn't reached them) must
+    survive a checkpoint stop/restart and emit, correctly ordered, in
+    a later run when a new file finally advances the watermark."""
+    import os
+    import time
+
+    from flink_commons_spark.streaming.stateful import running_over_rows
+
+    schema = "event_id long, sec long, user_id long, cents long"
+    src = str(tmp_path / "src")
+    ckpt = tempfile.mkdtemp(prefix="fcs-test-over-rec-")
+    file_a = [(i, i + 1, i % 3, (i + 1) * 100) for i in range(60, 72)]
+    file_b = [(i, i + 1, i % 3, (i + 1) * 100) for i in range(12)]
+
+    got = {}
+
+    def sink(bdf, epoch_id):
+        for r in bdf.collect():
+            got[r.event_id] = (r.user_id, r.running_n, r.running_cents)
+
+    def start():
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select(
+                "event_id", "user_id",
+                (F.col("sec") * 1_000_000).alias("ord_us"), "cents",
+            )
+        )
+        return (
+            running_over_rows(sdf, delay="2 minutes")
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    base = time.time()
+    for i, rows in enumerate([file_a, file_b]):
+        spark.createDataFrame(rows, schema).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+    # run 1: both files ingest, watermark stays below every row (2-min
+    # delay) -> everything is buffered, NOTHING emits
+    q = start()
+    assert q.awaitTermination(120)
+    assert got == {}, f"rows leaked before the watermark: {got}"
+
+    # run 2 from the same checkpoint: a far-future sentinel advances
+    # the watermark; all 24 buffered rows must emit in event-time order
+    spark.createDataFrame(
+        [(999_999, 1_000_000, 999, 0)], schema
+    ).repartition(1).write.mode("append").parquet(src)
+    q2 = start()
+    assert q2.awaitTermination(120)
+    truth = _over_rows_truth(spark, file_a + file_b)
+    assert len(got) == 24 and got == truth
+
+
 def test_running_over_rows_drops_late_rows(spark, tmp_path):
     """With a zero watermark delay, rows arriving below the advanced
     watermark are DROPPED (Flink's over-window late policy), not
