@@ -8090,9 +8090,37 @@ _DRIVER_GREEN_PRIOR = frozenset({
 })
 
 
+def _driver_green() -> "frozenset[str]":
+    """Union of all fully-green rows across every CORRECTNESS_r*.json
+    in the repo root — so the rotation updates itself each round
+    without editing the hardcoded prior set (kept as the floor in
+    case the artifacts move)."""
+    import glob
+    import json
+    import os
+
+    green = set(_DRIVER_GREEN_PRIOR)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            data = json.load(open(path))
+        except Exception:
+            continue
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                green.add(name)
+    return frozenset(green)
+
+
 def _driver_order(names: "list[str]") -> "list[str]":
-    head = [n for n in names if n not in _DRIVER_GREEN_PRIOR]
-    green = [n for n in names if n in _DRIVER_GREEN_PRIOR]
+    green_set = _driver_green()
+    head = [n for n in names if n not in green_set]
+    green = [n for n in names if n in green_set]
     return head + green
 
 
