@@ -210,6 +210,33 @@ def test_running_over_rows_out_of_order_batches(spark, tmp_path):
     assert len(got) == 24 and got == truth
 
 
+def test_running_over_rows_random_replays_match_batch_truth(spark, tmp_path):
+    """Property-style check: random event sets, random file splits,
+    random arrival order — with a watermark delay covering the
+    disorder, the streaming OVER output must equal the batch window
+    truth on every replay (seeded trials; hypothesis-style coverage
+    without per-example streaming-query cost)."""
+    import random
+
+    for trial in range(3):
+        rng = random.Random(100 + trial)
+        n = rng.randrange(15, 40)
+        rows = [
+            (i, rng.randrange(1, 500), rng.randrange(3), rng.randrange(-500, 500))
+            for i in range(n)
+        ]
+        rng.shuffle(rows)
+        k = rng.randrange(1, 4)
+        files = [rows[i::k] for i in range(k)]
+        files = [f for f in files if f]
+        got = _run_over_rows_replay(
+            spark, tmp_path / f"t{trial}", files, delay="10 minutes",
+            sentinel_sec=10_000_000,
+        )
+        truth = _over_rows_truth(spark, rows)
+        assert got == truth, f"trial {trial} diverged"
+
+
 def test_running_over_rows_buffer_survives_restart(spark, tmp_path):
     """The watermark-held row buffer is keyed STATE: rows ingested in
     one run (never emitted — the watermark hasn't reached them) must
