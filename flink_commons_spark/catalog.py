@@ -4248,7 +4248,13 @@ def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    shard = (F.col("o_orderkey") / 65536).cast("bigint").alias("__shard")
+    # shard width derived from the keyspan so #shards stays ~4096 at
+    # ANY key range — the driver offset table is bounded regardless of
+    # corpus size (a fixed width would hand the driver millions of
+    # shard rows at a 10^12 keyspace)
+    lo, hi = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    width = max(1, (hi - lo + 1) // 4096)
+    shard = ((F.col("o_orderkey") - lo) / width).cast("bigint").alias("__shard")
     o = o.select("o_orderkey", "cents", shard)
     totals = (
         o.groupBy("__shard").agg(F.sum("cents").alias("__t"))
