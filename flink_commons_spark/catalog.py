@@ -1725,6 +1725,60 @@ FROM t CROSS JOIN h
 """
 
 
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: recall@5 of exact cosine
+    search over only the FIRST 16 of 64 dimensions vs the full-width
+    truth. Dimension truncation is the cheapest scale lever a vector
+    store has — 4× less compute, shuffle bandwidth and cache per
+    candidate with zero index structure — and nested-representation
+    (MRL) embeddings are trained to make the prefix usable. These
+    synthetic vectors are NOT MRL-trained, so the audit measures what
+    naive truncation costs — exactly the number a pipeline must check
+    before flipping the switch (pair with a full-width re-rank like
+    ``pq_rerank_recall``'s tail when recall matters)."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    probes = emb.where("vec_id < 10")
+    truth = S.cosine_topk(probes, emb, k=5).select("query_id", "neighbor_id")
+    tr = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("emb16")
+    )
+    approx = S.cosine_topk(
+        tr.where("vec_id < 10"), tr, k=5, vec_col="emb16"
+    ).select("query_id", "neighbor_id")
+    return _recall_counts(truth, approx, ["query_id", "neighbor_id"])
+
+
+_DOT16_SQL = (
+    "list_sum(list_transform(generate_series(1, 16),"
+    " i -> qv[i]::double * cv[i]::double))"
+)
+_NORM16_Q_SQL = "sqrt(list_sum(list_transform(generate_series(1, 16), i -> qv[i]::double * qv[i]::double)))"
+_NORM16_C_SQL = "sqrt(list_sum(list_transform(generate_series(1, 16), i -> cv[i]::double * cv[i]::double)))"
+
+_MATRYOSHKA_ORACLE = f"""
+WITH truth AS (SELECT query_id, neighbor_id FROM ({_KNN_ORACLE})),
+q16 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c16 AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+s16 AS (
+  SELECT query_id, neighbor_id,
+         round({_DOT16_SQL} / ({_NORM16_Q_SQL} * {_NORM16_C_SQL}), 6) AS sim
+  FROM c16 CROSS JOIN q16
+  WHERE neighbor_id <> query_id
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM s16
+  ) WHERE rank <= 5
+),
+h AS (SELECT count(*) AS n_hits FROM approx SEMI JOIN truth USING (query_id, neighbor_id)),
+t AS (SELECT count(*) AS n_truth FROM truth)
+SELECT n_hits, n_truth, round(n_hits * 100.0 / n_truth, 2) AS recall_pct
+FROM t CROSS JOIN h
+"""
+
+
 def emb_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding statistics (count, mean norm) — array
     aggregation via higher-order functions, one tiny shuffle."""
@@ -7873,6 +7927,7 @@ QUERIES = {
     "q_hash_split": q_hash_split,
     "q_pack_sequences": q_pack_sequences,
     "q_bucketed_join": q_bucketed_join,
+    "emb_matryoshka_recall": emb_matryoshka_recall,
     "q_systematic_sample": q_systematic_sample,
     "q_funnel": q_funnel,
     "q_pivot": q_pivot,
@@ -8028,6 +8083,7 @@ ORACLES = {
     "q_hash_split": _HASH_SPLIT_ORACLE,
     "q_pack_sequences": _PACK_ORACLE,
     "q_bucketed_join": _BUCKETED_JOIN_ORACLE,
+    "emb_matryoshka_recall": _MATRYOSHKA_ORACLE,
     "q_systematic_sample": _SYSTEMATIC_SAMPLE_ORACLE,
     "q_funnel": _FUNNEL_ORACLE,
     "q_pivot": _PIVOT_ORACLE,
@@ -8255,7 +8311,9 @@ def _driver_green() -> "frozenset[str]":
 #: they don't displace a query from its one capture slot; the dynamic
 #: rotation lifts them to the front as soon as the current head has
 #: CORRECTNESS rows.
-_DEFER_NEW = frozenset({"q_bucketed_join", "q_systematic_sample"})
+_DEFER_NEW = frozenset(
+    {"q_bucketed_join", "q_systematic_sample", "emb_matryoshka_recall"}
+)
 
 
 def _driver_order(names: "list[str]") -> "list[str]":
