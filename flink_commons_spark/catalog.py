@@ -7035,6 +7035,63 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def stream_over_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming event-time ``RANGE BETWEEN INTERVAL '10' MINUTE
+    PRECEDING AND CURRENT ROW`` OVER aggregation — the time-window
+    sibling of ``stream_over_rows`` and the other half of Flink's
+    bounded over-window pair, via the watermark-buffered
+    ``streaming/stateful.py:running_over_range`` (peer-inclusive SQL
+    RANGE frames, late-drop, horizon-bounded state)."""
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = _scratch_dir(prefix="fcs-stream-ovrange-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .transform(_norm_ts)
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("unix_micros(ts)").alias("ord_us"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    from flink_commons_spark.streaming.stateful import running_over_range
+
+    out_dir = _scratch_dir(prefix="fcs-ovrange-out-")
+    query = (
+        running_over_range(sdf, range_us=600_000_000)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-ovrange-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.read.parquet(out_dir).select(
+        "event_id", "user_id", "range_n", "range_cents"
+    )
+
+
+_STREAM_OVER_RANGE_ORACLE = """
+SELECT event_id, user_id,
+       (count(*) OVER w)::bigint AS range_n,
+       (sum(cents) OVER w)::bigint AS range_cents
+FROM (
+  SELECT event_id, user_id, epoch_us(ts) AS ord_us,
+         round(value * 100)::bigint AS cents
+  FROM events
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY ord_us
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def _zorder_terms(a: str, b: str, bits: int, spark_side: bool) -> str:
     """The 2·bits-term bit-interleave expression (Morton / Z-order key),
     generated for either engine. Pure integer shifts — codegen'd on
@@ -8021,6 +8078,7 @@ QUERIES = {
     "text_bpe_merges": text_bpe_merges,
     "q_quantile_sketch_audit": q_quantile_sketch_audit,
     "stream_over_rows": stream_over_rows,
+    "stream_over_range": stream_over_range,
     "q_zorder_layout": q_zorder_layout,
     "graph_triangles": graph_triangles,
     "stream_partitioned_sink": stream_partitioned_sink,
@@ -8177,6 +8235,7 @@ ORACLES = {
     "text_bpe_merges": _BPE_ORACLE,
     "q_quantile_sketch_audit": _QUANTILE_AUDIT_ORACLE,
     "stream_over_rows": _STREAM_OVER_ORACLE,
+    "stream_over_range": _STREAM_OVER_RANGE_ORACLE,
     "q_zorder_layout": _ZORDER_ORACLE,
     "graph_triangles": _TRIANGLES_ORACLE,
     "stream_partitioned_sink": _STREAM_PART_ORACLE,
@@ -8311,9 +8370,10 @@ def _driver_green() -> "frozenset[str]":
 #: they don't displace a query from its one capture slot; the dynamic
 #: rotation lifts them to the front as soon as the current head has
 #: CORRECTNESS rows.
-_DEFER_NEW = frozenset(
-    {"q_bucketed_join", "q_systematic_sample", "emb_matryoshka_recall"}
-)
+_DEFER_NEW = frozenset({
+    "q_bucketed_join", "q_systematic_sample", "emb_matryoshka_recall",
+    "stream_over_range",
+})
 
 
 def _driver_order(names: "list[str]") -> "list[str]":

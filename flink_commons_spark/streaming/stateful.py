@@ -142,6 +142,135 @@ OVER_STATE_SCHEMA = (
 )
 
 
+#: output schema of :func:`running_over_range`
+OVER_RANGE_OUTPUT_SCHEMA = (
+    "event_id bigint, user_id bigint, range_n bigint, range_cents bigint"
+)
+#: state layout: the in-horizon history + the watermark-gated buffer
+OVER_RANGE_STATE_SCHEMA = (
+    "h_ord array<bigint>, h_cents array<bigint>, buf_eid array<bigint>, "
+    "buf_ord array<bigint>, buf_cents array<bigint>"
+)
+
+
+def running_over_range(
+    sdf: DataFrame, range_us: int, delay: str = "0 seconds"
+) -> DataFrame:
+    """Streaming event-time ``RANGE BETWEEN <interval> PRECEDING AND
+    CURRENT ROW`` aggregation — the time-window sibling of
+    :func:`running_over_rows`, which Spark streaming also has no
+    operator for (Flink: ``RowTimeRangeBoundedPrecedingFunction``).
+
+    Watermark-buffered like the ROWS variant: arriving rows are held
+    until the watermark passes them, then released in (ord_us,
+    event_id) order; each released row is emitted once with the count
+    and exact-cents sum of its key's rows in ``[ord - range_us, ord]``.
+    SQL RANGE frames are PEER-INCLUSIVE — rows tied on the ORDER key
+    share one frame — so releases process per distinct ``ord_us``
+    group. Late rows (at or below the watermark) are dropped, Flink's
+    policy.
+
+    State per key: the buffer (in-flight rows above the watermark) plus
+    the HORIZON — only rows within ``range_us`` of the newest released
+    row survive, so state is bounded by event-time width × rate, the
+    same bound Flink's bounded-preceding over-window keeps.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        wm_ms = state.getCurrentWatermarkMs()
+        if state.exists:
+            h_ord, h_cents, b_eid, b_ord, b_cents = (
+                list(x) for x in state.get
+            )
+        else:
+            h_ord, h_cents, b_eid, b_ord, b_cents = [], [], [], [], []
+        if not state.hasTimedOut:
+            chunks = list(batches)
+            if chunks:
+                pdf = pd.concat(chunks, ignore_index=True)
+                eids = pdf["event_id"].to_numpy("int64")
+                ords = pdf["ord_us"].to_numpy("int64")
+                cts = pdf["cents"].to_numpy("int64")
+                if wm_ms > 0:
+                    fresh = (ords // 1000) > wm_ms  # late-row drop
+                    eids, ords, cts = eids[fresh], ords[fresh], cts[fresh]
+                b_eid.extend(eids.tolist())
+                b_ord.extend(ords.tolist())
+                b_cents.extend(cts.tolist())
+        if wm_ms > 0 and b_ord:
+            eids = np.asarray(b_eid, dtype="int64")
+            ords = np.asarray(b_ord, dtype="int64")
+            cts = np.asarray(b_cents, dtype="int64")
+            order = np.lexsort((eids, ords))
+            eids, ords, cts = eids[order], ords[order], cts[order]
+            k = int(((ords // 1000) <= wm_ms).sum())  # ripe prefix
+            if k:
+                out_eid: list[int] = []
+                out_n: list[int] = []
+                out_sum: list[int] = []
+                h_sum = sum(h_cents)  # maintained incrementally below
+                i = 0
+                while i < k:
+                    j = i
+                    while j < k and ords[j] == ords[i]:
+                        j += 1
+                    ord_v = int(ords[i])
+                    lo = ord_v - range_us
+                    # evict history older than the frame start; h_ord
+                    # is ascending, so this is a prefix cut
+                    cut = 0
+                    while cut < len(h_ord) and h_ord[cut] < lo:
+                        h_sum -= h_cents[cut]
+                        cut += 1
+                    if cut:
+                        h_ord = h_ord[cut:]
+                        h_cents = h_cents[cut:]
+                    peer_n = j - i
+                    peer_sum = int(cts[i:j].sum())
+                    frame_n = len(h_ord) + peer_n
+                    frame_sum = h_sum + peer_sum
+                    for r in range(i, j):
+                        out_eid.append(int(eids[r]))
+                        out_n.append(frame_n)
+                        out_sum.append(frame_sum)
+                    h_ord.extend([ord_v] * peer_n)
+                    h_cents.extend(int(c) for c in cts[i:j])
+                    h_sum += peer_sum
+                    i = j
+                yield pd.DataFrame(
+                    {
+                        "event_id": np.asarray(out_eid, dtype="int64"),
+                        "user_id": np.full(len(out_eid), key[0], dtype="int64"),
+                        "range_n": np.asarray(out_n, dtype="int64"),
+                        "range_cents": np.asarray(out_sum, dtype="int64"),
+                    }
+                )
+            b_eid = eids[k:].tolist()
+            b_ord = ords[k:].tolist()
+            b_cents = cts[k:].tolist()
+        state.update((h_ord, h_cents, b_eid, b_ord, b_cents))
+        if b_ord:
+            state.setTimeoutTimestamp(max(min(b_ord) // 1000, wm_ms + 1))
+
+    return (
+        sdf.select("event_id", "user_id", "ord_us", "cents")
+        .withColumn("_evt_ts", F.timestamp_micros(F.col("ord_us").cast("long")))
+        .withWatermark("_evt_ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=OVER_RANGE_OUTPUT_SCHEMA,
+            stateStructType=OVER_RANGE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def running_over_rows(sdf: DataFrame, delay: str = "0 seconds") -> DataFrame:
     """Streaming OVER aggregation — Flink SQL's event-time ``ROWS
     BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW`` window on a stream,

@@ -300,6 +300,82 @@ def test_running_over_rows_buffer_survives_restart(spark, tmp_path):
     assert len(got) == 24 and got == truth
 
 
+def test_running_over_range_matches_batch_range_frames(spark, tmp_path):
+    """Streaming RANGE-PRECEDING over-window vs the batch RANGE truth,
+    with out-of-order cross-batch arrival AND peer rows (ties on the
+    ORDER key must share one frame — SQL RANGE frames are
+    peer-inclusive) AND events spaced so the horizon evicts."""
+    from pyspark.sql import Window
+    from flink_commons_spark.streaming.stateful import running_over_range
+
+    schema = "event_id long, sec long, user_id long, cents long"
+    src = str(tmp_path / "src")
+    # user 0: ties at sec 10; spacing crosses the 60 s horizon
+    rows = [
+        (1, 10, 0, 100), (2, 10, 0, 200), (3, 40, 0, 300),
+        (4, 75, 0, 400),   # 10s rows leave the 60 s frame here? 75-60=15 -> yes
+        (5, 200, 0, 500),  # everything evicted
+        (6, 30, 1, 700), (7, 95, 1, 800),
+    ]
+    late_arrivals = rows[:3]
+    first = rows[3:]
+    # sequential writes give ascending mtimes: replay order = list order
+    for chunk in [first, late_arrivals, [(999, 100_000, 9, 0)]]:
+        spark.createDataFrame(chunk, schema).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(
+            "event_id", "user_id",
+            (F.col("sec") * 1_000_000).alias("ord_us"), "cents",
+        )
+    )
+    got = {}
+
+    def sink(bdf, epoch_id):
+        for r in bdf.collect():
+            got[r.event_id] = (r.user_id, r.range_n, r.range_cents)
+
+    q = (
+        running_over_range(sdf, range_us=60_000_000, delay="5 minutes")
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-test-ovr-"))
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ord_us")
+        .rangeBetween(-60_000_000, 0)
+    )
+    truth = {
+        r.event_id: (r.user_id, r.rn, r.rc)
+        for r in spark.createDataFrame(rows, schema)
+        .select(
+            "event_id", "user_id",
+            (F.col("sec") * 1_000_000).alias("ord_us"), "cents",
+        )
+        .select(
+            "event_id", "user_id",
+            F.count("*").over(w).alias("rn"),
+            F.sum("cents").over(w).alias("rc"),
+        )
+        .collect()
+    }
+    assert len(got) == 7 and got == truth
+    # explicit frame spot-checks: peers share frames, horizon evicts
+    assert got[1] == (0, 2, 300) and got[2] == (0, 2, 300)  # peer-inclusive
+    assert got[4] == (0, 2, 700)   # sec 75: frame = {40, 75}
+    assert got[5] == (0, 1, 500)   # sec 200: everything evicted
+
+
 def test_running_over_rows_drops_late_rows(spark, tmp_path):
     """With a zero watermark delay, rows arriving below the advanced
     watermark are DROPPED (Flink's over-window late policy), not
