@@ -2514,6 +2514,83 @@ def stream_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_match_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CEP with Flink's ``PATTERN ... WITHIN interval``:
+    the conversion funnel must COMPLETE within 24 h of its first event
+    (59 of 92 sf0.01 funnels do). Beyond the match filter, WITHIN is
+    the state bound: buffered rows whose pattern window has passed the
+    watermark are expired — per-key CEP state is the within horizon,
+    not the unmatched history (``streaming/cep_stream.py``, Flink's
+    partial-match pruning). Oracle = the unbounded islands
+    formulation plus the window predicate."""
+    import os
+
+    from flink_commons_spark.streaming.cep_stream import stream_match_conversions
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = _scratch_dir(prefix="fcs-stream-cepw-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .transform(_norm_ts)
+        .withWatermark("ts", "0 seconds")
+        .select(
+            "user_id",
+            "ts",
+            "event_type",
+            "event_id",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+        )
+    )
+    name = "fcs_stream_cep_within"
+    query = (
+        stream_match_conversions(sdf, within_us=86_400_000_000)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-cepw-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(name).select(
+        "user_id", "start_us", "end_us", "n_clicks"
+    )
+
+
+_STREAM_MATCH_WITHIN_ORACLE = """
+WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
+closed_keys AS (
+  SELECT user_id FROM events GROUP BY user_id
+  HAVING max(epoch_us(ts)) // 1000 + 1 <= (SELECT wm_ms FROM wm)
+),
+seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE user_id IN (SELECT user_id FROM closed_keys)
+),
+isl AS (
+  SELECT user_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type = 'click'
+),
+runs AS (
+  SELECT user_id, min(rn) AS srn, max(rn) AS ern, count(*)::bigint AS n_clicks
+  FROM isl GROUP BY user_id, grp
+)
+SELECT r.user_id, v.ts_us AS start_us, p.ts_us AS end_us, r.n_clicks
+FROM runs r
+JOIN seq v ON v.user_id = r.user_id AND v.rn = r.srn - 1
+          AND v.event_type = 'view'
+JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
+          AND p.event_type = 'purchase'
+WHERE p.ts_us - v.ts_us <= 86400000000
+"""
+
+
 _STREAM_MATCH_ORACLE = """
 WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
 closed_keys AS (
@@ -7998,6 +8075,7 @@ QUERIES = {
     "stream_lookup_join": stream_lookup_join,
     "stream_broadcast_rules": stream_broadcast_rules,
     "stream_match_recognize": stream_match_recognize,
+    "stream_match_within": stream_match_within,
     "q_ntile_quality": q_ntile_quality,
     "pipeline_end_to_end": pipeline_end_to_end,
     "emb_quantize_stats": emb_quantize_stats,
@@ -8155,6 +8233,7 @@ ORACLES = {
     "stream_lookup_join": _STREAM_LOOKUP_ORACLE,
     "stream_broadcast_rules": _STREAM_RULES_ORACLE,
     "stream_match_recognize": _STREAM_MATCH_ORACLE,
+    "stream_match_within": _STREAM_MATCH_WITHIN_ORACLE,
     "q_ntile_quality": _NTILE_ORACLE,
     "pipeline_end_to_end": _PIPELINE_ORACLE,
     "emb_quantize_stats": _QUANTIZE_ORACLE,
@@ -8372,7 +8451,7 @@ def _driver_green() -> "frozenset[str]":
 #: CORRECTNESS rows.
 _DEFER_NEW = frozenset({
     "q_bucketed_join", "q_systematic_sample", "emb_matryoshka_recall",
-    "stream_over_range",
+    "stream_over_range", "stream_match_within",
 })
 
 

@@ -46,9 +46,21 @@ BUFFER_STATE_SCHEMA = "ts array<long>, et array<string>, eid array<long>"
 _COLS = ["user_id", "start_us", "end_us", "n_clicks"]
 
 
-def _run_funnel_nfa(key_id: int, rows: "list[tuple[int, str, int]]"):
+def _run_funnel_nfa(
+    key_id: int,
+    rows: "list[tuple[int, str, int]]",
+    within_us: "int | None" = None,
+):
     """Greedy ``view click+ purchase`` matching over sorted rows via
-    the shared batch backtracker; returns (matches, consumed_count)."""
+    the shared batch backtracker; returns (matches, consumed_count).
+
+    With ``within_us`` set (Flink's ``PATTERN ... WITHIN interval``),
+    a match starting at row ``i`` may only extend over rows whose
+    event time is at most ``rows[i].ts + within_us`` — matches are
+    contiguous here, so bounding the scan end enforces exactly "the
+    match completes within the interval"."""
+    import bisect
+
     import numpy as np
 
     from flink_commons_spark.operators.cep import Step, _match_at
@@ -59,13 +71,17 @@ def _run_funnel_nfa(key_id: int, rows: "list[tuple[int, str, int]]"):
         Step("p", None),
     ]
     types = np.array([r[1] for r in rows])
+    ts_list = [r[0] for r in rows]
     masks = [types == "view", types == "click", types == "purchase"]
     out = []
     consumed = 0
     i = 0
     n = len(rows)
     while i < n:
-        hit = _match_at(masks, steps, i, n)
+        n_i = n
+        if within_us is not None:
+            n_i = bisect.bisect_right(ts_list, rows[i][0] + within_us)
+        hit = _match_at(masks, steps, i, n_i)
         if hit is None:
             i += 1
             continue
@@ -79,13 +95,21 @@ def _run_funnel_nfa(key_id: int, rows: "list[tuple[int, str, int]]"):
 
 
 def stream_match_conversions(
-    sdf: DataFrame, key_col: str = "user_id"
+    sdf: DataFrame, key_col: str = "user_id", within_us: "int | None" = None
 ) -> DataFrame:
     """Watermark-gated streaming CEP for the conversion funnel.
 
     ``sdf`` must carry ``user_id``, ``ts_us`` (bigint event micros,
     with a watermark declared on its timestamp source) and
     ``event_type``/``event_id``.
+
+    ``within_us`` adds Flink's ``PATTERN ... WITHIN interval``
+    semantics: a match must complete within the interval of its first
+    event, and — the part that matters at scale — buffered rows whose
+    window has passed the watermark are EXPIRED from state (they can
+    never join a future match), so per-key state is bounded by the
+    within horizon instead of the full unmatched history. Without it
+    the operator keeps Flink's unbounded-pattern behavior.
     """
 
     def fn(
@@ -107,8 +131,17 @@ def stream_match_conversions(
             rows = sorted(rows, key=lambda r: (r[0], r[2]))
             closed = [r for r in rows if r[0] // 1000 < wm_ms]
             still_open = [r for r in rows if r[0] // 1000 >= wm_ms]
-            matches, consumed = _run_funnel_nfa(key_id, closed)
+            matches, consumed = _run_funnel_nfa(key_id, closed, within_us)
             rest = closed[consumed:] + still_open
+            if within_us is not None:
+                # expire rows whose pattern window has wholly passed
+                # the watermark: every closed start that could include
+                # them has already been evaluated, and no future match
+                # can reach back past its own within window
+                rest = [
+                    r for r in rest
+                    if (r[0] + within_us) // 1000 >= wm_ms
+                ]
             if rest:
                 state.update((
                     [r[0] for r in rest],

@@ -944,3 +944,63 @@ def test_stream_match_conversions_watermark_gated(spark, tmp_path):
     assert list(got) == [1]
     assert got[1]["start_us"] == 1_000_000 and got[1]["end_us"] == 4_000_000
     assert got[1]["n_clicks"] == 2
+
+
+def test_stream_match_within_bounds_and_expires(spark, tmp_path):
+    """PATTERN ... WITHIN semantics: a funnel completing outside the
+    window must NOT match even though the unbounded NFA would take it;
+    one inside the window matches; and a funnel whose rows STRADDLE
+    micro-batches still matches when it fits the window (expiry must
+    not eat rows a future match can reach)."""
+    from pyspark.sql import functions as F
+    from flink_commons_spark.streaming.cep_stream import stream_match_conversions
+
+    S = 1_000_000  # 1 second in micros
+    file1 = [
+        # key 1: funnel spanning 10 s — exceeds the 5 s window
+        (1, 1 * S, "view", 1), (1, 2 * S, "click", 2), (1, 11 * S, "purchase", 3),
+        # key 2: funnel inside 5 s
+        (2, 1 * S, "view", 4), (2, 2 * S, "click", 5), (2, 4 * S, "purchase", 6),
+        # key 3: open funnel, purchase arrives in the NEXT batch
+        (3, 20 * S, "view", 7), (3, 21 * S, "click", 8),
+    ]
+    file2 = [
+        (3, 23 * S, "purchase", 9),
+        # sentinel key closing everything
+        (9, 100 * S, "view", 99),
+    ]
+    src = str(tmp_path / "ev")
+    import os
+    import time
+
+    base = time.time()
+    seen = set()
+    for i, chunk in enumerate([file1, file2]):
+        spark.createDataFrame(
+            chunk, ["user_id", "ts_us", "event_type", "event_id"]
+        ).withColumn("ts", F.expr("timestamp_micros(ts_us)")).repartition(
+            1
+        ).write.mode("append").parquet(src)
+        for name in os.listdir(src):
+            if name.endswith(".parquet") and name not in seen:
+                seen.add(name)
+                os.utime(os.path.join(src, name), (base + i, base + i))
+    sdf = (
+        spark.readStream.schema(
+            "user_id long, ts_us long, event_type string, event_id long, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        stream_match_conversions(sdf, within_us=5 * S)
+        .writeStream.format("memory").queryName("cep_within_unit")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp()).start()
+    )
+    assert q.awaitTermination(120)
+    got = {r["user_id"]: r for r in spark.table("cep_within_unit").collect()}
+    assert sorted(got) == [2, 3]
+    assert got[2]["start_us"] == 1 * S and got[2]["end_us"] == 4 * S
+    assert got[3]["start_us"] == 20 * S and got[3]["end_us"] == 23 * S
