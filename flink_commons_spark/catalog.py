@@ -25,6 +25,7 @@ north-star LLM-pipeline extensions (``SURVEY.md §7.1`` step 7).
 from __future__ import annotations
 
 import atexit
+import re
 import shutil
 import tempfile
 
@@ -4304,45 +4305,61 @@ GROUP BY 1
 """
 
 
-def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE 100 TB fact-join lever as a contract query: both join sides
-    written ``bucketBy(join_key)`` into the warehouse, then joined —
-    Catalyst plans a sort-merge join over the bucketed scans with ZERO
-    Exchange on either side (plan-asserted in
-    ``tests/test_bucketing.py``). The shuffle is paid once at write
-    time and amortized over every later join — the cure for the one
-    large exchange the TPC-H-style plans have left (lineitem↔orders).
-    The write is idempotent (overwrite, fixed names); re-running the
-    query re-pays the write the way a nightly table build would."""
+#: (app_id, sf_dir) pairs whose bucketed tables are already built this
+#: session — lets the probe-leg query skip the write
+_BUCKETED_BUILT: "set[tuple[str, str]]" = set()
+
+
+def _bucketed_table_names(spark: SparkSession) -> "tuple[str, str]":
+    # session-suffixed names: two sessions sharing a warehouse dir must
+    # not race on a fixed-name table (one would rmtree the other's live
+    # data mid-query)
+    tok = re.sub(r"[^0-9a-zA-Z]", "_", spark.sparkContext.applicationId)
+    return f"fcs_b_lineitem_{tok}", f"fcs_b_orders_{tok}"
+
+
+def _build_bucketed_tables(spark: SparkSession, sf_dir: str) -> "tuple[str, str]":
+    """Write lineitem/orders ``bucketBy(join_key)`` into the warehouse
+    under session-scoped names; idempotent per (session, sf_dir).
+    Registers the table directories for atexit removal so the shared
+    warehouse does not accumulate one table pair per session."""
     import os
     import urllib.parse
 
+    li_tbl, o_tbl = _bucketed_table_names(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _BUCKETED_BUILT:
+        return li_tbl, o_tbl
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    # a PREVIOUS session's managed-table directory survives in the
-    # warehouse while this session's fresh metastore has no entry for
-    # it — clear both sides so the overwrite is genuinely idempotent
     wh = urllib.parse.urlparse(
         spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     ).path or "spark-warehouse"
-    for tbl in ("fcs_b_lineitem", "fcs_b_orders"):
+    for tbl in (li_tbl, o_tbl):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+        d = os.path.join(wh, tbl)
+        shutil.rmtree(d, ignore_errors=True)
+        _SCRATCH_DIRS.append(d)  # atexit cleanup of this session's pair
     (
         li.write.mode("overwrite").bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey").saveAsTable("fcs_b_lineitem")
+        .sortBy("l_orderkey").saveAsTable(li_tbl)
     )
     (
         o.write.mode("overwrite").bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey").saveAsTable("fcs_b_orders")
+        .sortBy("o_orderkey").saveAsTable(o_tbl)
     )
+    _BUCKETED_BUILT.add(key)
+    return li_tbl, o_tbl
+
+
+def _bucketed_join_result(spark: SparkSession, li_tbl: str, o_tbl: str) -> DataFrame:
     revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
-        spark.table("fcs_b_lineitem")
+        spark.table(li_tbl)
         .join(
-            spark.table("fcs_b_orders"),
+            spark.table(o_tbl),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("o_orderstatus")
@@ -4351,6 +4368,32 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(revenue).cast("double"), 2).alias("revenue"),
         )
     )
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE 100 TB fact-join lever as a contract query: both join sides
+    written ``bucketBy(join_key)`` into the warehouse, then joined —
+    Catalyst plans a sort-merge join over the bucketed scans with ZERO
+    Exchange on either side (plan-asserted in
+    ``tests/test_bucketing.py``). The shuffle is paid once at write
+    time and amortized over every later join — the cure for the one
+    large exchange the TPC-H-style plans have left (lineitem↔orders).
+    This COMPOSITE leg re-pays the table write every invocation, the
+    way a nightly table build would; :func:`q_bucketed_join_probe`
+    times the amortized join alone."""
+    _BUCKETED_BUILT.discard((spark.sparkContext.applicationId, sf_dir))
+    li_tbl, o_tbl = _build_bucketed_tables(spark, sf_dir)
+    return _bucketed_join_result(spark, li_tbl, o_tbl)
+
+
+def q_bucketed_join_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PROBE leg of :func:`q_bucketed_join`: join the bucketed
+    tables that are already in the warehouse (built on first use this
+    session), so BENCH shows the zero-Exchange payoff as a measured
+    number — every steady-state run after a nightly build looks like
+    this, not like the composite. Same result, same oracle."""
+    li_tbl, o_tbl = _build_bucketed_tables(spark, sf_dir)
+    return _bucketed_join_result(spark, li_tbl, o_tbl)
 
 
 _BUCKETED_JOIN_ORACLE = """
@@ -8061,6 +8104,7 @@ QUERIES = {
     "q_hash_split": q_hash_split,
     "q_pack_sequences": q_pack_sequences,
     "q_bucketed_join": q_bucketed_join,
+    "q_bucketed_join_probe": q_bucketed_join_probe,
     "emb_matryoshka_recall": emb_matryoshka_recall,
     "q_systematic_sample": q_systematic_sample,
     "q_funnel": q_funnel,
@@ -8219,6 +8263,7 @@ ORACLES = {
     "q_hash_split": _HASH_SPLIT_ORACLE,
     "q_pack_sequences": _PACK_ORACLE,
     "q_bucketed_join": _BUCKETED_JOIN_ORACLE,
+    "q_bucketed_join_probe": _BUCKETED_JOIN_ORACLE,
     "emb_matryoshka_recall": _MATRYOSHKA_ORACLE,
     "q_systematic_sample": _SYSTEMATIC_SAMPLE_ORACLE,
     "q_funnel": _FUNNEL_ORACLE,
@@ -8456,13 +8501,16 @@ _DEFER_NEW = frozenset({
 
 
 def _driver_order(names: "list[str]") -> "list[str]":
+    # the defer set goes FIRST: these queries have never had a driver
+    # CORRECTNESS row, so nothing registered later (which would land in
+    # `head`) may displace them from the capture window again
     green_set = _driver_green()
+    defer = [n for n in names if n in _DEFER_NEW and n not in green_set]
     head = [n for n in names
             if n not in green_set and n not in _DEFER_NEW]
-    defer = [n for n in names if n in _DEFER_NEW and n not in green_set]
     green = [n for n in names
              if n in green_set and not (n in _DEFER_NEW and n in defer)]
-    return head + defer + green
+    return defer + head + green
 
 
 QUERIES = {n: _restore_session_conf(QUERIES[n]) for n in _driver_order(list(QUERIES))}

@@ -108,13 +108,17 @@ def ngram_jaccard_pairs(
     capped inverted index. See PERFORMANCE.md.)
     """
     d = docs.select(id_col, text_col)
+    # group on the text VALUE, not a hash of it: an md5 collision
+    # between distinct texts would silently merge them into one clone
+    # group (false Jaccard=1.0 pairs, one text's grams never mined).
+    # The full text crosses the shuffle either way — it is needed on
+    # the representative row — so keying on it costs nothing extra.
     g = (
-        d.groupBy(F.md5(F.col(text_col)).alias("__h"))
+        d.groupBy(F.col(text_col))
         .agg(
             F.min(id_col).alias("__rep"),
             F.count("*").alias("__n_clones"),
             F.sort_array(F.collect_list(F.col(id_col))).alias("__members"),
-            F.min(text_col).alias(text_col),
         )
         .localCheckpoint(eager=False)
     )

@@ -252,9 +252,27 @@ def running_over_range(
             b_eid = eids[k:].tolist()
             b_ord = ords[k:].tolist()
             b_cents = cts[k:].tolist()
-        state.update((h_ord, h_cents, b_eid, b_ord, b_cents))
-        if b_ord:
-            state.setTimeoutTimestamp(max(min(b_ord) // 1000, wm_ms + 1))
+        if not b_ord and (
+            not h_ord or wm_ms * 1000 >= h_ord[-1] + range_us
+        ):
+            # buffer drained AND the horizon has fully passed: any
+            # future non-late row (ord > wm) starts its frame strictly
+            # after every retained history row, so the state row is
+            # dead weight — remove it entirely (Flink's state-retention
+            # cleanup analog). Keyed state is therefore bounded by
+            # IN-HORIZON keys, not lifetime-distinct keys.
+            state.remove()
+        else:
+            state.update((h_ord, h_cents, b_eid, b_ord, b_cents))
+            if b_ord:
+                state.setTimeoutTimestamp(max(min(b_ord) // 1000, wm_ms + 1))
+            else:
+                # re-invoke once the horizon expires so the dead
+                # history is reclaimed even if the key never sees
+                # another row
+                state.setTimeoutTimestamp(
+                    max((h_ord[-1] + range_us) // 1000 + 1, wm_ms + 1)
+                )
 
     return (
         sdf.select("event_id", "user_id", "ord_us", "cents")
@@ -271,7 +289,9 @@ def running_over_range(
     )
 
 
-def running_over_rows(sdf: DataFrame, delay: str = "0 seconds") -> DataFrame:
+def running_over_rows(
+    sdf: DataFrame, delay: str = "0 seconds", idle_ttl_ms: int = 0
+) -> DataFrame:
     """Streaming OVER aggregation — Flink SQL's event-time ``ROWS
     BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW`` window on a stream,
     which Spark's built-in streaming has no operator for (batch OVER is
@@ -298,6 +318,15 @@ def running_over_rows(sdf: DataFrame, delay: str = "0 seconds") -> DataFrame:
     same bound as the MapState Flink's over-window keeps. Watermark
     comparisons happen at Spark's millisecond watermark granularity;
     ordering uses the full microsecond key.
+
+    ``idle_ttl_ms`` (default 0 = retain forever, Flink's default):
+    when positive, a key whose buffer has drained and that sees no row
+    for ``idle_ttl_ms`` of watermark time has its state REMOVED —
+    Flink's ``table.exec.state.ttl`` retention policy, with the same
+    documented staleness (a row arriving after expiry restarts the
+    running totals from zero). Without it, finalized totals (16 B/key)
+    persist for lifetime-distinct keys, which an unbounded-preceding
+    aggregate semantically requires.
     """
 
     def update(
@@ -311,6 +340,10 @@ def running_over_rows(sdf: DataFrame, delay: str = "0 seconds") -> DataFrame:
             b_eid, b_ord, b_cents = list(b_eid), list(b_ord), list(b_cents)
         else:
             n, cents, b_eid, b_ord, b_cents = 0, 0, [], [], []
+        # a timeout that fires with an EMPTY buffer can only be the
+        # idle-TTL timer (drain timers are armed only while rows are
+        # buffered; draining re-arms the TTL timer in its place)
+        ttl_expired = bool(idle_ttl_ms) and state.hasTimedOut and not b_ord
         if not state.hasTimedOut:
             chunks = list(batches)
             if chunks:
@@ -346,9 +379,15 @@ def running_over_rows(sdf: DataFrame, delay: str = "0 seconds") -> DataFrame:
             b_eid = eids[k:].tolist()
             b_ord = ords[k:].tolist()
             b_cents = cts[k:].tolist()
+        if ttl_expired:
+            # idle for the full TTL of watermark time: drop the row
+            state.remove()
+            return
         state.update((n, cents, b_eid, b_ord, b_cents))
         if b_ord:
             state.setTimeoutTimestamp(max(min(b_ord) // 1000, wm_ms + 1))
+        elif idle_ttl_ms:
+            state.setTimeoutTimestamp(max(wm_ms, 0) + idle_ttl_ms)
 
     return (
         sdf.select("event_id", "user_id", "ord_us", "cents")
