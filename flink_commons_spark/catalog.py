@@ -2592,6 +2592,92 @@ WHERE p.ts_us - v.ts_us <= 86400000000
 """
 
 
+def stream_match_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CEP with a greedy ``*`` quantifier — the streaming
+    twin of :func:`q_match_quantified`: pattern ``view click*
+    purchase`` (empty click leg allowed) run by the watermark-gated
+    keyed NFA (``streaming/cep_stream.py``). Emission gating matches
+    the other streaming CEP queries: a key's matches emit once the
+    watermark passes its newest event, so the oracle restricts to
+    fully-closed keys."""
+    import os
+
+    from flink_commons_spark.streaming.cep_stream import (
+        QUANTIFIED_PATTERN,
+        stream_match_conversions,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = _scratch_dir(prefix="fcs-stream-cepq-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .transform(_norm_ts)
+        .withWatermark("ts", "0 seconds")
+        .select(
+            "user_id",
+            "ts",
+            "event_type",
+            "event_id",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+        )
+    )
+    name = "fcs_stream_cep_quant"
+    query = (
+        stream_match_conversions(sdf, pattern=QUANTIFIED_PATTERN)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-cepq-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(name).select(
+        "user_id", "start_us", "end_us", "n_clicks"
+    )
+
+
+# the batch star-quantifier oracle (islands + zero-click adjacency)
+# restricted to watermark-closed keys, the same gating every streaming
+# CEP oracle here states on the integer ms grid
+_STREAM_MATCH_QUANTIFIED_ORACLE = """
+WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
+closed_keys AS (
+  SELECT user_id FROM events GROUP BY user_id
+  HAVING max(epoch_us(ts)) // 1000 + 1 <= (SELECT wm_ms FROM wm)
+),
+seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE user_id IN (SELECT user_id FROM closed_keys)
+),
+isl AS (
+  SELECT user_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type = 'click'
+),
+runs AS (
+  SELECT user_id, min(rn) AS srn, max(rn) AS ern, count(*)::bigint AS n_clicks
+  FROM isl GROUP BY user_id, grp
+)
+SELECT r.user_id, v.ts_us AS start_us, p.ts_us AS end_us, r.n_clicks
+FROM runs r
+JOIN seq v ON v.user_id = r.user_id AND v.rn = r.srn - 1
+          AND v.event_type = 'view'
+JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
+          AND p.event_type = 'purchase'
+UNION ALL
+SELECT v.user_id, v.ts_us AS start_us, p.ts_us AS end_us, 0::bigint AS n_clicks
+FROM seq v
+JOIN seq p ON p.user_id = v.user_id AND p.rn = v.rn + 1
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+
 _STREAM_MATCH_ORACLE = """
 WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
 closed_keys AS (
@@ -6069,6 +6155,145 @@ JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
 """
 
 
+def q_match_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with a greedy ``*`` quantifier: pattern
+    ``view click* purchase`` — the funnel where the click leg may be
+    EMPTY (387 direct view→purchase conversions at sf0.01 that the
+    ``click+`` contract query cannot see). Same keyed backtracking
+    NFA (:mod:`operators/cep`), ``AFTER MATCH SKIP PAST LAST ROW``;
+    with mutually-exclusive predicates the oracle is the islands
+    formulation plus the zero-click adjacency case."""
+    from flink_commons_spark.operators.cep import Step, match_pattern
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    steps = [
+        Step("v", lambda p: p["event_type"] == "view"),
+        Step("c", lambda p: p["event_type"] == "click", star=True),
+        Step("p", lambda p: p["event_type"] == "purchase"),
+    ]
+
+    def measures(key, segs):
+        return {
+            "user_id": int(key[0]),
+            "start_us": int(segs["v"]["ts_us"].iloc[0]),
+            "end_us": int(segs["p"]["ts_us"].iloc[0]),
+            "n_clicks": int(len(segs["c"])),
+        }
+
+    return match_pattern(
+        e,
+        ["user_id"],
+        ["ts_us", "event_id"],
+        steps,
+        measures,
+        "user_id bigint, start_us bigint, end_us bigint, n_clicks bigint",
+    )
+
+
+# the star quantifier splits into two SQL-expressible cases: a view
+# immediately before a MAXIMAL click run immediately before a purchase
+# (greedy non-empty leg), plus view directly adjacent to purchase
+# (empty leg — greedy backtracks to zero only when the run is empty).
+# Consumed ranges contain no other view, so skip-past-last suppresses
+# nothing and the union is exactly the NFA's match set.
+_MATCH_QUANTIFIED_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+isl AS (
+  SELECT user_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type = 'click'
+),
+runs AS (
+  SELECT user_id, min(rn) AS srn, max(rn) AS ern, count(*)::bigint AS n_clicks
+  FROM isl GROUP BY user_id, grp
+)
+SELECT r.user_id, v.ts_us AS start_us, p.ts_us AS end_us, r.n_clicks
+FROM runs r
+JOIN seq v ON v.user_id = r.user_id AND v.rn = r.srn - 1
+          AND v.event_type = 'view'
+JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
+          AND p.event_type = 'purchase'
+UNION ALL
+SELECT v.user_id, v.ts_us AS start_us, p.ts_us AS end_us, 0::bigint AS n_clicks
+FROM seq v
+JOIN seq p ON p.user_id = v.user_id AND p.rn = v.rn + 1
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+
+def q_match_skip_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with ``AFTER MATCH SKIP TO NEXT ROW`` and a
+    bounded quantifier: pattern ``click{2,}`` — every click streak of
+    length ≥ 2 AND every overlapping suffix of it (a k-click streak
+    emits k-1 matches), the strategy Flink users reach for when
+    matches may share rows. Greedy consumption runs each start to the
+    end of its maximal streak, so the oracle enumerates (streak, start
+    offset) pairs."""
+    from flink_commons_spark.operators.cep import Step, match_pattern
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    steps = [
+        Step("c", lambda p: p["event_type"] == "click", quant=(2, None)),
+    ]
+
+    def measures(key, segs):
+        return {
+            "user_id": int(key[0]),
+            "start_us": int(segs["c"]["ts_us"].iloc[0]),
+            "end_us": int(segs["c"]["ts_us"].iloc[-1]),
+            "n_clicks": int(len(segs["c"])),
+        }
+
+    return match_pattern(
+        e,
+        ["user_id"],
+        ["ts_us", "event_id"],
+        steps,
+        measures,
+        "user_id bigint, start_us bigint, end_us bigint, n_clicks bigint",
+        after_match="to_next_row",
+    )
+
+
+_MATCH_SKIP_TO_NEXT_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+isl AS (
+  SELECT user_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type = 'click'
+),
+runs AS (
+  SELECT user_id, grp, min(rn) AS srn, max(rn) AS ern
+  FROM isl GROUP BY user_id, grp
+)
+SELECT s.user_id, s.ts_us AS start_us, e.ts_us AS end_us,
+       (r.ern - s.rn + 1)::bigint AS n_clicks
+FROM runs r
+JOIN seq s ON s.user_id = r.user_id AND s.rn BETWEEN r.srn AND r.ern - 1
+JOIN seq e ON e.user_id = r.user_id AND e.rn = r.ern
+"""
+
+
 def q_over_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink OVER windows with a time-RANGE frame (``RANGE BETWEEN
     INTERVAL '10' MINUTE PRECEDING AND CURRENT ROW``): per event, the
@@ -8180,6 +8405,9 @@ QUERIES = {
     "q_mixture_sample": q_mixture_sample,
     "stream_topn": stream_topn,
     "q_match_recognize": q_match_recognize,
+    "q_match_quantified": q_match_quantified,
+    "q_match_skip_to_next": q_match_skip_to_next,
+    "stream_match_quantified": stream_match_quantified,
     "q_over_range": q_over_range,
     "q_unnest_ordinality": q_unnest_ordinality,
     "stream_window_join": stream_window_join,
@@ -8339,6 +8567,9 @@ ORACLES = {
     "dsir_select": _DSIR_ORACLE,
     "stream_topn": _STREAM_TOPN_ORACLE,
     "q_match_recognize": _MATCH_RECOGNIZE_ORACLE,
+    "q_match_quantified": _MATCH_QUANTIFIED_ORACLE,
+    "q_match_skip_to_next": _MATCH_SKIP_TO_NEXT_ORACLE,
+    "stream_match_quantified": _STREAM_MATCH_QUANTIFIED_ORACLE,
     "q_over_range": _OVER_RANGE_ORACLE,
     "q_unnest_ordinality": _UNNEST_ORACLE,
     "stream_window_join": _STREAM_WINDOW_JOIN_ORACLE,

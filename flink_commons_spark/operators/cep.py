@@ -33,15 +33,47 @@ from pyspark.sql import DataFrame
 
 class Step:
     """One pattern variable: ``name`` matching rows where ``where``
-    holds; ``plus=True`` is the greedy ``+`` quantifier (one or more
-    contiguous rows), else exactly one row."""
+    holds, quantified like Flink's MATCH_RECOGNIZE variables:
 
-    __slots__ = ("name", "where", "plus")
+    - default: exactly one row
+    - ``plus=True`` — greedy ``+`` (one or more contiguous rows)
+    - ``star=True`` — greedy ``*`` (zero or more)
+    - ``opt=True`` — ``?`` (zero or one)
+    - ``quant=(lo, hi)`` — ``{lo,hi}`` bounds; ``hi=None`` unbounded
 
-    def __init__(self, name: str, where: Callable[[pd.DataFrame], pd.Series], plus: bool = False):
+    All quantifiers are GREEDY with backtracking — Flink's default
+    (reluctant ``??`` variants are not exposed by the reference's
+    demo surface)."""
+
+    __slots__ = ("name", "where", "lo", "hi")
+
+    def __init__(
+        self,
+        name: str,
+        where: Callable[[pd.DataFrame], pd.Series],
+        plus: bool = False,
+        star: bool = False,
+        opt: bool = False,
+        quant: "tuple[int, int | None] | None" = None,
+    ):
         self.name = name
         self.where = where
-        self.plus = plus
+        if quant is not None:
+            self.lo, self.hi = quant
+        elif plus:
+            self.lo, self.hi = 1, None
+        elif star:
+            self.lo, self.hi = 0, None
+        elif opt:
+            self.lo, self.hi = 0, 1
+        else:
+            self.lo, self.hi = 1, 1
+        if self.lo < 0 or (self.hi is not None and self.hi < self.lo):
+            raise ValueError(f"invalid quantifier bounds ({self.lo},{self.hi})")
+
+    @property
+    def plus(self) -> bool:  # kept for older call sites
+        return self.lo == 1 and self.hi is None
 
 
 def _match_at(masks: list, steps: Sequence[Step], start: int, n: int) -> list | None:
@@ -52,20 +84,17 @@ def _match_at(masks: list, steps: Sequence[Step], start: int, n: int) -> list | 
         if si == len(steps):
             return []
         mask = masks[si]
-        if steps[si].plus:
-            # greedy: consume the longest run first, backtrack shorter
-            end = pos
-            while end < n and mask[end]:
-                end += 1
-            for take in range(end - pos, 0, -1):
-                rest = rec(pos + take, si + 1)
-                if rest is not None:
-                    return [list(range(pos, pos + take))] + rest
-            return None
-        if pos < n and mask[pos]:
-            rest = rec(pos + 1, si + 1)
+        s = steps[si]
+        # greedy: consume the longest admissible run first, backtrack
+        # shorter down to the quantifier's lower bound (0 for */?)
+        limit = n if s.hi is None else min(n, pos + s.hi)
+        end = pos
+        while end < limit and mask[end]:
+            end += 1
+        for take in range(end - pos, s.lo - 1, -1):
+            rest = rec(pos + take, si + 1)
             if rest is not None:
-                return [[pos]] + rest
+                return [list(range(pos, pos + take))] + rest
         return None
 
     return rec(start, 0)
@@ -79,14 +108,24 @@ def match_pattern(
     measures: Callable[[tuple, dict[str, pd.DataFrame]], dict[str, Any]],
     output_schema: str,
     group_buckets: int | None = 64,
+    after_match: "str | tuple[str, str]" = "past_last",
 ) -> DataFrame:
     """MATCH_RECOGNIZE-style pattern matching over a keyed, ordered
     event table.
 
     Matches are contiguous (every row between the first and last row of
     a match belongs to some step), quantifiers are greedy with
-    backtracking, and after a completed match the scan resumes after
-    its last row (Flink's default ``AFTER MATCH SKIP PAST LAST ROW``).
+    backtracking, and the scan resumes per ``after_match`` — Flink's
+    AFTER MATCH SKIP strategies:
+
+    - ``"past_last"`` (default): resume after the match's last row
+    - ``"to_next_row"``: resume at the row after the match's FIRST row
+      (overlapping matches are emitted)
+    - ``("to_first", var)`` / ``("to_last", var)``: resume at the
+      first/last row mapped to pattern variable ``var``; raises (as
+      Flink does) if that would not advance the scan or if ``var``
+      matched no row.
+
     ``measures`` receives the key tuple and a dict of step-name →
     matched rows (pandas), and returns one output row per match.
 
@@ -103,6 +142,36 @@ def match_pattern(
     from pyspark.sql.types import StructType
 
     out_cols = [f.name for f in StructType.fromDDL(output_schema).fields]
+    if isinstance(after_match, tuple):
+        skip_kind, skip_var = after_match
+        if skip_kind not in ("to_first", "to_last"):
+            raise ValueError(f"unknown after_match {after_match!r}")
+        skip_idx = next(
+            (k for k, s in enumerate(step_list) if s.name == skip_var), None
+        )
+        if skip_idx is None:
+            raise ValueError(f"after_match variable {skip_var!r} not in pattern")
+    elif after_match not in ("past_last", "to_next_row"):
+        raise ValueError(f"unknown after_match {after_match!r}")
+
+    def _resume(i: int, hit: list) -> int:
+        if after_match == "past_last":
+            return max(seg[-1] for seg in hit if seg) + 1
+        if after_match == "to_next_row":
+            return i + 1
+        seg = hit[skip_idx]
+        if not seg:
+            raise ValueError(
+                f"AFTER MATCH SKIP {after_match[0]} {skip_var}: variable "
+                "matched no row (Flink raises here too)"
+            )
+        nxt = seg[0] if after_match[0] == "to_first" else seg[-1]
+        if nxt <= i:
+            raise ValueError(
+                f"AFTER MATCH SKIP {after_match[0]} {skip_var} would not "
+                "advance the scan — infinite loop (Flink raises here too)"
+            )
+        return nxt
 
     def run_one(key: tuple, pdf: pd.DataFrame) -> list[dict[str, Any]]:
         pdf = pdf.sort_values(list(order_cols), kind="mergesort").reset_index(drop=True)
@@ -112,12 +181,14 @@ def match_pattern(
         i = 0
         while i < n:
             hit = _match_at(masks, step_list, i, n)
-            if hit is None:
+            if hit is None or not any(hit):
+                # no match, or a degenerate all-empty match (every
+                # variable took 0 rows) — either way advance one row
                 i += 1
                 continue
             segs = {s.name: pdf.iloc[pos] for s, pos in zip(step_list, hit)}
             out.append(measures(key, segs))
-            i = hit[-1][-1] + 1  # skip past last row
+            i = _resume(i, hit)
         return out
 
     def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:

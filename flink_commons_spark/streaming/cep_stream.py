@@ -46,19 +46,44 @@ BUFFER_STATE_SCHEMA = "ts array<long>, et array<string>, eid array<long>"
 _COLS = ["user_id", "start_us", "end_us", "n_clicks"]
 
 
-def _run_funnel_nfa(
+#: the conversion-funnel pattern the batch contract query uses
+FUNNEL_PATTERN: "list[tuple[str, int, int | None]]" = [
+    ("view", 1, 1), ("click", 1, None), ("purchase", 1, 1),
+]
+#: the QUANTIFIED variant: zero-or-more clicks (greedy ``*``)
+QUANTIFIED_PATTERN: "list[tuple[str, int, int | None]]" = [
+    ("view", 1, 1), ("click", 0, None), ("purchase", 1, 1),
+]
+
+
+def _run_pattern_nfa(
     key_id: int,
     rows: "list[tuple[int, str, int]]",
+    pattern: "list[tuple[str, int, int | None]]",
+    count_idx: int = 1,
     within_us: "int | None" = None,
+    open_end_wm_ms: "int | None" = None,
 ):
-    """Greedy ``view click+ purchase`` matching over sorted rows via
-    the shared batch backtracker; returns (matches, consumed_count).
+    """Greedy pattern matching over sorted rows via the shared batch
+    backtracker; returns (matches, consumed_count). ``pattern`` is a
+    list of ``(event_type, lo, hi)`` quantified variables (``hi=None``
+    unbounded) matched contiguously, ``AFTER MATCH SKIP PAST LAST
+    ROW``; ``count_idx`` names the variable whose row count lands in
+    the output's ``n_clicks`` measure.
 
     With ``within_us`` set (Flink's ``PATTERN ... WITHIN interval``),
     a match starting at row ``i`` may only extend over rows whose
     event time is at most ``rows[i].ts + within_us`` — matches are
     contiguous here, so bounding the scan end enforces exactly "the
-    match completes within the interval"."""
+    match completes within the interval".
+
+    ``open_end_wm_ms`` marks ``rows`` as a CLOSED PREFIX of a live
+    stream (value = current watermark ms): a match whose greedy final
+    variable ends on the last row while still below its upper bound is
+    DEFERRED — future rows could extend it, so emitting now would be
+    premature (Flink's CEP likewise holds a greedy trailing quantifier
+    open until a non-matching row or the WITHIN window closes).
+    """
     import bisect
 
     import numpy as np
@@ -66,13 +91,12 @@ def _run_funnel_nfa(
     from flink_commons_spark.operators.cep import Step, _match_at
 
     steps = [
-        Step("v", None),
-        Step("c", None, plus=True),
-        Step("p", None),
+        Step(et, None, quant=(lo, hi)) for et, lo, hi in pattern
     ]
+    final_hi = pattern[-1][2]
     types = np.array([r[1] for r in rows])
     ts_list = [r[0] for r in rows]
-    masks = [types == "view", types == "click", types == "purchase"]
+    masks = [types == s.name for s in steps]
     out = []
     consumed = 0
     i = 0
@@ -82,22 +106,50 @@ def _run_funnel_nfa(
         if within_us is not None:
             n_i = bisect.bisect_right(ts_list, rows[i][0] + within_us)
         hit = _match_at(masks, steps, i, n_i)
-        if hit is None:
+        if hit is None or not any(hit):
             i += 1
             continue
-        v_pos, c_pos, p_pos = hit[0][0], hit[1], hit[2][0]
+        first = min(seg[0] for seg in hit if seg)
+        last = max(seg[-1] for seg in hit if seg)
+        if (
+            open_end_wm_ms is not None
+            and last == n - 1
+            and (final_hi is None or len(hit[-1]) < final_hi)
+            and (
+                within_us is None
+                or (rows[first][0] + within_us) // 1000 >= open_end_wm_ms
+            )
+        ):
+            # the greedy final variable could still grow with future
+            # rows (and the WITHIN window, if any, is not yet closed
+            # by the watermark): keep everything from here buffered
+            break
         out.append(
-            (key_id, rows[v_pos][0], rows[p_pos][0], len(c_pos))
+            (key_id, rows[first][0], rows[last][0], len(hit[count_idx]))
         )
-        i = p_pos + 1
+        i = last + 1
         consumed = i
     return out, consumed
 
 
+def _run_funnel_nfa(
+    key_id: int,
+    rows: "list[tuple[int, str, int]]",
+    within_us: "int | None" = None,
+):
+    """The ``view click+ purchase`` funnel through the generic NFA."""
+    return _run_pattern_nfa(key_id, rows, FUNNEL_PATTERN, 1, within_us)
+
+
 def stream_match_conversions(
-    sdf: DataFrame, key_col: str = "user_id", within_us: "int | None" = None
+    sdf: DataFrame,
+    key_col: str = "user_id",
+    within_us: "int | None" = None,
+    pattern: "list[tuple[str, int, int | None]] | None" = None,
 ) -> DataFrame:
-    """Watermark-gated streaming CEP for the conversion funnel.
+    """Watermark-gated streaming CEP for the conversion funnel (or any
+    ``pattern`` of quantified ``(event_type, lo, hi)`` variables —
+    the ``n_clicks`` measure counts the second variable's rows).
 
     ``sdf`` must carry ``user_id``, ``ts_us`` (bigint event micros,
     with a watermark declared on its timestamp source) and
@@ -131,7 +183,10 @@ def stream_match_conversions(
             rows = sorted(rows, key=lambda r: (r[0], r[2]))
             closed = [r for r in rows if r[0] // 1000 < wm_ms]
             still_open = [r for r in rows if r[0] // 1000 >= wm_ms]
-            matches, consumed = _run_funnel_nfa(key_id, closed, within_us)
+            matches, consumed = _run_pattern_nfa(
+                key_id, closed, pattern or FUNNEL_PATTERN, 1, within_us,
+                open_end_wm_ms=wm_ms,
+            )
             rest = closed[consumed:] + still_open
             if within_us is not None:
                 # expire rows whose pattern window has wholly passed

@@ -1,0 +1,134 @@
+"""Quantifier + AFTER MATCH SKIP coverage for the MATCH_RECOGNIZE
+stand-in (``operators/cep.py``) and its streaming NFA harness
+(``streaming/cep_stream.py``) — the Flink surfaces the contract
+queries ``q_match_quantified`` / ``q_match_skip_to_next`` /
+``stream_match_quantified`` exercise, plus the strategies
+(``SKIP TO FIRST/LAST var``) no oracle-backed query can show.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_commons_spark.operators.cep import Step, match_pattern
+
+
+def _events(spark, seq: str):
+    """One-key event table from a compact type string, e.g. 'vccp'."""
+    rows = [(1, i, {"v": "view", "c": "click", "p": "purchase"}[ch], i * 10)
+            for i, ch in enumerate(seq)]
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts_us long"
+    )
+
+
+def _run(spark, seq, steps, after_match="past_last"):
+    def measures(key, segs):
+        pos = sorted(
+            int(r) for s in steps for r in segs[s.name]["event_id"].tolist()
+        )
+        return {"start_id": pos[0], "end_id": pos[-1], "n": len(pos)}
+
+    out = match_pattern(
+        _events(spark, seq),
+        ["user_id"],
+        ["ts_us", "event_id"],
+        steps,
+        measures,
+        "start_id bigint, end_id bigint, n bigint",
+        group_buckets=None,
+        after_match=after_match,
+    )
+    return sorted((r["start_id"], r["end_id"], r["n"]) for r in out.collect())
+
+
+V = lambda: Step("v", lambda p: p["event_type"] == "view")
+P = lambda: Step("p", lambda p: p["event_type"] == "purchase")
+
+
+def test_star_quantifier_matches_empty_and_greedy_runs(spark):
+    steps = [V(), Step("c", lambda p: p["event_type"] == "click", star=True), P()]
+    # vp: empty click leg; vccp: greedy 2-click leg; vcv: no purchase
+    assert _run(spark, "vpvccpvc", steps) == [(0, 1, 2), (2, 5, 4)]
+
+
+def test_optional_quantifier_takes_at_most_one(spark):
+    steps = [V(), Step("c", lambda p: p["event_type"] == "click", opt=True), P()]
+    # vccp: ? cannot bridge two clicks -> no match; vcp and vp match
+    assert _run(spark, "vccpvcpvp", steps) == [(4, 6, 3), (7, 8, 2)]
+
+
+def test_bounded_quantifier_greedy_then_backtracks(spark):
+    steps = [
+        V(),
+        Step("c", lambda p: p["event_type"] == "click", quant=(1, 2)),
+        P(),
+    ]
+    # vcccp: {1,2} cannot reach the purchase over 3 clicks -> no match
+    # vccp: takes exactly 2; vcp: takes 1
+    assert _run(spark, "vcccpvccpvcp", steps) == [(5, 8, 4), (9, 11, 3)]
+
+
+def test_skip_to_next_row_emits_overlapping_matches(spark):
+    steps = [Step("c", lambda p: p["event_type"] == "click", quant=(2, None))]
+    # cccc: suffixes of the maximal run -> 3 overlapping matches
+    assert _run(spark, "cccc", steps, after_match="to_next_row") == [
+        (0, 3, 4), (1, 3, 3), (2, 3, 2),
+    ]
+    # past_last collapses the same run into one match
+    assert _run(spark, "cccc", steps) == [(0, 3, 4)]
+
+
+def test_skip_to_last_var_resumes_at_that_row(spark):
+    # pattern v c+ p, skip to LAST c: resume on the final click row —
+    # earlier than past_last (the purchase row is re-scanned too). The
+    # re-scanned rows cannot start a new match here, so the match set
+    # coincides with past_last; termination without the no-advance
+    # error is what this verifies (resume 2 > start 0, then plain
+    # scanning takes over).
+    steps = [
+        V(),
+        Step("c", lambda p: p["event_type"] == "click", plus=True),
+        P(),
+    ]
+    got = _run(spark, "vccpvcp", steps, after_match=("to_last", "c"))
+    assert got == [(0, 3, 4), (4, 6, 3)]
+
+
+def test_skip_to_var_that_would_loop_raises(spark):
+    steps = [
+        Step("a", lambda p: p["event_type"] == "click", plus=True),
+        Step("p", lambda p: p["event_type"] == "purchase"),
+    ]
+    # the match starts AT the skip target -> no advance; Flink raises
+    with pytest.raises(Exception):
+        _run(spark, "ccp", steps, after_match=("to_first", "a"))
+    # to_last a with a single-click leg: last a == match start -> loop
+    with pytest.raises(Exception):
+        _run(spark, "cp", steps, after_match=("to_last", "a"))
+
+
+def test_unknown_strategy_and_variable_rejected(spark):
+    steps = [V(), P()]
+    with pytest.raises(ValueError):
+        _run(spark, "vp", steps, after_match="bogus")
+    with pytest.raises(ValueError):
+        _run(spark, "vp", steps, after_match=("to_last", "zzz"))
+
+
+def test_streaming_nfa_defers_growable_trailing_quantifier():
+    from flink_commons_spark.streaming.cep_stream import _run_pattern_nfa
+
+    rows = [(10_000, "view", 0), (20_000, "click", 1), (30_000, "click", 2)]
+    pat = [("view", 1, 1), ("click", 1, None)]
+    # closed prefix ends inside the click run: the greedy trailing +
+    # could grow -> defer (no match, nothing consumed)
+    out, consumed = _run_pattern_nfa(1, rows, pat, 1, open_end_wm_ms=100)
+    assert out == [] and consumed == 0
+    # batch mode (no open end) emits the greedy match immediately
+    out, consumed = _run_pattern_nfa(1, rows, pat, 1)
+    assert out == [(1, 10_000, 30_000, 2)] and consumed == 3
+    # a bounded trailing quantifier at its max cannot grow -> emits
+    pat2 = [("view", 1, 1), ("click", 1, 2)]
+    out, consumed = _run_pattern_nfa(1, rows, pat2, 1, open_end_wm_ms=100)
+    assert out == [(1, 10_000, 30_000, 2)] and consumed == 3
