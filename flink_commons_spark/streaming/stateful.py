@@ -320,13 +320,14 @@ def running_over_rows(
     ordering uses the full microsecond key.
 
     ``idle_ttl_ms`` (default 0 = retain forever, Flink's default):
-    when positive, a key whose buffer has drained and that sees no row
-    for ``idle_ttl_ms`` of watermark time has its state REMOVED —
-    Flink's ``table.exec.state.ttl`` retention policy, with the same
-    documented staleness (a row arriving after expiry restarts the
-    running totals from zero). Without it, finalized totals (16 B/key)
-    persist for lifetime-distinct keys, which an unbounded-preceding
-    aggregate semantically requires.
+    when positive, a key idle in EVENT TIME — watermark past its last
+    emitted row plus the TTL, with nothing buffered — has its state
+    REMOVED: the analog of Flink's ``table.exec.state.ttl`` retention,
+    with the same documented staleness (a row arriving after expiry
+    restarts the running totals from zero), but on the event-time
+    clock so replays stay deterministic. Without it, finalized totals
+    (16 B/key) persist for lifetime-distinct keys, which an
+    unbounded-preceding aggregate semantically requires.
     """
 
     def update(
@@ -341,9 +342,10 @@ def running_over_rows(
         else:
             n, cents, b_eid, b_ord, b_cents = 0, 0, [], [], []
         # a timeout that fires with an EMPTY buffer can only be the
-        # idle-TTL timer (drain timers are armed only while rows are
-        # buffered; draining re-arms the TTL timer in its place)
-        ttl_expired = bool(idle_ttl_ms) and state.hasTimedOut and not b_ord
+        # idle-TTL expiry timer (drain timers are armed only while rows
+        # are buffered; draining re-arms the expiry timer in its place)
+        ttl_fired = bool(idle_ttl_ms) and state.hasTimedOut and not b_ord
+        released_last_ms = None
         if not state.hasTimedOut:
             chunks = list(batches)
             if chunks:
@@ -376,18 +378,33 @@ def running_over_rows(
                 )
                 n += k
                 cents = int(run_cents[-1])
+                released_last_ms = int(ords[k - 1] // 1000)
             b_eid = eids[k:].tolist()
             b_ord = ords[k:].tolist()
             b_cents = cts[k:].tolist()
-        if ttl_expired:
-            # idle for the full TTL of watermark time: drop the row
-            state.remove()
+        if idle_ttl_ms and not b_ord:
+            if released_last_ms is not None:
+                # buffer just drained: event-time idleness is measured
+                # from the newest emitted row — expire now if the
+                # watermark is already past it, else arm the expiry
+                expiry = released_last_ms + idle_ttl_ms
+                if wm_ms >= expiry:
+                    state.remove()
+                else:
+                    state.update((n, cents, b_eid, b_ord, b_cents))
+                    state.setTimeoutTimestamp(expiry)
+                return
+            if ttl_fired:
+                state.remove()
+                return
+            # nothing released and nothing buffered (e.g. every row in
+            # the batch was late-dropped): keep state, re-arm from now
+            state.update((n, cents, b_eid, b_ord, b_cents))
+            state.setTimeoutTimestamp(max(wm_ms, 0) + idle_ttl_ms)
             return
         state.update((n, cents, b_eid, b_ord, b_cents))
         if b_ord:
             state.setTimeoutTimestamp(max(min(b_ord) // 1000, wm_ms + 1))
-        elif idle_ttl_ms:
-            state.setTimeoutTimestamp(max(wm_ms, 0) + idle_ttl_ms)
 
     return (
         sdf.select("event_id", "user_id", "ord_us", "cents")
