@@ -4023,6 +4023,91 @@ FROM t CROSS JOIN h
 """
 
 
+def _clustered_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A STRUCTURE-BEARING embedding corpus derived deterministically
+    from the synthetic one: vector ``v`` is placed at a product-coded
+    cluster center (cluster ``c = vec_id % 80``; in subspace ``j`` the
+    center sits on integer grid value ``(c%16 + (2j+1)*(c//16) + j) %
+    16``, an injective digit map whose first 16 clusters cover every
+    grid value in every subspace — so the 16 seed codebook vectors
+    span all cells) plus the ORIGINAL embedding scaled by 0.5 as
+    within-cluster noise. The raw corpus is isotropic noise PQ
+    provably cannot compress (PERFORMANCE.md: trained quantizer-only
+    recall plateaus ≈ 0.32); real embedding corpora live near cluster
+    manifolds, which is what this fixture restores — and it is pure
+    integer-grid + round-6 arithmetic, so the DuckDB oracle rebuilds
+    the corpus bit-identically."""
+    emb = _t(spark, sf_dir, "embeddings")
+    c = F.col("vec_id") % 80
+    vals = [
+        F.round(
+            ((c % 16
+              + (2 * ((i - 1) // 8) + 1) * F.floor(c / 16).cast("bigint")
+              + (i - 1) // 8) % 16).cast("double")
+            + F.element_at("embedding", i).cast("double") * 0.5,
+            6,
+        )
+        for i in range(1, 65)
+    ]
+    return emb.select("vec_id", F.array(*vals).alias("embedding"))
+
+
+#: the clustered-corpus CTE the oracle substitutes for ``embeddings``
+_EMB_CLUSTERED_CTE = """
+emb_c AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, 64),
+           i -> round(
+             (((vec_id % 80) % 16
+               + (2 * ((i - 1) // 8) + 1) * ((vec_id % 80) // 16)
+               + (i - 1) // 8) % 16)::double
+             + embedding[i]::double * 0.5, 6)) AS embedding
+  FROM embeddings
+)
+"""
+
+
+def pq_structured_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall@5 of trained quantizer-ONLY PQ-ADC search on
+    the structure-bearing clustered corpus — the honest counterpart of
+    ``pq_trained_recall``'s ≈0.32 plateau on isotropic noise: when the
+    corpus HAS cluster structure (as real embedding corpora do), the
+    same distributed Lloyd trainer + ADC scan reaches production-class
+    recall with no re-rank. Exactly the same engine code paths as
+    ``pq_trained_recall``; only the corpus differs."""
+    emb = _clustered_embeddings(spark, sf_dir)
+    n_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    emb = emb.repartition(n_parts).localCheckpoint(eager=False)
+    probes = emb.where("vec_id < 10")
+    truth = S.l2_topk(probes, emb, k=5).select("query_id", "neighbor_id")
+    cbs = S.train_pq_codebooks(emb, m=8, ksub=16, dims=64, iterations=1)
+    approx = S.pq_adc_topk(probes, emb, cbs, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    return _recall_counts(truth, approx, ["query_id", "neighbor_id"])
+
+
+_PQ_STRUCTURED_RECALL_ORACLE = (
+    f"WITH {_EMB_CLUSTERED_CTE.strip()},\n"
+    + f"""
+truth AS ({_L2_TRUTH_SQL}),
+approx AS (SELECT query_id, neighbor_id FROM ({_ANN_PQ_TRAINED_TMPL.format(k=5)})),
+h AS (SELECT count(*) AS n_hits FROM approx SEMI JOIN truth USING (query_id, neighbor_id)),
+t AS (SELECT count(*) AS n_truth FROM truth)
+SELECT n_hits, n_truth, round(n_hits * 100.0 / n_truth, 2) AS recall_pct
+FROM t CROSS JOIN h
+"""
+    # retarget every corpus reference at the clustered CTE (the outer
+    # CTE stays visible inside the template's nested WITH subquery);
+    # the CTE body itself is prepended AFTER this substitution so its
+    # own `FROM embeddings` keeps pointing at the raw table
+    .replace("FROM embeddings", "FROM emb_c")
+    .replace("JOIN embeddings", "JOIN emb_c")
+)
+
+
 def ann_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-quantized ANN: sign-bit codes (1 bit/dim — 32x over
     float32), Hamming-ranked top-5 per probe
@@ -8353,6 +8438,7 @@ QUERIES = {
     "pq_recall": pq_recall,
     "pq_trained_recall": pq_trained_recall,
     "pq_rerank_recall": pq_rerank_recall,
+    "pq_structured_recall": pq_structured_recall,
     "ann_hamming": ann_hamming,
     "stream_dedup": stream_dedup,
     "q_hourly_profile": q_hourly_profile,
@@ -8515,6 +8601,7 @@ ORACLES = {
     "pq_recall": _PQ_RECALL_ORACLE,
     "pq_trained_recall": _PQ_TRAINED_RECALL_ORACLE,
     "pq_rerank_recall": _PQ_RERANK_RECALL_ORACLE,
+    "pq_structured_recall": _PQ_STRUCTURED_RECALL_ORACLE,
     "ann_hamming": _ANN_HAMMING_ORACLE,
     "stream_dedup": _STREAM_DEDUP_ORACLE,
     "q_hourly_profile": _HOURLY_ORACLE,
