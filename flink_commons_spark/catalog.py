@@ -6379,6 +6379,71 @@ JOIN seq e ON e.user_id = r.user_id AND e.rn = r.ern
 """
 
 
+def q_match_reluctant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with a RELUCTANT quantifier: pattern
+    ``A*? P`` where ``A`` matches ANY event and ``P`` a purchase —
+    lazy matching stops at the FIRST purchase, segmenting each user's
+    history into purchase-terminated episodes (one match per
+    purchase). The greedy form of the same pattern would swallow the
+    whole history and emit a single match per user ending at the LAST
+    purchase — the observable greedy/reluctant split Flink documents,
+    which only appears when a later variable's predicate overlaps the
+    quantified one's."""
+    from flink_commons_spark.operators.cep import Step, match_pattern
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    steps = [
+        Step("a", lambda p: p["event_type"].notna(), star=True,
+             reluctant=True),
+        Step("p", lambda p: p["event_type"] == "purchase"),
+    ]
+
+    def measures(key, segs):
+        a, p = segs["a"], segs["p"]
+        return {
+            "user_id": int(key[0]),
+            "start_us": int(a["ts_us"].iloc[0] if len(a) else p["ts_us"].iloc[0]),
+            "end_us": int(p["ts_us"].iloc[0]),
+            "n_events": int(len(a)) + 1,
+        }
+
+    return match_pattern(
+        e,
+        ["user_id"],
+        ["ts_us", "event_id"],
+        steps,
+        measures,
+        "user_id bigint, start_us bigint, end_us bigint, n_events bigint",
+    )
+
+
+# one match per purchase: the rows since the previous purchase
+# (exclusive) through this one — exactly what lazy A*? P emits under
+# skip-past-last
+_MATCH_RELUCTANT_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+pur AS (
+  SELECT user_id, rn, ts_us,
+         lag(rn) OVER (PARTITION BY user_id ORDER BY rn) AS prev_rn
+  FROM seq WHERE event_type = 'purchase'
+)
+SELECT p.user_id, s.ts_us AS start_us, p.ts_us AS end_us,
+       (p.rn - coalesce(p.prev_rn, 0))::bigint AS n_events
+FROM pur p
+JOIN seq s ON s.user_id = p.user_id AND s.rn = coalesce(p.prev_rn, 0) + 1
+"""
+
+
 def q_over_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink OVER windows with a time-RANGE frame (``RANGE BETWEEN
     INTERVAL '10' MINUTE PRECEDING AND CURRENT ROW``): per event, the
@@ -8493,6 +8558,7 @@ QUERIES = {
     "q_match_recognize": q_match_recognize,
     "q_match_quantified": q_match_quantified,
     "q_match_skip_to_next": q_match_skip_to_next,
+    "q_match_reluctant": q_match_reluctant,
     "stream_match_quantified": stream_match_quantified,
     "q_over_range": q_over_range,
     "q_unnest_ordinality": q_unnest_ordinality,
@@ -8656,6 +8722,7 @@ ORACLES = {
     "q_match_recognize": _MATCH_RECOGNIZE_ORACLE,
     "q_match_quantified": _MATCH_QUANTIFIED_ORACLE,
     "q_match_skip_to_next": _MATCH_SKIP_TO_NEXT_ORACLE,
+    "q_match_reluctant": _MATCH_RELUCTANT_ORACLE,
     "stream_match_quantified": _STREAM_MATCH_QUANTIFIED_ORACLE,
     "q_over_range": _OVER_RANGE_ORACLE,
     "q_unnest_ordinality": _UNNEST_ORACLE,

@@ -36,16 +36,17 @@ class Step:
     holds, quantified like Flink's MATCH_RECOGNIZE variables:
 
     - default: exactly one row
-    - ``plus=True`` — greedy ``+`` (one or more contiguous rows)
-    - ``star=True`` — greedy ``*`` (zero or more)
+    - ``plus=True`` — ``+`` (one or more contiguous rows)
+    - ``star=True`` — ``*`` (zero or more)
     - ``opt=True`` — ``?`` (zero or one)
     - ``quant=(lo, hi)`` — ``{lo,hi}`` bounds; ``hi=None`` unbounded
 
-    All quantifiers are GREEDY with backtracking — Flink's default
-    (reluctant ``??`` variants are not exposed by the reference's
-    demo surface)."""
+    Quantifiers are GREEDY with backtracking — Flink's default;
+    ``reluctant=True`` flips to the lazy ``+?``/``*?``/``??`` variants
+    (shortest admissible run first), which differ observably whenever
+    a later variable's predicate overlaps this one's."""
 
-    __slots__ = ("name", "where", "lo", "hi")
+    __slots__ = ("name", "where", "lo", "hi", "reluctant")
 
     def __init__(
         self,
@@ -55,9 +56,11 @@ class Step:
         star: bool = False,
         opt: bool = False,
         quant: "tuple[int, int | None] | None" = None,
+        reluctant: bool = False,
     ):
         self.name = name
         self.where = where
+        self.reluctant = reluctant
         if quant is not None:
             self.lo, self.hi = quant
         elif plus:
@@ -86,12 +89,16 @@ def _match_at(masks: list, steps: Sequence[Step], start: int, n: int) -> list | 
         mask = masks[si]
         s = steps[si]
         # greedy: consume the longest admissible run first, backtrack
-        # shorter down to the quantifier's lower bound (0 for */?)
+        # shorter down to the quantifier's lower bound (0 for */?);
+        # reluctant flips the try order (shortest first)
         limit = n if s.hi is None else min(n, pos + s.hi)
         end = pos
         while end < limit and mask[end]:
             end += 1
-        for take in range(end - pos, s.lo - 1, -1):
+        takes = range(end - pos, s.lo - 1, -1)
+        if s.reluctant:
+            takes = range(s.lo, end - pos + 1)
+        for take in takes:
             rest = rec(pos + take, si + 1)
             if rest is not None:
                 return [list(range(pos, pos + take))] + rest

@@ -116,6 +116,17 @@ def test_unknown_strategy_and_variable_rejected(spark):
         _run(spark, "vp", steps, after_match=("to_last", "zzz"))
 
 
+def test_reluctant_star_stops_at_first_admissible_exit(spark):
+    # A matches ANY event; P matches purchase. Lazy A*? P segments at
+    # every purchase; greedy A* P swallows history to the LAST purchase
+    any_ev = lambda p: p["event_type"].notna()
+    lazy = [Step("a", any_ev, star=True, reluctant=True), P()]
+    greedy = [Step("a", any_ev, star=True), P()]
+    # v c p c p c  ->  lazy: (0..2), (3..4); greedy: one match (0..4)
+    assert _run(spark, "vcpcpc", lazy) == [(0, 2, 3), (3, 4, 2)]
+    assert _run(spark, "vcpcpc", greedy) == [(0, 4, 5)]
+
+
 def test_streaming_nfa_defers_growable_trailing_quantifier():
     from flink_commons_spark.streaming.cep_stream import _run_pattern_nfa
 
