@@ -6444,6 +6444,73 @@ JOIN seq s ON s.user_id = p.user_id AND s.rn = coalesce(p.prev_rn, 0) + 1
 """
 
 
+def q_match_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH ``MATCH_RECOGNIZE ... WITHIN``: the conversion funnel
+    (``view click+ purchase``) restricted to matches that COMPLETE
+    within 24 h of their first event — the batch twin of
+    ``stream_match_within`` (same window rule, no watermark gating).
+    The NFA bounds each attempt's scan at the window edge
+    (``operators/cep.py:match_pattern(within_us=...)``), exactly the
+    streaming matcher's rule."""
+    from flink_commons_spark.operators.cep import Step, match_pattern
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    steps = [
+        Step("v", lambda p: p["event_type"] == "view"),
+        Step("c", lambda p: p["event_type"] == "click", plus=True),
+        Step("p", lambda p: p["event_type"] == "purchase"),
+    ]
+
+    def measures(key, segs):
+        return {
+            "user_id": int(key[0]),
+            "start_us": int(segs["v"]["ts_us"].iloc[0]),
+            "end_us": int(segs["p"]["ts_us"].iloc[0]),
+            "n_clicks": int(len(segs["c"])),
+        }
+
+    return match_pattern(
+        e,
+        ["user_id"],
+        ["ts_us", "event_id"],
+        steps,
+        measures,
+        "user_id bigint, start_us bigint, end_us bigint, n_clicks bigint",
+        within_us=86_400_000_000,
+    )
+
+
+_MATCH_WITHIN_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+isl AS (
+  SELECT user_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type = 'click'
+),
+runs AS (
+  SELECT user_id, min(rn) AS srn, max(rn) AS ern, count(*)::bigint AS n_clicks
+  FROM isl GROUP BY user_id, grp
+)
+SELECT r.user_id, v.ts_us AS start_us, p.ts_us AS end_us, r.n_clicks
+FROM runs r
+JOIN seq v ON v.user_id = r.user_id AND v.rn = r.srn - 1
+          AND v.event_type = 'view'
+JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
+          AND p.event_type = 'purchase'
+WHERE p.ts_us - v.ts_us <= 86400000000
+"""
+
+
 def q_over_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink OVER windows with a time-RANGE frame (``RANGE BETWEEN
     INTERVAL '10' MINUTE PRECEDING AND CURRENT ROW``): per event, the
@@ -8559,6 +8626,7 @@ QUERIES = {
     "q_match_quantified": q_match_quantified,
     "q_match_skip_to_next": q_match_skip_to_next,
     "q_match_reluctant": q_match_reluctant,
+    "q_match_within": q_match_within,
     "stream_match_quantified": stream_match_quantified,
     "q_over_range": q_over_range,
     "q_unnest_ordinality": q_unnest_ordinality,
@@ -8723,6 +8791,7 @@ ORACLES = {
     "q_match_quantified": _MATCH_QUANTIFIED_ORACLE,
     "q_match_skip_to_next": _MATCH_SKIP_TO_NEXT_ORACLE,
     "q_match_reluctant": _MATCH_RELUCTANT_ORACLE,
+    "q_match_within": _MATCH_WITHIN_ORACLE,
     "stream_match_quantified": _STREAM_MATCH_QUANTIFIED_ORACLE,
     "q_over_range": _OVER_RANGE_ORACLE,
     "q_unnest_ordinality": _UNNEST_ORACLE,

@@ -116,6 +116,7 @@ def match_pattern(
     output_schema: str,
     group_buckets: int | None = 64,
     after_match: "str | tuple[str, str]" = "past_last",
+    within_us: "int | None" = None,
 ) -> DataFrame:
     """MATCH_RECOGNIZE-style pattern matching over a keyed, ordered
     event table.
@@ -135,6 +136,13 @@ def match_pattern(
 
     ``measures`` receives the key tuple and a dict of step-name →
     matched rows (pandas), and returns one output row per match.
+
+    ``within_us`` is Flink's ``PATTERN ... WITHIN interval``: a match
+    must COMPLETE within the interval of its first row, measured on
+    the first ``order_cols`` column (which must therefore be the
+    event-time microseconds). Matches are contiguous, so bounding the
+    scan end at the window edge enforces the semantics exactly — the
+    same rule the streaming matcher applies.
 
     ``group_buckets`` bounds the number of PYTHON group invocations:
     the shuffle keys on ``hash(key) % group_buckets`` and the per-key
@@ -181,13 +189,22 @@ def match_pattern(
         return nxt
 
     def run_one(key: tuple, pdf: pd.DataFrame) -> list[dict[str, Any]]:
+        import numpy as np
+
         pdf = pdf.sort_values(list(order_cols), kind="mergesort").reset_index(drop=True)
         n = len(pdf)
         masks = [s.where(pdf).to_numpy(dtype=bool, na_value=False) for s in step_list]
+        ts = (
+            pdf[order_cols[0]].to_numpy("int64")
+            if within_us is not None else None
+        )
         out: list[dict[str, Any]] = []
         i = 0
         while i < n:
-            hit = _match_at(masks, step_list, i, n)
+            n_i = n
+            if ts is not None:
+                n_i = int(np.searchsorted(ts, ts[i] + within_us, side="right"))
+            hit = _match_at(masks, step_list, i, n_i)
             if hit is None or not any(hit):
                 # no match, or a degenerate all-empty match (every
                 # variable took 0 rows) — either way advance one row
