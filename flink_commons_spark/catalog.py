@@ -2592,6 +2592,92 @@ WHERE p.ts_us - v.ts_us <= 86400000000
 """
 
 
+def stream_match_skip_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CEP with ``AFTER MATCH SKIP TO NEXT ROW`` — the
+    streaming twin of ``q_match_skip_to_next``: every click streak of
+    length ≥ 2 and every overlapping suffix of it, matched by the
+    watermark-gated keyed NFA with the to-next-row resume strategy.
+    A streak that reaches a key's newest buffered row stays OPEN (its
+    greedy ``{2,}`` tail could still grow), so the oracle excludes
+    runs ending on the key's final row — the same still-open rule the
+    other streaming CEP oracles state."""
+    import os
+
+    from flink_commons_spark.streaming.cep_stream import (
+        stream_match_conversions,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = _scratch_dir(prefix="fcs-stream-cepn-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .transform(_norm_ts)
+        .withWatermark("ts", "0 seconds")
+        .select(
+            "user_id",
+            "ts",
+            "event_type",
+            "event_id",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+        )
+    )
+    name = "fcs_stream_cep_next"
+    query = (
+        stream_match_conversions(
+            sdf,
+            pattern=[("click", 2, None)],
+            count_idx=0,
+            after_match="to_next_row",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-cepn-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(name).select(
+        "user_id", "start_us", "end_us", "n_clicks"
+    )
+
+
+# (streak, start-offset) pairs on watermark-closed keys; a run ending
+# on the key's last row is still open (greedy {2,} tail) and excluded
+_STREAM_MATCH_SKIP_TO_NEXT_ORACLE = """
+WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
+closed_keys AS (
+  SELECT user_id FROM events GROUP BY user_id
+  HAVING max(epoch_us(ts)) // 1000 + 1 <= (SELECT wm_ms FROM wm)
+),
+seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS key_n
+  FROM events WHERE user_id IN (SELECT user_id FROM closed_keys)
+),
+isl AS (
+  SELECT user_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type = 'click'
+),
+runs AS (
+  SELECT user_id, grp, min(rn) AS srn, max(rn) AS ern
+  FROM isl GROUP BY user_id, grp
+)
+SELECT s.user_id, s.ts_us AS start_us, e.ts_us AS end_us,
+       (r.ern - s.rn + 1)::bigint AS n_clicks
+FROM runs r
+JOIN seq s ON s.user_id = r.user_id AND s.rn BETWEEN r.srn AND r.ern - 1
+JOIN seq e ON e.user_id = r.user_id AND e.rn = r.ern
+WHERE r.ern < e.key_n
+"""
+
+
 def stream_match_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING CEP with a greedy ``*`` quantifier — the streaming
     twin of :func:`q_match_quantified`: pattern ``view click*
@@ -8628,6 +8714,7 @@ QUERIES = {
     "q_match_reluctant": q_match_reluctant,
     "q_match_within": q_match_within,
     "stream_match_quantified": stream_match_quantified,
+    "stream_match_skip_to_next": stream_match_skip_to_next,
     "q_over_range": q_over_range,
     "q_unnest_ordinality": q_unnest_ordinality,
     "stream_window_join": stream_window_join,
@@ -8793,6 +8880,7 @@ ORACLES = {
     "q_match_reluctant": _MATCH_RELUCTANT_ORACLE,
     "q_match_within": _MATCH_WITHIN_ORACLE,
     "stream_match_quantified": _STREAM_MATCH_QUANTIFIED_ORACLE,
+    "stream_match_skip_to_next": _STREAM_MATCH_SKIP_TO_NEXT_ORACLE,
     "q_over_range": _OVER_RANGE_ORACLE,
     "q_unnest_ordinality": _UNNEST_ORACLE,
     "stream_window_join": _STREAM_WINDOW_JOIN_ORACLE,

@@ -79,15 +79,29 @@ class Step:
         return self.lo == 1 and self.hi is None
 
 
-def _match_at(masks: list, steps: Sequence[Step], start: int, n: int) -> list | None:
+def _match_at_ex(
+    masks: list, steps: Sequence[Step], start: int, n: int
+) -> "tuple[list | None, bool]":
     """Greedy backtracking match of ``steps`` against positions
-    ``start..`` — returns per-step position lists, or None."""
+    ``start..`` — returns (per-step position lists or None,
+    touched_end). ``touched_end`` is True when the attempt ran out of
+    ROWS rather than failing on a predicate: some required step had no
+    row left, or a quantified run was cut at position ``n`` below its
+    upper bound. A streaming caller matching a closed prefix must
+    treat a touched-end failure as NOT-YET-DECIDED (future rows could
+    complete it), where a predicate failure is permanent. The flag is
+    a sound over-approximation: it may be True for attempts no future
+    row could save, never False for one that could."""
+    touched = False
 
     def rec(pos: int, si: int) -> list | None:
+        nonlocal touched
         if si == len(steps):
             return []
         mask = masks[si]
         s = steps[si]
+        if pos >= n and s.lo > 0:
+            touched = True
         # greedy: consume the longest admissible run first, backtrack
         # shorter down to the quantifier's lower bound (0 for */?);
         # reluctant flips the try order (shortest first)
@@ -95,6 +109,9 @@ def _match_at(masks: list, steps: Sequence[Step], start: int, n: int) -> list | 
         end = pos
         while end < limit and mask[end]:
             end += 1
+        if end == n and (s.hi is None or end - pos < s.hi):
+            # the run was cut by the data end, not by the predicate
+            touched = True
         takes = range(end - pos, s.lo - 1, -1)
         if s.reluctant:
             takes = range(s.lo, end - pos + 1)
@@ -104,7 +121,13 @@ def _match_at(masks: list, steps: Sequence[Step], start: int, n: int) -> list | 
                 return [list(range(pos, pos + take))] + rest
         return None
 
-    return rec(start, 0)
+    return rec(start, 0), touched
+
+
+def _match_at(masks: list, steps: Sequence[Step], start: int, n: int) -> list | None:
+    """Greedy backtracking match of ``steps`` against positions
+    ``start..`` — returns per-step position lists, or None."""
+    return _match_at_ex(masks, steps, start, n)[0]
 
 
 def match_pattern(

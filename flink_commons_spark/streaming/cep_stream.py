@@ -63,6 +63,7 @@ def _run_pattern_nfa(
     count_idx: int = 1,
     within_us: "int | None" = None,
     open_end_wm_ms: "int | None" = None,
+    after_match: str = "past_last",
 ):
     """Greedy pattern matching over sorted rows via the shared batch
     backtracker; returns (matches, consumed_count). ``pattern`` is a
@@ -78,18 +79,36 @@ def _run_pattern_nfa(
     match completes within the interval".
 
     ``open_end_wm_ms`` marks ``rows`` as a CLOSED PREFIX of a live
-    stream (value = current watermark ms): a match whose greedy final
-    variable ends on the last row while still below its upper bound is
-    DEFERRED — future rows could extend it, so emitting now would be
-    premature (Flink's CEP likewise holds a greedy trailing quantifier
-    open until a non-matching row or the WITHIN window closes).
+    stream (value = current watermark ms). Two kinds of attempt are
+    then NOT-YET-DECIDED and stop the scan with everything from their
+    start kept buffered (emitting or discarding now would diverge
+    from the batch semantics once future rows arrive):
+
+    - a COMPLETED match whose greedy final variable ends on the last
+      row while still below its upper bound — future rows could
+      extend it (Flink likewise holds a greedy trailing quantifier
+      open until a non-matching row or the WITHIN window closes);
+    - a FAILED attempt that ran out of rows mid-pattern rather than
+      failing a predicate (``_match_at_ex``'s touched_end) — future
+      rows could complete it, and under the sequential-scan contract
+      no later start may resolve before an earlier undecided one.
+
+    Both deferrals are waived once the WITHIN window (if any) is
+    closed by the watermark — no admissible future row exists.
+
+    ``after_match`` is the resume strategy: ``"past_last"`` (Flink's
+    default) or ``"to_next_row"`` (overlapping matches; consumed rows
+    are those strictly before the scan position, since every future
+    match starts at or after it).
     """
     import bisect
 
     import numpy as np
 
-    from flink_commons_spark.operators.cep import Step, _match_at
+    from flink_commons_spark.operators.cep import Step, _match_at_ex
 
+    if after_match not in ("past_last", "to_next_row"):
+        raise ValueError(f"unknown after_match {after_match!r}")
     steps = [
         Step(et, None, quant=(lo, hi)) for et, lo, hi in pattern
     ]
@@ -105,30 +124,38 @@ def _run_pattern_nfa(
         n_i = n
         if within_us is not None:
             n_i = bisect.bisect_right(ts_list, rows[i][0] + within_us)
-        hit = _match_at(masks, steps, i, n_i)
+        window_open = open_end_wm_ms is not None and (
+            within_us is None
+            or (rows[i][0] + within_us) // 1000 >= open_end_wm_ms
+        )
+        hit, touched_end = _match_at_ex(masks, steps, i, n_i)
         if hit is None or not any(hit):
+            if hit is None and touched_end and window_open and n_i == n:
+                # ran out of closed rows mid-pattern: this start is
+                # undecided — stop here, keep its rows buffered
+                break
             i += 1
             continue
         first = min(seg[0] for seg in hit if seg)
         last = max(seg[-1] for seg in hit if seg)
         if (
-            open_end_wm_ms is not None
+            window_open
             and last == n - 1
             and (final_hi is None or len(hit[-1]) < final_hi)
-            and (
-                within_us is None
-                or (rows[first][0] + within_us) // 1000 >= open_end_wm_ms
-            )
+            and n_i == n
         ):
             # the greedy final variable could still grow with future
-            # rows (and the WITHIN window, if any, is not yet closed
-            # by the watermark): keep everything from here buffered
+            # rows: keep everything from here buffered
             break
         out.append(
             (key_id, rows[first][0], rows[last][0], len(hit[count_idx]))
         )
-        i = last + 1
-        consumed = i
+        if after_match == "past_last":
+            i = last + 1
+            consumed = i
+        else:
+            i += 1
+            consumed = i
     return out, consumed
 
 
@@ -146,10 +173,14 @@ def stream_match_conversions(
     key_col: str = "user_id",
     within_us: "int | None" = None,
     pattern: "list[tuple[str, int, int | None]] | None" = None,
+    count_idx: int = 1,
+    after_match: str = "past_last",
 ) -> DataFrame:
     """Watermark-gated streaming CEP for the conversion funnel (or any
     ``pattern`` of quantified ``(event_type, lo, hi)`` variables —
-    the ``n_clicks`` measure counts the second variable's rows).
+    the ``n_clicks`` measure counts variable ``count_idx``'s rows;
+    ``after_match`` picks the resume strategy, see
+    :func:`_run_pattern_nfa`).
 
     ``sdf`` must carry ``user_id``, ``ts_us`` (bigint event micros,
     with a watermark declared on its timestamp source) and
@@ -184,8 +215,8 @@ def stream_match_conversions(
             closed = [r for r in rows if r[0] // 1000 < wm_ms]
             still_open = [r for r in rows if r[0] // 1000 >= wm_ms]
             matches, consumed = _run_pattern_nfa(
-                key_id, closed, pattern or FUNNEL_PATTERN, 1, within_us,
-                open_end_wm_ms=wm_ms,
+                key_id, closed, pattern or FUNNEL_PATTERN, count_idx,
+                within_us, open_end_wm_ms=wm_ms, after_match=after_match,
             )
             rest = closed[consumed:] + still_open
             if within_us is not None:

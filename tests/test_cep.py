@@ -143,3 +143,41 @@ def test_streaming_nfa_defers_growable_trailing_quantifier():
     pat2 = [("view", 1, 1), ("click", 1, 2)]
     out, consumed = _run_pattern_nfa(1, rows, pat2, 1, open_end_wm_ms=100)
     assert out == [(1, 10_000, 30_000, 2)] and consumed == 3
+
+
+def test_streaming_nfa_defers_mid_pattern_boundary_failure():
+    """An attempt that runs out of closed rows MID-pattern (not just in
+    the trailing variable) is undecided: the scan must stop there so no
+    later start resolves first — batch consistency once the missing
+    rows arrive."""
+    from flink_commons_spark.streaming.cep_stream import _run_pattern_nfa
+
+    # v c c — the funnel needs a purchase that hasn't arrived yet
+    rows = [(10_000, "view", 0), (20_000, "click", 1), (30_000, "click", 2)]
+    funnel = [("view", 1, 1), ("click", 1, None), ("purchase", 1, 1)]
+    out, consumed = _run_pattern_nfa(1, rows, funnel, 1, open_end_wm_ms=100)
+    assert out == [] and consumed == 0
+    # predicate failure is permanent: v s p can never match the funnel
+    rows2 = [(10_000, "view", 0), (20_000, "signup", 1), (30_000, "purchase", 2)]
+    out, consumed = _run_pattern_nfa(1, rows2, funnel, 1, open_end_wm_ms=100)
+    assert out == [] and consumed == 0  # no match, but scan ran through
+
+
+def test_streaming_nfa_to_next_row_overlapping_matches():
+    from flink_commons_spark.streaming.cep_stream import _run_pattern_nfa
+
+    # c c c c | (boundary): the whole run is still open -> nothing emits
+    rows = [(10_000 * (i + 1), "click", i) for i in range(4)]
+    pat = [("click", 2, None)]
+    out, _ = _run_pattern_nfa(
+        1, rows, pat, 0, open_end_wm_ms=100, after_match="to_next_row"
+    )
+    assert out == []
+    # a closing purchase seals the run: 3 overlapping suffix matches
+    rows2 = rows + [(50_000, "purchase", 9)]
+    out, consumed = _run_pattern_nfa(
+        1, rows2, pat, 0, open_end_wm_ms=100, after_match="to_next_row"
+    )
+    assert out == [
+        (1, 10_000, 40_000, 4), (1, 20_000, 40_000, 3), (1, 30_000, 40_000, 2),
+    ]
