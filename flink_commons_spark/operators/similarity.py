@@ -863,49 +863,6 @@ def l2_topk(
     )
 
 
-def train_pq_codebooks(
-    corpus: DataFrame,
-    m: int = 8,
-    ksub: int = 16,
-    dims: int = 64,
-    iterations: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> list[list[list[float]]]:
-    """Refine the seed PQ codebooks with per-subspace k-means (Lloyd)
-    iterations — the training step real PQ deployments run (Jégou et
-    al. 2011 §III).
-
-    Each iteration: one distributed assignment pass (the same
-    Arrow-vectorized :func:`with_pq_codes`), then per-(subspace, code)
-    subvector means via a posexplode + hash-agg — the only driver-side
-    data is m × ksub × (dims/m) floats, exactly the
-    :func:`train_ivf_centroids` stance. Empty cells keep their
-    previous codeword.
-    """
-    cbs = pq_codebooks(corpus, m, ksub, dims, id_col, vec_col)
-    d_sub = dims // m
-    for _ in range(iterations):
-        coded = with_pq_codes(corpus, cbs, vec_col)
-        ex = coded.select(
-            F.posexplode("pq_codes").alias("j", "code"), F.col(vec_col).alias("v")
-        )
-        aggs = [F.count("*").alias("n")] + [
-            F.sum(
-                F.element_at(F.col("v"), F.col("j") * d_sub + i + 1).cast("double")
-            ).alias(f"s{i}")
-            for i in range(d_sub)
-        ]
-        sums = ex.groupBy("j", "code").agg(*aggs)
-        new = [[list(cw) for cw in cb] for cb in cbs]
-        for row in sums.collect():
-            new[row["j"]][row["code"]] = [
-                row[f"s{i}"] / row["n"] for i in range(d_sub)
-            ]
-        cbs = new
-    return cbs
-
-
 # ----------------------------------------------- binary quantization
 
 def with_binary_codes(
