@@ -25,6 +25,8 @@ north-star LLM-pipeline extensions (``SURVEY.md §7.1`` step 7).
 from __future__ import annotations
 
 import atexit
+import hashlib
+import os
 import re
 import shutil
 import tempfile
@@ -4567,12 +4569,15 @@ GROUP BY 1
 _BUCKETED_BUILT: "set[tuple[str, str]]" = set()
 
 
-def _bucketed_table_names(spark: SparkSession) -> "tuple[str, str]":
+def _bucketed_table_names(spark: SparkSession, sf_dir: str) -> "tuple[str, str]":
     # session-suffixed names: two sessions sharing a warehouse dir must
     # not race on a fixed-name table (one would rmtree the other's live
-    # data mid-query)
+    # data mid-query). sf_dir-suffixed too: the physical table names and
+    # the _BUCKETED_BUILT memo key must agree, else a session that
+    # builds sf0.1 then sf1 would serve the sf1 bytes to an sf0.1 probe.
     tok = re.sub(r"[^0-9a-zA-Z]", "_", spark.sparkContext.applicationId)
-    return f"fcs_b_lineitem_{tok}", f"fcs_b_orders_{tok}"
+    sft = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return f"fcs_b_lineitem_{tok}_{sft}", f"fcs_b_orders_{tok}_{sft}"
 
 
 def _build_bucketed_tables(spark: SparkSession, sf_dir: str) -> "tuple[str, str]":
@@ -4583,7 +4588,7 @@ def _build_bucketed_tables(spark: SparkSession, sf_dir: str) -> "tuple[str, str]
     import os
     import urllib.parse
 
-    li_tbl, o_tbl = _bucketed_table_names(spark)
+    li_tbl, o_tbl = _bucketed_table_names(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _BUCKETED_BUILT:
         return li_tbl, o_tbl

@@ -73,3 +73,21 @@ def test_partition_pruning_plan(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(p" in plan and "(p#" in plan
     # the partition predicate must NOT appear as a post-scan data filter
     assert read.count() == 200
+
+def test_bucketed_build_is_sf_dir_scoped(spark):
+    """Regression (round-6 advice): a session that builds bucketed
+    tables for two scale factors must keep them physically distinct —
+    the probe leg for sf A must not silently read sf B's bytes because
+    the build memo remembered (app, A) while the shared table names
+    now hold B."""
+    from flink_commons_spark import catalog as C
+
+    a, b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    li_a, _ = C._build_bucketed_tables(spark, a)
+    n_a = spark.table(li_a).count()
+    li_b, _ = C._build_bucketed_tables(spark, b)
+    n_b = spark.table(li_b).count()
+    assert li_a != li_b and n_a != n_b
+    # probe leg for A again: memo hit must serve A's row count
+    probe = C.q_bucketed_join_probe(spark, a)
+    assert sum(r.n_items for r in probe.collect()) == n_a
