@@ -2479,9 +2479,10 @@ def stream_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     backtracking NFA the batch operator uses emits completed
     ``view click+ purchase`` matches. Emission is watermark-gated
     exactly like the timer-session query: a key fires once the
-    watermark passes its newest event (keys holding the stream's
-    final ms never close — still-open semantics), which the oracle
-    states as an integer ms-grid condition."""
+    watermark passes its events — including the closed prefix of a
+    key that also holds a still-open (final-watermark-ms) event; the
+    decided/undecided line is the watermark on the integer ms grid,
+    which the oracle states as a row-level closed filter."""
     import os
 
     from flink_commons_spark.streaming.cep_stream import stream_match_conversions
@@ -2520,7 +2521,7 @@ def stream_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_match_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING CEP with Flink's ``PATTERN ... WITHIN interval``:
     the conversion funnel must COMPLETE within 24 h of its first event
-    (59 of 92 sf0.01 funnels do). Beyond the match filter, WITHIN is
+    (60 of 93 sf0.01 funnels do). Beyond the match filter, WITHIN is
     the state bound: buffered rows whose pattern window has passed the
     watermark are expired — per-key CEP state is the within horizon,
     not the unmatched history (``streaming/cep_stream.py``, Flink's
@@ -2563,17 +2564,15 @@ def stream_match_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# islands + window predicate over each key's watermark-closed row
+# prefix (see the quantified oracle's note on partially-closed keys)
 _STREAM_MATCH_WITHIN_ORACLE = """
 WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
-closed_keys AS (
-  SELECT user_id FROM events GROUP BY user_id
-  HAVING max(epoch_us(ts)) // 1000 + 1 <= (SELECT wm_ms FROM wm)
-),
 seq AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY epoch_us(ts), event_id) AS rn
-  FROM events WHERE user_id IN (SELECT user_id FROM closed_keys)
+  FROM events WHERE epoch_us(ts) // 1000 < (SELECT wm_ms FROM wm)
 ),
 isl AS (
   SELECT user_id, rn,
@@ -2590,7 +2589,7 @@ JOIN seq v ON v.user_id = r.user_id AND v.rn = r.srn - 1
           AND v.event_type = 'view'
 JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
           AND p.event_type = 'purchase'
-WHERE p.ts_us - v.ts_us <= 86400000000
+WHERE p.ts_us - v.ts_us < 86400000000
 """
 
 
@@ -2599,10 +2598,11 @@ def stream_match_skip_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming twin of ``q_match_skip_to_next``: every click streak of
     length ≥ 2 and every overlapping suffix of it, matched by the
     watermark-gated keyed NFA with the to-next-row resume strategy.
-    A streak that reaches a key's newest buffered row stays OPEN (its
-    greedy ``{2,}`` tail could still grow), so the oracle excludes
-    runs ending on the key's final row — the same still-open rule the
-    other streaming CEP oracles state."""
+    A streak that reaches a key's newest CLOSED row stays OPEN (its
+    greedy ``{2,}`` tail could still grow), so the oracle — stated
+    over every key's watermark-closed row prefix, partially-closed
+    keys included — excludes runs ending on the key's last closed
+    row."""
     import os
 
     from flink_commons_spark.streaming.cep_stream import (
@@ -2647,20 +2647,20 @@ def stream_match_skip_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# (streak, start-offset) pairs on watermark-closed keys; a run ending
-# on the key's last row is still open (greedy {2,} tail) and excluded
+# (streak, start-offset) pairs over each key's watermark-CLOSED row
+# prefix — including partially-closed keys (ones holding an event on
+# the final watermark ms), whose closed-prefix matches the NFA emits
+# too. A run ending on the key's last CLOSED row is still open (its
+# greedy {2,} tail could grow, and the NFA's sequential-scan deferral
+# stops there) and is excluded.
 _STREAM_MATCH_SKIP_TO_NEXT_ORACLE = """
 WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
-closed_keys AS (
-  SELECT user_id FROM events GROUP BY user_id
-  HAVING max(epoch_us(ts)) // 1000 + 1 <= (SELECT wm_ms FROM wm)
-),
 seq AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY epoch_us(ts), event_id) AS rn,
          count(*) OVER (PARTITION BY user_id) AS key_n
-  FROM events WHERE user_id IN (SELECT user_id FROM closed_keys)
+  FROM events WHERE epoch_us(ts) // 1000 < (SELECT wm_ms FROM wm)
 ),
 isl AS (
   SELECT user_id, rn,
@@ -2685,9 +2685,9 @@ def stream_match_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of :func:`q_match_quantified`: pattern ``view click*
     purchase`` (empty click leg allowed) run by the watermark-gated
     keyed NFA (``streaming/cep_stream.py``). Emission gating matches
-    the other streaming CEP queries: a key's matches emit once the
-    watermark passes its newest event, so the oracle restricts to
-    fully-closed keys."""
+    the other streaming CEP queries: matches emit once the watermark
+    closes their rows, so the oracle runs the islands formulation
+    over every key's watermark-closed row prefix."""
     import os
 
     from flink_commons_spark.streaming.cep_stream import (
@@ -2729,19 +2729,19 @@ def stream_match_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # the batch star-quantifier oracle (islands + zero-click adjacency)
-# restricted to watermark-closed keys, the same gating every streaming
-# CEP oracle here states on the integer ms grid
+# over each key's watermark-CLOSED row prefix — partially-closed keys
+# included: the NFA emits their closed-prefix matches too, and every
+# completed funnel match ends on a purchase (final variable at its
+# upper bound), so nothing is held open that this formulation counts.
+# A run whose successor row is still open simply has no purchase in
+# the closed prefix and drops out of the join.
 _STREAM_MATCH_QUANTIFIED_ORACLE = """
 WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
-closed_keys AS (
-  SELECT user_id FROM events GROUP BY user_id
-  HAVING max(epoch_us(ts)) // 1000 + 1 <= (SELECT wm_ms FROM wm)
-),
 seq AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY epoch_us(ts), event_id) AS rn
-  FROM events WHERE user_id IN (SELECT user_id FROM closed_keys)
+  FROM events WHERE epoch_us(ts) // 1000 < (SELECT wm_ms FROM wm)
 ),
 isl AS (
   SELECT user_id, rn,
@@ -2766,17 +2766,15 @@ WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 """
 
 
+# islands over each key's watermark-closed row prefix (see the
+# quantified oracle's note on partially-closed keys)
 _STREAM_MATCH_ORACLE = """
 WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
-closed_keys AS (
-  SELECT user_id FROM events GROUP BY user_id
-  HAVING max(epoch_us(ts)) // 1000 + 1 <= (SELECT wm_ms FROM wm)
-),
 seq AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY epoch_us(ts), event_id) AS rn
-  FROM events WHERE user_id IN (SELECT user_id FROM closed_keys)
+  FROM events WHERE epoch_us(ts) // 1000 < (SELECT wm_ms FROM wm)
 ),
 isl AS (
   SELECT user_id, rn,
@@ -2793,6 +2791,96 @@ JOIN seq v ON v.user_id = r.user_id AND v.rn = r.srn - 1
           AND v.event_type = 'view'
 JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
           AND p.event_type = 'purchase'
+"""
+
+
+def stream_match_skip_to_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ``AFTER MATCH SKIP TO LAST <var>`` — the streaming
+    twin of :func:`q_match_skip_to_last`: pattern ``v e{2}`` (view +
+    next two rows of any type, ``"*"`` wildcard variable) with the
+    scan resuming AT the match's last row, run by the watermark-gated
+    keyed NFA (``streaming/cep_stream.py`` — the resume row stays
+    buffered, since it may start the next overlapping match). The
+    ``e{2}`` tail is at its upper bound when a match completes, so a
+    match ending on the key's newest closed row still emits; a view
+    with fewer than two closed successors is undecided and waits. The
+    oracle is the batch recursive-CTE scan over each key's
+    watermark-closed row prefix."""
+    import os
+
+    from flink_commons_spark.streaming.cep_stream import (
+        stream_match_conversions,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = _scratch_dir(prefix="fcs-stream-cepl-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .transform(_norm_ts)
+        .withWatermark("ts", "0 seconds")
+        .select(
+            "user_id",
+            "ts",
+            "event_type",
+            "event_id",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+        )
+    )
+    name = "fcs_stream_cep_last"
+    query = (
+        stream_match_conversions(
+            sdf,
+            pattern=[("view", 1, 1), ("*", 2, 2)],
+            count_idx=1,
+            after_match=("to_last", "*"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-cepl-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(name).select(
+        "user_id", "start_us", "end_us", "n_clicks"
+    )
+
+
+# the recursive skip-to-last scan over each key's watermark-closed
+# prefix; n_clicks is the wildcard variable's row count (always 2).
+# rn + 2 <= key_n both completes the match inside closed rows and is
+# the decided/undecided line (a shorter tail is touched_end-deferred)
+_STREAM_MATCH_SKIP_TO_LAST_ORACLE = """
+WITH RECURSIVE wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
+seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS key_n
+  FROM events WHERE epoch_us(ts) // 1000 < (SELECT wm_ms FROM wm)
+),
+v AS (SELECT user_id, rn, key_n FROM seq WHERE event_type = 'view'),
+scan AS (
+  SELECT user_id, min(rn) AS srn
+  FROM v WHERE rn + 2 <= key_n
+  GROUP BY user_id
+  UNION ALL
+  SELECT u.user_id, u.srn FROM (
+    SELECT s.user_id,
+           (SELECT min(v.rn) FROM v
+            WHERE v.user_id = s.user_id AND v.rn >= s.srn + 2
+              AND v.rn + 2 <= v.key_n) AS srn
+    FROM scan s
+  ) u WHERE u.srn IS NOT NULL
+)
+SELECT sc.user_id, sv.ts_us AS start_us, se.ts_us AS end_us, 2::bigint AS n_clicks
+FROM scan sc
+JOIN seq sv ON sv.user_id = sc.user_id AND sv.rn = sc.srn
+JOIN seq se ON se.user_id = sc.user_id AND se.rn = sc.srn + 2
 """
 
 
@@ -6598,7 +6686,86 @@ JOIN seq v ON v.user_id = r.user_id AND v.rn = r.srn - 1
           AND v.event_type = 'view'
 JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
           AND p.event_type = 'purchase'
-WHERE p.ts_us - v.ts_us <= 86400000000
+WHERE p.ts_us - v.ts_us < 86400000000
+"""
+
+
+def q_match_skip_to_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``AFTER MATCH SKIP TO LAST <var>`` — the fourth of Flink's
+    MATCH_RECOGNIZE resume strategies: pattern ``v e{2}`` (a view and
+    the next two events of ANY type) resuming AT the last ``e`` row,
+    so that row may start the next, OVERLAPPING match (213 of the
+    1603 sf0.01 matches start on the prior match's final row — rows
+    past_last would have skipped). The overlapping-predicate case the
+    disjoint funnel patterns cannot exercise; the oracle replays the
+    sequential resume rule as a recursive-CTE scan
+    (``operators/cep.py:match_pattern`` implements the skip;
+    reference analog delegated via ``SQLSubmitAction.java:74-76``)."""
+    import pandas as pd
+
+    from flink_commons_spark.operators.cep import Step, match_pattern
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    steps = [
+        Step("v", lambda p: p["event_type"] == "view"),
+        Step("e", lambda p: pd.Series(True, index=p.index), quant=(2, 2)),
+    ]
+
+    def measures(key, segs):
+        return {
+            "user_id": int(key[0]),
+            "start_us": int(segs["v"]["ts_us"].iloc[0]),
+            "end_us": int(segs["e"]["ts_us"].iloc[-1]),
+            "end_type": str(segs["e"]["event_type"].iloc[-1]),
+        }
+
+    return match_pattern(
+        e,
+        ["user_id"],
+        ["ts_us", "event_id"],
+        steps,
+        measures,
+        "user_id bigint, start_us bigint, end_us bigint, end_type string",
+        after_match=("to_last", "e"),
+    )
+
+
+# the sequential AFTER MATCH SKIP TO LAST e scan as a recursive CTE:
+# each match starts at the first view with two following rows at or
+# after the cursor; the next cursor is the match's last row ITSELF
+# (srn + 2, inclusive — overlap), not srn + 3 as past-last would be
+_MATCH_SKIP_TO_LAST_ORACLE = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS key_n
+  FROM events
+),
+v AS (SELECT user_id, rn, key_n FROM seq WHERE event_type = 'view'),
+scan AS (
+  SELECT user_id, min(rn) AS srn
+  FROM v WHERE rn + 2 <= key_n
+  GROUP BY user_id
+  UNION ALL
+  SELECT u.user_id, u.srn FROM (
+    SELECT s.user_id,
+           (SELECT min(v.rn) FROM v
+            WHERE v.user_id = s.user_id AND v.rn >= s.srn + 2
+              AND v.rn + 2 <= v.key_n) AS srn
+    FROM scan s
+  ) u WHERE u.srn IS NOT NULL
+)
+SELECT sc.user_id, sv.ts_us AS start_us, se.ts_us AS end_us,
+       se.event_type AS end_type
+FROM scan sc
+JOIN seq sv ON sv.user_id = sc.user_id AND sv.rn = sc.srn
+JOIN seq se ON se.user_id = sc.user_id AND se.rn = sc.srn + 2
 """
 
 
@@ -8718,8 +8885,10 @@ QUERIES = {
     "q_match_skip_to_next": q_match_skip_to_next,
     "q_match_reluctant": q_match_reluctant,
     "q_match_within": q_match_within,
+    "q_match_skip_to_last": q_match_skip_to_last,
     "stream_match_quantified": stream_match_quantified,
     "stream_match_skip_to_next": stream_match_skip_to_next,
+    "stream_match_skip_to_last": stream_match_skip_to_last,
     "q_over_range": q_over_range,
     "q_unnest_ordinality": q_unnest_ordinality,
     "stream_window_join": stream_window_join,
@@ -8884,8 +9053,10 @@ ORACLES = {
     "q_match_skip_to_next": _MATCH_SKIP_TO_NEXT_ORACLE,
     "q_match_reluctant": _MATCH_RELUCTANT_ORACLE,
     "q_match_within": _MATCH_WITHIN_ORACLE,
+    "q_match_skip_to_last": _MATCH_SKIP_TO_LAST_ORACLE,
     "stream_match_quantified": _STREAM_MATCH_QUANTIFIED_ORACLE,
     "stream_match_skip_to_next": _STREAM_MATCH_SKIP_TO_NEXT_ORACLE,
+    "stream_match_skip_to_last": _STREAM_MATCH_SKIP_TO_LAST_ORACLE,
     "q_over_range": _OVER_RANGE_ORACLE,
     "q_unnest_ordinality": _UNNEST_ORACLE,
     "stream_window_join": _STREAM_WINDOW_JOIN_ORACLE,

@@ -226,7 +226,10 @@ def match_pattern(
         while i < n:
             n_i = n
             if ts is not None:
-                n_i = int(np.searchsorted(ts, ts[i] + within_us, side="right"))
+                # Flink's NFA prunes once timestamp >= start + window —
+                # the window edge is EXCLUSIVE (a row landing exactly on
+                # first_ts + within is outside), hence side='left'
+                n_i = int(np.searchsorted(ts, ts[i] + within_us, side="left"))
             hit = _match_at(masks, step_list, i, n_i)
             if hit is None or not any(hit):
                 # no match, or a degenerate all-empty match (every

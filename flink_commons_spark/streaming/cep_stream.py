@@ -63,14 +63,15 @@ def _run_pattern_nfa(
     count_idx: int = 1,
     within_us: "int | None" = None,
     open_end_wm_ms: "int | None" = None,
-    after_match: str = "past_last",
+    after_match: "str | tuple[str, str]" = "past_last",
 ):
     """Greedy pattern matching over sorted rows via the shared batch
     backtracker; returns (matches, consumed_count). ``pattern`` is a
     list of ``(event_type, lo, hi)`` quantified variables (``hi=None``
-    unbounded) matched contiguously, ``AFTER MATCH SKIP PAST LAST
-    ROW``; ``count_idx`` names the variable whose row count lands in
-    the output's ``n_clicks`` measure.
+    unbounded; event_type ``"*"`` matches ANY row) matched
+    contiguously, ``AFTER MATCH SKIP PAST LAST ROW``; ``count_idx``
+    names the variable whose row count lands in the output's
+    ``n_clicks`` measure.
 
     With ``within_us`` set (Flink's ``PATTERN ... WITHIN interval``),
     a match starting at row ``i`` may only extend over rows whose
@@ -96,10 +97,16 @@ def _run_pattern_nfa(
     Both deferrals are waived once the WITHIN window (if any) is
     closed by the watermark — no admissible future row exists.
 
-    ``after_match`` is the resume strategy: ``"past_last"`` (Flink's
-    default) or ``"to_next_row"`` (overlapping matches; consumed rows
-    are those strictly before the scan position, since every future
-    match starts at or after it).
+    ``after_match`` is the resume strategy — all four of Flink's
+    AFTER MATCH SKIP modes: ``"past_last"`` (the default),
+    ``"to_next_row"`` (overlapping matches), or
+    ``("to_first", var)`` / ``("to_last", var)`` — resume AT the
+    first/last row the named pattern variable matched (that row stays
+    buffered: it may start the next match). Like the batch matcher
+    (and Flink), a skip-to that would not advance the scan, or whose
+    variable matched no row, raises. Consumed rows are always those
+    strictly before the final scan position, since every future match
+    starts at or after it.
     """
     import bisect
 
@@ -107,7 +114,17 @@ def _run_pattern_nfa(
 
     from flink_commons_spark.operators.cep import Step, _match_at_ex
 
-    if after_match not in ("past_last", "to_next_row"):
+    skip_idx = None
+    if isinstance(after_match, tuple):
+        skip_kind, skip_var = after_match
+        if skip_kind not in ("to_first", "to_last"):
+            raise ValueError(f"unknown after_match {after_match!r}")
+        skip_idx = next(
+            (k for k, (et, _, _) in enumerate(pattern) if et == skip_var), None
+        )
+        if skip_idx is None:
+            raise ValueError(f"after_match variable {skip_var!r} not in pattern")
+    elif after_match not in ("past_last", "to_next_row"):
         raise ValueError(f"unknown after_match {after_match!r}")
     steps = [
         Step(et, None, quant=(lo, hi)) for et, lo, hi in pattern
@@ -115,7 +132,10 @@ def _run_pattern_nfa(
     final_hi = pattern[-1][2]
     types = np.array([r[1] for r in rows])
     ts_list = [r[0] for r in rows]
-    masks = [types == s.name for s in steps]
+    masks = [
+        np.ones(len(rows), dtype=bool) if s.name == "*" else types == s.name
+        for s in steps
+    ]
     out = []
     consumed = 0
     i = 0
@@ -123,7 +143,9 @@ def _run_pattern_nfa(
     while i < n:
         n_i = n
         if within_us is not None:
-            n_i = bisect.bisect_right(ts_list, rows[i][0] + within_us)
+            # exclusive window edge, matching Flink's NFA pruning rule
+            # (timestamp >= start + window aborts the partial match)
+            n_i = bisect.bisect_left(ts_list, rows[i][0] + within_us)
         window_open = open_end_wm_ms is not None and (
             within_us is None
             or (rows[i][0] + within_us) // 1000 >= open_end_wm_ms
@@ -152,10 +174,23 @@ def _run_pattern_nfa(
         )
         if after_match == "past_last":
             i = last + 1
-            consumed = i
-        else:
+        elif after_match == "to_next_row":
             i += 1
-            consumed = i
+        else:
+            seg = hit[skip_idx]
+            if not seg:
+                raise ValueError(
+                    f"AFTER MATCH SKIP {skip_kind} {skip_var}: variable "
+                    "matched no row (Flink raises here too)"
+                )
+            nxt = seg[0] if skip_kind == "to_first" else seg[-1]
+            if nxt <= i:
+                raise ValueError(
+                    f"AFTER MATCH SKIP {skip_kind} {skip_var} would not "
+                    "advance the scan — infinite loop (Flink raises here too)"
+                )
+            i = nxt
+        consumed = i
     return out, consumed
 
 
@@ -174,7 +209,7 @@ def stream_match_conversions(
     within_us: "int | None" = None,
     pattern: "list[tuple[str, int, int | None]] | None" = None,
     count_idx: int = 1,
-    after_match: str = "past_last",
+    after_match: "str | tuple[str, str]" = "past_last",
 ) -> DataFrame:
     """Watermark-gated streaming CEP for the conversion funnel (or any
     ``pattern`` of quantified ``(event_type, lo, hi)`` variables —
@@ -207,10 +242,20 @@ def stream_match_conversions(
 
         def settle(rows):
             """Match the watermark-closed prefix; re-buffer the rest.
-            A timer is registered only when it sits strictly past the
-            watermark (Spark rejects earlier ones); a buffer whose
-            newest row is already closed but unmatched simply waits for
-            future data — correctly still open."""
+
+            The re-armed timer targets the next watermark horizon at
+            which a buffered DECISION can flip — the moment the oldest
+            still-open row becomes closed (more prefix to match: this
+            is what lets a key holding the stream's final event still
+            emit its earlier, decided matches), and under WITHIN the
+            earliest pattern-window close among kept rows (a deferred
+            attempt decides, and expired rows leave state, exactly when
+            their window passes the watermark). Decisions cannot flip
+            between those horizons, so firings track watermark
+            advances that matter, not buffered-row count — the same
+            per-watermark cadence Flink's CEP operator runs at. A
+            fully-closed, within-free buffer has no such horizon; it
+            simply waits for future data — correctly still open."""
             rows = sorted(rows, key=lambda r: (r[0], r[2]))
             closed = [r for r in rows if r[0] // 1000 < wm_ms]
             still_open = [r for r in rows if r[0] // 1000 >= wm_ms]
@@ -234,9 +279,16 @@ def stream_match_conversions(
                     [r[1] for r in rest],
                     [r[2] for r in rest],
                 ))
-                timer = max(r[0] for r in rest) // 1000 + 1
-                if timer > wm_ms:
-                    state.setTimeoutTimestamp(timer)
+                cand = [max(r[0] for r in rest) // 1000 + 1]
+                if still_open:
+                    cand.append(min(r[0] for r in still_open) // 1000 + 1)
+                if within_us is not None:
+                    cand.append(
+                        min((r[0] + within_us) // 1000 for r in rest) + 1
+                    )
+                live = [t for t in cand if t > wm_ms]
+                if live:  # Spark rejects timers at/behind the watermark
+                    state.setTimeoutTimestamp(min(live))
             elif state.exists:
                 state.remove()
             return matches

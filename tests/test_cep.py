@@ -181,3 +181,64 @@ def test_streaming_nfa_to_next_row_overlapping_matches():
     assert out == [
         (1, 10_000, 40_000, 4), (1, 20_000, 40_000, 3), (1, 30_000, 40_000, 2),
     ]
+
+
+def test_streaming_nfa_skip_to_last_overlapping_matches():
+    """SKIP TO LAST e resumes AT the match's final row — that row may
+    start the next, overlapping match (``v e{2}`` with a view landing
+    exactly two rows after a match start)."""
+    from flink_commons_spark.streaming.cep_stream import _run_pattern_nfa
+
+    # v x v x x : match 1 = rows 0-2, resume AT row 2 (a view) ->
+    # match 2 = rows 2-4; past-last would resume at row 3 and miss it
+    rows = [
+        (10_000, "view", 0), (20_000, "click", 1), (30_000, "view", 2),
+        (40_000, "error", 3), (50_000, "signup", 4),
+    ]
+    pat = [("view", 1, 1), ("*", 2, 2)]
+    out, consumed = _run_pattern_nfa(
+        1, rows, pat, 1, after_match=("to_last", "*")
+    )
+    assert out == [(1, 10_000, 30_000, 2), (1, 30_000, 50_000, 2)]
+    assert consumed == 4  # row 4 (the resume row) stays buffered
+    out, _ = _run_pattern_nfa(1, rows, pat, 1, after_match="past_last")
+    assert out == [(1, 10_000, 30_000, 2)]
+    # to_first of the wildcard = resume at the row after the view
+    out, _ = _run_pattern_nfa(1, rows, pat, 1, after_match=("to_first", "*"))
+    assert out == [(1, 10_000, 30_000, 2), (1, 30_000, 50_000, 2)]
+
+
+def test_streaming_nfa_skip_to_defers_short_tail():
+    """On a closed prefix, a view with fewer than two closed
+    successors is undecided (its e{2} tail ran out of rows) — nothing
+    emits and nothing is consumed past the last decided match."""
+    from flink_commons_spark.streaming.cep_stream import _run_pattern_nfa
+
+    rows = [(10_000, "view", 0), (20_000, "click", 1)]
+    pat = [("view", 1, 1), ("*", 2, 2)]
+    out, consumed = _run_pattern_nfa(
+        1, rows, pat, 1, open_end_wm_ms=100, after_match=("to_last", "*")
+    )
+    assert out == [] and consumed == 0
+    # a full tail completes at the data end: e{2} is at its upper
+    # bound, so the match emits even on the last closed row
+    rows3 = rows + [(30_000, "error", 2)]
+    out, consumed = _run_pattern_nfa(
+        1, rows3, pat, 1, open_end_wm_ms=100, after_match=("to_last", "*")
+    )
+    assert out == [(1, 10_000, 30_000, 2)] and consumed == 2
+
+
+def test_streaming_nfa_skip_to_no_advance_raises():
+    """SKIP TO FIRST of the leading variable would never advance the
+    scan — the NFA raises, mirroring Flink's runtime guard."""
+    import pytest
+
+    from flink_commons_spark.streaming.cep_stream import _run_pattern_nfa
+
+    rows = [(10_000, "view", 0), (20_000, "click", 1), (30_000, "click", 2)]
+    pat = [("view", 1, 1), ("click", 2, 2)]
+    with pytest.raises(ValueError, match="would not advance"):
+        _run_pattern_nfa(1, rows, pat, 1, after_match=("to_first", "view"))
+    with pytest.raises(ValueError, match="not in pattern"):
+        _run_pattern_nfa(1, rows, pat, 1, after_match=("to_last", "nope"))
