@@ -135,9 +135,11 @@ def running_user_stats(sdf: DataFrame) -> DataFrame:
 OVER_OUTPUT_SCHEMA = (
     "event_id bigint, user_id bigint, running_n bigint, running_cents bigint"
 )
-#: state layout: finalized totals + the watermark-gated row buffer
+#: state layout: finalized totals, the newest emitted row's event-time
+#: ms (-1 before any emission — anchors the idle-TTL deadline across
+#: batches), and the watermark-gated row buffer
 OVER_STATE_SCHEMA = (
-    "n bigint, cents bigint, buf_eid array<bigint>, "
+    "n bigint, cents bigint, last_ms bigint, buf_eid array<bigint>, "
     "buf_ord array<bigint>, buf_cents array<bigint>"
 )
 
@@ -337,10 +339,10 @@ def running_over_rows(
     ) -> Iterator[pd.DataFrame]:
         wm_ms = state.getCurrentWatermarkMs()
         if state.exists:
-            n, cents, b_eid, b_ord, b_cents = state.get
+            n, cents, last_ms, b_eid, b_ord, b_cents = state.get
             b_eid, b_ord, b_cents = list(b_eid), list(b_ord), list(b_cents)
         else:
-            n, cents, b_eid, b_ord, b_cents = 0, 0, [], [], []
+            n, cents, last_ms, b_eid, b_ord, b_cents = 0, 0, -1, [], [], []
         # a timeout that fires with an EMPTY buffer can only be the
         # idle-TTL expiry timer (drain timers are armed only while rows
         # are buffered; draining re-arms the expiry timer in its place)
@@ -379,30 +381,35 @@ def running_over_rows(
                 n += k
                 cents = int(run_cents[-1])
                 released_last_ms = int(ords[k - 1] // 1000)
+                last_ms = released_last_ms
             b_eid = eids[k:].tolist()
             b_ord = ords[k:].tolist()
             b_cents = cts[k:].tolist()
         if idle_ttl_ms and not b_ord:
-            if released_last_ms is not None:
-                # buffer just drained: event-time idleness is measured
-                # from the newest emitted row — expire now if the
-                # watermark is already past it, else arm the expiry
-                expiry = released_last_ms + idle_ttl_ms
-                if wm_ms >= expiry:
-                    state.remove()
-                else:
-                    state.update((n, cents, b_eid, b_ord, b_cents))
-                    state.setTimeoutTimestamp(expiry)
-                return
             if ttl_fired:
                 state.remove()
                 return
-            # nothing released and nothing buffered (e.g. every row in
-            # the batch was late-dropped): keep state, re-arm from now
-            state.update((n, cents, b_eid, b_ord, b_cents))
-            state.setTimeoutTimestamp(max(wm_ms, 0) + idle_ttl_ms)
+            if released_last_ms is None and not state.exists:
+                # never-seen key whose entire first batch was
+                # late-dropped: nothing to retain — creating a state
+                # row (+ expiry timer) here would be pure garbage
+                return
+            # event-time idleness is measured from the newest emitted
+            # row: on drain that is this batch's release; on an
+            # all-late batch the persisted last_ms keeps the ORIGINAL
+            # deadline instead of extending it from the watermark
+            expiry = (
+                last_ms + idle_ttl_ms
+                if last_ms >= 0
+                else max(wm_ms, 0) + idle_ttl_ms
+            )
+            if wm_ms >= expiry:
+                state.remove()
+                return
+            state.update((n, cents, last_ms, b_eid, b_ord, b_cents))
+            state.setTimeoutTimestamp(expiry)
             return
-        state.update((n, cents, b_eid, b_ord, b_cents))
+        state.update((n, cents, last_ms, b_eid, b_ord, b_cents))
         if b_ord:
             state.setTimeoutTimestamp(max(min(b_ord) // 1000, wm_ms + 1))
 

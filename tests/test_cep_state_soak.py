@@ -1,0 +1,157 @@
+"""State-SIZE soak for the streaming CEP matcher — the mirror of the
+OVER-pair soak: a slow watermark with many keys and permanently
+undecided pattern tails must leave per-key NFA buffers bounded by the
+WITHIN horizon, and keys whose windows have wholly closed must leave
+the state store entirely. Measured through the progress listener's
+``stateOperators.numRowsTotal`` (one state row per buffered key).
+
+Scenario: two ACTIVITY WAVES of 25 keys each, hours apart in event
+time. Every key runs one complete funnel (view click click purchase);
+odd keys also leave a DANGLING ``view click`` tail with no purchase —
+the permanently-undecided prefix that, without WITHIN, the matcher must
+keep forever (batch consistency: a purchase could still arrive), and
+that WITH WITHIN must be expired the moment the watermark passes the
+tail's pattern window. A far-future sentinel closes the stream.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import random
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+WAVE_KEYS = 25
+A_BASE = 100          # wave A funnel start seconds
+B_BASE = 10_000       # wave B funnel start seconds
+SENTINEL_SEC = 10_000_000
+WITHIN_US = 60 * 1_000_000   # 1-minute pattern window
+DELAY = "2 minutes"          # covers the shuffled in-wave disorder (~48 s)
+
+
+def _wave(rng, key_base, t_base, id_base):
+    rows = []
+    eid = id_base
+    for k in range(WAVE_KEYS):
+        t0 = t_base + k  # stagger keys by a second
+        for off, et in ((0, "view"), (3, "click"), (6, "click"),
+                        (9, "purchase")):
+            rows.append((eid, t0 + off, key_base + k, et))
+            eid += 1
+        if k % 2 == 1:  # dangling, never-completed funnel prefix
+            rows.append((eid, t0 + 20, key_base + k, "view"))
+            eid += 1
+            rows.append((eid, t0 + 23, key_base + k, "click"))
+            eid += 1
+    rng.shuffle(rows)
+    return rows
+
+
+def _split(rng, rows, k):
+    return [rows[i::k] for i in range(k)]
+
+
+def _replay(spark, tmp_path, within_us):
+    from flink_commons_spark.streaming.cep_stream import (
+        stream_match_conversions,
+    )
+
+    rng = random.Random(11)
+    files = (
+        _split(rng, _wave(rng, 0, A_BASE, 0), 3)
+        + _split(rng, _wave(rng, 1000, B_BASE, 100_000), 3)
+        + [[(999_999, SENTINEL_SEC, 9999, "view")]]
+    )
+    schema = "event_id long, sec long, user_id long, event_type string"
+    path = str(tmp_path / "cep_soak_events")
+    base = time.time()
+    seen = set()
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).repartition(1).write.mode(
+            "append"
+        ).parquet(path)
+        for name in os.listdir(path):
+            if name.endswith(".parquet") and name not in seen:
+                seen.add(name)
+                os.utime(os.path.join(path, name), (base + i, base + i))
+
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select(
+            "event_id", "user_id", "event_type",
+            F.timestamp_micros(F.col("sec") * 1_000_000).alias("ts"),
+        )
+        .withWatermark("ts", DELAY)
+        .withColumn("ts_us", F.unix_micros("ts"))
+    )
+    emitted = []
+
+    def sink(bdf, _epoch):
+        emitted.extend(bdf.collect())
+
+    q = (
+        stream_match_conversions(sdf, within_us=within_us)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-cepsoak-"))
+        .start()
+    )
+    assert q.awaitTermination(180), "CEP soak replay timed out"
+    return emitted, list(q.recentProgress)
+
+
+def _state_rows(progress):
+    ops = progress["stateOperators"]
+    return ops[0]["numRowsTotal"] if ops else 0
+
+
+def _wm_sec(progress):
+    wm = (progress.get("eventTime") or {}).get("watermark")
+    if not wm:
+        return 0.0
+    return dt.datetime.fromisoformat(wm.replace("Z", "+00:00")).timestamp()
+
+
+def test_cep_within_state_tracks_horizon_not_lifetime_keys(spark, tmp_path):
+    """With WITHIN, per-key buffers expire at window close: once the
+    watermark passes wave A's last pattern window, its 25 keys must be
+    OUT of the state store while wave B is live; at stream end only
+    the sentinel's still-open row may remain. Lifetime keys = 51."""
+    emitted, progresses = _replay(spark, tmp_path, WITHIN_US)
+    # every key's funnel completes within the window -> 50 matches
+    assert len(emitted) == 2 * WAVE_KEYS
+    horizon = A_BASE + WAVE_KEYS + 23 + WITHIN_US / 1e6 + 1
+    past_a = [
+        p for p in progresses
+        if _wm_sec(p) > horizon and p["stateOperators"]
+    ]
+    assert past_a, "no progress entry past wave A's horizon"
+    for p in past_a:
+        assert _state_rows(p) <= WAVE_KEYS + 1, (
+            f"state {_state_rows(p)} rows at wm={_wm_sec(p)}s — wave A "
+            "CEP buffers not reclaimed"
+        )
+    assert _state_rows(progresses[-1]) <= 1, (
+        f"terminal state {_state_rows(progresses[-1])} rows — dangling "
+        "tails survived their closed WITHIN windows"
+    )
+    peak = max(_state_rows(p) for p in progresses)
+    print(f"cep within soak: peak state rows={peak}, "
+          f"final={_state_rows(progresses[-1])}, lifetime keys=51")
+
+
+def test_cep_unbounded_retains_undecided_tails(spark, tmp_path):
+    """Without WITHIN the dangling ``view click`` tails are forever
+    undecided — a future purchase could still complete them — so their
+    keys legitimately stay in state. This pins the contrast the WITHIN
+    soak relies on: 24 dangling keys + the sentinel remain terminal."""
+    emitted, progresses = _replay(spark, tmp_path, None)
+    assert len(emitted) == 2 * WAVE_KEYS
+    dangling = 2 * (WAVE_KEYS // 2)  # odd keys per wave
+    assert _state_rows(progresses[-1]) == dangling + 1

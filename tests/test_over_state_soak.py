@@ -173,3 +173,74 @@ def test_over_rows_default_retains_running_totals(spark, tmp_path):
     )
     assert len(emitted) == 2 * WAVE_KEYS * EV_PER_KEY
     assert _state_rows(progresses[-1]) == 2 * WAVE_KEYS + 1
+
+
+def test_over_rows_ttl_all_late_batch_keeps_original_deadline(
+    spark, tmp_path
+):
+    """Regression (round-6 advice): an all-late batch must neither
+    extend an idle key's expiry past its last-emitted-row + TTL
+    deadline, nor create state (plus a timer) for a never-seen key
+    whose entire first batch was late-dropped."""
+    from flink_commons_spark.streaming.stateful import running_over_rows
+
+    files = [
+        # key 1's rows + a watermark-driver key
+        [(i, 100 + i, 1, 10) for i in range(8)] + [(100, 1000, 50, 1)],
+        [(101, 2000, 50, 1)],  # key 1 drains here; expiry = 107s + 1h
+        # all-late rows: key 1 (drained, idle) and never-seen key 77
+        [(200, 50, 1, 10), (201, 51, 1, 10), (202, 60, 77, 10),
+         (102, 3000, 50, 1)],
+        [(103, 4200, 50, 1)],
+        [(104, 4300, 50, 1)],  # wm 3900 >= 3707: key 1's TTL fires
+        [(999, SENTINEL_SEC, 9999, 1)],
+    ]
+    schema = "event_id long, sec long, user_id long, cents long"
+    path = str(tmp_path / "ttl_late_events")
+    base = time.time()
+    seen = set()
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).repartition(1).write.mode(
+            "append"
+        ).parquet(path)
+        for name in os.listdir(path):
+            if name.endswith(".parquet") and name not in seen:
+                seen.add(name)
+                os.utime(os.path.join(path, name), (base + i, base + i))
+
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select(
+            "event_id", "user_id",
+            (F.col("sec") * 1_000_000).alias("ord_us"), "cents",
+        )
+    )
+    emitted = []
+
+    def sink(bdf, _epoch):
+        emitted.extend(bdf.collect())
+
+    q = (
+        running_over_rows(sdf, "5 minutes", idle_ttl_ms=3_600_000)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-soak-"))
+        .start()
+    )
+    assert q.awaitTermination(180), "replay timed out"
+    progresses = list(q.recentProgress)
+    # the 3 late rows are dropped: 8 (key 1) + 5 (key 50) emit
+    assert len(emitted) == 13
+    # once the watermark passes key 1's ORIGINAL deadline (107s + 1h =
+    # 3707s) it must leave state even though the all-late batch arrived
+    # later; key 77 must never have entered it. Only key 50 remains.
+    past_deadline = [
+        p for p in progresses
+        if 3800 <= _wm_sec(p) <= 4200 and p["stateOperators"]
+    ]
+    assert past_deadline, "no progress entry past key 1's TTL deadline"
+    assert min(_state_rows(p) for p in past_deadline) <= 2
+    assert _state_rows(progresses[-1]) == 1  # the sentinel's open row
