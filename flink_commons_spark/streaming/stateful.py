@@ -28,34 +28,62 @@ OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, last_epoch
 STATE_SCHEMA = "n bigint, total double, last_epoch bigint"
 
 
-def _update_user_stats(
-    key: tuple[Any, ...],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    (n, total, last_epoch) = state.get if state.exists else (0, 0.0, 0)
-    for pdf in batches:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-        last_epoch = max(last_epoch, int(pdf["epoch"].max()))
-    state.update((n, total, last_epoch))
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_events": [n],
-            "total_value": [total],
-            "last_epoch": [last_epoch],
-        }
-    )
+def _make_update_user_stats(idle_ttl_ms: int = 0):
+    def _update_user_stats(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if idle_ttl_ms and state.hasTimedOut:
+            # the expiry timer is armed at last_epoch + TTL and only
+            # ever fires with no accompanying data: the key has been
+            # idle in EVENT TIME for the whole TTL — reclaim it
+            state.remove()
+            return
+        (n, total, last_epoch) = state.get if state.exists else (0, 0.0, 0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last_epoch = max(last_epoch, int(pdf["epoch"].max()))
+        state.update((n, total, last_epoch))
+        if idle_ttl_ms:
+            state.setTimeoutTimestamp(
+                max(
+                    last_epoch * 1000 + idle_ttl_ms,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "last_epoch": [last_epoch],
+            }
+        )
+
+    return _update_user_stats
+
+
+_update_user_stats = _make_update_user_stats(0)
 
 
 #: output schema of :func:`continuous_topn`
 TOPN_OUTPUT_SCHEMA = "grp string, rnk int, item bigint, n bigint"
-#: state layout: the per-item tallies for one group key
-TOPN_STATE_SCHEMA = "items array<bigint>, counts array<bigint>"
+#: state layout: the per-item tallies for one group key + the group's
+#: newest event-time ms (-1 when no TTL clock is configured)
+TOPN_STATE_SCHEMA = "items array<bigint>, counts array<bigint>, last_ms bigint"
 
 
-def continuous_topn(sdf: DataFrame, grp_col: str, item_col: str, n: int) -> DataFrame:
+def continuous_topn(
+    sdf: DataFrame,
+    grp_col: str,
+    item_col: str,
+    n: int,
+    idle_ttl_ms: int = 0,
+    ts_col: "str | None" = None,
+    delay: str = "0 seconds",
+) -> DataFrame:
     """Flink SQL's continuous Top-N (``ROW_NUMBER() OVER (PARTITION BY
     grp ORDER BY cnt DESC) WHERE rn <= N``) — Spark has no streaming
     rank, so the rank is maintained in keyed state.
@@ -72,20 +100,44 @@ def continuous_topn(sdf: DataFrame, grp_col: str, item_col: str, n: int) -> Data
     key, spill-backed in the state store; only ``n`` rows per group
     cross to the sink each batch. Item-skewed groups shard by the
     grouping key, not the item.
+
+    ``idle_ttl_ms`` + ``ts_col`` (default off = retain forever,
+    Flink's default): with both set, a watermark is derived from
+    ``ts_col`` (late slack ``delay``) and a group whose newest event
+    is a full TTL behind it is REMOVED from state — Flink's
+    ``table.exec.state.ttl`` retention on the EVENT-TIME clock
+    (replay-deterministic). Expiry drops silently, the same staleness
+    trade Flink documents: the upsert sink keeps the group's last
+    published ranks, and a reappearing group re-tallies from zero.
     """
+    if idle_ttl_ms and not ts_col:
+        raise ValueError("idle_ttl_ms needs ts_col for the event-time clock")
 
     def update(
         key: tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        items, counts = state.get if state.exists else ([], [])
+        if idle_ttl_ms and state.hasTimedOut:
+            # armed at last event-time + TTL; fires only with no
+            # accompanying data -> the group idled the whole TTL out
+            state.remove()
+            return
+        items, counts, last_ms = (
+            state.get if state.exists else ([], [], -1)
+        )
         tally = dict(zip(items, counts))
         for pdf in batches:
             for item, c in pdf[item_col].value_counts().items():
                 item = int(item)
                 tally[item] = tally.get(item, 0) + int(c)
-        state.update((list(tally.keys()), list(tally.values())))
+            if idle_ttl_ms and len(pdf):
+                last_ms = max(last_ms, int(pdf["_evt_ms"].max()))
+        state.update((list(tally.keys()), list(tally.values()), last_ms))
+        if idle_ttl_ms:
+            state.setTimeoutTimestamp(
+                max(last_ms + idle_ttl_ms, state.getCurrentWatermarkMs() + 1)
+            )
         top = sorted(tally.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
         yield pd.DataFrame(
             {
@@ -96,20 +148,42 @@ def continuous_topn(sdf: DataFrame, grp_col: str, item_col: str, n: int) -> Data
             }
         )
 
+    if not idle_ttl_ms:
+        return (
+            sdf.select(
+                F.col(grp_col).alias("grp"), F.col(item_col).alias(item_col)
+            )
+            .groupBy("grp")
+            .applyInPandasWithState(
+                update,
+                outputStructType=TOPN_OUTPUT_SCHEMA,
+                stateStructType=TOPN_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
     return (
-        sdf.select(F.col(grp_col).alias("grp"), F.col(item_col).alias(item_col))
+        sdf.select(
+            F.col(grp_col).alias("grp"),
+            F.col(item_col).alias(item_col),
+            F.col(ts_col).alias("_evt_ts"),
+        )
+        .withWatermark("_evt_ts", delay)
+        .withColumn("_evt_ms", F.unix_millis("_evt_ts"))
         .groupBy("grp")
         .applyInPandasWithState(
             update,
             outputStructType=TOPN_OUTPUT_SCHEMA,
             stateStructType=TOPN_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
 
-def running_user_stats(sdf: DataFrame) -> DataFrame:
+def running_user_stats(
+    sdf: DataFrame, idle_ttl_ms: int = 0, delay: str = "0 seconds"
+) -> DataFrame:
     """Streaming per-user running stats over (user_id, value, epoch).
 
     Input must have columns ``user_id`` (bigint), ``value`` (double),
@@ -117,16 +191,38 @@ def running_user_stats(sdf: DataFrame) -> DataFrame:
     every key that saw data in the micro-batch (update semantics).
     State is one 24-byte tuple per key — O(distinct keys), partitioned
     across the cluster by the grouping key.
+
+    ``idle_ttl_ms`` (default 0 = retain forever, Flink's default): when
+    positive, a watermark is derived from ``epoch`` (late slack
+    ``delay``) and a key whose last event is a full TTL behind it has
+    its state REMOVED — the ``table.exec.state.ttl`` retention analog
+    on the EVENT-TIME clock, so replays reclaim identically. A key
+    reappearing after expiry restarts its running totals from zero
+    (the documented Flink staleness trade). This is the retention knob
+    a lifetime-distinct keyspace needs at 100 TB: live keys bound
+    state, not every key ever seen.
     """
-    return (
-        sdf.select("user_id", "value", "epoch")
-        .groupBy("user_id")
-        .applyInPandasWithState(
+    src = sdf.select("user_id", "value", "epoch")
+    if not idle_ttl_ms:
+        return src.groupBy("user_id").applyInPandasWithState(
             _update_user_stats,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    return (
+        src.withColumn(
+            "_evt_ts", F.timestamp_seconds(F.col("epoch").cast("long"))
+        )
+        .withWatermark("_evt_ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_update_user_stats(idle_ttl_ms),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

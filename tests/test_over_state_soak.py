@@ -49,7 +49,7 @@ def _split(rng, rows, k):
     return [rows[i::k] for i in range(k)]
 
 
-def _replay(spark, tmp_path, build_stream):
+def _replay(spark, tmp_path, build_stream, output_mode="append"):
     """Replay wave A files, wave B files, sentinel — one file per
     trigger — through ``build_stream(sdf)``; return (rows_emitted,
     progresses)."""
@@ -88,7 +88,7 @@ def _replay(spark, tmp_path, build_stream):
 
     q = (
         build_stream(sdf)
-        .writeStream.outputMode("append")
+        .writeStream.outputMode(output_mode)
         .foreachBatch(sink)
         .trigger(availableNow=True)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-soak-"))
@@ -244,3 +244,68 @@ def test_over_rows_ttl_all_late_batch_keeps_original_deadline(
     assert past_deadline, "no progress entry past key 1's TTL deadline"
     assert min(_state_rows(p) for p in past_deadline) <= 2
     assert _state_rows(progresses[-1]) == 1  # the sentinel's open row
+
+
+def test_user_stats_idle_ttl_reclaims_idle_keys(spark, tmp_path):
+    """running_user_stats with the event-time idle TTL: wave A's 25
+    running-total rows leave the state store once the watermark is a
+    full TTL past their last event; terminal state holds only the
+    sentinel. Without the TTL this operator retains lifetime-distinct
+    keys (its documented default)."""
+    from flink_commons_spark.streaming.stateful import running_user_stats
+
+    emitted, progresses = _replay(
+        spark, tmp_path,
+        lambda sdf: running_user_stats(
+            sdf.select(
+                "user_id",
+                F.col("cents").cast("double").alias("value"),
+                (F.col("ord_us") / 1_000_000).cast("long").alias("epoch"),
+            ),
+            idle_ttl_ms=60_000,
+            delay=DELAY,
+        ),
+        output_mode="update",
+    )
+    assert emitted, "update stream emitted nothing"
+    _assert_bounded(progresses, final_bound=1, midstream_bound=WAVE_KEYS + 1)
+
+
+def test_user_stats_default_retains_lifetime_keys(spark, tmp_path):
+    from flink_commons_spark.streaming.stateful import running_user_stats
+
+    _, progresses = _replay(
+        spark, tmp_path,
+        lambda sdf: running_user_stats(
+            sdf.select(
+                "user_id",
+                F.col("cents").cast("double").alias("value"),
+                (F.col("ord_us") / 1_000_000).cast("long").alias("epoch"),
+            ),
+        ),
+        output_mode="update",
+    )
+    assert _state_rows(progresses[-1]) == 2 * WAVE_KEYS + 1
+
+
+def test_topn_idle_ttl_reclaims_idle_groups(spark, tmp_path):
+    """continuous_topn with the event-time idle TTL (one state row per
+    group): wave A's 25 groups expire a TTL after their newest event;
+    the terminal store holds only the sentinel's group."""
+    from flink_commons_spark.streaming.stateful import continuous_topn
+
+    emitted, progresses = _replay(
+        spark, tmp_path,
+        lambda sdf: continuous_topn(
+            sdf.select(
+                F.col("user_id").cast("string").alias("grp"),
+                (F.col("event_id") % 5).alias("item"),
+                F.timestamp_micros(F.col("ord_us")).alias("evt_ts"),
+            ),
+            "grp", "item", n=3,
+            idle_ttl_ms=60_000, ts_col="evt_ts", delay=DELAY,
+        ),
+        output_mode="update",
+    )
+    assert emitted, "update stream emitted nothing"
+    _assert_bounded(progresses, final_bound=1, midstream_bound=WAVE_KEYS + 1)
