@@ -7559,7 +7559,7 @@ def graph_cc_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__prev").isNotNull())
         .select(F.col("__prev").alias("a"), F.col("c_custkey").alias("b"))
     )
-    return connected_components_star(edges, max_iter=15).select(
+    return connected_components_star(edges, max_iter=30).select(
         F.col("node").cast("bigint").alias("node"),
         F.col("label").cast("bigint").alias("label"),
     )

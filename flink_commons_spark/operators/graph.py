@@ -38,47 +38,62 @@ def connected_components(
     ``max_iter`` passes don't reach a fixpoint (pathological chain —
     raise the bound or pre-contract).
     """
-    # materialize the edge list once — its lineage (e.g. a full
-    # MinHash-LSH pipeline) must not be re-executed every iteration.
-    # Lazy: the initial label-sum probe below triggers it, so the
-    # checkpoint doesn't cost a job of its own.
-    edges = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).localCheckpoint(eager=False)
-    nodes = (
-        edges.select(F.col("u").alias("node"))
-        .union(edges.select(F.col("v").alias("node")))
-        .distinct()
-    )
-    labels = nodes.withColumn("label", F.col("node"))
-    adj = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    # min-propagation is monotone (labels only ever decrease), so the
-    # label SUM is a fixpoint detector: one tiny aggregate job per
-    # iteration instead of a join + filter + count probe. decimal(38,0)
-    # keeps the sum exact at any node-count × id-range scale.
-    prev_sum = labels.agg(
-        F.sum(F.col("label").cast("decimal(38,0)"))
-    ).first()[0]
-    for _ in range(max_iter):
-        nbr = adj.join(
-            labels.withColumnRenamed("node", "v"), "v"
-        ).select(F.col("u").alias("node"), "label")
-        new_labels = (
-            labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
+    spark = edges.sparkSession
+    # constraint propagation off while the iterative plans are
+    # DEFINED: pure analyzer cost on this loop shape (see the note in
+    # :func:`connected_components_star`); restored in the finally
+    cp_key = "spark.sql.constraintPropagation.enabled"
+    cp_prev = spark.conf.get(cp_key, "true")
+    spark.conf.set(cp_key, "false")
+    try:
+        # materialize the edge list once — its lineage (e.g. a full
+        # MinHash-LSH pipeline) must not be re-executed every
+        # iteration. Lazy: the initial label-sum probe below triggers
+        # it, so the checkpoint doesn't cost a job of its own.
+        edges = edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v")
+        ).localCheckpoint(eager=False)
+        nodes = (
+            edges.select(F.col("u").alias("node"))
+            .union(edges.select(F.col("v").alias("node")))
+            .distinct()
         )
-        # lazy checkpoint: the convergence probe right after is the
-        # materializing action — one job per iteration, not two
-        new_labels = new_labels.localCheckpoint(eager=False)
-        cur_sum = new_labels.agg(
+        labels = nodes.withColumn("label", F.col("node"))
+        adj = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        # min-propagation is monotone (labels only ever decrease), so
+        # the label SUM is a fixpoint detector: one tiny aggregate job
+        # per iteration instead of a join + filter + count probe.
+        # decimal(38,0) keeps the sum exact at any node-count ×
+        # id-range scale.
+        prev_sum = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).first()[0]
-        labels = new_labels
-        if cur_sum == prev_sum:
-            return labels
-        prev_sum = cur_sum
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} iterations"
-    )
+        for _ in range(max_iter):
+            nbr = adj.join(
+                labels.withColumnRenamed("node", "v"), "v"
+            ).select(F.col("u").alias("node"), "label")
+            new_labels = (
+                labels.union(nbr)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+            )
+            # lazy checkpoint: the convergence probe right after is the
+            # materializing action — one job per iteration, not two
+            new_labels = new_labels.localCheckpoint(eager=False)
+            cur_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).first()[0]
+            labels = new_labels
+            if cur_sum == prev_sum:
+                return labels
+            prev_sum = cur_sum
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+        )
+    finally:
+        spark.conf.set(cp_key, cp_prev)
 
 
 def _canon_edges(e: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
@@ -103,14 +118,21 @@ def _node_mins(e: DataFrame) -> DataFrame:
     ), adj
 
 
-def _large_star(e: DataFrame) -> DataFrame:
+def _large_star(e: DataFrame, node_mins: "DataFrame | None" = None) -> DataFrame:
     """Connect every STRICTLY LARGER neighbor of u to m(u).
 
     Output is canonically oriented but NOT deduplicated — the
     min-aggregates downstream are duplicate-insensitive and the
     following small-star pass re-distincts, so skipping the exchange
-    here saves one shuffle per round."""
-    m, adj = _node_mins(e)
+    here saves one shuffle per round. ``node_mins`` lets a caller that
+    already aggregated (u, m) — e.g. the contraction loop's
+    convergence probe — pass it in instead of paying the node-keyed
+    aggregate twice per round."""
+    if node_mins is None:
+        m, adj = _node_mins(e)
+    else:
+        m = node_mins
+        adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     out = (
         adj.join(m, "u")
         .where(F.col("v") > F.col("u"))
@@ -140,7 +162,7 @@ def connected_components_star(
     edges: DataFrame,
     src: str = "a",
     dst: str = "b",
-    max_iter: int = 15,
+    max_iter: int = 30,
 ) -> DataFrame:
     """Connected components by LARGE-STAR/SMALL-STAR contraction
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -149,65 +171,73 @@ def connected_components_star(
     (O(d) rounds) infeasible: long chains, lineage graphs, web link
     paths. Same contract: (node, label) with label = component min.
 
-    Per round: one large-star then one small-star pass, each a
-    node-keyed min-aggregate plus one keyed join — no driver graph
-    state, lineage cut with lazy localCheckpoints. Each pass at least
-    halves star-free paths, so rounds are logarithmic in the longest
-    chain rather than linear. Convergence is detected structurally
-    (the canonical edge set reaches the star-forest fixpoint:
-    unchanged count + empty difference), not via a label-sum probe.
+    Per round: the node-keyed min-aggregate is computed ONCE (lazily
+    checkpointed), then serves as BOTH the convergence probe (its sum
+    is monotone non-increasing — every rewire points at a smaller
+    endpoint — so a flat sum gates the exact fixpoint check) and the
+    large-star join side, followed by the small-star pass — no driver
+    graph state, lineage cut with lazy localCheckpoints. Each pass at
+    least halves star-free paths, so rounds are logarithmic in the
+    longest chain rather than linear. Convergence is confirmed
+    structurally (the canonical edge set reaches the star-forest
+    fixpoint: unchanged count + empty difference); the sum probe only
+    gates that check.
     """
-    e = _canon_edges(edges, src, dst).localCheckpoint(eager=False)
-    nodes = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-
-    def _lsum(edge_set: DataFrame):
-        """Σ over nodes of min(neighborhood ∪ self) — monotone
-        non-increasing across combined rounds (every emission rewires
-        an edge toward a smaller endpoint), so one tiny aggregate both
-        materializes the round's checkpoint and gates the expensive
-        exact fixpoint check."""
-        adj = edge_set.union(
-            edge_set.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        return (
-            adj.groupBy("u")
-            .agg(F.min("v").alias("mn"))
-            .agg(F.sum(F.least("u", "mn").cast("decimal(38,0)")))
-            .first()[0]
+    spark = edges.sparkSession
+    # Catalyst's constraint propagation is quadratic-ish in the
+    # join/filter chain each round re-analyzes; on this iterative plan
+    # it was MEASURED as half the sf0.1 wall time (9.1 s -> 5.9 s with
+    # it off, pure plan-definition cost, zero effect on the executed
+    # plan — every join key here is explicitly non-null by
+    # construction). Standard practice for iterative DataFrame
+    # algorithms; restored in the finally.
+    cp_key = "spark.sql.constraintPropagation.enabled"
+    cp_prev = spark.conf.get(cp_key, "true")
+    spark.conf.set(cp_key, "false")
+    try:
+        e = _canon_edges(edges, src, dst).localCheckpoint(eager=False)
+        nodes = (
+            e.select(F.col("u").alias("node"))
+            .union(e.select(F.col("v").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=False)
         )
 
-    prev = _lsum(e)
-    for _ in range(max_iter):
-        # one contraction round per materialization: fusing two rounds
-        # per checkpoint was measured 2.6× SLOWER here — Catalyst
-        # re-analysis of the doubled plan costs more than the saved
-        # probe/checkpoint jobs on these tiny frames
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        cur = _lsum(e2)
-        if cur == prev:
-            # labels flat — confirm the STRUCTURAL fixpoint exactly
-            # (flat label sums gate, they do not prove, convergence)
-            if e2.count() == e.count() and e2.exceptAll(e).limit(1).count() == 0:
-                e = e2
-                break
-        prev = cur
-        e = e2
-    else:
-        raise RuntimeError(
-            f"connected_components_star did not converge in {max_iter} rounds"
-        )
-    # at the fixpoint the edge set is a star forest: every node's min
-    # neighbor IS its component minimum
-    adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    mins = adj.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("__mn"))
+        prev = None
+        for _ in range(max_iter):
+            # one contraction round per materialization: fusing two
+            # rounds per checkpoint was measured 2.6× SLOWER here —
+            # Catalyst re-analysis of the doubled plan costs more than
+            # the saved probe/checkpoint jobs on these tiny frames
+            m, _adj = _node_mins(e)
+            m = m.localCheckpoint(eager=False)
+            cur = m.agg(F.sum(F.col("m").cast("decimal(38,0)"))).first()[0]
+            if cur == prev:
+                # labels flat — but flat sums gate, they do not prove,
+                # convergence: confirm the STRUCTURAL fixpoint exactly
+                # against the previous round's edge set
+                if e.count() == e_prev.count() and (
+                    e.exceptAll(e_prev).limit(1).count() == 0
+                ):
+                    break
+            e_prev, prev = e, cur
+            e = _small_star(_large_star(e, node_mins=m)).localCheckpoint(
+                eager=False
+            )
+        else:
+            raise RuntimeError(
+                f"connected_components_star did not converge in "
+                f"{max_iter} rounds"
+            )
+    finally:
+        spark.conf.set(cp_key, cp_prev)
+    # at the fixpoint the edge set is a star forest: every node's
+    # min(neighborhood ∪ self) IS its component minimum — and that is
+    # exactly the final round's (already materialized) m frame
+    mins = m.select(F.col("u").alias("node"), F.col("m").alias("__mn"))
     return nodes.join(mins, "node", "left").select(
         "node",
-        F.least("node", F.coalesce("__mn", F.col("node"))).alias("label"),
+        F.coalesce("__mn", F.col("node")).alias("label"),
     )
 
 
