@@ -4284,6 +4284,144 @@ FROM t CROSS JOIN h
 )
 
 
+#: fixed dimension scatter misaligning the clustered corpus's product
+#: structure with the PQ subspace boundaries: position i carries
+#: clustered dim (i*29) % 64 (29 is coprime to 64, so consecutive
+#: positions stride across all 8 original subspaces)
+_OPQ_SIGMA: "list[int]" = [(i * 29) % 64 for i in range(64)]
+
+
+def _opq_tau() -> "list[int]":
+    """The canonical grouping that un-scatters ``_OPQ_SIGMA``: scattered
+    positions grouped by the ORIGINAL subspace of the clustered dim
+    they carry — blocks sorted by minimum position, ascending inside —
+    exactly the canonical form :func:`operators.similarity.
+    group_dims_by_correlation` emits when it recovers the structure."""
+    groups: "dict[int, list[int]]" = {}
+    for pos, src in enumerate(_OPQ_SIGMA):
+        groups.setdefault(src // 8, []).append(pos)
+    blocks = sorted((sorted(ps) for ps in groups.values()), key=lambda b: b[0])
+    return [p for b in blocks for p in b]
+
+
+def _scattered_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clustered corpus with its dimensions scattered by the fixed
+    ``_OPQ_SIGMA`` permutation — per-dim values are bit-identical to
+    the clustered fixture (an index remap adds no arithmetic), but the
+    product-grid structure no longer lines up with the 8-dim PQ
+    blocks: each block now mixes digits from all 8 original subspaces,
+    so its clusters need up to 80 codewords where 16 are available."""
+    emb = _clustered_embeddings(spark, sf_dir)
+    return S.permute_dims(emb, _OPQ_SIGMA)
+
+
+_EMB_SCATTERED_CTE = f"""
+emb_s AS (
+  SELECT vec_id,
+         list_transform({[p + 1 for p in _OPQ_SIGMA]},
+           s -> embedding[s]) AS embedding
+  FROM emb_c
+)
+"""
+
+_EMB_OPQ_CTE = f"""
+emb_o AS (
+  SELECT vec_id,
+         list_transform({[p + 1 for p in _opq_tau()]},
+           s -> embedding[s]) AS embedding
+  FROM emb_s
+)
+"""
+
+
+def pq_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ pre-transform rung (Ge et al. CVPR 2013): MEASURED
+    quantizer-only recall@5 on a corpus whose cluster structure is
+    deliberately MISALIGNED with the PQ subspace boundaries
+    (``_scattered_embeddings``), with and without the learned
+    dimension-grouping permutation. The engine learns the grouping
+    from one distributed Gram-matrix pass (driver state = the d×d
+    matrix OPQ's rotation estimation holds anyway,
+    ``operators/similarity.py:group_dims_by_correlation``), permutes
+    (an orthogonal transform — exact top-k truth is invariant), and
+    runs the UNCHANGED trained-PQ + ADC pipeline. One output row
+    carries both hit counts: recovered ≈ the aligned corpus's 0.86,
+    raw-misaligned measurably below it — the honest statement of what
+    the OPQ family buys (a rotation cannot help an isotropic corpus;
+    measured and documented in PERFORMANCE.md). The oracle replays
+    the learned permutation as a SQL literal (``_EMB_OPQ_CTE``)."""
+    emb_s = _scattered_embeddings(spark, sf_dir)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    emb_s = emb_s.repartition(n_parts).localCheckpoint(eager=False)
+    probes_s = emb_s.where("vec_id < 10")
+    truth = S.l2_topk(probes_s, emb_s, k=5).select("query_id", "neighbor_id")
+
+    perm = S.group_dims_by_correlation(emb_s, m=8, dims=64)
+    emb_o = S.permute_dims(emb_s, perm).localCheckpoint(eager=False)
+    probes_o = emb_o.where("vec_id < 10")
+    cbs_o = S.train_pq_codebooks(emb_o, m=8, ksub=16, dims=64, iterations=1)
+    ax_o = S.pq_adc_topk(probes_o, emb_o, cbs_o, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    cbs_r = S.train_pq_codebooks(emb_s, m=8, ksub=16, dims=64, iterations=1)
+    ax_r = S.pq_adc_topk(probes_s, emb_s, cbs_r, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        truth.join(ax_o.withColumn("__ho", F.lit(1)),
+                   ["query_id", "neighbor_id"], "left")
+        .join(ax_r.withColumn("__hr", F.lit(1)),
+              ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.count("__ho").alias("n_hits_opq"),
+            F.count("__hr").alias("n_hits_raw"),
+            F.count("*").alias("n_truth"),
+        )
+        .select(
+            "n_hits_opq",
+            "n_hits_raw",
+            "n_truth",
+            F.round(F.col("n_hits_opq") * 100.0 / F.col("n_truth"), 2).alias(
+                "recall_opq_pct"
+            ),
+            F.round(F.col("n_hits_raw") * 100.0 / F.col("n_truth"), 2).alias(
+                "recall_raw_pct"
+            ),
+        )
+    )
+
+
+def _tmpl_on(corpus_cte: str, k: int = 5) -> str:
+    """The trained-PQ + ADC oracle template re-pointed at a corpus CTE."""
+    return (
+        _ANN_PQ_TRAINED_TMPL.format(k=k)
+        .replace("FROM embeddings", f"FROM {corpus_cte}")
+        .replace("JOIN embeddings", f"JOIN {corpus_cte}")
+    )
+
+
+_PQ_OPQ_RECALL_ORACLE = (
+    f"WITH {_EMB_CLUSTERED_CTE.strip()},\n{_EMB_SCATTERED_CTE.strip()},\n"
+    f"{_EMB_OPQ_CTE.strip()},\n"
+    + "truth AS ("
+    + _L2_TRUTH_SQL.replace("embeddings q", "emb_s q").replace(
+        "embeddings c", "emb_s c"
+    )
+    + "),\n"
+    + f"ax_o AS (SELECT query_id, neighbor_id FROM ({_tmpl_on('emb_o')})),\n"
+    + f"ax_r AS (SELECT query_id, neighbor_id FROM ({_tmpl_on('emb_s')})),\n"
+    + """
+ho AS (SELECT count(*) AS n_hits_opq FROM truth SEMI JOIN ax_o USING (query_id, neighbor_id)),
+hr AS (SELECT count(*) AS n_hits_raw FROM truth SEMI JOIN ax_r USING (query_id, neighbor_id)),
+t AS (SELECT count(*) AS n_truth FROM truth)
+SELECT n_hits_opq, n_hits_raw, n_truth,
+       round(n_hits_opq * 100.0 / n_truth, 2) AS recall_opq_pct,
+       round(n_hits_raw * 100.0 / n_truth, 2) AS recall_raw_pct
+FROM t CROSS JOIN ho CROSS JOIN hr
+"""
+)
+
+
 def ann_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-quantized ANN: sign-bit codes (1 bit/dim — 32x over
     float32), Hamming-ranked top-5 per probe
@@ -8886,6 +9024,7 @@ QUERIES = {
     "q_match_reluctant": q_match_reluctant,
     "q_match_within": q_match_within,
     "q_match_skip_to_last": q_match_skip_to_last,
+    "pq_opq_recall": pq_opq_recall,
     "stream_match_quantified": stream_match_quantified,
     "stream_match_skip_to_next": stream_match_skip_to_next,
     "stream_match_skip_to_last": stream_match_skip_to_last,
@@ -9054,6 +9193,7 @@ ORACLES = {
     "q_match_reluctant": _MATCH_RELUCTANT_ORACLE,
     "q_match_within": _MATCH_WITHIN_ORACLE,
     "q_match_skip_to_last": _MATCH_SKIP_TO_LAST_ORACLE,
+    "pq_opq_recall": _PQ_OPQ_RECALL_ORACLE,
     "stream_match_quantified": _STREAM_MATCH_QUANTIFIED_ORACLE,
     "stream_match_skip_to_next": _STREAM_MATCH_SKIP_TO_NEXT_ORACLE,
     "stream_match_skip_to_last": _STREAM_MATCH_SKIP_TO_LAST_ORACLE,

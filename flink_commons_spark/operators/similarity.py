@@ -530,6 +530,106 @@ def with_quantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 # ------------------------------------------------- product quantization
 
+def group_dims_by_correlation(
+    corpus: DataFrame,
+    m: int = 8,
+    dims: int = 64,
+    vec_col: str = "embedding",
+) -> list[int]:
+    """OPQ restricted to dimension PERMUTATIONS: learn the orthogonal
+    pre-transform of Optimized Product Quantization (Ge et al., CVPR
+    2013 — "Optimized Product Quantization for Approximate Nearest
+    Neighbor Search") in its cheapest family member, a permutation
+    that groups CORRELATED dimensions into the same PQ subspace.
+    Correlated dims split across subspaces is exactly what breaks
+    plain PQ's independence assumption; on an already-isotropic corpus
+    no rotation can help (measured: PCA-rotation recall 0.28 vs raw
+    0.32 on the synthetic corpus — documented in PERFORMANCE.md), so
+    the honest win is recovering structure that is MISALIGNED with the
+    subspace boundaries, which this does.
+
+    One distributed pass computes the Gram matrix and dimension sums
+    (per-partition partial outer products over Arrow batches; the
+    driver only ever holds #partitions × (dims² + dims) doubles — the
+    d×d matrix OPQ's rotation estimation needs anyway). Grouping is a
+    deterministic greedy: anchor = lowest unassigned dim, take the
+    ``dims/m - 1`` unassigned dims with highest |corr| to it (ties to
+    the lower index). The result is CANONICAL — blocks sorted by their
+    minimum dim, ascending inside — so the same grouping yields the
+    same permutation on every engine, and the float noise in the
+    correlation estimate only matters near exact ties (the intended
+    corpora separate within-group ≈0.8 from cross-group ≈0.05).
+
+    Returns the permutation as 0-based source indices: output dim
+    ``i`` of :func:`permute_dims` reads input dim ``perm[i]``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    d = dims
+
+    def part(it):
+        G = np.zeros((d, d))
+        s = np.zeros(d)
+        cnt = 0
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            G += X.T @ X
+            s += X.sum(axis=0)
+            cnt += len(X)
+        if cnt:
+            yield pd.DataFrame(
+                {"g": [G.ravel().tolist()], "s": [s.tolist()], "n": [cnt]}
+            )
+
+    rows = corpus.select(vec_col).mapInPandas(
+        part, schema="g array<double>, s array<double>, n bigint"
+    ).collect()
+    if not rows:
+        raise ValueError("empty corpus")
+    G = sum(np.asarray(r["g"]).reshape(d, d) for r in rows)
+    s = sum(np.asarray(r["s"]) for r in rows)
+    n = sum(r["n"] for r in rows)
+    C = G / n - np.outer(s / n, s / n)
+    std = np.sqrt(np.clip(np.diag(C), 1e-18, None))
+    A = np.abs(C / np.outer(std, std))
+    d_sub = d // m
+    unassigned = set(range(d))
+    blocks = []
+    while unassigned:
+        anchor = min(unassigned)
+        unassigned.discard(anchor)
+        mates = sorted(unassigned, key=lambda t: (-A[anchor, t], t))[: d_sub - 1]
+        for t in mates:
+            unassigned.discard(t)
+        blocks.append(sorted([anchor] + mates))
+    blocks.sort(key=lambda b: b[0])
+    return [t for b in blocks for t in b]
+
+
+def permute_dims(
+    df: DataFrame, perm: "list[int]", vec_col: str = "embedding"
+) -> DataFrame:
+    """Apply a dimension permutation (the OPQ pre-transform of
+    :func:`group_dims_by_correlation`, or any fixed scatter): output
+    dim ``i`` reads input dim ``perm[i]`` (0-based). Pure codegen'd
+    array construction — no UDF, no shuffle, and the same expression
+    is a ``list_transform`` one-liner in any SQL engine. Orthogonal,
+    so L2 distances (and therefore exact top-k truth) are invariant."""
+    return df.withColumn(
+        vec_col,
+        F.array(
+            *[F.element_at(F.col(vec_col), int(p) + 1) for p in perm]
+        ),
+    )
+
+
 def pq_codebooks(
     corpus: DataFrame,
     m: int = 8,

@@ -753,3 +753,26 @@ def test_binary_codes_and_hamming(spark):
     got = {r["neighbor_id"]: r["ham"] for r in top}
     assert got == {1: 0, 2: 1, 3: 1}
     assert [r["rank"] for r in top] == [1, 2, 3]
+
+
+def test_opq_grouping_recovers_scattered_subspaces(spark):
+    """The correlation grouping must recover the clustered corpus's
+    original subspaces from the fixed _OPQ_SIGMA scatter, in the same
+    canonical form the oracle's literal permutation states — and
+    permute_dims must be a pure index remap."""
+    from flink_commons_spark import catalog as C
+    from flink_commons_spark.operators import similarity as S
+
+    emb_s = C._scattered_embeddings(spark, "/root/testdata/sf0.001")
+    perm = S.group_dims_by_correlation(emb_s, m=8, dims=64)
+    assert perm == C._opq_tau()
+    # canonical shape: blocks ascending inside, sorted by min
+    blocks = [perm[i * 8:(i + 1) * 8] for i in range(8)]
+    assert all(b == sorted(b) for b in blocks)
+    assert [b[0] for b in blocks] == sorted(b[0] for b in blocks)
+    # permute_dims: output dim i reads input dim perm[i]
+    row_s = emb_s.where("vec_id = 3").collect()[0]["embedding"]
+    row_o = (
+        S.permute_dims(emb_s, perm).where("vec_id = 3").collect()[0]["embedding"]
+    )
+    assert row_o == [row_s[p] for p in perm]
