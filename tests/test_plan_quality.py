@@ -32,6 +32,7 @@ ALLOWED_NESTED_LOOP = {
     "pq_trained_recall",  # same shape, trained codebooks
     "pq_rerank_recall",  # same shape + bounded shortlist broadcast
     "pq_structured_recall",  # pq_trained_recall shape, clustered corpus
+    "pq_opq_recall",  # same shape, two bounded-probe ADC legs
     "emb_matryoshka_recall",  # same shape, truncated dims
     "ann_hamming",  # bounded probe codes broadcast (knn_brute shape)
     # 1-row broadcast scalar totals (ΣW, Σbase) joined onto the
