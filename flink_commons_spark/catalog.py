@@ -6166,6 +6166,71 @@ FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id
 """
 
 
+def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination
+    (``operators/curation.py:bloom_decontaminate``): the benchmark's
+    3-gram set folded into a 65536-bit Bloom set (3 seeded portable
+    md5 hashes), corpus grams probing the BIT SET via a broadcast
+    capped at ``m_bits`` rows no matter how large the benchmark grows
+    — the bounded-memory membership test a 100 TB blocklist needs.
+    Each row carries the Bloom count AND the exact count, so the
+    false-positive cost of the memory cap is a measured per-document
+    number, and the DuckDB oracle rebuilds the same bit set from the
+    same hashes, reproducing every false positive bit-for-bit."""
+    from flink_commons_spark.operators.curation import bloom_decontaminate
+
+    d = _tp(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    corpus = d.where(F.col("doc_id") % 20 != 0)
+    return bloom_decontaminate(
+        corpus, bench, n=3, m_bits=1 << 16, k_hashes=3, overlap_pct=5
+    )
+
+
+_DECONTAMINATE_BLOOM_ORACLE = f"""
+WITH gd AS (
+  SELECT DISTINCT doc_id, gram FROM ({_GRAMS3_SQL})
+),
+bench AS (SELECT DISTINCT gram FROM gd WHERE doc_id % 20 = 0),
+corpus AS (SELECT doc_id, gram FROM gd WHERE doc_id % 20 <> 0),
+seeds AS (SELECT unnest([0, 1, 2]) AS s),
+bits AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(s::varchar || '|' || gram), 1, 14))::bigint
+           % 65536 AS pos
+  FROM bench CROSS JOIN seeds
+),
+ppos AS (
+  SELECT doc_id, gram,
+         ('0x' || substr(md5(s::varchar || '|' || gram), 1, 14))::bigint
+           % 65536 AS pos
+  FROM corpus CROSS JOIN seeds
+),
+gpos AS (
+  SELECT doc_id, gram, count(*) AS hits
+  FROM ppos JOIN bits USING (pos)
+  GROUP BY doc_id, gram
+),
+bl AS (
+  SELECT doc_id, count(*) AS n_bloom FROM gpos WHERE hits = 3 GROUP BY doc_id
+),
+ex AS (
+  SELECT doc_id, count(*) AS n_exact
+  FROM corpus SEMI JOIN bench USING (gram)
+  GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id)
+SELECT tot.doc_id, n_grams,
+       coalesce(n_bloom, 0) AS n_bloom,
+       coalesce(n_exact, 0) AS n_exact,
+       coalesce(n_bloom, 0) - coalesce(n_exact, 0) AS n_false_pos,
+       (coalesce(n_bloom, 0) * 100 >= n_grams * 5)::int AS flagged
+FROM tot
+LEFT JOIN bl ON tot.doc_id = bl.doc_id
+LEFT JOIN ex ON tot.doc_id = ex.doc_id
+"""
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter signals: total and most-frequent
     counts for word 1/2/3-grams per document, plus the top-2-gram
@@ -8972,6 +9037,7 @@ QUERIES = {
     "q_hourly_profile": q_hourly_profile,
     "dedup_ngram": dedup_ngram,
     "text_decontaminate": text_decontaminate,
+    "text_decontaminate_bloom": text_decontaminate_bloom,
     "text_repetition": text_repetition,
     "text_pii_scan": text_pii_scan,
     "corpus_domain_profile": corpus_domain_profile,
@@ -9141,6 +9207,7 @@ ORACLES = {
     "q_hourly_profile": _HOURLY_ORACLE,
     "dedup_ngram": _DEDUP_NGRAM_ORACLE,
     "text_decontaminate": _DECONTAMINATE_ORACLE,
+    "text_decontaminate_bloom": _DECONTAMINATE_BLOOM_ORACLE,
     "text_repetition": _REPETITION_ORACLE,
     "text_pii_scan": _PII_ORACLE,
     "corpus_domain_profile": _DOMAIN_PROFILE_ORACLE,

@@ -279,6 +279,100 @@ def decontaminate(
     )
 
 
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+    overlap_pct: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom-filter decontamination — the bounded-memory form of
+    :func:`decontaminate` for when the benchmark/blocklist gram set
+    outgrows a direct broadcast (URL blocklists, multi-benchmark
+    suites at 100 TB): the bench grams are folded into an ``m_bits``
+    Bloom bit set (``k_hashes`` seeded portable md5 hashes per gram),
+    and corpus grams probe the BIT SET, never the gram set. The
+    broadcast side is capped at ``m_bits`` rows no matter how many
+    grams went in — the classic Bloom memory/false-positive trade,
+    with the false positives MEASURED per document instead of assumed:
+    each output row carries both the Bloom count and the exact count.
+
+    Spark shape: the bit set is a ≤``m_bits``-row broadcast; the
+    membership probe is a broadcast hash join (map-side, no corpus
+    shuffle) on the k seeded positions per gram, a gram testing
+    positive only when ALL k positions are set — exactly the Bloom
+    semantics, and exactly replicable in SQL (the hashes are the
+    repo's portable md5-56bit scheme), so the oracle reproduces every
+    false positive bit-for-bit. Returns one row per corpus doc:
+    ``(doc_id, n_grams, n_bloom, n_exact, n_false_pos, flagged)``
+    with ``flagged`` computed from the Bloom count (what a real
+    pipeline would act on).
+    """
+    from flink_commons_spark.operators.dedup import _portable_hash
+
+    corpus_grams = exploded_distinct_ngrams(corpus, n, id_col, text_col)
+    bench_grams = (
+        exploded_distinct_ngrams(benchmark, n, id_col, text_col)
+        .select("gram")
+        .distinct()
+    )
+
+    def seeded_positions(g: Column) -> Column:
+        return F.array(
+            *[
+                F.pmod(
+                    _portable_hash(F.concat(F.lit(f"{s}|"), g)),
+                    F.lit(m_bits),
+                )
+                for s in range(k_hashes)
+            ]
+        )
+
+    bits = (
+        bench_grams.select(
+            F.explode(seeded_positions(F.col("gram"))).alias("pos")
+        )
+        .distinct()
+    )
+    probe = corpus_grams.select(
+        id_col,
+        "gram",
+        F.explode(seeded_positions(F.col("gram"))).alias("pos"),
+    )
+    bloom_pos = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("__hits"))
+        .where(F.col("__hits") == k_hashes)  # Bloom: ALL k bits set
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bloom"))
+    )
+    exact_pos = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_exact"))
+    )
+    totals = corpus_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    return (
+        totals.join(bloom_pos, id_col, "left")
+        .join(exact_pos, id_col, "left")
+        .withColumn("n_bloom", F.coalesce(F.col("n_bloom"), F.lit(0)))
+        .withColumn("n_exact", F.coalesce(F.col("n_exact"), F.lit(0)))
+        .withColumn("n_false_pos", F.col("n_bloom") - F.col("n_exact"))
+        .withColumn(
+            "flagged",
+            (F.col("n_bloom") * 100 >= F.col("n_grams") * overlap_pct)
+            .cast("int"),
+        )
+        .select(
+            id_col, "n_grams", "n_bloom", "n_exact", "n_false_pos", "flagged"
+        )
+    )
+
+
 def bigram_lm_scores(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -277,3 +277,31 @@ def test_longest_shared_runs_finds_exact_span(spark):
     assert r["run_tokens"] == 12
     assert r["start_a"] == 2 and r["start_b"] == 0
     assert r["d"] == 2
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """Bloom guarantees: every exactly-contaminated gram is also
+    Bloom-positive (no false negatives), so n_bloom >= n_exact per
+    doc; with a tiny bit space the filter must still flag every doc
+    the exact scan flags."""
+    from flink_commons_spark.operators.curation import (
+        bloom_decontaminate, decontaminate,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = d.where("doc_id % 20 = 0")
+    corpus = d.where("doc_id % 20 <> 0")
+    out = bloom_decontaminate(corpus, bench, n=3, m_bits=4096, k_hashes=3)
+    rows = out.collect()
+    assert rows and all(r.n_bloom >= r.n_exact for r in rows)
+    assert all(r.n_false_pos == r.n_bloom - r.n_exact for r in rows)
+    exact = {
+        r.doc_id: r.contaminated
+        for r in decontaminate(corpus, bench, n=3, overlap_pct=5).collect()
+    }
+    for r in rows:
+        if exact[r.doc_id]:
+            assert r.flagged == 1  # no false negatives at the doc level
+    # the 4096-bit space is deliberately small: false positives must
+    # actually occur, or the test proves nothing about the trade
+    assert sum(r.n_false_pos for r in rows) > 0
