@@ -6231,6 +6231,80 @@ LEFT JOIN ex ON tot.doc_id = ex.doc_id
 """
 
 
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters
+    (``operators/curation.py:cms_token_counts``): the corpus token
+    frequencies summarized in a fixed counter matrix — aggregation
+    state independent of vocabulary size, the sketch a 100 TB
+    token-frequency monitor keeps where a vocabulary groupBy would
+    shuffle O(distinct) keys. The synthetic corpus has 31 distinct
+    tokens, so the demo sketch is 2×16 — smaller than the vocabulary,
+    the regime CMS actually lives in (at real scale: 3×2^20 counters
+    against a 10^9 vocabulary). The top-20 exact tokens
+    (the verification side, a full groupBy) are joined with their
+    sketch estimates; ``overcount`` is the measured collision error —
+    CMS never undercounts, so it is ≥ 0 by construction, and the
+    DuckDB oracle rebuilds the identical matrix from the same
+    portable hashes, reproducing every collision bit-for-bit."""
+    from flink_commons_spark.operators.curation import cms_token_counts
+    from flink_commons_spark.operators.text import tokens as _tokens
+
+    d = _tp(spark, sf_dir, "documents")
+    counters, tokpos = cms_token_counts(d, width=16, depth=2)
+    exact = (
+        d.select(F.explode(_tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    w = Window.orderBy(F.desc("exact_cnt"), F.asc("tok"))
+    top = (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+    )
+    est = (
+        tokpos.join(F.broadcast(top.select("tok")), "tok")
+        .join(counters, ["row", "pos"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return top.join(est, "tok").select(
+        "tok",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        "rnk",
+    )
+
+
+_CMS_HEAVY_HITTERS_ORACLE = f"""
+WITH tk AS (
+  SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+),
+pos AS (
+  SELECT tok, r,
+         ('0x' || substr(md5(r::varchar || '|' || tok), 1, 14))::bigint
+           % 16 AS pos
+  FROM tk CROSS JOIN (SELECT unnest([0, 1]) AS r) s
+),
+counters AS (SELECT r, pos, count(*) AS cnt FROM pos GROUP BY r, pos),
+exact AS (SELECT tok, count(*) AS exact_cnt FROM tk GROUP BY tok),
+top AS (
+  SELECT tok, exact_cnt,
+         row_number() OVER (ORDER BY exact_cnt DESC, tok) AS rnk
+  FROM exact QUALIFY rnk <= 20
+),
+tp AS (SELECT DISTINCT tok, r, pos FROM pos),
+est AS (
+  SELECT tp.tok, min(c.cnt) AS cms_est
+  FROM tp JOIN top USING (tok)
+  JOIN counters c ON c.r = tp.r AND c.pos = tp.pos
+  GROUP BY tp.tok
+)
+SELECT top.tok, exact_cnt, cms_est, cms_est - exact_cnt AS overcount, rnk
+FROM top JOIN est USING (tok)
+"""
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter signals: total and most-frequent
     counts for word 1/2/3-grams per document, plus the top-2-gram
@@ -9038,6 +9112,7 @@ QUERIES = {
     "dedup_ngram": dedup_ngram,
     "text_decontaminate": text_decontaminate,
     "text_decontaminate_bloom": text_decontaminate_bloom,
+    "text_cms_heavy_hitters": text_cms_heavy_hitters,
     "text_repetition": text_repetition,
     "text_pii_scan": text_pii_scan,
     "corpus_domain_profile": corpus_domain_profile,
@@ -9208,6 +9283,7 @@ ORACLES = {
     "dedup_ngram": _DEDUP_NGRAM_ORACLE,
     "text_decontaminate": _DECONTAMINATE_ORACLE,
     "text_decontaminate_bloom": _DECONTAMINATE_BLOOM_ORACLE,
+    "text_cms_heavy_hitters": _CMS_HEAVY_HITTERS_ORACLE,
     "text_repetition": _REPETITION_ORACLE,
     "text_pii_scan": _PII_ORACLE,
     "corpus_domain_profile": _DOMAIN_PROFILE_ORACLE,

@@ -373,6 +373,63 @@ def bloom_decontaminate(
     )
 
 
+def cms_token_counts(
+    docs: DataFrame,
+    width: int = 1024,
+    depth: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "tuple[DataFrame, DataFrame]":
+    """Count-Min Sketch token frequencies (Cormode & Muthukrishnan
+    2005): a ``depth × width`` counter matrix replaces the full
+    token→count table — FIXED-size aggregation state no matter how
+    many distinct tokens the corpus holds, which is the point at
+    100 TB (a vocabulary groupBy shuffles O(distinct) keys; the
+    sketch shuffles ``depth × width`` integers with map-side partial
+    sums). Estimate(t) = min over rows of counter[row][h_row(t)] —
+    never an undercount, overcounts only on hash collisions.
+
+    Hashes are the repo's portable md5-56bit scheme, so the ENTIRE
+    sketch — counters and estimates — is deterministic and exactly
+    replicable in any SQL engine (the oracle rebuilds the matrix and
+    reproduces every collision overcount bit-for-bit).
+
+    Returns ``(counters, token_positions)``: the sketch as
+    ``(row, pos, cnt)`` rows, and the per-distinct-token positions
+    ``(tok, row, pos)`` for estimate joins.
+    """
+    from flink_commons_spark.operators.dedup import _portable_hash
+    from flink_commons_spark.operators.text import tokens
+
+    toks = docs.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    pos_rows = toks.select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        F.pmod(
+                            _portable_hash(
+                                F.concat(F.lit(f"{r}|"), F.col("tok"))
+                            ),
+                            F.lit(width),
+                        ).alias("pos"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rp"),
+    ).select("tok", F.col("rp.row").alias("row"), F.col("rp.pos").alias("pos"))
+    counters = (
+        pos_rows.groupBy("row", "pos").agg(F.count("*").alias("cnt"))
+    )
+    token_positions = pos_rows.distinct()
+    return counters, token_positions
+
+
 def bigram_lm_scores(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

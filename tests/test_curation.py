@@ -305,3 +305,33 @@ def test_bloom_decontaminate_no_false_negatives(spark):
     # the 4096-bit space is deliberately small: false positives must
     # actually occur, or the test proves nothing about the trade
     assert sum(r.n_false_pos for r in rows) > 0
+
+
+def test_cms_never_undercounts(spark):
+    """CMS invariant: min-over-rows estimate >= exact count for every
+    token, with equality exactly when none of the token's cells
+    collide; shrinking the width can only grow estimates."""
+    from pyspark.sql import functions as F
+
+    from flink_commons_spark.operators.curation import cms_token_counts
+    from flink_commons_spark.operators.text import tokens
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("c"))
+    )
+    ests = {}
+    for width in (8, 64):
+        counters, tokpos = cms_token_counts(d, width=width, depth=2)
+        est = (
+            tokpos.join(counters, ["row", "pos"])
+            .groupBy("tok").agg(F.min("cnt").alias("est"))
+        )
+        rows = est.join(exact, "tok").collect()
+        assert rows and all(r.est >= r.c for r in rows)
+        ests[width] = {r.tok: r.est for r in rows}
+    assert all(ests[8][t] >= ests[64][t] for t in ests[8])
+    # the narrow sketch must actually collide on this corpus
+    exact_map = {r.tok: r.c for r in exact.collect()}
+    assert any(ests[8][t] > exact_map[t] for t in ests[8])
