@@ -6305,6 +6305,108 @@ FROM top JOIN est USING (tok)
 """
 
 
+def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE HyperLogLog distinct counts
+    (``operators/sketch.py:hll_estimate``): Spark's own
+    ``approx_count_distinct`` is HLL++ over an engine-private hash —
+    unverifiable outside Spark — so this is the deterministic sibling
+    built on the repo's portable md5 hashing with integer-exact
+    register sums: the same data yields the bit-identical estimate in
+    any engine, and the DuckDB oracle replays registers, harmonic sum
+    and both correction branches. Three columns of very different
+    cardinality exercise the linear-counting branch (31 tokens, ~100
+    users vs 64 buckets) and the raw-estimator branch (orderkeys ≫
+    buckets); each row reports the exact count and the measured
+    relative error of the 64-register sketch. At 100 TB the sketch
+    shuffles ≤ 2^p integers with map-side combine where the exact
+    count shuffles every distinct value — and disjoint shards merge
+    registers by max."""
+    from flink_commons_spark.operators.sketch import hll_estimate
+    from flink_commons_spark.operators.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    events = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    sources = [
+        (
+            "doc_tokens",
+            docs.select(
+                F.explode(_tokens(F.lower(F.col("text")))).alias("v")
+            ),
+        ),
+        ("event_users", events.select(F.col("user_id").alias("v"))),
+        ("orderkeys", orders.select(F.col("o_orderkey").alias("v"))),
+    ]
+    outs = []
+    for name, df in sources:
+        exact = df.agg(F.countDistinct("v").alias("n_exact"))
+        est = hll_estimate(df, "v", p=6)
+        outs.append(
+            est.crossJoin(exact).select(
+                F.lit(name).alias("src"),
+                "n_exact",
+                "hll_est",
+                F.round(
+                    F.abs(F.col("hll_est") - F.col("n_exact"))
+                    * 100.0
+                    / F.col("n_exact"),
+                    2,
+                ).alias("rel_err_pct"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def _hll_oracle_leg(name: str, src_sql: str) -> str:
+    """One HLL estimate leg replaying ``operators/sketch.py`` exactly:
+    portable hash, trailing-zero rho via round(log2(lowbit)) (see the
+    engine docstring for why round, not cast), integer-exact harmonic
+    sum, linear-counting small-range branch."""
+    raw = (
+        "(0.7213 / (1 + 1.079/64)) * 64 * 64 * 2251799813685248.0"
+        " / (s_present + (64 - n_present) * 2251799813685248)"
+    )
+    return f"""
+  SELECT '{name}' AS src, n_exact,
+         round(CASE WHEN {raw} <= 2.5 * 64 AND n_present < 64
+                    THEN 64.0 * ln(64.0 / (64 - n_present))
+                    ELSE {raw} END, 6) AS hll_est,
+         round(abs(round(CASE WHEN {raw} <= 2.5 * 64 AND n_present < 64
+                    THEN 64.0 * ln(64.0 / (64 - n_present))
+                    ELSE {raw} END, 6) - n_exact) * 100.0 / n_exact, 2)
+           AS rel_err_pct
+  FROM (
+    SELECT sum(1::bigint << (51 - reg)) AS s_present,
+           count(*) AS n_present
+    FROM (
+      SELECT bucket, max(rho) AS reg FROM (
+        SELECT h & 63 AS bucket,
+               CASE WHEN (h >> 6) = 0 THEN 51
+                    ELSE (round(log2((h >> 6) & (-(h >> 6))), 0) + 1)::int
+               END AS rho
+        FROM (SELECT ('0x' || substr(md5(v::varchar), 1, 14))::bigint AS h
+              FROM ({src_sql}))
+      ) GROUP BY bucket
+    )
+  )
+  CROSS JOIN (SELECT count(DISTINCT v)::bigint AS n_exact FROM ({src_sql}))
+"""
+
+
+_HLL_CARDINALITY_ORACLE = (
+    _hll_oracle_leg(
+        "doc_tokens", f"SELECT unnest({_TOKS_SQL}) AS v FROM documents"
+    )
+    + "UNION ALL"
+    + _hll_oracle_leg("event_users", "SELECT user_id AS v FROM events")
+    + "UNION ALL"
+    + _hll_oracle_leg("orderkeys", "SELECT o_orderkey AS v FROM orders")
+)
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter signals: total and most-frequent
     counts for word 1/2/3-grams per document, plus the top-2-gram
@@ -9113,6 +9215,7 @@ QUERIES = {
     "text_decontaminate": text_decontaminate,
     "text_decontaminate_bloom": text_decontaminate_bloom,
     "text_cms_heavy_hitters": text_cms_heavy_hitters,
+    "q_hll_cardinality": q_hll_cardinality,
     "text_repetition": text_repetition,
     "text_pii_scan": text_pii_scan,
     "corpus_domain_profile": corpus_domain_profile,
@@ -9284,6 +9387,7 @@ ORACLES = {
     "text_decontaminate": _DECONTAMINATE_ORACLE,
     "text_decontaminate_bloom": _DECONTAMINATE_BLOOM_ORACLE,
     "text_cms_heavy_hitters": _CMS_HEAVY_HITTERS_ORACLE,
+    "q_hll_cardinality": _HLL_CARDINALITY_ORACLE,
     "text_repetition": _REPETITION_ORACLE,
     "text_pii_scan": _PII_ORACLE,
     "corpus_domain_profile": _DOMAIN_PROFILE_ORACLE,

@@ -335,3 +335,30 @@ def test_cms_never_undercounts(spark):
     # the narrow sketch must actually collide on this corpus
     exact_map = {r.tok: r.c for r in exact.collect()}
     assert any(ests[8][t] > exact_map[t] for t in ests[8])
+
+
+def test_hll_estimate_is_partition_invariant_and_mergeable(spark):
+    """The portable HLL must be deterministic under repartitioning
+    (integer-exact register sums — float harmonic means would not be)
+    and its registers must merge across disjoint shards by max,
+    yielding the identical estimate to sketching the union directly."""
+    from pyspark.sql import functions as F
+
+    from flink_commons_spark.operators.sketch import hll_estimate, hll_registers
+
+    src = spark.range(0, 5000).select(F.col("id").alias("v"))
+    e1 = hll_estimate(src.repartition(1), "v").collect()[0]["hll_est"]
+    e32 = hll_estimate(src.repartition(32), "v").collect()[0]["hll_est"]
+    assert e1 == e32
+    # shard merge: max over per-shard registers == whole-data registers
+    a = hll_registers(src.where("v < 2500"), "v")
+    b = hll_registers(src.where("v >= 2500"), "v")
+    merged = (
+        a.unionAll(b).groupBy("bucket").agg(F.max("reg").alias("reg"))
+    )
+    whole = hll_registers(src, "v")
+    assert {(r.bucket, r.reg) for r in merged.collect()} == {
+        (r.bucket, r.reg) for r in whole.collect()
+    }
+    # sanity: the estimate is in the right neighborhood (sigma ~ 13%)
+    assert abs(e1 - 5000) / 5000 < 0.4

@@ -33,6 +33,7 @@ ALLOWED_NESTED_LOOP = {
     "pq_rerank_recall",  # same shape + bounded shortlist broadcast
     "pq_structured_recall",  # pq_trained_recall shape, clustered corpus
     "pq_opq_recall",  # same shape, two bounded-probe ADC legs
+    "q_hll_cardinality",  # 1-row sketch estimate × 1-row exact count, ×3
     "emb_matryoshka_recall",  # same shape, truncated dims
     "ann_hamming",  # bounded probe codes broadcast (knn_brute shape)
     # 1-row broadcast scalar totals (ΣW, Σbase) joined onto the
