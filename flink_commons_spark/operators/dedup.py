@@ -199,6 +199,70 @@ def exact_jaccard_pairs(shingles: DataFrame, threshold: float = 0.5,
     )
 
 
+def exact_jaccard_pairs_collapsed(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`exact_jaccard_pairs` with EXACT CLONES COLLAPSED first —
+    the duplicate-heavy-corpus form (the regime a 100 TB crawl is, and
+    the sf1 testdata literally: every doc sits in a 10-clone family).
+    Identical text implies an identical shingle set, and pairwise
+    Jaccard between DISTINCT texts is clone-count-invariant, so the
+    inverted-index join runs on one representative per distinct text
+    (a ×c-clone corpus shrinks its join work ×c²) and the qualifying
+    representative pairs are expanded back to member pairs, plus the
+    analytic intra-clone pairs (identical non-empty shingle sets have
+    Jaccard exactly 1 ≥ any threshold; empty-shingle docs never pair,
+    matching the inverted index, which never sees them). Output is
+    row-identical to running :func:`exact_jaccard_pairs` on the raw
+    corpus — the same collapse already used by
+    ``curation.ngram_jaccard_pairs`` (measured there: sf1 truth-side
+    wall time is the recall query's dominant cost without it).
+    Returns ``(a, b)`` pairs with ``a < b``.
+    """
+    g = (
+        docs.select(id_col, text_col)
+        .groupBy(F.col(text_col))  # VALUE key: no hash-collision merge
+        .agg(
+            F.min(id_col).alias("__rep"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("__members"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    reps = g.select(F.col("__rep").alias(id_col), text_col)
+    rep_sh = shingle_table(reps, text_col, id_col, n)
+    rep_pairs = exact_jaccard_pairs(rep_sh, threshold, id_col).select("a", "b")
+    ga = g.select(F.col("__rep").alias("a"), F.col("__members").alias("__ma"))
+    gb = g.select(F.col("__rep").alias("b"), F.col("__members").alias("__mb"))
+    cross = (
+        rep_pairs.join(ga, "a")
+        .join(gb, "b")
+        .select(
+            F.explode("__ma").alias("ma"),
+            F.col("__mb"),
+        )
+        .select("ma", F.explode("__mb").alias("mb"))
+        .select(
+            F.least("ma", "mb").alias("a"), F.greatest("ma", "mb").alias("b")
+        )
+    )
+    # intra-clone pairs: every member pair of a class whose rep has at
+    # least one shingle (Jaccard of identical non-empty sets = 1)
+    nonempty = rep_sh.select(F.col(id_col).alias("__rep")).distinct()
+    intra = (
+        g.join(nonempty, "__rep")
+        .where(F.size("__members") >= 2)
+        .select(F.col("__members").alias("__m"))
+        .select(F.explode("__m").alias("a"), F.col("__m"))
+        .select("a", F.explode("__m").alias("b"))
+        .where(F.col("a") < F.col("b"))
+    )
+    return cross.unionAll(intra)
+
+
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         num_hashes: int = 8, bands: int = 4, ngram: int = 3,
                         threshold: float = 0.8) -> DataFrame:

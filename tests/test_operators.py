@@ -776,3 +776,35 @@ def test_opq_grouping_recovers_scattered_subspaces(spark):
         S.permute_dims(emb_s, perm).where("vec_id = 3").collect()[0]["embedding"]
     )
     assert row_o == [row_s[p] for p in perm]
+
+
+def test_exact_jaccard_collapsed_matches_raw(spark):
+    """Clone-collapsed truth must be row-identical to the raw inverted
+    index on a corpus with real clone families and near-dup classes."""
+    from pyspark.sql import functions as F
+
+    from flink_commons_spark.operators import dedup as D
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # clone of 1
+        (3, "the quick brown fox jumps over the lazy cat"),   # near-dup
+        (4, "completely different text with other words entirely here"),
+        (5, "completely different text with other words entirely here"),
+        (6, ""),                                               # empty text
+        (7, ""),                                               # clone, empty set
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    raw = {
+        (r.a, r.b)
+        for r in D.exact_jaccard_pairs(
+            D.shingle_table(d), threshold=0.5
+        ).collect()
+    }
+    collapsed = {
+        (r.a, r.b)
+        for r in D.exact_jaccard_pairs_collapsed(d, threshold=0.5).collect()
+    }
+    assert collapsed == raw
+    assert (1, 2) in collapsed and (4, 5) in collapsed
+    assert (1, 3) in collapsed and (2, 3) in collapsed  # class expansion
