@@ -1903,6 +1903,97 @@ GROUP BY 1, 2
 
 
 @_with_stream_shuffle(8)
+def stream_hll_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE streaming approximate COUNT(DISTINCT): the runner's
+    streaming ``COUNT(DISTINCT)`` auto-rewrite uses Spark's HLL++,
+    whose engine-private hashing no oracle can check — this is the
+    verifiable form. The STREAM maintains the per-minute-window HLL
+    registers as a plain windowed max aggregate
+    (``operators/sketch.py:hll_columns`` — state per window is 2^6
+    integers, versus per-distinct-user rows for the exact operator in
+    ``stream_exact_uv``); the read side folds registers into the
+    round-6 estimate statelessly
+    (``hll_estimate_from_registers``). Deterministic end to end, so
+    the DuckDB oracle replays the registers AND the fold and matches
+    the estimate bit-for-bit — approximate in value, exact in
+    reproducibility."""
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from flink_commons_spark.operators.sketch import (
+        hll_columns,
+        hll_estimate_from_registers,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = _scratch_dir(prefix="fcs-stream-hll-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    bucket, rho = hll_columns("user_id", p=6)
+    regs = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .transform(_norm_ts)
+        .withWatermark("ts", "5 seconds")
+        .select(F.window("ts", "1 minute").alias("w"), bucket, rho)
+        .groupBy("w", "bucket")
+        .agg(F.max("rho").alias("reg"))
+        .select(
+            F.floor(F.col("w.start").cast("double") / 60)
+            .cast("bigint")
+            .alias("window_start"),
+            "bucket",
+            "reg",
+        )
+    )
+    name = "fcs_stream_hll_uv"
+    query = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-hll-"))
+        .start()
+    )
+    _await_stream(query)
+    return hll_estimate_from_registers(
+        spark.table(name), p=6, group_cols=("window_start",)
+    )
+
+
+_STREAM_HLL_UV_ORACLE = """
+WITH h AS (
+  SELECT floor(epoch(ts) / 60)::bigint AS window_start,
+         ('0x' || substr(md5(user_id::varchar), 1, 14))::bigint AS h
+  FROM events
+),
+r AS (
+  SELECT window_start, h & 63 AS bucket,
+         CASE WHEN (h >> 6) = 0 THEN 51
+              ELSE (round(log2((h >> 6) & (-(h >> 6))), 0) + 1)::int
+         END AS rho
+  FROM h
+),
+regs AS (
+  SELECT window_start, bucket, max(rho) AS reg FROM r GROUP BY 1, 2
+),
+a AS (
+  SELECT window_start,
+         sum(1::bigint << (51 - reg)) AS s_present,
+         count(*) AS n_present
+  FROM regs GROUP BY window_start
+)
+SELECT window_start,
+       round(CASE WHEN (0.7213 / (1 + 1.079/64)) * 64 * 64 * 2251799813685248.0
+                       / (s_present + (64 - n_present) * 2251799813685248)
+                       <= 2.5 * 64 AND n_present < 64
+                  THEN 64.0 * ln(64.0 / (64 - n_present))
+                  ELSE (0.7213 / (1 + 1.079/64)) * 64 * 64 * 2251799813685248.0
+                       / (s_present + (64 - n_present) * 2251799813685248)
+             END, 6) AS hll_est
+FROM a
+"""
+
+
 def stream_exact_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT streaming COUNT(DISTINCT) — the reference's key streaming
     semantic (``test.sql:51``, ``SURVEY.md §7.4`` hard part #1).
@@ -9234,6 +9325,7 @@ QUERIES = {
     "text_decontaminate_bloom": text_decontaminate_bloom,
     "text_cms_heavy_hitters": text_cms_heavy_hitters,
     "q_hll_cardinality": q_hll_cardinality,
+    "stream_hll_uv": stream_hll_uv,
     "text_repetition": text_repetition,
     "text_pii_scan": text_pii_scan,
     "corpus_domain_profile": corpus_domain_profile,
@@ -9406,6 +9498,7 @@ ORACLES = {
     "text_decontaminate_bloom": _DECONTAMINATE_BLOOM_ORACLE,
     "text_cms_heavy_hitters": _CMS_HEAVY_HITTERS_ORACLE,
     "q_hll_cardinality": _HLL_CARDINALITY_ORACLE,
+    "stream_hll_uv": _STREAM_HLL_UV_ORACLE,
     "text_repetition": _REPETITION_ORACLE,
     "text_pii_scan": _PII_ORACLE,
     "corpus_domain_profile": _DOMAIN_PROFILE_ORACLE,

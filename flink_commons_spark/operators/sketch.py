@@ -24,6 +24,24 @@ from flink_commons_spark.operators.dedup import _portable_hash
 _HASH_BITS = 56
 
 
+def hll_columns(value_col: str, p: int = 6) -> "tuple[object, object]":
+    """The (bucket, rho) column pair for one value column — exposed so
+    a STREAMING aggregation can maintain the registers itself
+    (``groupBy(window, bucket).agg(max(rho))`` is a plain windowed
+    max: per-window state is 2^p integers, the sketch's whole point).
+    See :func:`hll_registers` for the arithmetic-portability notes."""
+    m = 1 << p
+    suffix_bits = _HASH_BITS - p
+    h = _portable_hash(F.col(value_col).cast("string"))
+    w = F.shiftright(h, p)
+    lowbit = w.bitwiseAND(-w)
+    rho = (
+        F.when(w == 0, F.lit(suffix_bits + 1))
+        .otherwise((F.round(F.log2(lowbit), 0) + 1).cast("int"))
+    )
+    return h.bitwiseAND(F.lit(m - 1)).alias("bucket"), rho.alias("rho")
+
+
 def hll_registers(
     values: DataFrame, value_col: str, p: int = 6
 ) -> DataFrame:
@@ -42,22 +60,49 @@ def hll_registers(
     1e-15-rounding error the round() absorbs. One hash-aggregate with
     map-side partial max; at most ``2^p`` rows ever shuffle.
     """
-    m = 1 << p
-    suffix_bits = _HASH_BITS - p
-    h = _portable_hash(F.col(value_col).cast("string"))
-    w = F.shiftright(h, p)
-    lowbit = w.bitwiseAND(-w)
-    rho = (
-        F.when(w == 0, F.lit(suffix_bits + 1))
-        .otherwise((F.round(F.log2(lowbit), 0) + 1).cast("int"))
-    )
+    bucket, rho = hll_columns(value_col, p)
     return (
-        values.select(
-            h.bitwiseAND(F.lit(m - 1)).alias("bucket"), rho.alias("rho")
-        )
+        values.select(bucket, rho)
         .groupBy("bucket")
         .agg(F.max("rho").alias("reg"))
     )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, p: int = 6, group_cols: "tuple[str, ...]" = ()
+) -> DataFrame:
+    """Fold ``(bucket, reg)`` registers (optionally per group) into the
+    round-6 ``hll_est`` — the stateless read side of a streaming
+    sketch whose state is the registers. Same integer-exact harmonic
+    sum and correction branches as :func:`hll_estimate`."""
+    m = 1 << p
+    top = _HASH_BITS - p + 1
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {top} - reg)")).alias(
+            "__s_present"
+        ),
+        F.count("*").alias("__n_present"),
+    )
+
+    def raw():
+        return (
+            (F.lit(0.7213 / (1 + 1.079 / m)) * m * m)
+            * F.lit(float(1 << top))
+            / (
+                F.col("__s_present")
+                + (F.lit(m) - F.col("__n_present")) * F.lit(1 << top)
+            )
+        )
+
+    est = F.round(
+        F.when(
+            (raw() <= 2.5 * m) & (F.col("__n_present") < m),
+            F.lit(float(m))
+            * F.log(F.lit(float(m)) / (F.lit(m) - F.col("__n_present"))),
+        ).otherwise(raw()),
+        6,
+    ).alias("hll_est")
+    return agg.select(*group_cols, est)
 
 
 def hll_estimate(values: DataFrame, value_col: str, p: int = 6) -> DataFrame:
@@ -77,43 +122,4 @@ def hll_estimate(values: DataFrame, value_col: str, p: int = 6) -> DataFrame:
     value; this shuffles ≤ 2^p integers with map-side combine, and
     registers from disjoint shards merge by max).
     """
-    m = 1 << p
-    suffix_bits = _HASH_BITS - p
-    top = suffix_bits + 1
-    regs = hll_registers(values, value_col, p)
-    agg = regs.agg(
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {top} - reg)")).alias(
-            "__s_present"
-        ),
-        F.count("*").alias("__n_present"),
-    )
-    # alpha_m spelled as the same literal expression the oracle uses,
-    # so both engines run the identical double arithmetic
-    return agg.select(
-        F.round(
-            F.when(
-                ((F.lit(0.7213 / (1 + 1.079 / m)) * m * m)
-                 * F.lit(float(1 << top))
-                 / (F.col("__s_present")
-                    + (F.lit(m) - F.col("__n_present"))
-                    * F.lit(1 << top))) <= 2.5 * m,
-                F.when(
-                    F.col("__n_present") < m,
-                    F.lit(float(m))
-                    * F.log(F.lit(float(m)) / (F.lit(m) - F.col("__n_present"))),
-                ).otherwise(
-                    (F.lit(0.7213 / (1 + 1.079 / m)) * m * m)
-                    * F.lit(float(1 << top))
-                    / (F.col("__s_present")
-                       + (F.lit(m) - F.col("__n_present"))
-                       * F.lit(1 << top))
-                ),
-            ).otherwise(
-                (F.lit(0.7213 / (1 + 1.079 / m)) * m * m)
-                * F.lit(float(1 << top))
-                / (F.col("__s_present")
-                   + (F.lit(m) - F.col("__n_present")) * F.lit(1 << top))
-            ),
-            6,
-        ).alias("hll_est")
-    )
+    return hll_estimate_from_registers(hll_registers(values, value_col, p), p)
