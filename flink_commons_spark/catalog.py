@@ -7205,6 +7205,159 @@ def q_match_skip_to_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_match_skip_to_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``AFTER MATCH SKIP TO FIRST <var>`` — pattern ``e1 e2 v`` (any
+    two rows, then a view) resuming AT the view row, which can itself
+    start the next match's wildcard leg. Genuinely distinct from both
+    neighbors at sf0.01: 1611 matches vs 1920 to-next-row and 1399
+    past-last — the three resume strategies tile the same event
+    sequence differently, and the oracle replays this one's cursor
+    rule (next start = first candidate ≥ current + 2) as a recursive
+    CTE. (``operators/cep.py:match_pattern``; reference analog
+    delegated via ``SQLSubmitAction.java:74-76``.)"""
+    import pandas as pd
+
+    from flink_commons_spark.operators.cep import Step, match_pattern
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    wild = lambda p: pd.Series(True, index=p.index)  # noqa: E731
+    steps = [
+        Step("e1", wild),
+        Step("e2", wild),
+        Step("v", lambda p: p["event_type"] == "view"),
+    ]
+
+    def measures(key, segs):
+        return {
+            "user_id": int(key[0]),
+            "start_us": int(segs["e1"]["ts_us"].iloc[0]),
+            "end_us": int(segs["v"]["ts_us"].iloc[0]),
+        }
+
+    return match_pattern(
+        e,
+        ["user_id"],
+        ["ts_us", "event_id"],
+        steps,
+        measures,
+        "user_id bigint, start_us bigint, end_us bigint",
+        after_match=("to_first", "v"),
+    )
+
+
+_MATCH_SKIP_TO_FIRST_ORACLE = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+cand AS (
+  SELECT user_id, rn - 2 AS p FROM seq
+  WHERE event_type = 'view' AND rn >= 3
+),
+scan AS (
+  SELECT user_id, min(p) AS p FROM cand GROUP BY user_id
+  UNION ALL
+  SELECT u.user_id, u.p FROM (
+    SELECT s.user_id,
+           (SELECT min(c.p) FROM cand c
+            WHERE c.user_id = s.user_id AND c.p >= s.p + 2) AS p
+    FROM scan s
+  ) u WHERE u.p IS NOT NULL
+)
+SELECT sc.user_id, s0.ts_us AS start_us, s2.ts_us AS end_us
+FROM scan sc
+JOIN seq s0 ON s0.user_id = sc.user_id AND s0.rn = sc.p
+JOIN seq s2 ON s2.user_id = sc.user_id AND s2.rn = sc.p + 2
+"""
+
+
+def stream_match_skip_to_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ``AFTER MATCH SKIP TO FIRST <var>`` — the streaming
+    twin of :func:`q_match_skip_to_first` on the watermark-gated keyed
+    NFA: pattern ``* * view`` resuming AT the view row (kept buffered,
+    it may anchor the next match's wildcard leg). The final variable
+    is at its upper bound when a match completes, so a match ending on
+    the key's newest closed row emits; a start with fewer than three
+    closed rows is undecided and waits. Oracle = the batch recursive
+    scan over each key's watermark-closed row prefix."""
+    import os
+
+    from flink_commons_spark.streaming.cep_stream import (
+        stream_match_conversions,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = _scratch_dir(prefix="fcs-stream-cepf-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .transform(_norm_ts)
+        .withWatermark("ts", "0 seconds")
+        .select(
+            "user_id",
+            "ts",
+            "event_type",
+            "event_id",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+        )
+    )
+    name = "fcs_stream_cep_first"
+    query = (
+        stream_match_conversions(
+            sdf,
+            pattern=[("*", 1, 1), ("*", 1, 1), ("view", 1, 1)],
+            count_idx=2,
+            after_match=("to_first", "view"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-cepf-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(name).select("user_id", "start_us", "end_us")
+
+
+_STREAM_MATCH_SKIP_TO_FIRST_ORACLE = """
+WITH RECURSIVE wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
+seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE epoch_us(ts) // 1000 < (SELECT wm_ms FROM wm)
+),
+cand AS (
+  SELECT user_id, rn - 2 AS p FROM seq
+  WHERE event_type = 'view' AND rn >= 3
+),
+scan AS (
+  SELECT user_id, min(p) AS p FROM cand GROUP BY user_id
+  UNION ALL
+  SELECT u.user_id, u.p FROM (
+    SELECT s.user_id,
+           (SELECT min(c.p) FROM cand c
+            WHERE c.user_id = s.user_id AND c.p >= s.p + 2) AS p
+    FROM scan s
+  ) u WHERE u.p IS NOT NULL
+)
+SELECT sc.user_id, s0.ts_us AS start_us, s2.ts_us AS end_us
+FROM scan sc
+JOIN seq s0 ON s0.user_id = sc.user_id AND s0.rn = sc.p
+JOIN seq s2 ON s2.user_id = sc.user_id AND s2.rn = sc.p + 2
+"""
+
+
 # the sequential AFTER MATCH SKIP TO LAST e scan as a recursive CTE:
 # each match starts at the first view with two following rows at or
 # after the cursor; the next cursor is the match's last row ITSELF
@@ -9378,10 +9531,12 @@ QUERIES = {
     "q_match_reluctant": q_match_reluctant,
     "q_match_within": q_match_within,
     "q_match_skip_to_last": q_match_skip_to_last,
+    "q_match_skip_to_first": q_match_skip_to_first,
     "pq_opq_recall": pq_opq_recall,
     "stream_match_quantified": stream_match_quantified,
     "stream_match_skip_to_next": stream_match_skip_to_next,
     "stream_match_skip_to_last": stream_match_skip_to_last,
+    "stream_match_skip_to_first": stream_match_skip_to_first,
     "q_over_range": q_over_range,
     "q_unnest_ordinality": q_unnest_ordinality,
     "stream_window_join": stream_window_join,
@@ -9551,10 +9706,12 @@ ORACLES = {
     "q_match_reluctant": _MATCH_RELUCTANT_ORACLE,
     "q_match_within": _MATCH_WITHIN_ORACLE,
     "q_match_skip_to_last": _MATCH_SKIP_TO_LAST_ORACLE,
+    "q_match_skip_to_first": _MATCH_SKIP_TO_FIRST_ORACLE,
     "pq_opq_recall": _PQ_OPQ_RECALL_ORACLE,
     "stream_match_quantified": _STREAM_MATCH_QUANTIFIED_ORACLE,
     "stream_match_skip_to_next": _STREAM_MATCH_SKIP_TO_NEXT_ORACLE,
     "stream_match_skip_to_last": _STREAM_MATCH_SKIP_TO_LAST_ORACLE,
+    "stream_match_skip_to_first": _STREAM_MATCH_SKIP_TO_FIRST_ORACLE,
     "q_over_range": _OVER_RANGE_ORACLE,
     "q_unnest_ordinality": _UNNEST_ORACLE,
     "stream_window_join": _STREAM_WINDOW_JOIN_ORACLE,
