@@ -155,3 +155,111 @@ def test_cep_unbounded_retains_undecided_tails(spark, tmp_path):
     assert len(emitted) == 2 * WAVE_KEYS
     dangling = 2 * (WAVE_KEYS // 2)  # odd keys per wave
     assert _state_rows(progresses[-1]) == dangling + 1
+
+
+def test_cep_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """Kill the streaming CEP matcher after a partial drain, resume
+    from the same checkpoint: the match set must equal a single
+    uninterrupted run — no lost matches (buffered undecided prefixes
+    and their re-armed timers survive in state) and no duplicates
+    (consumed prefixes were dropped before the matches were
+    committed). Guards the round-6 timer re-arm logic across
+    restarts."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from flink_commons_spark.streaming.cep_stream import (
+        stream_match_conversions,
+    )
+
+    src = tmp_path / "cep_src"
+    src.mkdir()
+    rng = random.Random(23)
+    files = (
+        _split(rng, _wave(rng, 0, A_BASE, 0), 3)
+        + _split(rng, _wave(rng, 1000, B_BASE, 100_000), 3)
+        + [[(999_999, SENTINEL_SEC, 9999, "view")]]
+    )
+    schema = "event_id long, sec long, user_id long, event_type string"
+    base = time.time()
+    seen = set()
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).repartition(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        for name in os.listdir(str(src)):
+            if name.endswith(".parquet") and name not in seen:
+                seen.add(name)
+                os.utime(os.path.join(str(src), name), (base + i, base + i))
+
+    def build(sdf):
+        return stream_match_conversions(
+            sdf.select(
+                "event_id", "user_id", "event_type",
+                F.timestamp_micros(F.col("sec") * 1_000_000).alias("ts"),
+            )
+            .withWatermark("ts", DELAY)
+            .withColumn("ts_us", F.unix_micros("ts")),
+            within_us=WITHIN_US,
+        )
+
+    def start(ckpt, emitted):
+        sdf = (
+            spark.readStream.schema(spark.read.parquet(str(src)).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return (
+            build(sdf)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda b, _e: emitted.extend(b.collect()))
+            .trigger(processingTime="0 seconds")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # run 1: kill once >= 3 batches committed, mid-stream
+    got = []
+    ckpt = str(tmp_path / "cep_ckpt")
+    q = start(ckpt, got)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 3:
+            break
+        time.sleep(0.2)
+    assert q.isActive, "query drained before the kill point"
+    q.stop()
+    # run 2: resume from the same checkpoint with availableNow
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q2 = (
+        build(sdf)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: got.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    assert q2.awaitTermination(180)
+    # reference: one clean uninterrupted run
+    ref = []
+    q3 = (
+        build(
+            spark.readStream.schema(spark.read.parquet(str(src)).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: ref.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-cepref-"))
+        .start()
+    )
+    assert q3.awaitTermination(180)
+    key = lambda r: (r.user_id, r.start_us, r.end_us, r.n_clicks)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, ref))
+    assert len(ref) == 2 * WAVE_KEYS
