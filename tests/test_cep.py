@@ -242,3 +242,44 @@ def test_streaming_nfa_skip_to_no_advance_raises():
         _run_pattern_nfa(1, rows, pat, 1, after_match=("to_first", "view"))
     with pytest.raises(ValueError, match="not in pattern"):
         _run_pattern_nfa(1, rows, pat, 1, after_match=("to_last", "nope"))
+
+
+def test_within_window_edge_is_exclusive(spark):
+    """Flink's NFA prunes a partial match once timestamp >= start +
+    window — a row landing EXACTLY on the edge is outside. Pinned on
+    both the batch matcher and the streaming NFA (round-6 advice:
+    the engines previously admitted the boundary row)."""
+    from flink_commons_spark.operators.cep import Step, match_pattern
+    from flink_commons_spark.streaming.cep_stream import _run_pattern_nfa
+
+    rows = [
+        (1, 0, "view", 1_000_000),
+        (2, 0, "click", 1_500_000),
+        (3, 0, "purchase", 2_000_000),  # exactly start + 1s
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long"
+    )
+    steps = [
+        Step("v", lambda p: p["event_type"] == "view"),
+        Step("c", lambda p: p["event_type"] == "click", plus=True),
+        Step("p", lambda p: p["event_type"] == "purchase"),
+    ]
+
+    def run(within_us):
+        return match_pattern(
+            df, ["user_id"], ["ts_us", "event_id"], steps,
+            lambda k, s: {"user_id": int(k[0])},
+            "user_id bigint", within_us=within_us,
+        ).count()
+
+    assert run(1_000_000) == 0          # purchase ON the edge: outside
+    assert run(1_000_001) == 1          # one microsecond wider: inside
+
+    srows = [(1_000_000, "view", 1), (1_500_000, "click", 2),
+             (2_000_000, "purchase", 3)]
+    pat = [("view", 1, 1), ("click", 1, None), ("purchase", 1, 1)]
+    out, _ = _run_pattern_nfa(7, srows, pat, 1, within_us=1_000_000)
+    assert out == []
+    out, _ = _run_pattern_nfa(7, srows, pat, 1, within_us=1_000_001)
+    assert out == [(7, 1_000_000, 2_000_000, 1)]
