@@ -243,13 +243,16 @@ def main() -> None:
                 df = fn(spark, sf_dir)
                 n = df.count()
                 runs.append(round(time.perf_counter() - t0, 3))
-                # per-query isolation: drop persisted RDDs an operator
-                # may have pinned (e.g. the minhash shingle table)
-                spark.catalog.clearCache()
         except Exception as exc:  # keep benching; a failed query reads as -1
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0
             continue
+        finally:
+            # per-query isolation: drop persisted RDDs an operator may
+            # have pinned (e.g. the minhash shingle table). In a
+            # finally so a FAILED query cannot leave its cache pinned
+            # and skew the next query's timings.
+            spark.catalog.clearCache()
         dt = min(runs)
         timings[name] = dt
         samples[name] = runs

@@ -1994,6 +1994,7 @@ FROM a
 """
 
 
+@_with_stream_shuffle(8)
 def stream_exact_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT streaming COUNT(DISTINCT) — the reference's key streaming
     semantic (``test.sql:51``, ``SURVEY.md §7.4`` hard part #1).

@@ -203,7 +203,13 @@ def connected_components_star(
             .localCheckpoint(eager=False)
         )
 
-        prev = None
+        # seed prev with a non-None sentinel and e_prev with the input:
+        # on an EMPTY edge set round 1's sum-probe is None, and None ==
+        # None would reach the structural check before e_prev was ever
+        # assigned (UnboundLocalError). The sentinel never equals a
+        # Decimal/None probe, so round 1 always assigns e_prev first.
+        prev: object = object()
+        e_prev = e
         for _ in range(max_iter):
             # one contraction round per materialization: fusing two
             # rounds per checkpoint was measured 2.6× SLOWER here —

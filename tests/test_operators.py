@@ -538,6 +538,24 @@ def test_star_contraction_handles_long_chain(spark):
     assert got == want
 
 
+def test_star_contraction_empty_edges(spark):
+    """An EMPTY edge set must return an empty (node, label) frame, not
+    crash: the first round's sum-probe is None on empty input, and a
+    None-seeded ``prev`` used to send it into the structural fixpoint
+    check before ``e_prev`` was ever assigned (UnboundLocalError)."""
+    from pyspark.sql import types as T
+
+    from flink_commons_spark.operators.graph import connected_components_star
+
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.LongType())]
+    )
+    df = spark.createDataFrame([], schema)
+    out = connected_components_star(df)
+    assert out.columns == ["node", "label"]
+    assert out.count() == 0
+
+
 def test_star_contraction_matches_propagation(spark):
     """Both CC variants must produce identical (node, label) maps on a
     seeded random graph (shared contract: label = component min)."""
