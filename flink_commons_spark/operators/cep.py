@@ -79,11 +79,37 @@ class Step:
         return self.lo == 1 and self.hi is None
 
 
+def _run_ends(masks: list, n: int) -> list:
+    """Per step, ``run_end[pos]`` = first index ≥ ``pos`` where the
+    step's mask is False (or ``n``) — the end of the contiguous True
+    run starting at ``pos``. One O(n) vectorized suffix-min per mask,
+    computed once per key, turns the matcher's per-start run scan into
+    an O(1) lookup (the scan was O(run length) per start, O(n²) per
+    key for wildcard steps). Plain Python lists, not ndarrays: scalar
+    ndarray indexing returns np.int64, which poisons every downstream
+    arithmetic op in the hot recursion. A ``[n]`` sentinel so
+    ``pos == n`` needs no bounds check."""
+    import numpy as np
+
+    idx = np.arange(n, dtype=np.int64)
+    outs = []
+    for m in masks:
+        arr = np.where(np.asarray(m, dtype=bool), n, idx)
+        arr = np.minimum.accumulate(arr[::-1])[::-1]
+        outs.append(arr.tolist() + [n])
+    return outs
+
+
 def _match_at_ex(
-    masks: list, steps: Sequence[Step], start: int, n: int
+    masks: list,
+    steps: Sequence[Step],
+    start: int,
+    n: int,
+    run_ends: "list | None" = None,
+    failed: "set | None" = None,
 ) -> "tuple[list | None, bool]":
     """Greedy backtracking match of ``steps`` against positions
-    ``start..`` — returns (per-step position lists or None,
+    ``start..`` — returns (per-step position ranges or None,
     touched_end). ``touched_end`` is True when the attempt ran out of
     ROWS rather than failing on a predicate: some required step had no
     row left, or a quantified run was cut at position ``n`` below its
@@ -91,14 +117,23 @@ def _match_at_ex(
     treat a touched-end failure as NOT-YET-DECIDED (future rows could
     complete it), where a predicate failure is permanent. The flag is
     a sound over-approximation: it may be True for attempts no future
-    row could save, never False for one that could."""
+    row could save, never False for one that could.
+
+    ``run_ends`` (from :func:`_run_ends`) makes each greedy-run scan
+    O(1). ``failed`` is an optional cross-start memo of (pos, step)
+    states already proven unmatchable — sound ONLY when every call
+    shares the same masks/steps/``n`` AND the caller ignores
+    ``touched_end`` (a memo hit does not replay the touched flag), so
+    the batch scan passes it and the streaming scan must not."""
     touched = False
+    nsteps = len(steps)
 
     def rec(pos: int, si: int) -> list | None:
         nonlocal touched
-        if si == len(steps):
+        if si == nsteps:
             return []
-        mask = masks[si]
+        if failed is not None and (pos, si) in failed:
+            return None
         s = steps[si]
         if pos >= n and s.lo > 0:
             touched = True
@@ -106,9 +141,13 @@ def _match_at_ex(
         # shorter down to the quantifier's lower bound (0 for */?);
         # reluctant flips the try order (shortest first)
         limit = n if s.hi is None else min(n, pos + s.hi)
-        end = pos
-        while end < limit and mask[end]:
-            end += 1
+        if run_ends is not None:
+            end = min(limit, run_ends[si][pos])
+        else:
+            mask = masks[si]
+            end = pos
+            while end < limit and mask[end]:
+                end += 1
         if end == n and (s.hi is None or end - pos < s.hi):
             # the run was cut by the data end, not by the predicate
             touched = True
@@ -118,16 +157,54 @@ def _match_at_ex(
         for take in takes:
             rest = rec(pos + take, si + 1)
             if rest is not None:
-                return [list(range(pos, pos + take))] + rest
+                return [range(pos, pos + take)] + rest
+        if failed is not None:
+            failed.add((pos, si))
         return None
 
     return rec(start, 0), touched
 
 
-def _match_at(masks: list, steps: Sequence[Step], start: int, n: int) -> list | None:
+def _match_at(
+    masks: list,
+    steps: Sequence[Step],
+    start: int,
+    n: int,
+    run_ends: "list | None" = None,
+    failed: "set | None" = None,
+) -> list | None:
     """Greedy backtracking match of ``steps`` against positions
-    ``start..`` — returns per-step position lists, or None."""
-    return _match_at_ex(masks, steps, start, n)[0]
+    ``start..`` — returns per-step position ranges, or None."""
+    return _match_at_ex(masks, steps, start, n, run_ends, failed)[0]
+
+
+class _Seg:
+    """Zero-copy view of one pattern variable's matched rows, handed
+    to the ``measures`` callable as ``segs[var]``. Behaves like the
+    matched pandas sub-frame for the supported surface — ``seg[col]``
+    returns a pandas Series over the matched slice (a numpy view, no
+    copy), ``len(seg)`` the row count — without the per-match
+    ``DataFrame.iloc[list]`` materialization that dominated the
+    matcher's profile (~75 % of wall time at sf0.1: three block-manager
+    ``take``s per match for a handful of scalar reads)."""
+
+    __slots__ = ("_cols", "_rng")
+
+    def __init__(self, cols: dict, rng: range):
+        self._cols = cols
+        self._rng = rng
+
+    def __len__(self) -> int:
+        return len(self._rng)
+
+    def __getitem__(self, col: str) -> pd.Series:
+        return pd.Series(self._cols[col][self._rng.start : self._rng.stop])
+
+    def to_frame(self) -> pd.DataFrame:
+        """Materialize the full matched slice (rarely needed)."""
+        return pd.DataFrame(
+            {c: a[self._rng.start : self._rng.stop] for c, a in self._cols.items()}
+        )
 
 
 def match_pattern(
@@ -214,29 +291,59 @@ def match_pattern(
     def run_one(key: tuple, pdf: pd.DataFrame) -> list[dict[str, Any]]:
         import numpy as np
 
-        pdf = pdf.sort_values(list(order_cols), kind="mergesort").reset_index(drop=True)
+        try:
+            # stable multi-key sort straight on the numpy arrays —
+            # DataFrame.sort_values factorizes every key column per
+            # key group, a measured ~25 % of matcher wall time
+            order = np.lexsort(
+                tuple(pdf[c].to_numpy() for c in reversed(list(order_cols)))
+            )
+            pdf = pdf.take(order).reset_index(drop=True)
+        except TypeError:  # non-lexsortable dtype — pandas fallback
+            pdf = pdf.sort_values(
+                list(order_cols), kind="mergesort"
+            ).reset_index(drop=True)
         n = len(pdf)
         masks = [s.where(pdf).to_numpy(dtype=bool, na_value=False) for s in step_list]
+        run_ends = _run_ends(masks, n)
+        cols = {c: pdf[c].to_numpy() for c in pdf.columns}
         ts = (
             pdf[order_cols[0]].to_numpy("int64")
             if within_us is not None else None
         )
+        # cross-start failure memo — sound here because every start
+        # shares masks/steps and the batch scan ignores touched_end;
+        # WITHIN varies the scan bound n_i per start, so memo off
+        failed: "set | None" = set() if within_us is None else None
+        # jump between admissible starts: when the first variable is
+        # required (lo > 0) a match can only begin where its mask holds,
+        # so positions outside masks[0] need no NFA attempt at all
+        starts = (
+            np.flatnonzero(masks[0]).tolist() if step_list[0].lo > 0 else None
+        )
+        s_ptr = 0
         out: list[dict[str, Any]] = []
         i = 0
         while i < n:
+            if starts is not None:
+                while s_ptr < len(starts) and starts[s_ptr] < i:
+                    s_ptr += 1
+                if s_ptr == len(starts):
+                    break
+                i = starts[s_ptr]
             n_i = n
             if ts is not None:
                 # Flink's NFA prunes once timestamp >= start + window —
                 # the window edge is EXCLUSIVE (a row landing exactly on
                 # first_ts + within is outside), hence side='left'
                 n_i = int(np.searchsorted(ts, ts[i] + within_us, side="left"))
-            hit = _match_at(masks, step_list, i, n_i)
+            hit = _match_at(masks, step_list, i, n_i, run_ends, failed)
             if hit is None or not any(hit):
                 # no match, or a degenerate all-empty match (every
                 # variable took 0 rows) — either way advance one row
                 i += 1
                 continue
-            segs = {s.name: pdf.iloc[pos] for s, pos in zip(step_list, hit)}
+            segs = {s.name: _Seg(cols, pos) for s, pos in zip(step_list, hit)}
             out.append(measures(key, segs))
             i = _resume(i, hit)
         return out

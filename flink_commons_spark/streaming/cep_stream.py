@@ -112,7 +112,7 @@ def _run_pattern_nfa(
 
     import numpy as np
 
-    from flink_commons_spark.operators.cep import Step, _match_at_ex
+    from flink_commons_spark.operators.cep import Step, _match_at_ex, _run_ends
 
     skip_idx = None
     if isinstance(after_match, tuple):
@@ -136,11 +136,24 @@ def _run_pattern_nfa(
         np.ones(len(rows), dtype=bool) if s.name == "*" else types == s.name
         for s in steps
     ]
+    n = len(rows)
+    run_ends = _run_ends(masks, n)
+    # jump between admissible starts when the first variable is
+    # required: a skipped position fails its PREDICATE (permanent,
+    # decided) — never a touched-end deferral — so the closed-prefix
+    # semantics are unchanged
+    starts = np.flatnonzero(masks[0]).tolist() if steps[0].lo > 0 else None
+    s_ptr = 0
     out = []
     consumed = 0
     i = 0
-    n = len(rows)
     while i < n:
+        if starts is not None:
+            while s_ptr < len(starts) and starts[s_ptr] < i:
+                s_ptr += 1
+            if s_ptr == len(starts):
+                break
+            i = starts[s_ptr]
         n_i = n
         if within_us is not None:
             # exclusive window edge, matching Flink's NFA pruning rule
@@ -150,7 +163,8 @@ def _run_pattern_nfa(
             within_us is None
             or (rows[i][0] + within_us) // 1000 >= open_end_wm_ms
         )
-        hit, touched_end = _match_at_ex(masks, steps, i, n_i)
+        # no failure memo here: the streaming scan consumes touched_end
+        hit, touched_end = _match_at_ex(masks, steps, i, n_i, run_ends)
         if hit is None or not any(hit):
             if hit is None and touched_end and window_open and n_i == n:
                 # ran out of closed rows mid-pattern: this start is
