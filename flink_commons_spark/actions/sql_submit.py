@@ -255,6 +255,21 @@ class SqlSubmitAction(Action):
             stmt = pattern.sub(replacement, stmt)
         return adapt_sql(stmt)
 
+    def _sql_df(self, spark, sql: str):
+        """``spark.sql`` with the MATCH_RECOGNIZE front door: Flink
+        executes row-pattern SQL through the same generic path this
+        runner mirrors (``SQLSubmitAction.java:74-76``), but Spark's
+        parser has no MATCH_RECOGNIZE — route such statements to the
+        keyed-NFA executor (``plans/match_recognize.py``) instead."""
+        from flink_commons_spark.plans.match_recognize import (
+            contains_match_recognize,
+            execute_match_recognize,
+        )
+
+        if contains_match_recognize(sql):
+            return execute_match_recognize(spark, sql)
+        return spark.sql(sql)
+
     # ------------------------------------------------------------------ DDL
 
     def _await_referenced_sinks(self, stmt: str) -> None:
@@ -540,7 +555,7 @@ class SqlSubmitAction(Action):
         a streaming result starts a console sink and blocks until it
         terminates, matching Flink's semantics (``SURVEY.md §3.2``).
         """
-        df = spark.sql(self._adapt_streaming_sql(self._rewrite(stmt)))
+        df = self._sql_df(spark, self._adapt_streaming_sql(self._rewrite(stmt)))
         if not df.isStreaming:
             max_rows = int(self.config.raw.get("flinkcommons.select.max-rows", "1000"))
             df.show(n=max_rows, truncate=False)
@@ -582,7 +597,7 @@ class SqlSubmitAction(Action):
         if target and target in self.tables:
             spec = self.tables[target]
             query_sql = self._adapt_streaming_sql(m.group("query"))
-            df = spark.sql(query_sql)
+            df = self._sql_df(spark, query_sql)
             listed = (
                 [c.strip().strip("`") for c in m.group("cols").split(",")]
                 if m.group("cols")

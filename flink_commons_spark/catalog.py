@@ -7393,6 +7393,238 @@ JOIN seq se ON se.user_id = sc.user_id AND se.rn = sc.srn + 2
 """
 
 
+def _mr_events_view(spark: SparkSession, sf_dir: str, name: str) -> None:
+    """Session temp view for the MATCH_RECOGNIZE SQL contract queries:
+    events with integer epoch-µs event time and an integer-cents value
+    (``round(value*100)`` — bit-stable across engines, unlike double
+    aggregates). Recreated per call, so sf_dir switches are safe."""
+    _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).createOrReplaceTempView(name)
+
+
+def q_match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink-SQL ``MATCH_RECOGNIZE`` as SQL TEXT through the runner's
+    front door (``plans/match_recognize.py``): the clause is parsed out
+    of the SELECT, DEFINE/MEASURES compile into the keyed NFA's
+    callables, and the outer projection re-runs in Catalyst over the
+    match output. Same funnel as :func:`q_match_recognize` (shared
+    oracle), but arriving the way a Flink user's script does — the
+    reference executes MATCH_RECOGNIZE through its generic executor
+    (``SQLSubmitAction.java:74-76``), and this statement goes through
+    ``adapt_sql`` exactly like every sql-submit statement."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_events_view(spark, sf_dir, "mr_events_src")
+    sql = adapt_sql("""
+        SELECT user_id, start_us, end_us, n_clicks
+        FROM mr_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            MEASURES
+              FIRST(v.ts_us) AS start_us,
+              LAST(p.ts_us) AS end_us,
+              COUNT(c.*) AS n_clicks
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v c+ p)
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              p AS p.event_type = 'purchase'
+          )
+    """)
+    return execute_match_recognize(spark, sql)
+
+
+def q_match_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with ROW-NAVIGATING DEFINE predicates — Flink's
+    canonical CEP example, the price V-shape ``STRT DOWN+ UP+`` where
+    ``DOWN AS price < PREV(price)`` / ``UP AS price > PREV(price)``.
+    PREV compiles to a per-partition shift inside the NFA's mask
+    builder, so the predicate surface goes beyond event-type equality
+    — arbitrary comparisons over current and adjacent rows. Greedy
+    quantifiers + SKIP PAST LAST ROW; with mutually-exclusive D/U
+    masks the oracle replays the scan as a recursive-CTE cursor over
+    maximal direction runs."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_events_view(spark, sf_dir, "mr_events_src")
+    sql = adapt_sql("""
+        SELECT user_id, start_us, end_us, n_down, n_up
+        FROM mr_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            MEASURES
+              FIRST(strt.ts_us) AS start_us,
+              LAST(up.ts_us) AS end_us,
+              COUNT(down.*) AS n_down,
+              COUNT(up.*) AS n_up
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (strt down+ up+)
+            DEFINE
+              down AS down.cents < PREV(down.cents),
+              up AS up.cents > PREV(up.cents)
+          )
+    """)
+    return execute_match_recognize(spark, sql)
+
+
+# the D/U masks are fixed per ROW (cents vs previous row's cents), so
+# greedy down+ must take the maximal D-run and up+ the maximal U-run
+# that immediately follows — backtracking cannot save a failed start.
+# Candidates: every D position q (its run end de, following U-run end
+# ue) starting at p = q-1; the AFTER MATCH SKIP PAST LAST ROW cursor
+# replays as the recursive scan (next start ≥ prev match's ue + 1).
+_MATCH_VSHAPE_ORACLE = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+dirs AS (
+  SELECT user_id, rn, ts_us,
+         CASE WHEN cents < lag(cents) OVER w THEN 'D'
+              WHEN cents > lag(cents) OVER w THEN 'U'
+              ELSE 'F' END AS dir
+  FROM seq WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+),
+runs AS (
+  SELECT user_id, rn, dir,
+         rn - row_number() OVER (PARTITION BY user_id, dir ORDER BY rn) AS grp
+  FROM dirs WHERE dir IN ('D','U')
+),
+rbound AS (
+  SELECT user_id, dir, min(rn) AS s, max(rn) AS e
+  FROM runs GROUP BY user_id, dir, grp
+),
+drun AS (
+  SELECT d.user_id, d.s AS ds, d.e AS de, u.e AS ue
+  FROM rbound d JOIN rbound u
+    ON u.user_id = d.user_id AND d.dir='D' AND u.dir='U' AND u.s = d.e + 1
+),
+cand AS (
+  SELECT r.user_id, q.rn - 1 AS p, r.de, r.ue
+  FROM drun r JOIN runs q
+    ON q.user_id = r.user_id AND q.dir = 'D' AND q.rn BETWEEN r.ds AND r.de
+  WHERE q.rn - 1 >= 1
+),
+scan AS (
+  SELECT user_id, min(p) AS p FROM cand GROUP BY user_id
+  UNION ALL
+  SELECT u.user_id, u.p FROM (
+    SELECT s.user_id,
+           (SELECT min(c.p) FROM cand c
+            WHERE c.user_id = s.user_id
+              AND c.p >= (SELECT c2.ue FROM cand c2
+                          WHERE c2.user_id = s.user_id AND c2.p = s.p) + 1) AS p
+    FROM scan s) u
+  WHERE u.p IS NOT NULL
+)
+SELECT sc.user_id, s0.ts_us AS start_us, s2.ts_us AS end_us,
+       (c.de - c.p)::bigint AS n_down, (c.ue - c.de)::bigint AS n_up
+FROM scan sc
+JOIN cand c ON c.user_id = sc.user_id AND c.p = sc.p
+JOIN seq s0 ON s0.user_id = sc.user_id AND s0.rn = c.p
+JOIN seq s2 ON s2.user_id = sc.user_id AND s2.rn = c.ue
+"""
+
+
+def q_match_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE MEASURES beyond (first, last, count): per-
+    variable AGGREGATES — ``SUM(c.cents)`` / ``MAX(c.cents)`` over the
+    click leg, ``LAST(c.cents)``, and the SQL-standard default
+    ``v.cents`` ≡ LAST(v.cents) — all integer-cents math so the oracle
+    compares bit-exact. Every prior ``*match*`` contract query emitted
+    the same (first_ts, last_ts, count) triple; this one proves the
+    measures compiler's aggregate surface through the SQL front
+    door."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_events_view(spark, sf_dir, "mr_events_src")
+    sql = adapt_sql("""
+        SELECT user_id, start_us, view_cents, click_cents,
+               max_click_cents, last_click_cents, n_clicks
+        FROM mr_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            MEASURES
+              FIRST(v.ts_us) AS start_us,
+              v.cents AS view_cents,
+              SUM(c.cents) AS click_cents,
+              MAX(c.cents) AS max_click_cents,
+              LAST(c.cents) AS last_click_cents,
+              COUNT(c.*) AS n_clicks
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v c+ p)
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              p AS p.event_type = 'purchase'
+          )
+    """)
+    return execute_match_recognize(spark, sql)
+
+
+# same maximal-click-run islands as _MATCH_RECOGNIZE_ORACLE, with the
+# per-variable aggregates computed over the run's seq rows
+_MATCH_MEASURES_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+isl AS (
+  SELECT user_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type = 'click'
+),
+runs AS (
+  SELECT user_id, min(rn) AS srn, max(rn) AS ern, count(*)::bigint AS n_clicks
+  FROM isl GROUP BY user_id, grp
+),
+cagg AS (
+  SELECT r.user_id, r.srn, r.ern, r.n_clicks,
+         sum(s.cents)::bigint AS click_cents,
+         max(s.cents) AS max_click_cents
+  FROM runs r
+  JOIN seq s ON s.user_id = r.user_id AND s.rn BETWEEN r.srn AND r.ern
+  GROUP BY r.user_id, r.srn, r.ern, r.n_clicks
+)
+SELECT a.user_id, v.ts_us AS start_us, v.cents AS view_cents,
+       a.click_cents, a.max_click_cents, l.cents AS last_click_cents,
+       a.n_clicks
+FROM cagg a
+JOIN seq v ON v.user_id = a.user_id AND v.rn = a.srn - 1
+          AND v.event_type = 'view'
+JOIN seq p ON p.user_id = a.user_id AND p.rn = a.ern + 1
+          AND p.event_type = 'purchase'
+JOIN seq l ON l.user_id = a.user_id AND l.rn = a.ern
+"""
+
+
 def q_over_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink OVER windows with a time-RANGE frame (``RANGE BETWEEN
     INTERVAL '10' MINUTE PRECEDING AND CURRENT ROW``): per event, the
@@ -9533,6 +9765,9 @@ QUERIES = {
     "q_match_within": q_match_within,
     "q_match_skip_to_last": q_match_skip_to_last,
     "q_match_skip_to_first": q_match_skip_to_first,
+    "q_match_recognize_sql": q_match_recognize_sql,
+    "q_match_vshape": q_match_vshape,
+    "q_match_measures": q_match_measures,
     "pq_opq_recall": pq_opq_recall,
     "stream_match_quantified": stream_match_quantified,
     "stream_match_skip_to_next": stream_match_skip_to_next,
@@ -9708,6 +9943,9 @@ ORACLES = {
     "q_match_within": _MATCH_WITHIN_ORACLE,
     "q_match_skip_to_last": _MATCH_SKIP_TO_LAST_ORACLE,
     "q_match_skip_to_first": _MATCH_SKIP_TO_FIRST_ORACLE,
+    "q_match_recognize_sql": _MATCH_RECOGNIZE_ORACLE,
+    "q_match_vshape": _MATCH_VSHAPE_ORACLE,
+    "q_match_measures": _MATCH_MEASURES_ORACLE,
     "pq_opq_recall": _PQ_OPQ_RECALL_ORACLE,
     "stream_match_quantified": _STREAM_MATCH_QUANTIFIED_ORACLE,
     "stream_match_skip_to_next": _STREAM_MATCH_SKIP_TO_NEXT_ORACLE,

@@ -1,0 +1,736 @@
+"""Flink-SQL ``MATCH_RECOGNIZE`` → the Spark-native CEP operator.
+
+Flink ≥1.7 executes SQL row-pattern recognition natively — a script
+containing ``SELECT ... FROM t MATCH_RECOGNIZE (PARTITION BY ...
+MEASURES ... PATTERN (...) DEFINE ...)`` goes straight through the
+reference's generic executor (``SQLSubmitAction.java:74-76``). Spark
+has no MATCH_RECOGNIZE in its parser, so this module is the SQL front
+door: it parses the clause, compiles DEFINE conditions and MEASURES
+expressions into the pandas callables
+:func:`flink_commons_spark.operators.cep.match_pattern` consumes, runs
+the keyed NFA, and re-parses the outer statement with the
+MATCH_RECOGNIZE span replaced by a temp view over the match output —
+so projections, filters and joins around the clause stay Catalyst's
+job.
+
+Supported surface (the reference demo's dialect of the standard):
+
+- ``PARTITION BY`` (≥1 columns), ``ORDER BY`` (ASC only; first key a
+  timestamp or integer event-time column);
+- ``MEASURES``: ``FIRST(V.col [, n])`` / ``LAST(V.col [, n])``,
+  ``COUNT(V.*)`` / ``COUNT(*)``, ``SUM/AVG/MIN/MAX(V.col)``,
+  ``V.col`` (≡ ``LAST(V.col)``, the SQL-standard default), bare
+  ``col`` (last row of the match), literals and arithmetic over any
+  of these;
+- ``ONE ROW PER MATCH`` (the only per-match mode, as in Flink);
+- ``AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | TO [FIRST|LAST] V``;
+- ``PATTERN`` with the NFA's quantifiers: ``V``, ``V+``, ``V*``,
+  ``V?``, ``V{l,u}``, ``V{l,}``, and the reluctant ``+? *? ??``
+  variants (no alternation/grouping — Flink's CEP SQL also rejects
+  ``|`` inside PATTERN);
+- ``WITHIN INTERVAL 'n' UNIT``;
+- ``DEFINE V AS <predicate>`` with comparisons, arithmetic, AND/OR/
+  NOT, ``IS [NOT] NULL``, and row-navigation ``PREV(expr [, n])`` /
+  ``NEXT(expr [, n])`` over the ordered partition (Flink's default
+  1-row offset semantics; ``V.col`` inside V's own DEFINE is the
+  current row, as in the standard).
+
+Not supported (raises with a clear message): ``ALL ROWS PER MATCH``,
+pattern alternation/permutation, ``FIRST``/``LAST`` navigation inside
+DEFINE (match-state-dependent masks), subqueries as the
+MATCH_RECOGNIZE source (register a view first), and streaming
+sources through this SQL path — streaming CEP is
+:mod:`flink_commons_spark.streaming.cep_stream`.
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+_MR_RE = re.compile(r"\bMATCH_RECOGNIZE\s*\(", re.IGNORECASE)
+
+#: source identifier immediately before MATCH_RECOGNIZE
+_SRC_RE = re.compile(
+    r"(?P<src>(?:`[^`]+`|[\w.])+)\s*$",
+)
+
+_BODY_RE = re.compile(
+    r"^\s*"
+    r"(?:PARTITION\s+BY\s+(?P<part>.*?)\s+)?"
+    r"(?:ORDER\s+BY\s+(?P<order>.*?)\s+)?"
+    r"MEASURES\s+(?P<meas>.*?)\s+"
+    r"(?:(?P<rowmode>ONE\s+ROW\s+PER\s+MATCH|ALL\s+ROWS\s+PER\s+MATCH)\s+)?"
+    r"(?:AFTER\s+MATCH\s+(?P<skip>SKIP\s+(?:PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW"
+    r"|TO\s+(?:FIRST\s+|LAST\s+)?\w+))\s+)?"
+    r"PATTERN\s*\(\s*(?P<pat>[^)]*?)\s*\)\s*"
+    r"(?:WITHIN\s+INTERVAL\s+'(?P<wn>\d+)'\s+(?P<wu>SECOND|MINUTE|HOUR|DAY)S?\s*)?"
+    r"DEFINE\s+(?P<def>.*?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_PAT_TOKEN_RE = re.compile(
+    r"^(?P<name>\w+)(?P<q>\{\d+(?:,\d*)?\}|[+*?])?(?P<rel>\?)?$"
+)
+
+_WITHIN_US = {"SECOND": 10**6, "MINUTE": 60 * 10**6,
+              "HOUR": 3600 * 10**6, "DAY": 86400 * 10**6}
+
+
+def contains_match_recognize(sql: str) -> bool:
+    return bool(_MR_RE.search(sql))
+
+
+# ---------------------------------------------------------------------
+# expression compiler (shared tokenizer; DEFINE and MEASURES modes)
+# ---------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+      (?P<num>\d+(?:\.\d+)?)
+    | (?P<str>'[^']*')
+    | (?P<star>\w+\.\*|\*)
+    | (?P<id>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)
+    | (?P<op><=|>=|<>|!=|[<>=+\-*/(),])
+    )""",
+    re.VERBOSE,
+)
+
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+_AGG_FNS = {"SUM", "AVG", "MIN", "MAX", "COUNT", "FIRST", "LAST"}
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    toks: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(text):
+        if text[pos:].isspace() or pos == len(text):
+            break
+        m = _TOKEN_RE.match(text, pos)
+        if not m or m.end() == pos:
+            raise ValueError(f"cannot tokenize expression at: {text[pos:pos+24]!r}")
+        for kind in ("num", "str", "star", "id", "op"):
+            if m.group(kind) is not None:
+                toks.append((kind, m.group(kind)))
+                break
+        pos = m.end()
+    return toks
+
+
+def _promote(a: str, b: str) -> str:
+    if a == b:
+        return a
+    if "double" in (a, b) or "float" in (a, b) or a.startswith("decimal") or b.startswith(
+        "decimal"
+    ):
+        return "double"
+    if a in _INT_TYPES and b in _INT_TYPES:
+        return "bigint"
+    return "double"
+
+
+@dataclass
+class _Node:
+    """A compiled (sub)expression: ``fn(ctx)`` → value, plus the Spark
+    SQL type it produces (for the match output schema)."""
+
+    fn: Callable[[Any], Any]
+    typ: str
+
+
+class _ExprParser:
+    """Recursive-descent compiler for MATCH_RECOGNIZE scalar
+    expressions. ``mode='define'`` compiles to ``fn(pdf) → Series``
+    (a per-row mask/value over the ordered key partition, PREV/NEXT
+    as shifts); ``mode='measures'`` compiles to ``fn(ctx) → scalar``
+    where ctx carries the match's key map and per-variable segments."""
+
+    def __init__(self, text: str, mode: str, col_types: dict[str, str],
+                 used_cols: set, variables: set):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.mode = mode
+        self.col_types = col_types
+        self.used_cols = used_cols
+        self.variables = variables  # upper-cased pattern variable names
+        self.text = text
+
+    # -- token helpers
+    def _peek(self) -> "tuple[str, str] | None":
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self) -> tuple[str, str]:
+        t = self._peek()
+        if t is None:
+            raise ValueError(f"unexpected end of expression: {self.text!r}")
+        self.i += 1
+        return t
+
+    def _accept_kw(self, *kws: str) -> "str | None":
+        t = self._peek()
+        if t and t[0] == "id" and t[1].upper() in kws:
+            self.i += 1
+            return t[1].upper()
+        return None
+
+    def _accept_op(self, *ops: str) -> "str | None":
+        t = self._peek()
+        if t and t[0] == "op" and t[1] in ops:
+            self.i += 1
+            return t[1]
+        return None
+
+    def _expect_op(self, op: str) -> None:
+        if not self._accept_op(op):
+            raise ValueError(f"expected {op!r} in {self.text!r}")
+
+    # -- grammar
+    def parse(self) -> _Node:
+        node = self._or()
+        if self._peek() is not None:
+            raise ValueError(
+                f"trailing tokens {self.toks[self.i:]} in {self.text!r}"
+            )
+        return node
+
+    def _or(self) -> _Node:
+        node = self._and()
+        while self._accept_kw("OR"):
+            rhs = self._and()
+            lf, rf = node.fn, rhs.fn
+            node = _Node(lambda c, lf=lf, rf=rf: lf(c) | rf(c), "boolean")
+        return node
+
+    def _and(self) -> _Node:
+        node = self._not()
+        while self._accept_kw("AND"):
+            rhs = self._not()
+            lf, rf = node.fn, rhs.fn
+            node = _Node(lambda c, lf=lf, rf=rf: lf(c) & rf(c), "boolean")
+        return node
+
+    def _not(self) -> _Node:
+        if self._accept_kw("NOT"):
+            inner = self._not()
+            f = inner.fn
+            return _Node(lambda c, f=f: ~f(c), "boolean")
+        return self._predicate()
+
+    def _predicate(self) -> _Node:
+        lhs = self._additive()
+        if self._accept_kw("IS"):
+            neg = bool(self._accept_kw("NOT"))
+            if not self._accept_kw("NULL"):
+                raise ValueError(f"expected NULL after IS in {self.text!r}")
+            f = lhs.fn
+            if self.mode == "define":
+                import pandas as pd
+
+                def isnull(c, f=f, neg=neg):
+                    s = f(c)
+                    r = pd.isna(s)
+                    return ~r if neg else r
+
+                return _Node(isnull, "boolean")
+            return _Node(
+                lambda c, f=f, neg=neg: (f(c) is not None) if neg else (f(c) is None),
+                "boolean",
+            )
+        op = self._accept_op("<=", ">=", "<>", "!=", "<", ">", "=")
+        if op is None:
+            return lhs
+        rhs = self._additive()
+        lf, rf = lhs.fn, rhs.fn
+        import operator as _op
+
+        fn = {
+            "=": _op.eq, "<>": _op.ne, "!=": _op.ne,
+            "<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge,
+        }[op]
+        return _Node(lambda c, lf=lf, rf=rf, fn=fn: fn(lf(c), rf(c)), "boolean")
+
+    def _additive(self) -> _Node:
+        node = self._term()
+        while (op := self._accept_op("+", "-")) is not None:
+            rhs = self._term()
+            lf, rf = node.fn, rhs.fn
+            if op == "+":
+                f = lambda c, lf=lf, rf=rf: lf(c) + rf(c)  # noqa: E731
+            else:
+                f = lambda c, lf=lf, rf=rf: lf(c) - rf(c)  # noqa: E731
+            node = _Node(f, _promote(node.typ, rhs.typ))
+        return node
+
+    def _term(self) -> _Node:
+        node = self._factor()
+        while (op := self._accept_op("*", "/")) is not None:
+            rhs = self._factor()
+            lf, rf = node.fn, rhs.fn
+            if op == "*":
+                f = lambda c, lf=lf, rf=rf: lf(c) * rf(c)  # noqa: E731
+                t = _promote(node.typ, rhs.typ)
+            else:  # SQL '/' on any numeric input is double division
+                f = lambda c, lf=lf, rf=rf: lf(c) / rf(c)  # noqa: E731
+                t = "double"
+            node = _Node(f, t)
+        return node
+
+    def _factor(self) -> _Node:
+        if self._accept_op("-"):
+            inner = self._factor()
+            f = inner.fn
+            return _Node(lambda c, f=f: -f(c), inner.typ)
+        if self._accept_op("("):
+            node = self._or()
+            self._expect_op(")")
+            return node
+        kind, val = self._next()
+        if kind == "num":
+            if "." in val:
+                v = float(val)
+                return _Node(lambda c, v=v: v, "double")
+            v = int(val)
+            return _Node(lambda c, v=v: v, "bigint")
+        if kind == "str":
+            v = val[1:-1]
+            return _Node(lambda c, v=v: v, "string")
+        if kind == "id":
+            up = val.upper()
+            if up == "TRUE":
+                return _Node(lambda c: True, "boolean")
+            if up == "FALSE":
+                return _Node(lambda c: False, "boolean")
+            if up == "NULL":
+                return _Node(lambda c: None, "void")
+            nxt = self._peek()
+            if nxt and nxt[0] == "op" and nxt[1] == "(":
+                return self._func(up)
+            return self._column(val)
+        raise ValueError(f"unexpected token {val!r} in {self.text!r}")
+
+    # -- functions
+    def _func(self, fname: str) -> _Node:
+        self._expect_op("(")
+        if fname in ("PREV", "NEXT"):
+            if self.mode != "define":
+                raise ValueError(f"{fname}() is only valid inside DEFINE")
+            inner = self._or()
+            n = 1
+            if self._accept_op(","):
+                k, v = self._next()
+                if k != "num" or "." in v:
+                    raise ValueError(f"{fname} offset must be an integer literal")
+                n = int(v)
+            self._expect_op(")")
+            shift = n if fname == "PREV" else -n
+            f = inner.fn
+
+            def nav(pdf, f=f, shift=shift):
+                s = f(pdf)
+                return s.shift(shift)
+
+            return _Node(nav, inner.typ)
+        if fname == "ABS":
+            inner = self._or()
+            self._expect_op(")")
+            f = inner.fn
+            return _Node(lambda c, f=f: abs(f(c)), inner.typ)
+        if fname in _AGG_FNS:
+            if self.mode != "measures":
+                raise ValueError(
+                    f"{fname}() inside DEFINE is not supported — only "
+                    "PREV/NEXT row navigation (match-state-dependent "
+                    "DEFINE masks are out of scope)"
+                )
+            return self._agg(fname)
+        raise ValueError(f"unsupported function {fname}() in {self.text!r}")
+
+    def _agg(self, fname: str) -> _Node:
+        t = self._next()
+        if fname == "COUNT":
+            if t == ("star", "*"):
+                self._expect_op(")")
+                return _Node(
+                    lambda c: sum(len(s) for s in c["segs"].values()), "bigint"
+                )
+            if t[0] == "star":  # COUNT(V.*)
+                var = t[1].split(".")[0].upper()
+                self._check_var(var)
+                self._expect_op(")")
+                return _Node(lambda c, var=var: len(c["segs"][var]), "bigint")
+            raise ValueError("COUNT supports COUNT(*) and COUNT(V.*)")
+        if t[0] != "id" or "." not in t[1]:
+            raise ValueError(f"{fname} expects a variable-qualified column")
+        var, col = t[1].split(".", 1)
+        var = var.upper()
+        self._check_var(var)
+        ctype = self._col_type(col)
+        n = 0
+        if fname in ("FIRST", "LAST") and self._accept_op(","):
+            k, v = self._next()
+            if k != "num" or "." in v:
+                raise ValueError(f"{fname} offset must be an integer literal")
+            n = int(v)
+        self._expect_op(")")
+        if fname == "FIRST":
+            def first(c, var=var, col=col, n=n):
+                s = c["segs"][var]
+                return s[col].iloc[n] if len(s) > n else None
+            return _Node(first, ctype)
+        if fname == "LAST":
+            def last(c, var=var, col=col, n=n):
+                s = c["segs"][var]
+                return s[col].iloc[len(s) - 1 - n] if len(s) > n else None
+            return _Node(last, ctype)
+        import numpy as np
+
+        red = {"SUM": np.sum, "MIN": np.min, "MAX": np.max, "AVG": np.mean}[fname]
+        if fname == "AVG":
+            otype = "double"
+        elif fname == "SUM":
+            otype = "bigint" if ctype in _INT_TYPES else ctype
+        else:
+            otype = ctype
+
+        def agg(c, var=var, col=col, red=red):
+            s = c["segs"][var]
+            if not len(s):
+                return None  # SQL aggregate over zero rows is NULL
+            return red(s[col].to_numpy())
+
+        return _Node(agg, otype)
+
+    # -- identifiers
+    def _check_var(self, var: str) -> None:
+        if var not in self.variables:
+            raise ValueError(f"unknown pattern variable {var!r}")
+
+    def _col_type(self, col: str) -> str:
+        if col not in self.col_types:
+            raise ValueError(f"unknown column {col!r}")
+        self.used_cols.add(col)
+        return self.col_types[col]
+
+    def _column(self, ident: str) -> _Node:
+        if "." in ident:
+            var, col = ident.split(".", 1)
+            varu = var.upper()
+            if varu in self.variables:
+                ctype = self._col_type(col)
+                if self.mode == "define":
+                    # inside DEFINE, V.col is the CURRENT row's value
+                    # (the standard's semantics for the variable being
+                    # defined; Flink only allows the own variable here)
+                    return _Node(lambda pdf, col=col: pdf[col], ctype)
+
+                def vlast(c, varu=varu, col=col):
+                    s = c["segs"][varu]
+                    return s[col].iloc[-1] if len(s) else None
+
+                return _Node(vlast, ctype)  # measures: V.col ≡ LAST(V.col)
+            col = ident  # table-qualified? treat as plain column below
+        col = ident.split(".")[-1]
+        ctype = self._col_type(col)
+        if self.mode == "define":
+            return _Node(lambda pdf, col=col: pdf[col], ctype)
+
+        def bare(c, col=col):
+            if col in c["key"]:
+                return c["key"][col]
+            row = c["last_row"]
+            return row[col] if row is not None else None
+
+        return _Node(bare, ctype)
+
+
+# ---------------------------------------------------------------------
+# clause parser
+# ---------------------------------------------------------------------
+
+
+@dataclass
+class MatchRecognizeSpec:
+    source: str
+    partition_by: list[str]
+    order_by: list[str]
+    measures: "list[tuple[str, _Node]]"
+    after_match: "str | tuple[str, str]"
+    steps: list
+    within_us: "int | None"
+    used_cols: set = field(default_factory=set)
+    span: "tuple[int, int]" = (0, 0)  # [source start, past close paren)
+
+
+def _find_close(sql: str, open_paren: int) -> int:
+    depth, in_q = 1, False
+    i = open_paren + 1
+    while i < len(sql):
+        ch = sql[i]
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return i
+        i += 1
+    raise ValueError("unbalanced parentheses in MATCH_RECOGNIZE")
+
+
+def _split_top(text: str) -> list[str]:
+    """Split on top-level commas (paren/quote aware)."""
+    parts, depth, in_q, start = [], 0, False, 0
+    for i, ch in enumerate(text):
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(text[start:i].strip())
+                start = i + 1
+    parts.append(text[start:].strip())
+    return [p for p in parts if p]
+
+
+def parse_match_recognize(
+    sql: str, col_types: dict[str, str]
+) -> MatchRecognizeSpec:
+    """Parse the (single) MATCH_RECOGNIZE clause out of ``sql``.
+    ``col_types`` maps the source's columns to Spark SQL type strings
+    (needed to type the DEFINE/MEASURES expressions)."""
+    import pandas as pd
+
+    from flink_commons_spark.operators.cep import Step
+
+    m = _MR_RE.search(sql)
+    if not m:
+        raise ValueError("no MATCH_RECOGNIZE clause found")
+    close = _find_close(sql, m.end() - 1)
+    sm = _SRC_RE.search(sql, 0, m.start())
+    if not sm or sm.group("src").upper() in ("FROM", "JOIN"):
+        raise ValueError(
+            "MATCH_RECOGNIZE source must be a table or view identifier "
+            "(register a temp view for subquery inputs)"
+        )
+    src = sm.group("src")
+    body = sql[m.end() : close]
+    bm = _BODY_RE.match(body)
+    if not bm:
+        raise ValueError(f"cannot parse MATCH_RECOGNIZE body: {body[:120]!r}")
+    if bm.group("rowmode") and "ALL" in bm.group("rowmode").upper():
+        raise ValueError("ALL ROWS PER MATCH is not supported (Flink CEP "
+                         "SQL emits ONE ROW PER MATCH for aggregates too)")
+
+    part = [c.strip().strip("`") for c in (bm.group("part") or "").split(",") if c.strip()]
+    order = []
+    for c in (bm.group("order") or "").split(","):
+        c = c.strip()
+        if not c:
+            continue
+        if re.search(r"\sDESC$", c, re.IGNORECASE):
+            raise ValueError("MATCH_RECOGNIZE ORDER BY must be ascending "
+                             "(Flink requires an ascending time attribute)")
+        order.append(re.sub(r"\s+ASC$", "", c, flags=re.IGNORECASE).strip("`"))
+    if not order:
+        raise ValueError("MATCH_RECOGNIZE requires ORDER BY")
+
+    # pattern variables + quantifiers
+    steps_raw: list[tuple[str, int, "int | None", bool]] = []
+    for tok in bm.group("pat").split():
+        tm = _PAT_TOKEN_RE.match(tok)
+        if not tm:
+            raise ValueError(f"unsupported PATTERN token {tok!r} "
+                             "(alternation/grouping not supported)")
+        q = tm.group("q") or ""
+        lo, hi = 1, 1
+        if q == "+":
+            lo, hi = 1, None
+        elif q == "*":
+            lo, hi = 0, None
+        elif q == "?":
+            lo, hi = 0, 1
+        elif q.startswith("{"):
+            inner = q[1:-1]
+            if "," in inner:
+                a, b = inner.split(",")
+                lo, hi = int(a), (int(b) if b else None)
+            else:
+                lo = hi = int(inner)
+        rel = tm.group("rel") == "?"
+        if rel and not q:
+            raise ValueError(f"bare '?' without quantifier in {tok!r}")
+        steps_raw.append((tm.group("name").upper(), lo, hi, rel))
+    variables = {name for name, *_ in steps_raw}
+    if len(variables) != len(steps_raw):
+        raise ValueError("repeated pattern variables are not supported "
+                         "(per-variable MEASURES would be ambiguous)")
+
+    used_cols: set = set()
+    defines: dict[str, Callable] = {}
+    for clause in _split_top(bm.group("def")):
+        dm = re.match(r"^(?P<v>\w+)\s+AS\s+(?P<cond>.+)$", clause,
+                      re.IGNORECASE | re.DOTALL)
+        if not dm:
+            raise ValueError(f"cannot parse DEFINE clause {clause!r}")
+        var = dm.group("v").upper()
+        if var not in variables:
+            raise ValueError(f"DEFINE names unknown variable {var!r}")
+        node = _ExprParser(dm.group("cond"), "define", col_types,
+                           used_cols, variables).parse()
+        defines[var] = node.fn
+
+    def _wild(p):
+        return pd.Series(True, index=p.index)
+
+    steps = [
+        Step(
+            name,
+            defines.get(name, _wild),
+            quant=(lo, hi),
+            reluctant=rel,
+        )
+        for name, lo, hi, rel in steps_raw
+    ]
+
+    measures: list[tuple[str, _Node]] = []
+    for clause in _split_top(bm.group("meas")):
+        mm = re.match(r"^(?P<expr>.+?)\s+AS\s+(?P<name>`?\w+`?)\s*$", clause,
+                      re.IGNORECASE | re.DOTALL)
+        if not mm:
+            raise ValueError(f"MEASURES entry needs 'expr AS name': {clause!r}")
+        node = _ExprParser(mm.group("expr"), "measures", col_types,
+                           used_cols, variables).parse()
+        measures.append((mm.group("name").strip("`"), node))
+    if not measures:
+        raise ValueError("MATCH_RECOGNIZE requires at least one measure")
+
+    skip = (bm.group("skip") or "SKIP PAST LAST ROW").upper().split()
+    after_match: "str | tuple[str, str]"
+    if skip[:4] == ["SKIP", "PAST", "LAST", "ROW"]:
+        after_match = "past_last"
+    elif skip[:4] == ["SKIP", "TO", "NEXT", "ROW"]:
+        after_match = "to_next_row"
+    elif skip[:3] == ["SKIP", "TO", "FIRST"]:
+        after_match = ("to_first", skip[3])
+    elif skip[:3] == ["SKIP", "TO", "LAST"]:
+        after_match = ("to_last", skip[3])
+    else:  # SKIP TO <var> is SKIP TO LAST <var> in the standard
+        after_match = ("to_last", skip[2])
+
+    within_us = None
+    if bm.group("wn"):
+        within_us = int(bm.group("wn")) * _WITHIN_US[bm.group("wu").upper()]
+
+    for c in part + order:
+        if c not in col_types:
+            raise ValueError(f"unknown column {c!r} in PARTITION BY/ORDER BY")
+    return MatchRecognizeSpec(
+        source=src,
+        partition_by=part,
+        order_by=order,
+        measures=measures,
+        after_match=after_match,
+        steps=steps,
+        within_us=within_us,
+        used_cols=used_cols,
+        span=(sm.start("src"), close + 1),
+    )
+
+
+# ---------------------------------------------------------------------
+# executor
+# ---------------------------------------------------------------------
+
+_view_ids = itertools.count()
+
+
+def execute_match_recognize(spark, sql: str):
+    """Run a SELECT statement containing MATCH_RECOGNIZE: the clause
+    executes on the keyed NFA (:func:`operators.cep.match_pattern` —
+    one hash exchange on PARTITION BY, Arrow-batched per-key scans),
+    its output registers as a temp view, and the surrounding statement
+    re-runs through ``spark.sql`` with the clause replaced by that
+    view — outer projections/filters stay in Catalyst. Returns the
+    outer statement's DataFrame."""
+    from pyspark.sql import functions as F
+
+    from flink_commons_spark.operators.cep import match_pattern
+
+    probe = _MR_RE.search(sql)
+    if not probe:
+        raise ValueError("no MATCH_RECOGNIZE clause in statement")
+    close = _find_close(sql, probe.end() - 1)
+    if _MR_RE.search(sql, close):
+        raise ValueError("multiple MATCH_RECOGNIZE clauses in one statement "
+                         "are not supported")
+    sm = _SRC_RE.search(sql, 0, probe.start())
+    if not sm:
+        raise ValueError("MATCH_RECOGNIZE must follow a table identifier")
+    src_df = spark.table(sm.group("src"))
+    if src_df.isStreaming:
+        raise NotImplementedError(
+            "MATCH_RECOGNIZE over a streaming source is not supported "
+            "through SQL — use flink_commons_spark.streaming.cep_stream"
+        )
+    col_types = {f.name: f.dataType.simpleString() for f in src_df.schema.fields}
+    spec = parse_match_recognize(sql, col_types)
+
+    df = src_df
+    order_cols = list(spec.order_by)
+    first_t = col_types[order_cols[0]]
+    if first_t.startswith("timestamp"):
+        # the NFA orders (and bounds WITHIN) on int64 event-time µs;
+        # cast covers both parquet vintages (timestamp / timestamp_ntz)
+        df = df.withColumn(
+            "__mr_ous", F.unix_micros(F.col(order_cols[0]).cast("timestamp"))
+        )
+        order_cols[0] = "__mr_ous"
+    elif spec.within_us is not None and first_t not in _INT_TYPES:
+        raise ValueError("WITHIN requires the first ORDER BY key to be a "
+                         "timestamp or integer event-time column")
+    needed = set(spec.partition_by) | set(order_cols) | spec.used_cols
+    df = df.select(*[c for c in df.columns if c in needed])
+
+    key_cols = spec.partition_by
+    measure_nodes = spec.measures
+    step_names = [s.name for s in spec.steps]
+
+    def measures_fn(key: tuple, segs: dict) -> dict:
+        key_map = dict(zip(key_cols, key))
+        last_row = None
+        for name in reversed(step_names):
+            seg = segs[name]
+            if len(seg):
+                last_row = {c: seg[c].iloc[-1] for c in needed if c in seg._cols}
+                break
+        ctx = {"key": key_map, "segs": segs, "last_row": last_row}
+        row = dict(key_map)
+        for name, node in measure_nodes:
+            row[name] = node.fn(ctx)
+        return row
+
+    out_schema = ", ".join(
+        [f"{c} {col_types[c]}" for c in key_cols]
+        + [f"{n} {node.typ}" for n, node in measure_nodes]
+    )
+    res = match_pattern(
+        df,
+        key_cols,
+        order_cols,
+        spec.steps,
+        measures_fn,
+        out_schema,
+        after_match=spec.after_match,
+        within_us=spec.within_us,
+    )
+    view = f"__mr_out_{next(_view_ids)}"
+    res.createOrReplaceTempView(view)
+    outer = sql[: spec.span[0]] + view + " " + sql[spec.span[1] :]
+    return spark.sql(outer)
