@@ -7359,6 +7359,244 @@ JOIN seq s2 ON s2.user_id = sc.user_id AND s2.rn = sc.p + 2
 """
 
 
+def stream_match_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CEP with row-navigating DEFINE predicates — the
+    streaming twin of :func:`q_match_vshape`: Flink's canonical price
+    V-shape ``STRT DOWN+ UP+`` with ``DOWN AS price < PREV(price)``,
+    previously inexpressible in the streaming NFA (its masks were
+    event-type equality only). The predicates compile to backward
+    shifts over the buffered frame, and the buffer keeps one CONTEXT
+    row after each consumed match so PREV still sees its true
+    predecessor (Flink's PREV navigates the input stream, not the
+    retained buffer) — see ``streaming/cep_stream.py``. Oracle = the
+    batch recursive-cursor scan over each key's watermark-closed
+    prefix, minus matches whose greedy trailing ``up+`` ends on the
+    key's last closed row (still open — future rows could extend
+    them)."""
+    import os
+
+    from flink_commons_spark.streaming.cep_stream import (
+        stream_match_conversions,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = _scratch_dir(prefix="fcs-stream-cepv-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .transform(_norm_ts)
+        .withWatermark("ts", "0 seconds")
+        .select(
+            "user_id",
+            "ts",
+            "event_type",
+            "event_id",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+            F.round(F.col("value") * 100).cast("double").alias("cents"),
+        )
+    )
+    name = "fcs_stream_cep_vshape"
+    query = (
+        stream_match_conversions(
+            sdf,
+            pattern=[("*", 1, 1), ("down", 1, None), ("up", 1, None)],
+            defines={
+                "down": lambda p: p["val"] < p["val"].shift(1),
+                "up": lambda p: p["val"] > p["val"].shift(1),
+            },
+            value_col="cents",
+            emit=lambda k, rows, hit: (
+                k,
+                rows[hit[0][0]][0],
+                rows[hit[2][-1]][0],
+                len(hit[1]),
+                len(hit[2]),
+            ),
+            output_schema=(
+                "user_id bigint, start_us bigint, end_us bigint, "
+                "n_down bigint, n_up bigint"
+            ),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-cepv-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(name)
+
+
+# the batch V-shape cursor oracle over the watermark-closed prefix;
+# a match whose up-run ends on the key's last closed row is DEFERRED
+# (greedy up+ below its upper bound could still grow), hence ue < kn.
+# All candidates of that run share its ue, so the exclusion is exactly
+# the streaming scan's stop — nothing after it can match either.
+_STREAM_MATCH_VSHAPE_ORACLE = """
+WITH RECURSIVE wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
+seq AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE epoch_us(ts) // 1000 < (SELECT wm_ms FROM wm)
+),
+dirs AS (
+  SELECT user_id, rn, ts_us,
+         CASE WHEN cents < lag(cents) OVER w THEN 'D'
+              WHEN cents > lag(cents) OVER w THEN 'U'
+              ELSE 'F' END AS dir
+  FROM seq WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+),
+runs AS (
+  SELECT user_id, rn, dir,
+         rn - row_number() OVER (PARTITION BY user_id, dir ORDER BY rn) AS grp
+  FROM dirs WHERE dir IN ('D','U')
+),
+rbound AS (
+  SELECT user_id, dir, min(rn) AS s, max(rn) AS e
+  FROM runs GROUP BY user_id, dir, grp
+),
+drun AS (
+  SELECT d.user_id, d.s AS ds, d.e AS de, u.e AS ue
+  FROM rbound d JOIN rbound u
+    ON u.user_id = d.user_id AND d.dir='D' AND u.dir='U' AND u.s = d.e + 1
+),
+keyn AS (SELECT user_id, max(rn) AS kn FROM seq GROUP BY user_id),
+cand AS (
+  SELECT r.user_id, q.rn - 1 AS p, r.de, r.ue
+  FROM drun r
+  JOIN runs q
+    ON q.user_id = r.user_id AND q.dir = 'D' AND q.rn BETWEEN r.ds AND r.de
+  JOIN keyn k ON k.user_id = r.user_id
+  WHERE q.rn - 1 >= 1 AND r.ue < k.kn
+),
+scan AS (
+  SELECT user_id, min(p) AS p FROM cand GROUP BY user_id
+  UNION ALL
+  SELECT u.user_id, u.p FROM (
+    SELECT s.user_id,
+           (SELECT min(c.p) FROM cand c
+            WHERE c.user_id = s.user_id
+              AND c.p >= (SELECT c2.ue FROM cand c2
+                          WHERE c2.user_id = s.user_id AND c2.p = s.p) + 1) AS p
+    FROM scan s) u
+  WHERE u.p IS NOT NULL
+)
+SELECT sc.user_id, s0.ts_us AS start_us, s2.ts_us AS end_us,
+       (c.de - c.p)::bigint AS n_down, (c.ue - c.de)::bigint AS n_up
+FROM scan sc
+JOIN cand c ON c.user_id = sc.user_id AND c.p = sc.p
+JOIN seq s0 ON s0.user_id = sc.user_id AND s0.rn = c.p
+JOIN seq s2 ON s2.user_id = sc.user_id AND s2.rn = c.ue
+"""
+
+
+def stream_match_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CEP MEASURES beyond the count triple — the streaming
+    twin of :func:`q_match_measures`: the conversion funnel emitting
+    per-variable aggregates (sum/max/last of the click leg's integer
+    cents plus the view row's cents) from the buffered rows at match
+    completion. Same watermark-gated keyed NFA; oracle = the batch
+    islands-plus-aggregates formulation over each key's closed
+    prefix."""
+    import os
+
+    from flink_commons_spark.streaming.cep_stream import (
+        stream_match_conversions,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = _scratch_dir(prefix="fcs-stream-cepm-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .transform(_norm_ts)
+        .withWatermark("ts", "0 seconds")
+        .select(
+            "user_id",
+            "ts",
+            "event_type",
+            "event_id",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+            F.round(F.col("value") * 100).cast("double").alias("cents"),
+        )
+    )
+    name = "fcs_stream_cep_measures"
+    query = (
+        stream_match_conversions(
+            sdf,
+            value_col="cents",
+            emit=lambda k, rows, hit: (
+                k,
+                rows[hit[0][0]][0],
+                int(rows[hit[0][0]][3]),
+                int(sum(rows[j][3] for j in hit[1])),
+                int(max(rows[j][3] for j in hit[1])),
+                int(rows[hit[1][-1]][3]),
+                len(hit[1]),
+            ),
+            output_schema=(
+                "user_id bigint, start_us bigint, view_cents bigint, "
+                "click_cents bigint, max_click_cents bigint, "
+                "last_click_cents bigint, n_clicks bigint"
+            ),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-cepm-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(name)
+
+
+# islands + per-run aggregates over each key's watermark-closed prefix
+_STREAM_MATCH_MEASURES_ORACLE = """
+WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
+seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE epoch_us(ts) // 1000 < (SELECT wm_ms FROM wm)
+),
+isl AS (
+  SELECT user_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type = 'click'
+),
+runs AS (
+  SELECT user_id, min(rn) AS srn, max(rn) AS ern, count(*)::bigint AS n_clicks
+  FROM isl GROUP BY user_id, grp
+),
+cagg AS (
+  SELECT r.user_id, r.srn, r.ern, r.n_clicks,
+         sum(s.cents)::bigint AS click_cents,
+         max(s.cents) AS max_click_cents
+  FROM runs r
+  JOIN seq s ON s.user_id = r.user_id AND s.rn BETWEEN r.srn AND r.ern
+  GROUP BY r.user_id, r.srn, r.ern, r.n_clicks
+)
+SELECT a.user_id, v.ts_us AS start_us, v.cents AS view_cents,
+       a.click_cents, a.max_click_cents, l.cents AS last_click_cents,
+       a.n_clicks
+FROM cagg a
+JOIN seq v ON v.user_id = a.user_id AND v.rn = a.srn - 1
+          AND v.event_type = 'view'
+JOIN seq p ON p.user_id = a.user_id AND p.rn = a.ern + 1
+          AND p.event_type = 'purchase'
+JOIN seq l ON l.user_id = a.user_id AND l.rn = a.ern
+"""
+
+
 # the sequential AFTER MATCH SKIP TO LAST e scan as a recursive CTE:
 # each match starts at the first view with two following rows at or
 # after the cursor; the next cursor is the match's last row ITSELF
@@ -9773,6 +10011,8 @@ QUERIES = {
     "stream_match_skip_to_next": stream_match_skip_to_next,
     "stream_match_skip_to_last": stream_match_skip_to_last,
     "stream_match_skip_to_first": stream_match_skip_to_first,
+    "stream_match_vshape": stream_match_vshape,
+    "stream_match_measures": stream_match_measures,
     "q_over_range": q_over_range,
     "q_unnest_ordinality": q_unnest_ordinality,
     "stream_window_join": stream_window_join,
@@ -9951,6 +10191,8 @@ ORACLES = {
     "stream_match_skip_to_next": _STREAM_MATCH_SKIP_TO_NEXT_ORACLE,
     "stream_match_skip_to_last": _STREAM_MATCH_SKIP_TO_LAST_ORACLE,
     "stream_match_skip_to_first": _STREAM_MATCH_SKIP_TO_FIRST_ORACLE,
+    "stream_match_vshape": _STREAM_MATCH_VSHAPE_ORACLE,
+    "stream_match_measures": _STREAM_MATCH_MEASURES_ORACLE,
     "q_over_range": _OVER_RANGE_ORACLE,
     "q_unnest_ordinality": _UNNEST_ORACLE,
     "stream_window_join": _STREAM_WINDOW_JOIN_ORACLE,

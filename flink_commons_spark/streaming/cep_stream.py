@@ -41,8 +41,14 @@ if TYPE_CHECKING:  # pragma: no cover
 
 #: output: one row per completed match
 MATCH_SCHEMA = "user_id bigint, start_us bigint, end_us bigint, n_clicks bigint"
-#: state: the key's buffered (ts, event_type, event_id) columns
-BUFFER_STATE_SCHEMA = "ts array<long>, et array<string>, eid array<long>"
+#: state: the key's buffered (ts, event_type, event_id, value) columns
+#: plus the count of leading CONTEXT rows — already-consumed rows kept
+#: only so row-navigating DEFINE predicates (PREV) see their true
+#: predecessor after a match consumes the prefix; never matched again
+BUFFER_STATE_SCHEMA = (
+    "ts array<long>, et array<string>, eid array<long>, "
+    "val array<double>, nctx int"
+)
 _COLS = ["user_id", "start_us", "end_us", "n_clicks"]
 
 
@@ -58,12 +64,15 @@ QUANTIFIED_PATTERN: "list[tuple[str, int, int | None]]" = [
 
 def _run_pattern_nfa(
     key_id: int,
-    rows: "list[tuple[int, str, int]]",
+    rows: "list[tuple]",
     pattern: "list[tuple[str, int, int | None]]",
     count_idx: int = 1,
     within_us: "int | None" = None,
     open_end_wm_ms: "int | None" = None,
     after_match: "str | tuple[str, str]" = "past_last",
+    defines: "dict[str, Any] | None" = None,
+    ctx_n: int = 0,
+    emit: "Any | None" = None,
 ):
     """Greedy pattern matching over sorted rows via the shared batch
     backtracker; returns (matches, consumed_count). ``pattern`` is a
@@ -107,6 +116,23 @@ def _run_pattern_nfa(
     variable matched no row, raises. Consumed rows are always those
     strictly before the final scan position, since every future match
     starts at or after it.
+
+    ``defines`` generalizes the masks beyond event-type equality: a
+    dict of variable name → ``where(pdf) → boolean Series`` callables
+    (the batch :class:`operators.cep.Step` surface) evaluated over a
+    pandas frame of the buffered rows (columns ``ts_us, event_type,
+    event_id, val``). Predicates must be BACKWARD-looking — the
+    current row and ``shift(k>0)`` forms (Flink's PREV): a closed
+    row's mask then only reads closed rows, so masks are final the
+    moment the watermark closes them. Forward navigation (NEXT) would
+    read rows that may not have arrived and is rejected by the SQL
+    compiler for streaming use.
+
+    ``ctx_n`` marks the first ``ctx_n`` rows as CONTEXT: already
+    consumed, present only so shifts see their true predecessor — the
+    scan starts past them and they are never matched again. ``emit``
+    overrides the output row builder (``emit(key_id, rows, hit) →
+    tuple``; default = the funnel's 4-tuple with ``count_idx``).
     """
     import bisect
 
@@ -132,21 +158,41 @@ def _run_pattern_nfa(
     final_hi = pattern[-1][2]
     types = np.array([r[1] for r in rows])
     ts_list = [r[0] for r in rows]
-    masks = [
-        np.ones(len(rows), dtype=bool) if s.name == "*" else types == s.name
-        for s in steps
-    ]
     n = len(rows)
+    pdf = None
+    if defines:
+        import pandas as pd
+
+        pdf = pd.DataFrame({
+            "ts_us": pd.array([r[0] for r in rows], dtype="int64"),
+            "event_type": [r[1] for r in rows],
+            "event_id": pd.array([r[2] for r in rows], dtype="int64"),
+            "val": pd.array(
+                [r[3] if len(r) > 3 else 0.0 for r in rows], dtype="float64"
+            ),
+        })
+    masks = []
+    for s in steps:
+        if defines and s.name in defines:
+            masks.append(
+                defines[s.name](pdf).to_numpy(dtype=bool, na_value=False)
+            )
+        elif s.name == "*":
+            masks.append(np.ones(n, dtype=bool))
+        else:
+            masks.append(types == s.name)
     run_ends = _run_ends(masks, n)
     # jump between admissible starts when the first variable is
     # required: a skipped position fails its PREDICATE (permanent,
     # decided) — never a touched-end deferral — so the closed-prefix
     # semantics are unchanged
-    starts = np.flatnonzero(masks[0]).tolist() if steps[0].lo > 0 else None
+    starts = None
+    if steps[0].lo > 0:
+        starts = [p for p in np.flatnonzero(masks[0]).tolist() if p >= ctx_n]
     s_ptr = 0
     out = []
-    consumed = 0
-    i = 0
+    consumed = ctx_n
+    i = ctx_n
     while i < n:
         if starts is not None:
             while s_ptr < len(starts) and starts[s_ptr] < i:
@@ -183,9 +229,12 @@ def _run_pattern_nfa(
             # the greedy final variable could still grow with future
             # rows: keep everything from here buffered
             break
-        out.append(
-            (key_id, rows[first][0], rows[last][0], len(hit[count_idx]))
-        )
+        if emit is not None:
+            out.append(emit(key_id, rows, hit))
+        else:
+            out.append(
+                (key_id, rows[first][0], rows[last][0], len(hit[count_idx]))
+            )
         if after_match == "past_last":
             i = last + 1
         elif after_match == "to_next_row":
@@ -224,6 +273,11 @@ def stream_match_conversions(
     pattern: "list[tuple[str, int, int | None]] | None" = None,
     count_idx: int = 1,
     after_match: "str | tuple[str, str]" = "past_last",
+    defines: "dict[str, Any] | None" = None,
+    value_col: "str | None" = None,
+    emit: "Any | None" = None,
+    output_schema: "str | None" = None,
+    ctx_rows: "int | None" = None,
 ) -> DataFrame:
     """Watermark-gated streaming CEP for the conversion funnel (or any
     ``pattern`` of quantified ``(event_type, lo, hi)`` variables —
@@ -233,7 +287,8 @@ def stream_match_conversions(
 
     ``sdf`` must carry ``user_id``, ``ts_us`` (bigint event micros,
     with a watermark declared on its timestamp source) and
-    ``event_type``/``event_id``.
+    ``event_type``/``event_id``; with ``value_col`` set, that numeric
+    column is buffered alongside as ``val``.
 
     ``within_us`` adds Flink's ``PATTERN ... WITHIN interval``
     semantics: a match must complete within the interval of its first
@@ -242,7 +297,29 @@ def stream_match_conversions(
     never join a future match), so per-key state is bounded by the
     within horizon instead of the full unmatched history. Without it
     the operator keeps Flink's unbounded-pattern behavior.
-    """
+
+    ``defines`` generalizes variable predicates beyond event-type
+    equality (see :func:`_run_pattern_nfa`): backward-looking
+    callables over the buffered frame, e.g. Flink's canonical
+    ``DOWN AS price < PREV(price)`` as
+    ``lambda p: p["val"] < p["val"].shift(1)``. When a match consumes
+    rows, the last ``ctx_rows`` consumed rows (default 1 when defines
+    are present) stay buffered as CONTEXT so the next row's PREV still
+    sees its true predecessor — Flink's PREV navigates the input
+    stream, not the retained buffer. One documented divergence: when a
+    key's buffer drains COMPLETELY (every row matched, nothing open),
+    its state — context included — is dropped so idle keys don't live
+    forever; a pattern whose FIRST variable navigates PREV would then
+    see NULL at the next arrival where Flink would see the pre-drain
+    row. Patterns from the SQL front door start with an unconstrained
+    variable or an equality, where this cannot change results.
+    ``emit``/``output_schema`` override the per-match output row
+    (measures beyond the funnel's count triple)."""
+    pat = pattern or FUNNEL_PATTERN
+    if ctx_rows is None:
+        ctx_rows = 1 if defines else 0
+    out_schema = output_schema or MATCH_SCHEMA
+    out_cols = [f.strip().split()[0] for f in out_schema.split(",")]
 
     def fn(
         key: tuple[Any, ...],
@@ -254,7 +331,7 @@ def stream_match_conversions(
         key_id = int(key[0])
         wm_ms = state.getCurrentWatermarkMs()
 
-        def settle(rows):
+        def settle(rows, nctx):
             """Match the watermark-closed prefix; re-buffer the rest.
 
             The re-armed timer targets the next watermark horizon at
@@ -269,36 +346,49 @@ def stream_match_conversions(
             advances that matter, not buffered-row count — the same
             per-watermark cadence Flink's CEP operator runs at. A
             fully-closed, within-free buffer has no such horizon; it
-            simply waits for future data — correctly still open."""
+            simply waits for future data — correctly still open.
+
+            Context rows always sort first: they were closed when
+            consumed (ts < the then-watermark), and every later-
+            arriving row is at/above that watermark."""
             rows = sorted(rows, key=lambda r: (r[0], r[2]))
             closed = [r for r in rows if r[0] // 1000 < wm_ms]
             still_open = [r for r in rows if r[0] // 1000 >= wm_ms]
             matches, consumed = _run_pattern_nfa(
-                key_id, closed, pattern or FUNNEL_PATTERN, count_idx,
+                key_id, closed, pat, count_idx,
                 within_us, open_end_wm_ms=wm_ms, after_match=after_match,
+                defines=defines, ctx_n=nctx, emit=emit,
             )
-            rest = closed[consumed:] + still_open
+            kept = closed[consumed:] + still_open
             if within_us is not None:
                 # expire rows whose pattern window has wholly passed
                 # the watermark: every closed start that could include
                 # them has already been evaluated, and no future match
                 # can reach back past its own within window
-                rest = [
-                    r for r in rest
+                kept = [
+                    r for r in kept
                     if (r[0] + within_us) // 1000 >= wm_ms
                 ]
-            if rest:
+            if kept:
+                # kept is a suffix of the sorted buffer (prefix cut +
+                # monotone-in-ts expiry); re-derive the context as the
+                # rows immediately preceding the first kept row
+                j = len(rows) - len(kept)
+                ctx = rows[max(0, j - ctx_rows) : j] if ctx_rows else []
+                rest = ctx + kept
                 state.update((
                     [r[0] for r in rest],
                     [r[1] for r in rest],
                     [r[2] for r in rest],
+                    [float(r[3]) if len(r) > 3 else 0.0 for r in rest],
+                    len(ctx),
                 ))
-                cand = [max(r[0] for r in rest) // 1000 + 1]
+                cand = [max(r[0] for r in kept) // 1000 + 1]
                 if still_open:
                     cand.append(min(r[0] for r in still_open) // 1000 + 1)
                 if within_us is not None:
                     cand.append(
-                        min((r[0] + within_us) // 1000 for r in rest) + 1
+                        min((r[0] + within_us) // 1000 for r in kept) + 1
                     )
                 live = [t for t in cand if t > wm_ms]
                 if live:  # Spark rejects timers at/behind the watermark
@@ -308,26 +398,33 @@ def stream_match_conversions(
             return matches
 
         if state.hasTimedOut:
-            ts, et, eid = state.get
-            matches = settle(list(zip(ts, et, eid)))
+            ts, et, eid, val, nctx = state.get
+            matches = settle(list(zip(ts, et, eid, val)), int(nctx))
             if matches:
-                yield pd.DataFrame(matches, columns=_COLS)
+                yield pd.DataFrame(matches, columns=out_cols)
             return
 
         new = pd.concat(list(batches))
         ts = list(new["ts_us"].astype("int64"))
         et = list(new["event_type"])
         eid = list(new["event_id"].astype("int64"))
+        val = (
+            list(new[value_col].astype("float64"))
+            if value_col else [0.0] * len(ts)
+        )
+        nctx = 0
         if state.exists:
-            pts, pet, peid = state.get
-            ts, et, eid = list(pts) + ts, list(pet) + et, list(peid) + eid
-        matches = settle(list(zip(ts, et, eid)))
+            pts, pet, peid, pval, pnctx = state.get
+            ts, et = list(pts) + ts, list(pet) + et
+            eid, val = list(peid) + eid, list(pval) + val
+            nctx = int(pnctx)
+        matches = settle(list(zip(ts, et, eid, val)), nctx)
         if matches:
-            yield pd.DataFrame(matches, columns=_COLS)
+            yield pd.DataFrame(matches, columns=out_cols)
 
     return sdf.groupBy(key_col).applyInPandasWithState(
         fn,
-        MATCH_SCHEMA,
+        out_schema,
         BUFFER_STATE_SCHEMA,
         "append",
         GroupStateTimeout.EventTimeTimeout,

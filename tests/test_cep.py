@@ -283,3 +283,65 @@ def test_within_window_edge_is_exclusive(spark):
     assert out == []
     out, _ = _run_pattern_nfa(7, srows, pat, 1, within_us=1_000_001)
     assert out == [(7, 1_000_000, 2_000_000, 1)]
+
+
+def test_streaming_nfa_defines_and_context():
+    """Arbitrary DEFINE predicates in the streaming NFA: Flink's
+    V-shape ``STRT DOWN+ UP+`` with PREV-navigating masks, plus the
+    CONTEXT-row rule — rows marked as context feed the shifts but are
+    never matched again."""
+    from flink_commons_spark.streaming.cep_stream import _run_pattern_nfa
+
+    # ts, type, id, price: 10 8 7 9 12 -> one V (strt@0, down 1-2, up 3-4)
+    rows = [(1000, "e", 0, 10.0), (2000, "e", 1, 8.0), (3000, "e", 2, 7.0),
+            (4000, "e", 3, 9.0), (5000, "e", 4, 12.0)]
+    pat = [("*", 1, 1), ("down", 1, None), ("up", 1, None)]
+    defs = {
+        "down": lambda p: p["val"] < p["val"].shift(1),
+        "up": lambda p: p["val"] > p["val"].shift(1),
+    }
+    emit = lambda k, r, h: (k, r[h[0][0]][0], r[h[2][-1]][0],
+                            len(h[1]), len(h[2]))
+    out, consumed = _run_pattern_nfa(
+        1, rows, pat, defines=defs, emit=emit)
+    assert out == [(1, 1000, 5000, 2, 2)]
+    assert consumed == 5
+
+    # same rows with the first two marked context: the down run 7->9
+    # boundary still sees PREV(7)=8 via context, but no match may
+    # START on a context row -> the only admissible start is row 2
+    # (strt@7), down@3? 9>7 fails -> no match
+    out, consumed = _run_pattern_nfa(
+        1, rows, pat, defines=defs, emit=emit, ctx_n=2)
+    assert out == []
+    assert consumed == 2
+
+    # context row feeding PREV: ctx=[price 10], then 8 7 9 12 ->
+    # strt@1(8) down@2(7<8 needs PREV across nothing consumed) ...
+    # without context row 0, down@1 (8<10) would be invisible; with
+    # ctx_n=1 the start must be >= 1, so the V is strt@1 down@2 up@3,4
+    out, _ = _run_pattern_nfa(1, rows, pat, defines=defs, emit=emit,
+                              ctx_n=1)
+    assert out == [(1, 2000, 5000, 1, 2)]
+
+
+def test_streaming_nfa_closed_prefix_defers_growing_up_run():
+    """A completed V whose greedy trailing up+ ends on the last closed
+    row must DEFER (future rows could extend it)."""
+    from flink_commons_spark.streaming.cep_stream import _run_pattern_nfa
+
+    rows = [(1000, "e", 0, 10.0), (2000, "e", 1, 8.0), (3000, "e", 2, 9.0)]
+    pat = [("*", 1, 1), ("down", 1, None), ("up", 1, None)]
+    defs = {
+        "down": lambda p: p["val"] < p["val"].shift(1),
+        "up": lambda p: p["val"] > p["val"].shift(1),
+    }
+    emit = lambda k, r, h: (k, r[h[0][0]][0], r[h[2][-1]][0],
+                            len(h[1]), len(h[2]))
+    # batch view (no open_end): emits
+    out, _ = _run_pattern_nfa(1, rows, pat, defines=defs, emit=emit)
+    assert out == [(1, 1000, 3000, 1, 1)]
+    # closed prefix of a live stream: deferred
+    out, consumed = _run_pattern_nfa(
+        1, rows, pat, defines=defs, emit=emit, open_end_wm_ms=999_999)
+    assert out == [] and consumed == 0
