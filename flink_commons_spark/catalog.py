@@ -2029,7 +2029,8 @@ def stream_exact_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("uv").cast("bigint").alias("uv"),
     )
     sink = KeyedParquetUpsertSink(
-        _scratch_dir(prefix="fcs-upsert-uv-"), ["window_start", "dim"]
+        _scratch_dir(prefix="fcs-upsert-uv-"), ["window_start", "dim"],
+        write_partitions=1,
     )
     query = (
         agg.writeStream.outputMode("update")
@@ -2147,7 +2148,8 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_epoch").cast("bigint").alias("last_epoch"),
     )
     sink = KeyedParquetUpsertSink(
-        _scratch_dir(prefix="fcs-upsert-state-"), ["user_id"]
+        _scratch_dir(prefix="fcs-upsert-state-"), ["user_id"],
+        write_partitions=1,
     )
     query = (
         out.writeStream.outputMode("update")
@@ -2192,7 +2194,8 @@ def stream_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = continuous_topn(sdf, "event_type", "user_id", n=3)
     sink = KeyedParquetUpsertSink(
-        _scratch_dir(prefix="fcs-upsert-topn-"), ["grp", "rnk"]
+        _scratch_dir(prefix="fcs-upsert-topn-"), ["grp", "rnk"],
+        write_partitions=1,
     )
     query = (
         out.writeStream.outputMode("update")
@@ -2383,7 +2386,8 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = KeyedParquetUpsertSink(
-        _scratch_dir(prefix="fcs-upsert-cdc-"), ["user_id"]
+        _scratch_dir(prefix="fcs-upsert-cdc-"), ["user_id"],
+        write_partitions=1,
     )
     query = (
         changes.writeStream.outputMode("append")
@@ -2451,7 +2455,8 @@ def stream_cdc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = KeyedParquetUpsertSink(
-        _scratch_dir(prefix="fcs-upsert-cdcagg-"), ["user_id"]
+        _scratch_dir(prefix="fcs-upsert-cdcagg-"), ["user_id"],
+        write_partitions=1,
     )
     agg_dir = _scratch_dir(prefix="fcs-cdcagg-out-")
     apply_changelog = changelog_writer(sink, ["ts", "event_id"])

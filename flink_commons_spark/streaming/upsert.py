@@ -34,18 +34,39 @@ BATCH_COL = "__batch"
 
 
 class KeyedParquetUpsertSink:
-    """Last-write-wins keyed sink over a parquet changelog directory."""
+    """Last-write-wins keyed sink over a parquet changelog directory.
 
-    def __init__(self, path: str, key_cols: list[str]) -> None:
+    ``write_partitions`` bounds the files appended per micro-batch: a
+    windowed aggregate's update set is (open windows × dims) rows —
+    tiny next to the state-store stage's shuffle width — so writing it
+    at shuffle parallelism produces N near-empty files per batch whose
+    listing/open cost then dominates ``read_final`` (measured ~0.7 s of
+    ``stream_exact_uv``'s 2.9 s at sf0.1). The repartition adds a small
+    shuffle AFTER the stateful stage (never narrowing the state-store
+    stage itself, which must keep its partitioning). Leave ``None``
+    for update sets that are actually large — e.g. a per-key CDC
+    mirror at full cardinality — the same dial as a lakehouse sink's
+    optimized-write setting."""
+
+    def __init__(
+        self,
+        path: str,
+        key_cols: list[str],
+        write_partitions: "int | None" = None,
+    ) -> None:
         self.path = path
         self.key_cols = list(key_cols)
+        self.write_partitions = write_partitions
 
     def writer(self) -> Callable[[DataFrame, int], None]:
         """``foreachBatch`` callable: distributed append of the batch's
         update rows, tagged with the batch id."""
         path = self.path
+        nparts = self.write_partitions
 
         def write_batch(bdf: DataFrame, epoch_id: int) -> None:
+            if nparts is not None:
+                bdf = bdf.repartition(nparts)
             bdf.withColumn(BATCH_COL, F.lit(int(epoch_id))).write.mode(
                 "append"
             ).parquet(path)
