@@ -200,6 +200,16 @@ class _Seg:
     def __getitem__(self, col: str) -> pd.Series:
         return pd.Series(self._cols[col][self._rng.start : self._rng.stop])
 
+    def scalar(self, col: str, i: int):
+        """One value of ``col`` at position ``i`` (negative = from the
+        end) without Series construction — the measures hot path."""
+        r = self._rng
+        return self._cols[col][r.start + i if i >= 0 else r.stop + i]
+
+    def array(self, col: str):
+        """Numpy view of ``col`` over the matched slice."""
+        return self._cols[col][self._rng.start : self._rng.stop]
+
     def to_frame(self) -> pd.DataFrame:
         """Materialize the full matched slice (rarely needed)."""
         return pd.DataFrame(

@@ -148,13 +148,16 @@ class _ExprParser:
     where ctx carries the match's key map and per-variable segments."""
 
     def __init__(self, text: str, mode: str, col_types: dict[str, str],
-                 used_cols: set, variables: set):
+                 used_cols: set, variables: set,
+                 part_cols: "frozenset | set" = frozenset()):
         self.toks = _tokenize(text)
         self.i = 0
         self.mode = mode
         self.col_types = col_types
         self.used_cols = used_cols
         self.variables = variables  # upper-cased pattern variable names
+        self.part_cols = part_cols
+        self.needs_last_row = False  # a bare non-partition column ref
         self.text = text
 
     # -- token helpers
@@ -374,15 +377,18 @@ class _ExprParser:
                 raise ValueError(f"{fname} offset must be an integer literal")
             n = int(v)
         self._expect_op(")")
+        # nodes read the matcher's zero-copy segment views directly
+        # (seg.scalar/seg.array) — one pandas Series per access was the
+        # measured hot path at ~20k matches per key bucket
         if fname == "FIRST":
             def first(c, var=var, col=col, n=n):
                 s = c["segs"][var]
-                return s[col].iloc[n] if len(s) > n else None
+                return s.scalar(col, n) if len(s) > n else None
             return _Node(first, ctype)
         if fname == "LAST":
             def last(c, var=var, col=col, n=n):
                 s = c["segs"][var]
-                return s[col].iloc[len(s) - 1 - n] if len(s) > n else None
+                return s.scalar(col, len(s) - 1 - n) if len(s) > n else None
             return _Node(last, ctype)
         import numpy as np
 
@@ -398,7 +404,7 @@ class _ExprParser:
             s = c["segs"][var]
             if not len(s):
                 return None  # SQL aggregate over zero rows is NULL
-            return red(s[col].to_numpy())
+            return red(s.array(col))
 
         return _Node(agg, otype)
 
@@ -427,7 +433,7 @@ class _ExprParser:
 
                 def vlast(c, varu=varu, col=col):
                     s = c["segs"][varu]
-                    return s[col].iloc[-1] if len(s) else None
+                    return s.scalar(col, -1) if len(s) else None
 
                 return _Node(vlast, ctype)  # measures: V.col ≡ LAST(V.col)
             col = ident  # table-qualified? treat as plain column below
@@ -435,10 +441,11 @@ class _ExprParser:
         ctype = self._col_type(col)
         if self.mode == "define":
             return _Node(lambda pdf, col=col: pdf[col], ctype)
+        if col in self.part_cols:
+            return _Node(lambda c, col=col: c["key"][col], ctype)
+        self.needs_last_row = True
 
         def bare(c, col=col):
-            if col in c["key"]:
-                return c["key"][col]
             row = c["last_row"]
             return row[col] if row is not None else None
 
@@ -461,6 +468,7 @@ class MatchRecognizeSpec:
     within_us: "int | None"
     used_cols: set = field(default_factory=set)
     span: "tuple[int, int]" = (0, 0)  # [source start, past close paren)
+    needs_last_row: bool = False  # some measure reads the match's last row
 
 
 def _find_close(sql: str, open_paren: int) -> int:
@@ -600,13 +608,17 @@ def parse_match_recognize(
     ]
 
     measures: list[tuple[str, _Node]] = []
+    needs_last_row = False
+    part_set = frozenset(part)
     for clause in _split_top(bm.group("meas")):
         mm = re.match(r"^(?P<expr>.+?)\s+AS\s+(?P<name>`?\w+`?)\s*$", clause,
                       re.IGNORECASE | re.DOTALL)
         if not mm:
             raise ValueError(f"MEASURES entry needs 'expr AS name': {clause!r}")
-        node = _ExprParser(mm.group("expr"), "measures", col_types,
-                           used_cols, variables).parse()
+        parser = _ExprParser(mm.group("expr"), "measures", col_types,
+                             used_cols, variables, part_set)
+        node = parser.parse()
+        needs_last_row = needs_last_row or parser.needs_last_row
         measures.append((mm.group("name").strip("`"), node))
     if not measures:
         raise ValueError("MATCH_RECOGNIZE requires at least one measure")
@@ -641,6 +653,7 @@ def parse_match_recognize(
         within_us=within_us,
         used_cols=used_cols,
         span=(sm.start("src"), close + 1),
+        needs_last_row=needs_last_row,
     )
 
 
@@ -702,14 +715,20 @@ def execute_match_recognize(spark, sql: str):
     measure_nodes = spec.measures
     step_names = [s.name for s in spec.steps]
 
+    needs_last_row = spec.needs_last_row
+
     def measures_fn(key: tuple, segs: dict) -> dict:
         key_map = dict(zip(key_cols, key))
         last_row = None
-        for name in reversed(step_names):
-            seg = segs[name]
-            if len(seg):
-                last_row = {c: seg[c].iloc[-1] for c in needed if c in seg._cols}
-                break
+        if needs_last_row:
+            for name in reversed(step_names):
+                seg = segs[name]
+                if len(seg):
+                    last_row = {
+                        c: seg.scalar(c, -1)
+                        for c in needed if c in seg._cols
+                    }
+                    break
         ctx = {"key": key_map, "segs": segs, "last_row": last_row}
         row = dict(key_map)
         for name, node in measure_nodes:
