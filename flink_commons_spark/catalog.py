@@ -7650,6 +7650,125 @@ def _mr_events_view(spark: SparkSession, sf_dir: str, name: str) -> None:
     ).createOrReplaceTempView(name)
 
 
+def _mr_stream_events_view(spark: SparkSession, sf_dir: str, name: str) -> None:
+    """STREAMING twin of :func:`_mr_events_view`: a readStream over the
+    events parquet exposing the raw timestamp (the SQL executor
+    watermarks the first ORDER BY key itself), epoch-µs, and
+    integer-cents value columns."""
+    import os
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream_dir = _scratch_dir(prefix="fcs-stream-mrsql-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .transform(_norm_ts)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .createOrReplaceTempView(name)
+    )
+
+
+def stream_match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ``MATCH_RECOGNIZE`` as SQL TEXT — the statement a
+    Flink CEP user actually writes, over a STREAMING source: the SQL
+    front door routes it to the watermark-gated buffered NFA
+    (``streaming/cep_stream.py:stream_match_pattern``), Flink's
+    event-time CEP semantics. Same funnel and same watermark-closed-
+    prefix oracle as the DataFrame twin :func:`stream_match_recognize`
+    — the SQL text and the operator call are interchangeable
+    formulations, which is the parity claim."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_stream_events_view(spark, sf_dir, "mr_stream_events_src")
+    out = execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, end_us, n_clicks
+        FROM mr_stream_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES
+              FIRST(v.ts_us) AS start_us,
+              LAST(p.ts_us) AS end_us,
+              COUNT(c.*) AS n_clicks
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v c+ p)
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              p AS p.event_type = 'purchase'
+          )
+    """))
+    name = "fcs_stream_mr_sql"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-mrsql-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(name)
+
+
+def stream_match_vshape_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MATCH_RECOGNIZE as SQL with ROW-NAVIGATING DEFINE —
+    Flink's canonical streaming CEP statement end-to-end: the price
+    V-shape with ``PREV`` predicates compiled by the SQL front door
+    into the buffered streaming NFA's mask callables (context-row
+    rule included). Shares :func:`stream_match_vshape`'s closed-prefix
+    cursor oracle."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_stream_events_view(spark, sf_dir, "mr_stream_events_src")
+    out = execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, end_us, n_down, n_up
+        FROM mr_stream_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES
+              FIRST(strt.ts_us) AS start_us,
+              LAST(up.ts_us) AS end_us,
+              COUNT(down.*) AS n_down,
+              COUNT(up.*) AS n_up
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (strt down+ up+)
+            DEFINE
+              down AS down.cents < PREV(down.cents),
+              up AS up.cents > PREV(up.cents)
+          )
+    """))
+    name = "fcs_stream_mr_vshape_sql"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-mrvsql-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(name)
+
+
 def q_match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink-SQL ``MATCH_RECOGNIZE`` as SQL TEXT through the runner's
     front door (``plans/match_recognize.py``): the clause is parsed out
@@ -10018,6 +10137,8 @@ QUERIES = {
     "stream_match_skip_to_first": stream_match_skip_to_first,
     "stream_match_vshape": stream_match_vshape,
     "stream_match_measures": stream_match_measures,
+    "stream_match_recognize_sql": stream_match_recognize_sql,
+    "stream_match_vshape_sql": stream_match_vshape_sql,
     "q_over_range": q_over_range,
     "q_unnest_ordinality": q_unnest_ordinality,
     "stream_window_join": stream_window_join,
@@ -10198,6 +10319,8 @@ ORACLES = {
     "stream_match_skip_to_first": _STREAM_MATCH_SKIP_TO_FIRST_ORACLE,
     "stream_match_vshape": _STREAM_MATCH_VSHAPE_ORACLE,
     "stream_match_measures": _STREAM_MATCH_MEASURES_ORACLE,
+    "stream_match_recognize_sql": _STREAM_MATCH_ORACLE,
+    "stream_match_vshape_sql": _STREAM_MATCH_VSHAPE_ORACLE,
     "q_over_range": _OVER_RANGE_ORACLE,
     "q_unnest_ordinality": _UNNEST_ORACLE,
     "stream_window_join": _STREAM_WINDOW_JOIN_ORACLE,

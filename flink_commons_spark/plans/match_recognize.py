@@ -158,6 +158,7 @@ class _ExprParser:
         self.variables = variables  # upper-cased pattern variable names
         self.part_cols = part_cols
         self.needs_last_row = False  # a bare non-partition column ref
+        self.uses_next = False  # forward row navigation (NEXT)
         self.text = text
 
     # -- token helpers
@@ -319,6 +320,8 @@ class _ExprParser:
         if fname in ("PREV", "NEXT"):
             if self.mode != "define":
                 raise ValueError(f"{fname}() is only valid inside DEFINE")
+            if fname == "NEXT":
+                self.uses_next = True
             inner = self._or()
             n = 1
             if self._accept_op(","):
@@ -469,6 +472,7 @@ class MatchRecognizeSpec:
     used_cols: set = field(default_factory=set)
     span: "tuple[int, int]" = (0, 0)  # [source start, past close paren)
     needs_last_row: bool = False  # some measure reads the match's last row
+    uses_next: bool = False  # some DEFINE navigates forward (NEXT)
 
 
 def _find_close(sql: str, open_paren: int) -> int:
@@ -581,6 +585,7 @@ def parse_match_recognize(
                          "(per-variable MEASURES would be ambiguous)")
 
     used_cols: set = set()
+    uses_next = False
     defines: dict[str, Callable] = {}
     for clause in _split_top(bm.group("def")):
         dm = re.match(r"^(?P<v>\w+)\s+AS\s+(?P<cond>.+)$", clause,
@@ -590,8 +595,10 @@ def parse_match_recognize(
         var = dm.group("v").upper()
         if var not in variables:
             raise ValueError(f"DEFINE names unknown variable {var!r}")
-        node = _ExprParser(dm.group("cond"), "define", col_types,
-                           used_cols, variables).parse()
+        dparser = _ExprParser(dm.group("cond"), "define", col_types,
+                              used_cols, variables)
+        node = dparser.parse()
+        uses_next = uses_next or dparser.uses_next
         defines[var] = node.fn
 
     def _wild(p):
@@ -654,6 +661,7 @@ def parse_match_recognize(
         used_cols=used_cols,
         span=(sm.start("src"), close + 1),
         needs_last_row=needs_last_row,
+        uses_next=uses_next,
     )
 
 
@@ -664,14 +672,34 @@ def parse_match_recognize(
 _view_ids = itertools.count()
 
 
+def _has_watermark(df) -> bool:
+    """Whether the (streaming) frame already carries an event-time
+    watermark — redefining one is a Spark error, and a connector table
+    whose DDL declared ``WATERMARK FOR`` arrives here with it set."""
+    try:
+        return "EventTimeWatermark" in df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # non-classic sessions: assume none, let Spark err
+        return False
+
+
 def execute_match_recognize(spark, sql: str):
     """Run a SELECT statement containing MATCH_RECOGNIZE: the clause
-    executes on the keyed NFA (:func:`operators.cep.match_pattern` —
-    one hash exchange on PARTITION BY, Arrow-batched per-key scans),
+    executes on the keyed NFA — batch sources on
+    :func:`operators.cep.match_pattern` (one hash exchange on
+    PARTITION BY, Arrow-batched per-key scans), STREAMING sources on
+    :func:`streaming.cep_stream.stream_match_pattern` (the
+    watermark-gated buffered NFA, Flink CEP's event-time semantics) —
     its output registers as a temp view, and the surrounding statement
     re-runs through ``spark.sql`` with the clause replaced by that
-    view — outer projections/filters stay in Catalyst. Returns the
-    outer statement's DataFrame."""
+    view, so outer projections/filters stay in Catalyst. Returns the
+    outer statement's DataFrame (streaming for streaming sources).
+
+    Streaming constraints (each with a targeted error): DEFINE may not
+    navigate forward (``NEXT`` reads rows that may not have arrived),
+    the first ORDER BY key must be a timestamp (a watermark is applied
+    on it) or an int64 epoch-µs column whose source already carries a
+    watermark, and every buffered column must be numeric or string
+    (cast timestamps to epoch micros in the source view)."""
     from pyspark.sql import functions as F
 
     from flink_commons_spark.operators.cep import match_pattern
@@ -687,29 +715,43 @@ def execute_match_recognize(spark, sql: str):
     if not sm:
         raise ValueError("MATCH_RECOGNIZE must follow a table identifier")
     src_df = spark.table(sm.group("src"))
-    if src_df.isStreaming:
-        raise NotImplementedError(
-            "MATCH_RECOGNIZE over a streaming source is not supported "
-            "through SQL — use flink_commons_spark.streaming.cep_stream"
-        )
+    streaming = src_df.isStreaming
     col_types = {f.name: f.dataType.simpleString() for f in src_df.schema.fields}
     spec = parse_match_recognize(sql, col_types)
+    if streaming and spec.uses_next:
+        raise ValueError(
+            "NEXT() in DEFINE is not available over a streaming source — "
+            "it reads rows that may not have arrived; only current-row "
+            "columns and PREV are watermark-sound"
+        )
 
     df = src_df
     order_cols = list(spec.order_by)
     first_t = col_types[order_cols[0]]
+    wm_col = None
     if first_t.startswith("timestamp"):
         # the NFA orders (and bounds WITHIN) on int64 event-time µs;
         # cast covers both parquet vintages (timestamp / timestamp_ntz)
         df = df.withColumn(
             "__mr_ous", F.unix_micros(F.col(order_cols[0]).cast("timestamp"))
         )
+        wm_col = order_cols[0]
         order_cols[0] = "__mr_ous"
+        if streaming and not _has_watermark(src_df):
+            # sources registered with a WATERMARK FOR clause already
+            # carry one; redefining is a Spark error
+            df = df.withWatermark(wm_col, "0 seconds")
+    elif streaming and first_t not in _INT_TYPES:
+        raise ValueError(
+            "streaming MATCH_RECOGNIZE needs a timestamp (watermarked "
+            "here) or epoch-µs integer first ORDER BY key"
+        )
     elif spec.within_us is not None and first_t not in _INT_TYPES:
         raise ValueError("WITHIN requires the first ORDER BY key to be a "
                          "timestamp or integer event-time column")
     needed = set(spec.partition_by) | set(order_cols) | spec.used_cols
-    df = df.select(*[c for c in df.columns if c in needed])
+    keep = set(needed) | ({wm_col} if wm_col else set())
+    df = df.select(*[c for c in df.columns if c in keep])
 
     key_cols = spec.partition_by
     measure_nodes = spec.measures
@@ -739,16 +781,41 @@ def execute_match_recognize(spark, sql: str):
         [f"{c} {col_types[c]}" for c in key_cols]
         + [f"{n} {node.typ}" for n, node in measure_nodes]
     )
-    res = match_pattern(
-        df,
-        key_cols,
-        order_cols,
-        spec.steps,
-        measures_fn,
-        out_schema,
-        after_match=spec.after_match,
-        within_us=spec.within_us,
-    )
+    if streaming:
+        from flink_commons_spark.streaming.cep_stream import (
+            stream_match_pattern,
+        )
+
+        types_now = {
+            f.name: f.dataType.simpleString() for f in df.schema.fields
+        }
+        # key columns stay buffered too: a DEFINE predicate may read
+        # them through the frame (measures get them via the group key)
+        buffer_cols = [
+            (c, types_now[c]) for c in df.columns if c in needed
+        ]
+        res = stream_match_pattern(
+            df,
+            key_cols,
+            order_cols,
+            spec.steps,
+            measures_fn,
+            out_schema,
+            buffer_cols,
+            after_match=spec.after_match,
+            within_us=spec.within_us,
+        )
+    else:
+        res = match_pattern(
+            df,
+            key_cols,
+            order_cols,
+            spec.steps,
+            measures_fn,
+            out_schema,
+            after_match=spec.after_match,
+            within_us=spec.within_us,
+        )
     view = f"__mr_out_{next(_view_ids)}"
     res.createOrReplaceTempView(view)
     outer = sql[: spec.span[0]] + view + " " + sql[spec.span[1] :]

@@ -72,6 +72,15 @@ def _apply_schema_extras(df: DataFrame, spec: TableSpec) -> DataFrame:
         df = df.withColumn(name, F.expr(expr))
     if spec.watermark and df.isStreaming:
         col, delay = spec.watermark
+        # Spark's event time must be TIMESTAMP (with zone); parquet
+        # vintages that surface TIMESTAMP_NTZ fail
+        # EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE — cast first (session TZ
+        # UTC makes the reinterpretation value-preserving), same rule
+        # the catalog's _norm_ts applies
+        plain = col.strip("`")
+        field = next((f for f in df.schema.fields if f.name == plain), None)
+        if field is not None and field.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn(plain, F.col(col).cast("timestamp"))
         df = df.withWatermark(col, delay)
     return df
 

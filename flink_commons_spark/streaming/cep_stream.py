@@ -134,28 +134,13 @@ def _run_pattern_nfa(
     overrides the output row builder (``emit(key_id, rows, hit) →
     tuple``; default = the funnel's 4-tuple with ``count_idx``).
     """
-    import bisect
-
     import numpy as np
 
-    from flink_commons_spark.operators.cep import Step, _match_at_ex, _run_ends
+    from flink_commons_spark.operators.cep import Step
 
-    skip_idx = None
-    if isinstance(after_match, tuple):
-        skip_kind, skip_var = after_match
-        if skip_kind not in ("to_first", "to_last"):
-            raise ValueError(f"unknown after_match {after_match!r}")
-        skip_idx = next(
-            (k for k, (et, _, _) in enumerate(pattern) if et == skip_var), None
-        )
-        if skip_idx is None:
-            raise ValueError(f"after_match variable {skip_var!r} not in pattern")
-    elif after_match not in ("past_last", "to_next_row"):
-        raise ValueError(f"unknown after_match {after_match!r}")
     steps = [
         Step(et, None, quant=(lo, hi)) for et, lo, hi in pattern
     ]
-    final_hi = pattern[-1][2]
     types = np.array([r[1] for r in rows])
     ts_list = [r[0] for r in rows]
     n = len(rows)
@@ -181,6 +166,64 @@ def _run_pattern_nfa(
             masks.append(np.ones(n, dtype=bool))
         else:
             masks.append(types == s.name)
+    out = []
+
+    def on_match(hit, first, last):
+        if emit is not None:
+            out.append(emit(key_id, rows, hit))
+        else:
+            out.append(
+                (key_id, rows[first][0], rows[last][0], len(hit[count_idx]))
+            )
+
+    consumed = _scan_closed_prefix(
+        steps, masks, ts_list, n, on_match,
+        within_us=within_us, open_end_wm_ms=open_end_wm_ms,
+        after_match=after_match, ctx_n=ctx_n,
+    )
+    return out, consumed
+
+
+def _scan_closed_prefix(
+    steps,
+    masks,
+    ts_list,
+    n: int,
+    on_match,
+    *,
+    within_us: "int | None" = None,
+    open_end_wm_ms: "int | None" = None,
+    after_match: "str | tuple[str, str]" = "past_last",
+    ctx_n: int = 0,
+):
+    """The shared sequential scan over one key's sorted closed prefix —
+    the streaming twin of the batch matcher's per-key loop, with the
+    two deferral rules :func:`_run_pattern_nfa` documents (undecided
+    touched-end failures and growable greedy final variables stop the
+    scan). ``steps`` are batch :class:`operators.cep.Step` objects,
+    ``masks`` their precomputed boolean arrays over ALL ``n`` rows
+    (context included), ``on_match(hit, first, last)`` consumes each
+    completed match. Returns ``consumed`` — every row strictly before
+    it can leave the buffer."""
+    import bisect
+
+    import numpy as np
+
+    from flink_commons_spark.operators.cep import _match_at_ex, _run_ends
+
+    skip_idx = None
+    if isinstance(after_match, tuple):
+        skip_kind, skip_var = after_match
+        if skip_kind not in ("to_first", "to_last"):
+            raise ValueError(f"unknown after_match {after_match!r}")
+        skip_idx = next(
+            (k for k, s in enumerate(steps) if s.name == skip_var), None
+        )
+        if skip_idx is None:
+            raise ValueError(f"after_match variable {skip_var!r} not in pattern")
+    elif after_match not in ("past_last", "to_next_row"):
+        raise ValueError(f"unknown after_match {after_match!r}")
+    final_hi = steps[-1].hi
     run_ends = _run_ends(masks, n)
     # jump between admissible starts when the first variable is
     # required: a skipped position fails its PREDICATE (permanent,
@@ -190,7 +233,6 @@ def _run_pattern_nfa(
     if steps[0].lo > 0:
         starts = [p for p in np.flatnonzero(masks[0]).tolist() if p >= ctx_n]
     s_ptr = 0
-    out = []
     consumed = ctx_n
     i = ctx_n
     while i < n:
@@ -204,10 +246,10 @@ def _run_pattern_nfa(
         if within_us is not None:
             # exclusive window edge, matching Flink's NFA pruning rule
             # (timestamp >= start + window aborts the partial match)
-            n_i = bisect.bisect_left(ts_list, rows[i][0] + within_us)
+            n_i = bisect.bisect_left(ts_list, ts_list[i] + within_us)
         window_open = open_end_wm_ms is not None and (
             within_us is None
-            or (rows[i][0] + within_us) // 1000 >= open_end_wm_ms
+            or (ts_list[i] + within_us) // 1000 >= open_end_wm_ms
         )
         # no failure memo here: the streaming scan consumes touched_end
         hit, touched_end = _match_at_ex(masks, steps, i, n_i, run_ends)
@@ -229,12 +271,7 @@ def _run_pattern_nfa(
             # the greedy final variable could still grow with future
             # rows: keep everything from here buffered
             break
-        if emit is not None:
-            out.append(emit(key_id, rows, hit))
-        else:
-            out.append(
-                (key_id, rows[first][0], rows[last][0], len(hit[count_idx]))
-            )
+        on_match(hit, first, last)
         if after_match == "past_last":
             i = last + 1
         elif after_match == "to_next_row":
@@ -254,7 +291,7 @@ def _run_pattern_nfa(
                 )
             i = nxt
         consumed = i
-    return out, consumed
+    return consumed
 
 
 def _run_funnel_nfa(
@@ -426,6 +463,159 @@ def stream_match_conversions(
         fn,
         out_schema,
         BUFFER_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+#: Spark SQL column type → (state array element type, pandas dtype)
+_BUF_TYPES = {
+    "tinyint": ("long", "int64"), "smallint": ("long", "int64"),
+    "int": ("long", "int64"), "bigint": ("long", "int64"),
+    "float": ("double", "float64"), "double": ("double", "float64"),
+    "string": ("string", None),
+}
+
+
+def stream_match_pattern(
+    sdf: DataFrame,
+    key_cols: "list[str]",
+    order_cols: "list[str]",
+    steps,
+    measures,
+    output_schema: str,
+    buffer_cols: "list[tuple[str, str]]",
+    after_match: "str | tuple[str, str]" = "past_last",
+    within_us: "int | None" = None,
+    ctx_rows: int = 1,
+) -> DataFrame:
+    """GENERIC watermark-gated streaming MATCH_RECOGNIZE — the
+    streaming twin of :func:`operators.cep.match_pattern` with the
+    SAME surface: batch :class:`Step` objects (arbitrary
+    backward-looking ``where`` callables over the buffered frame) and
+    a ``measures(key, segs)`` callable over zero-copy segment views.
+    This is what the SQL front door routes streaming sources to.
+
+    ``sdf`` must carry ``key_cols``, every ``buffer_cols`` column, and
+    a watermark on its event-time source. ``order_cols`` name the
+    per-key sort (first one the int64 event-time µs column the
+    watermark closes and WITHIN is measured on). ``buffer_cols`` is
+    ``[(name, spark_type)]`` for every column the predicates/measures
+    read — each key's state is exactly those arrays over its unmatched
+    buffer plus up to ``ctx_rows`` context rows (see
+    :func:`stream_match_conversions` on the PREV/context rule and the
+    drained-buffer divergence).
+
+    Closed-prefix semantics are byte-identical to the funnel harness —
+    both run :func:`_scan_closed_prefix`."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_commons_spark.operators.cep import _Seg
+
+    ts_col = order_cols[0]
+    for c, t in buffer_cols:
+        if t not in _BUF_TYPES:
+            raise ValueError(
+                f"streaming MATCH_RECOGNIZE cannot buffer column {c!r} of "
+                f"type {t!r} — supported: {sorted(_BUF_TYPES)} (cast "
+                "timestamps to epoch micros in the source view)"
+            )
+    state_schema = ", ".join(
+        [f"{c} array<{_BUF_TYPES[t][0]}>" for c, t in buffer_cols]
+        + ["nctx int"]
+    )
+    out_cols = [f.strip().split()[0] for f in output_schema.split(",")]
+    step_list = list(steps)
+
+    def fn(key, batches, state):
+        wm_ms = state.getCurrentWatermarkMs()
+
+        def settle(pdf_all: "pd.DataFrame", nctx: int):
+            order = np.lexsort(
+                tuple(pdf_all[c].to_numpy() for c in reversed(order_cols))
+            )
+            pdf_all = pdf_all.take(order).reset_index(drop=True)
+            ts = pdf_all[ts_col].to_numpy("int64")
+            total = len(pdf_all)
+            closed_n = int(np.searchsorted(ts // 1000, wm_ms, side="left"))
+            pdf_closed = pdf_all.iloc[:closed_n]
+            masks = [
+                s.where(pdf_closed).to_numpy(dtype=bool, na_value=False)
+                for s in step_list
+            ]
+            cols = {c: pdf_closed[c].to_numpy() for c in pdf_closed.columns}
+            out = []
+
+            def on_match(hit, first, last):
+                segs = {
+                    s.name: _Seg(cols, pos)
+                    for s, pos in zip(step_list, hit)
+                }
+                out.append(measures(key, segs))
+
+            consumed = _scan_closed_prefix(
+                step_list, masks, ts[:closed_n].tolist(), closed_n, on_match,
+                within_us=within_us, open_end_wm_ms=wm_ms,
+                after_match=after_match, ctx_n=nctx,
+            )
+            keep_from = consumed
+            if within_us is not None:
+                # expired-window drop is a further prefix cut: monotone
+                # in ts, and open rows never satisfy the condition
+                while (
+                    keep_from < total
+                    and (int(ts[keep_from]) + within_us) // 1000 < wm_ms
+                ):
+                    keep_from += 1
+            if keep_from < total:
+                ctx_start = max(0, keep_from - ctx_rows)
+                rest = pdf_all.iloc[ctx_start:]
+                state.update(tuple(
+                    [rest[c].tolist() for c, _ in buffer_cols]
+                    + [keep_from - ctx_start]
+                ))
+                cand = [int(ts[total - 1]) // 1000 + 1]
+                if closed_n < total:
+                    cand.append(int(ts[closed_n]) // 1000 + 1)
+                if within_us is not None:
+                    cand.append((int(ts[keep_from]) + within_us) // 1000 + 1)
+                live = [t for t in cand if t > wm_ms]
+                if live:  # Spark rejects timers at/behind the watermark
+                    state.setTimeoutTimestamp(min(live))
+            elif state.exists:
+                state.remove()
+            return out
+
+        if state.hasTimedOut:
+            vals = state.get
+            pdf_all = pd.DataFrame({
+                c: pd.array(vals[i], dtype=_BUF_TYPES[t][1])
+                for i, (c, t) in enumerate(buffer_cols)
+            })
+            matches = settle(pdf_all, int(vals[-1]))
+            if matches:
+                yield pd.DataFrame(matches, columns=out_cols)
+            return
+
+        new = pd.concat(list(batches))[[c for c, _ in buffer_cols]]
+        nctx = 0
+        if state.exists:
+            vals = state.get
+            prev = pd.DataFrame({
+                c: pd.array(vals[i], dtype=_BUF_TYPES[t][1])
+                for i, (c, t) in enumerate(buffer_cols)
+            })
+            new = pd.concat([prev, new], ignore_index=True)
+            nctx = int(vals[-1])
+        matches = settle(new.reset_index(drop=True), nctx)
+        if matches:
+            yield pd.DataFrame(matches, columns=out_cols)
+
+    return sdf.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        output_schema,
+        state_schema,
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )

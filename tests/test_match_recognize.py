@@ -184,16 +184,49 @@ def test_measure_aggregates_and_default_last(spark):
     assert (row.sp, row.mx, row.last_p, row.total) == (15.0, 8.0, 7.0, 4)
 
 
-def test_streaming_source_rejected(spark, tmp_path):
+def test_streaming_source_routes_to_stream_nfa(spark):
+    """A streaming source produces a STREAMING match output (routed to
+    stream_match_pattern), with the outer projection intact."""
     sdf = (
         spark.readStream.format("rate").option("rowsPerSecond", 1).load()
     )
     sdf.createOrReplaceTempView("mr_rate_src")
-    with pytest.raises(Exception, match="streaming"):
+    out = execute_match_recognize(spark, """
+      SELECT value, n FROM mr_rate_src MATCH_RECOGNIZE (
+        PARTITION BY value ORDER BY timestamp
+        MEASURES COUNT(*) AS n PATTERN (a) DEFINE a AS a.value >= 0
+      )""")
+    assert out.isStreaming
+    assert out.columns == ["value", "n"]
+
+
+def test_streaming_rejects_next_navigation(spark):
+    sdf = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    sdf.createOrReplaceTempView("mr_rate_src2")
+    with pytest.raises(ValueError, match="NEXT.*streaming"):
         execute_match_recognize(spark, """
-          SELECT * FROM mr_rate_src MATCH_RECOGNIZE (
+          SELECT * FROM mr_rate_src2 MATCH_RECOGNIZE (
             PARTITION BY value ORDER BY timestamp
-            MEASURES COUNT(*) AS n PATTERN (a) DEFINE a AS a.value > 0
+            MEASURES COUNT(*) AS n PATTERN (a)
+            DEFINE a AS a.value < NEXT(a.value)
+          )""")
+
+
+def test_streaming_rejects_timestamp_buffer_column(spark):
+    """Buffering a timestamp-typed column is rejected with guidance
+    (cast to epoch micros in the source view)."""
+    sdf = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    sdf.createOrReplaceTempView("mr_rate_src3")
+    with pytest.raises(ValueError, match="epoch micros"):
+        execute_match_recognize(spark, """
+          SELECT * FROM mr_rate_src3 MATCH_RECOGNIZE (
+            PARTITION BY value ORDER BY timestamp
+            MEASURES FIRST(a.timestamp) AS t PATTERN (a)
+            DEFINE a AS a.value >= 0
           )""")
 
 
@@ -246,3 +279,58 @@ def test_sql_submit_match_recognize_script(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, ref.collect())
     )
+
+
+def test_sql_submit_streaming_match_recognize_script(spark, tmp_path):
+    """STREAMING MATCH_RECOGNIZE through the real runner: connector
+    source with a WATERMARK clause, INSERT into a filesystem sink,
+    availableNow trigger — checked against the watermark-closed-prefix
+    oracle (rows at the final watermark stay open, so the batch result
+    is NOT the expected answer here)."""
+    import duckdb
+
+    script = f"""
+    SET 'execution.runtime-mode' = 'streaming';
+    SET 'flinkcommons.trigger' = 'availableNow';
+    SET 'flinkcommons.stream.timeout' = '90s';
+    CREATE TABLE events (
+      WATERMARK FOR ts AS ts
+    ) WITH (
+        'connector' = 'filesystem',
+        'path' = '/root/testdata/sf0.001/events.parquet',
+        'format' = 'parquet'
+    );
+    CREATE TABLE mr_sql_out WITH (
+        'connector' = 'filesystem', 'path' = '{tmp_path}/mr',
+        'format' = 'parquet'
+    );
+    INSERT INTO mr_sql_out
+    SELECT user_id, n_clicks
+    FROM events
+      MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES COUNT(c.*) AS n_clicks
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (v c+ p)
+        DEFINE v AS v.event_type = 'view', c AS c.event_type = 'click',
+               p AS p.event_type = 'purchase'
+      );
+    """
+    SqlSubmitAction(sql_text=script, spark=spark).run()
+    got = sorted(
+        map(tuple, spark.read.parquet(f"{tmp_path}/mr").collect())
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        "'/root/testdata/sf0.001/events.parquet'"
+    )
+    from flink_commons_spark.catalog import ORACLES
+
+    oracle = con.sql(
+        f"SELECT user_id, n_clicks FROM ({ORACLES['stream_match_recognize']})"
+    ).fetchall()
+    assert got == sorted(map(tuple, oracle))
+    assert len(got) > 0
