@@ -65,6 +65,11 @@ HEAVY = [
     "pq_rerank_recall",
     "ivf_trained_recall",
     "graph_cc_chain",
+    # round-7 additions (MATCH_RECOGNIZE SQL front door, batch + stream)
+    "q_match_vshape",
+    "q_match_measures",
+    "stream_match_vshape",
+    "stream_match_recognize_sql",
 ]
 
 # same shapes the plan-quality test allows: bounded 1-row-scalar or
