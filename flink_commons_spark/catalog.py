@@ -7807,6 +7807,70 @@ def q_match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return execute_match_recognize(spark, sql)
 
 
+def q_match_within_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``PATTERN ... WITHIN INTERVAL`` through the SQL front door —
+    the 24 h-bounded funnel as the statement a Flink user writes,
+    proving the parser's WITHIN leg end-to-end (exclusive window edge
+    inside the same NFA). Shares :func:`q_match_within`'s oracle."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_events_view(spark, sf_dir, "mr_events_src")
+    return execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, end_us, n_clicks
+        FROM mr_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            MEASURES
+              FIRST(v.ts_us) AS start_us,
+              LAST(p.ts_us) AS end_us,
+              COUNT(c.*) AS n_clicks
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v c+ p) WITHIN INTERVAL '24' HOUR
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              p AS p.event_type = 'purchase'
+          )
+    """))
+
+
+def q_match_skip_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``AFTER MATCH SKIP TO LAST <var>`` + ``{n}`` quantifier +
+    UNDEFINED (always-true) variable + a STRING measure, all through
+    the SQL front door: pattern ``v e{2}`` resuming AT the last ``e``
+    row (overlapping matches), emitting the final row's event_type —
+    the statement-level twin of :func:`q_match_skip_to_last`, sharing
+    its recursive-CTE cursor oracle."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_events_view(spark, sf_dir, "mr_events_src")
+    return execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, end_us, end_type
+        FROM mr_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            MEASURES
+              FIRST(v.ts_us) AS start_us,
+              LAST(e.ts_us) AS end_us,
+              LAST(e.event_type) AS end_type
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO LAST e
+            PATTERN (v e{2})
+            DEFINE
+              v AS v.event_type = 'view'
+          )
+    """))
+
+
 def q_match_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATCH_RECOGNIZE with ROW-NAVIGATING DEFINE predicates — Flink's
     canonical CEP example, the price V-shape ``STRT DOWN+ UP+`` where
@@ -10130,6 +10194,8 @@ QUERIES = {
     "q_match_recognize_sql": q_match_recognize_sql,
     "q_match_vshape": q_match_vshape,
     "q_match_measures": q_match_measures,
+    "q_match_within_sql": q_match_within_sql,
+    "q_match_skip_sql": q_match_skip_sql,
     "pq_opq_recall": pq_opq_recall,
     "stream_match_quantified": stream_match_quantified,
     "stream_match_skip_to_next": stream_match_skip_to_next,
@@ -10312,6 +10378,8 @@ ORACLES = {
     "q_match_recognize_sql": _MATCH_RECOGNIZE_ORACLE,
     "q_match_vshape": _MATCH_VSHAPE_ORACLE,
     "q_match_measures": _MATCH_MEASURES_ORACLE,
+    "q_match_within_sql": _MATCH_WITHIN_ORACLE,
+    "q_match_skip_sql": _MATCH_SKIP_TO_LAST_ORACLE,
     "pq_opq_recall": _PQ_OPQ_RECALL_ORACLE,
     "stream_match_quantified": _STREAM_MATCH_QUANTIFIED_ORACLE,
     "stream_match_skip_to_next": _STREAM_MATCH_SKIP_TO_NEXT_ORACLE,
