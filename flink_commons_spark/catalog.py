@@ -2615,6 +2615,7 @@ def stream_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@_with_stream_shuffle(8)
 def stream_match_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING CEP with Flink's ``PATTERN ... WITHIN interval``:
     the conversion funnel must COMPLETE within 24 h of its first event
@@ -2690,6 +2691,7 @@ WHERE p.ts_us - v.ts_us < 86400000000
 """
 
 
+@_with_stream_shuffle(8)
 def stream_match_skip_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING CEP with ``AFTER MATCH SKIP TO NEXT ROW`` — the
     streaming twin of ``q_match_skip_to_next``: every click streak of
@@ -2777,6 +2779,7 @@ WHERE r.ern < e.key_n
 """
 
 
+@_with_stream_shuffle(8)
 def stream_match_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING CEP with a greedy ``*`` quantifier — the streaming
     twin of :func:`q_match_quantified`: pattern ``view click*
@@ -2891,6 +2894,7 @@ JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
 """
 
 
+@_with_stream_shuffle(8)
 def stream_match_skip_to_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING ``AFTER MATCH SKIP TO LAST <var>`` — the streaming
     twin of :func:`q_match_skip_to_last`: pattern ``v e{2}`` (view +
@@ -7284,6 +7288,7 @@ JOIN seq s2 ON s2.user_id = sc.user_id AND s2.rn = sc.p + 2
 """
 
 
+@_with_stream_shuffle(8)
 def stream_match_skip_to_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING ``AFTER MATCH SKIP TO FIRST <var>`` — the streaming
     twin of :func:`q_match_skip_to_first` on the watermark-gated keyed
@@ -7364,6 +7369,7 @@ JOIN seq s2 ON s2.user_id = sc.user_id AND s2.rn = sc.p + 2
 """
 
 
+@_with_stream_shuffle(8)
 def stream_match_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING CEP with row-navigating DEFINE predicates — the
     streaming twin of :func:`q_match_vshape`: Flink's canonical price
@@ -7500,6 +7506,7 @@ JOIN seq s2 ON s2.user_id = sc.user_id AND s2.rn = c.ue
 """
 
 
+@_with_stream_shuffle(8)
 def stream_match_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING CEP MEASURES beyond the count triple — the streaming
     twin of :func:`q_match_measures`: the conversion funnel emitting
@@ -7677,6 +7684,7 @@ def _mr_stream_events_view(spark: SparkSession, sf_dir: str, name: str) -> None:
     )
 
 
+@_with_stream_shuffle(8)
 def stream_match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING ``MATCH_RECOGNIZE`` as SQL TEXT — the statement a
     Flink CEP user actually writes, over a STREAMING source: the SQL
@@ -7724,6 +7732,7 @@ def stream_match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@_with_stream_shuffle(8)
 def stream_match_vshape_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING MATCH_RECOGNIZE as SQL with ROW-NAVIGATING DEFINE —
     Flink's canonical streaming CEP statement end-to-end: the price
