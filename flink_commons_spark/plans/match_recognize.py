@@ -308,6 +308,17 @@ class _ExprParser:
                 return _Node(lambda c: False, "boolean")
             if up == "NULL":
                 return _Node(lambda c: None, "void")
+            if (
+                up in ("FINAL", "RUNNING")
+                and self.mode == "measures"
+                and self._peek() is not None
+                and self._peek() != ("op", "(")
+            ):
+                # SQL-standard per-row semantics prefixes; with ONE ROW
+                # PER MATCH (the only supported mode) the emitted row is
+                # the match's last, where RUNNING ≡ FINAL — accept both
+                # as no-ops, as Flink's examples write them
+                return self._factor()
             nxt = self._peek()
             if nxt and nxt[0] == "op" and nxt[1] == "(":
                 return self._func(up)
@@ -343,6 +354,21 @@ class _ExprParser:
             self._expect_op(")")
             f = inner.fn
             return _Node(lambda c, f=f: abs(f(c)), inner.typ)
+        if fname == "CLASSIFIER":
+            if self.mode != "measures":
+                raise ValueError("CLASSIFIER() is only valid in MEASURES")
+            self._expect_op(")")
+
+            def classifier(c):
+                # the variable mapped to the match's LAST row — segs
+                # preserves pattern order, so the last non-empty wins
+                name = None
+                for var, seg in c["segs"].items():
+                    if len(seg):
+                        name = var
+                return name
+
+            return _Node(classifier, "string")
         if fname in _AGG_FNS:
             if self.mode != "measures":
                 raise ValueError(

@@ -334,3 +334,21 @@ def test_sql_submit_streaming_match_recognize_script(spark, tmp_path):
     ).fetchall()
     assert got == sorted(map(tuple, oracle))
     assert len(got) > 0
+
+
+def test_final_running_prefixes_and_classifier(spark):
+    """Flink's FINAL/RUNNING measure prefixes are accepted (ONE ROW
+    PER MATCH makes them equivalent) and CLASSIFIER() names the
+    variable mapped to the match's last row."""
+    _events_view(spark, "mr_ut_ev")
+    df = execute_match_recognize(spark, """
+      SELECT * FROM mr_ut_ev MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts_us
+        MEASURES FINAL SUM(c.price) AS sp, RUNNING COUNT(c.*) AS n,
+                 CLASSIFIER() AS last_var
+        PATTERN (v c+ p)
+        DEFINE v AS v.event_type = 'view', c AS c.event_type = 'click',
+               p AS p.event_type = 'purchase'
+      ) WHERE user_id = 1""")
+    row = df.collect()[0]
+    assert (row.sp, row.n, row.last_var) == (15.0, 2, "P")
