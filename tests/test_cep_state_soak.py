@@ -263,3 +263,157 @@ def test_cep_checkpoint_resume_is_exactly_once(spark, tmp_path):
     key = lambda r: (r.user_id, r.start_us, r.end_us, r.n_clicks)  # noqa: E731
     assert sorted(map(key, got)) == sorted(map(key, ref))
     assert len(ref) == 2 * WAVE_KEYS
+
+
+def _vwave(rng, key_base, t_base, id_base):
+    """Per key: a complete price V (10 8 7 9 12) plus, for odd keys, a
+    dangling down-run tail (5 4) that stays undecided forever."""
+    rows = []
+    eid = id_base
+    for k in range(WAVE_KEYS):
+        t0 = t_base + k
+        for off, price in ((0, 10.0), (3, 8.0), (6, 7.0), (9, 9.0),
+                           (12, 12.0)):
+            rows.append((eid, t0 + off, key_base + k, price))
+            eid += 1
+        if k % 2 == 1:
+            rows.append((eid, t0 + 20, key_base + k, 5.0))
+            eid += 1
+            rows.append((eid, t0 + 23, key_base + k, 4.0))
+            eid += 1
+    rng.shuffle(rows)
+    return rows
+
+
+def test_stream_match_pattern_checkpoint_resume(spark, tmp_path):
+    """Kill-and-resume for the GENERIC streaming matcher
+    (``stream_match_pattern`` — dynamic buffer schema, PREV-navigating
+    DEFINE callables, context rows): the resumed run's match set must
+    equal one uninterrupted run. Odd keys emit their V (rows continue
+    after it); even keys' V ends on the key's last closed row, so the
+    greedy trailing ``up+`` stays correctly deferred and emits
+    nothing — the count pins that rule across restarts too."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from flink_commons_spark.operators.cep import Step
+    from flink_commons_spark.streaming.cep_stream import (
+        stream_match_pattern,
+    )
+
+    src = tmp_path / "smp_src"
+    src.mkdir()
+    rng = random.Random(31)
+    files = (
+        _split(rng, _vwave(rng, 0, A_BASE, 0), 3)
+        + _split(rng, _vwave(rng, 1000, B_BASE, 100_000), 3)
+        + [[(999_999, SENTINEL_SEC, 9999, 1.0)]]
+    )
+    schema = "event_id long, sec long, user_id long, price double"
+    base = time.time()
+    seen = set()
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).repartition(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        for name in os.listdir(str(src)):
+            if name.endswith(".parquet") and name not in seen:
+                seen.add(name)
+                os.utime(os.path.join(str(src), name), (base + i, base + i))
+
+    steps = [
+        Step("strt", lambda p: pd.Series(True, index=p.index)),
+        Step("down", lambda p: p["price"] < p["price"].shift(1), plus=True),
+        Step("up", lambda p: p["price"] > p["price"].shift(1), plus=True),
+    ]
+
+    def measures(key, segs):
+        return {
+            "user_id": int(key[0]),
+            "start_us": int(segs["strt"]["ts_us"].iloc[0]),
+            "end_us": int(segs["up"]["ts_us"].iloc[-1]),
+            "n_down": int(len(segs["down"])),
+            "n_up": int(len(segs["up"])),
+        }
+
+    def build(sdf):
+        prepared = (
+            sdf.select(
+                "event_id", "user_id", "price",
+                F.timestamp_micros(F.col("sec") * 1_000_000).alias("ts"),
+            )
+            .withWatermark("ts", DELAY)
+            .withColumn("ts_us", F.unix_micros("ts"))
+        )
+        return stream_match_pattern(
+            prepared,
+            ["user_id"],
+            ["ts_us", "event_id"],
+            steps,
+            measures,
+            "user_id bigint, start_us bigint, end_us bigint, "
+            "n_down bigint, n_up bigint",
+            buffer_cols=[("ts_us", "bigint"), ("event_id", "bigint"),
+                         ("price", "double")],
+        )
+
+    def start(ckpt, sink):
+        sdf = (
+            spark.readStream.schema(spark.read.parquet(str(src)).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return (
+            build(sdf)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda b, _e: sink.extend(b.collect()))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    got = []
+    ckpt = str(tmp_path / "smp_ckpt")
+    q = start(ckpt, got)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 3:
+            break
+        time.sleep(0.2)
+    assert q.isActive, "query drained before the kill point"
+    q.stop()
+
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q2 = (
+        build(sdf)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: got.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    assert q2.awaitTermination(180)
+
+    ref = []
+    q3 = (
+        build(
+            spark.readStream.schema(spark.read.parquet(str(src)).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: ref.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-smpref-"))
+        .start()
+    )
+    assert q3.awaitTermination(180)
+    key = lambda r: (r.user_id, r.start_us, r.end_us,  # noqa: E731
+                     r.n_down, r.n_up)
+    assert sorted(map(key, got)) == sorted(map(key, ref))
+    # odd keys (tail rows follow the V) emit; even keys stay deferred
+    assert len(ref) == 2 * (WAVE_KEYS // 2)
+    assert all(r.n_down == 2 and r.n_up == 2 for r in ref)
