@@ -7778,6 +7778,53 @@ def stream_match_vshape_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@_with_stream_shuffle(8)
+def stream_match_within_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ``PATTERN ... WITHIN`` as SQL text — exercises the
+    generic streaming matcher's within leg end-to-end: the parser's
+    interval lands in ``stream_match_pattern(within_us=...)``, which
+    both bounds each attempt's scan at the (exclusive) window edge AND
+    expires buffered rows whose pattern window has passed the
+    watermark — the state bound that makes unbounded streams safe.
+    Shares :func:`stream_match_within`'s oracle."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_stream_events_view(spark, sf_dir, "mr_stream_events_src")
+    out = execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, end_us, n_clicks
+        FROM mr_stream_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES
+              FIRST(v.ts_us) AS start_us,
+              LAST(p.ts_us) AS end_us,
+              COUNT(c.*) AS n_clicks
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v c+ p) WITHIN INTERVAL '24' HOUR
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              p AS p.event_type = 'purchase'
+          )
+    """))
+    name = "fcs_stream_mr_within_sql"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-mrwsql-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(name)
+
+
 def q_match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink-SQL ``MATCH_RECOGNIZE`` as SQL TEXT through the runner's
     front door (``plans/match_recognize.py``): the clause is parsed out
@@ -10214,6 +10261,7 @@ QUERIES = {
     "stream_match_measures": stream_match_measures,
     "stream_match_recognize_sql": stream_match_recognize_sql,
     "stream_match_vshape_sql": stream_match_vshape_sql,
+    "stream_match_within_sql": stream_match_within_sql,
     "q_over_range": q_over_range,
     "q_unnest_ordinality": q_unnest_ordinality,
     "stream_window_join": stream_window_join,
@@ -10398,6 +10446,7 @@ ORACLES = {
     "stream_match_measures": _STREAM_MATCH_MEASURES_ORACLE,
     "stream_match_recognize_sql": _STREAM_MATCH_ORACLE,
     "stream_match_vshape_sql": _STREAM_MATCH_VSHAPE_ORACLE,
+    "stream_match_within_sql": _STREAM_MATCH_WITHIN_ORACLE,
     "q_over_range": _OVER_RANGE_ORACLE,
     "q_unnest_ordinality": _UNNEST_ORACLE,
     "stream_window_join": _STREAM_WINDOW_JOIN_ORACLE,
