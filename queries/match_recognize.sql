@@ -1,0 +1,54 @@
+-- Row-pattern recognition (Flink SQL MATCH_RECOGNIZE) through the
+-- runner — the statement a Flink CEP user writes, unmodified.
+-- Batch mode here; the same clause over a streaming connector table
+-- routes to the watermark-gated streaming matcher (see
+-- plans/match_recognize.py). Run with:
+--   python -m flink_commons_spark sql-submit \
+--     --sql-file queries/match_recognize.sql --var data=/root/testdata/sf0.001
+
+SET 'execution.runtime-mode' = 'batch';
+
+CREATE TABLE events WITH (
+    'connector' = 'filesystem',
+    'path' = '${data}/events.parquet',
+    'format' = 'parquet'
+);
+
+-- 1) the conversion funnel: one row per view -> clicks -> purchase run
+SELECT user_id,
+       unix_micros(cast(start_ts as timestamp)) AS start_us,
+       n_clicks
+FROM events
+  MATCH_RECOGNIZE (
+    PARTITION BY user_id
+    ORDER BY ts, event_id
+    MEASURES
+      FIRST(v.ts) AS start_ts,
+      COUNT(c.*)  AS n_clicks
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (v c+ p)
+    DEFINE
+      v AS v.event_type = 'view',
+      c AS c.event_type = 'click',
+      p AS p.event_type = 'purchase'
+  );
+
+-- 2) Flink's canonical price V-shape: row-navigating DEFINE via PREV,
+--    per-variable aggregates in MEASURES
+SELECT user_id, n_down, n_up, bottom
+FROM events
+  MATCH_RECOGNIZE (
+    PARTITION BY user_id
+    ORDER BY ts, event_id
+    MEASURES
+      COUNT(down.*)   AS n_down,
+      COUNT(up.*)     AS n_up,
+      MIN(down.value) AS bottom
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (strt down+ up+)
+    DEFINE
+      down AS down.value < PREV(down.value),
+      up   AS up.value   > PREV(up.value)
+  );
