@@ -44,9 +44,20 @@ class Step:
     Quantifiers are GREEDY with backtracking — Flink's default;
     ``reluctant=True`` flips to the lazy ``+?``/``*?``/``??`` variants
     (shortest admissible run first), which differ observably whenever
-    a later variable's predicate overlaps this one's."""
+    a later variable's predicate overlaps this one's.
 
-    __slots__ = ("name", "where", "lo", "hi", "reluctant")
+    ``dyn`` is an optional MATCH-STATE-DEPENDENT predicate evaluated
+    per candidate row during run extension: ``dyn(ctx) → bool | None``
+    over a :class:`_DynCtx` whose ``asg`` maps each pattern variable to
+    the row indices mapped SO FAR in the current attempt — the current
+    candidate row already tentatively appended to this variable, the
+    SQL standard's running semantics (Flink's ``DEFINE B AS B.price <
+    AVG(A.price)`` / ``LAST(B.price, 1)`` forms). ``None`` is SQL
+    UNKNOWN and rejects the row. The static ``where`` mask still
+    applies first (a vectorized prefilter; pass an all-True mask when
+    the whole predicate is state-dependent)."""
+
+    __slots__ = ("name", "where", "lo", "hi", "reluctant", "dyn")
 
     def __init__(
         self,
@@ -57,10 +68,12 @@ class Step:
         opt: bool = False,
         quant: "tuple[int, int | None] | None" = None,
         reluctant: bool = False,
+        dyn: "Callable[[_DynCtx], Any] | None" = None,
     ):
         self.name = name
         self.where = where
         self.reluctant = reluctant
+        self.dyn = dyn
         if quant is not None:
             self.lo, self.hi = quant
         elif plus:
@@ -77,6 +90,25 @@ class Step:
     @property
     def plus(self) -> bool:  # kept for older call sites
         return self.lo == 1 and self.hi is None
+
+
+class _DynCtx:
+    """Evaluation context for match-state-dependent DEFINE predicates
+    (``Step.dyn``). ``cols`` is the per-key dict of column → ndarray
+    (the same zero-copy arrays the measures hot path reads), ``asg``
+    maps each pattern variable to the list of row indices mapped so
+    far in the CURRENT attempt (the candidate row already appended to
+    its own variable — running semantics), ``cur`` is the candidate
+    row index and ``off`` the PREV/NEXT navigation offset the compiled
+    expression applies to current-row column reads."""
+
+    __slots__ = ("cols", "asg", "cur", "off")
+
+    def __init__(self, cols: dict):
+        self.cols = cols
+        self.asg: dict[str, list[int]] = {}
+        self.cur = 0
+        self.off = 0
 
 
 def _run_ends(masks: list, n: int) -> list:
@@ -107,6 +139,7 @@ def _match_at_ex(
     n: int,
     run_ends: "list | None" = None,
     failed: "set | None" = None,
+    dctx: "_DynCtx | None" = None,
 ) -> "tuple[list | None, bool]":
     """Greedy backtracking match of ``steps`` against positions
     ``start..`` — returns (per-step position ranges or None,
@@ -124,9 +157,22 @@ def _match_at_ex(
     states already proven unmatchable — sound ONLY when every call
     shares the same masks/steps/``n`` AND the caller ignores
     ``touched_end`` (a memo hit does not replay the touched flag), so
-    the batch scan passes it and the streaming scan must not."""
+    the batch scan passes it and the streaming scan must not.
+
+    ``dctx`` enables MATCH-STATE-DEPENDENT steps (``Step.dyn``): every
+    step's row assignment is tracked in ``dctx.asg`` as the recursion
+    unwinds, and a dyn step's run extends row-by-row, each candidate
+    tentatively appended to its variable BEFORE its predicate runs
+    (running semantics — ``LAST(V.col, 1)`` at V's first row is NULL).
+    A dyn rejection is a PREDICATE failure (permanent for streaming);
+    only a run cut by the data end marks ``touched_end``. ``failed``
+    must be None when any step is dynamic — the same (pos, step) can
+    succeed under a different upstream assignment."""
     touched = False
     nsteps = len(steps)
+    if dctx is not None:
+        dctx.asg.clear()  # stale entries from a prior attempt must
+        # not leak into predicates referencing not-yet-mapped variables
 
     def rec(pos: int, si: int) -> list | None:
         nonlocal touched
@@ -141,23 +187,59 @@ def _match_at_ex(
         # shorter down to the quantifier's lower bound (0 for */?);
         # reluctant flips the try order (shortest first)
         limit = n if s.hi is None else min(n, pos + s.hi)
-        if run_ends is not None:
-            end = min(limit, run_ends[si][pos])
+        dyn = s.dyn if dctx is not None else None
+        if dyn is None:
+            if run_ends is not None:
+                end = min(limit, run_ends[si][pos])
+            else:
+                mask = masks[si]
+                end = pos
+                while end < limit and mask[end]:
+                    end += 1
+            if end == n and (s.hi is None or end - pos < s.hi):
+                # the run was cut by the data end, not by the predicate
+                touched = True
+            full = None
         else:
+            # state-dependent extension: static mask prefilter, then
+            # the dyn predicate with the candidate row appended
             mask = masks[si]
+            run = dctx.asg[s.name] = []
             end = pos
-            while end < limit and mask[end]:
+            cut_by_pred = False
+            while end < limit:
+                if not mask[end]:
+                    cut_by_pred = True
+                    break
+                run.append(end)
+                dctx.cur = end
+                v = dyn(dctx)
+                if v is None or not v:
+                    run.pop()
+                    cut_by_pred = True
+                    break
                 end += 1
-        if end == n and (s.hi is None or end - pos < s.hi):
-            # the run was cut by the data end, not by the predicate
-            touched = True
+            if (
+                not cut_by_pred
+                and end == n
+                and (s.hi is None or end - pos < s.hi)
+            ):
+                touched = True
+            full = list(range(pos, end))
         takes = range(end - pos, s.lo - 1, -1)
         if s.reluctant:
             takes = range(s.lo, end - pos + 1)
         for take in takes:
+            if dctx is not None:
+                dctx.asg[s.name] = (
+                    full[:take] if full is not None
+                    else list(range(pos, pos + take))
+                )
             rest = rec(pos + take, si + 1)
             if rest is not None:
                 return [range(pos, pos + take)] + rest
+        if dctx is not None:
+            dctx.asg[s.name] = []
         if failed is not None:
             failed.add((pos, si))
         return None
@@ -172,10 +254,11 @@ def _match_at(
     n: int,
     run_ends: "list | None" = None,
     failed: "set | None" = None,
+    dctx: "_DynCtx | None" = None,
 ) -> list | None:
     """Greedy backtracking match of ``steps`` against positions
     ``start..`` — returns per-step position ranges, or None."""
-    return _match_at_ex(masks, steps, start, n, run_ends, failed)[0]
+    return _match_at_ex(masks, steps, start, n, run_ends, failed, dctx)[0]
 
 
 class _Seg:
@@ -321,10 +404,15 @@ def match_pattern(
             pdf[order_cols[0]].to_numpy("int64")
             if within_us is not None else None
         )
+        has_dyn = any(s.dyn is not None for s in step_list)
+        dctx = _DynCtx(cols) if has_dyn else None
         # cross-start failure memo — sound here because every start
         # shares masks/steps and the batch scan ignores touched_end;
-        # WITHIN varies the scan bound n_i per start, so memo off
-        failed: "set | None" = set() if within_us is None else None
+        # WITHIN varies the scan bound n_i per start, and dyn steps
+        # vary by upstream assignment, so memo off for both
+        failed: "set | None" = (
+            set() if within_us is None and not has_dyn else None
+        )
         # jump between admissible starts: when the first variable is
         # required (lo > 0) a match can only begin where its mask holds,
         # so positions outside masks[0] need no NFA attempt at all
@@ -347,7 +435,7 @@ def match_pattern(
                 # the window edge is EXCLUSIVE (a row landing exactly on
                 # first_ts + within is outside), hence side='left'
                 n_i = int(np.searchsorted(ts, ts[i] + within_us, side="left"))
-            hit = _match_at(masks, step_list, i, n_i, run_ends, failed)
+            hit = _match_at(masks, step_list, i, n_i, run_ends, failed, dctx)
             if hit is None or not any(hit):
                 # no match, or a degenerate all-empty match (every
                 # variable took 0 rows) — either way advance one row

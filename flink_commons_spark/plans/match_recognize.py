@@ -33,14 +33,30 @@ Supported surface (the reference demo's dialect of the standard):
   NOT, ``IS [NOT] NULL``, and row-navigation ``PREV(expr [, n])`` /
   ``NEXT(expr [, n])`` over the ordered partition (Flink's default
   1-row offset semantics; ``V.col`` inside V's own DEFINE is the
-  current row, as in the standard).
+  current row, as in the standard). DEFINE predicates may also be
+  MATCH-STATE-DEPENDENT, as Flink 1.16's MATCH_RECOGNIZE accepts:
+  a column qualified by ANOTHER pattern variable (``B.price >
+  A.price`` — the last row mapped to A so far), ``FIRST(V.col
+  [, n])`` / ``LAST(V.col [, n])`` navigation over the rows mapped
+  so far, and the running aggregates ``SUM/AVG/MIN/MAX(V.col)`` /
+  ``COUNT(*)`` / ``COUNT(V.*)`` — all with running semantics: the
+  candidate row counts as already mapped to its own variable, so
+  ``LAST(V.price, 1)`` at V's first row is NULL (Flink's canonical
+  ``(LAST(DOWN.price, 1) IS NULL AND ...) OR ...`` guard). Purely
+  row-local predicates compile to vectorized pandas masks (one
+  evaluation per partition); state-dependent ones compile to
+  per-candidate scalar evaluators with SQL three-valued NULL
+  semantics, re-evaluated as the NFA extends each attempt.
+
+Streaming sources run through this SQL path too — the clause routes
+to :mod:`flink_commons_spark.streaming.cep_stream`'s watermark-gated
+buffered NFA (state-dependent DEFINE included: such predicates only
+read rows at or before the candidate, all watermark-closed).
 
 Not supported (raises with a clear message): ``ALL ROWS PER MATCH``,
-pattern alternation/permutation, ``FIRST``/``LAST`` navigation inside
-DEFINE (match-state-dependent masks), subqueries as the
-MATCH_RECOGNIZE source (register a view first), and streaming
-sources through this SQL path — streaming CEP is
-:mod:`flink_commons_spark.streaming.cep_stream`.
+pattern alternation/permutation, subqueries as the MATCH_RECOGNIZE
+source (register a view first), and ``NEXT()`` over streaming
+sources (it reads rows that may not have arrived).
 """
 
 from __future__ import annotations
@@ -131,6 +147,38 @@ def _promote(a: str, b: str) -> str:
     return "double"
 
 
+class _NeedsMatchState(Exception):
+    """Raised by the vectorized DEFINE compiler when the expression
+    references match state (another variable's columns, FIRST/LAST
+    navigation, or a running aggregate) — the caller re-parses in
+    ``define_dyn`` mode, compiling a per-candidate scalar evaluator
+    for the NFA's ``Step.dyn`` protocol instead of a per-partition
+    mask."""
+
+
+def _tri(v) -> "bool | None":
+    """SQL three-valued truth: None stays UNKNOWN, else Python bool
+    (normalizes numpy bool_, which fails ``is False`` checks)."""
+    return None if v is None else bool(v)
+
+
+def _scmp(a, b, fn) -> "bool | None":
+    """Scalar SQL comparison: NULL (None) or NaN operand → UNKNOWN."""
+    if a is None or b is None:
+        return None
+    if a != a or b != b:  # NaN (strings/ints compare False here)
+        return None
+    return bool(fn(a, b))
+
+
+def _sarith(a, b, fn):
+    """Scalar SQL arithmetic: NULL propagates; ``/ 0`` → NULL (Spark's
+    non-ANSI division, matching DuckDB's NULL-on-zero-divide)."""
+    if a is None or b is None:
+        return None
+    return fn(a, b)
+
+
 @dataclass
 class _Node:
     """A compiled (sub)expression: ``fn(ctx)`` → value, plus the Spark
@@ -144,12 +192,18 @@ class _ExprParser:
     """Recursive-descent compiler for MATCH_RECOGNIZE scalar
     expressions. ``mode='define'`` compiles to ``fn(pdf) → Series``
     (a per-row mask/value over the ordered key partition, PREV/NEXT
-    as shifts); ``mode='measures'`` compiles to ``fn(ctx) → scalar``
-    where ctx carries the match's key map and per-variable segments."""
+    as shifts) and raises :class:`_NeedsMatchState` on any match-
+    state-dependent construct; ``mode='define_dyn'`` compiles those
+    to ``fn(dctx) → scalar`` over the NFA's
+    :class:`operators.cep._DynCtx` (per-candidate evaluation, SQL
+    three-valued NULL semantics); ``mode='measures'`` compiles to
+    ``fn(ctx) → scalar`` where ctx carries the match's key map and
+    per-variable segments."""
 
     def __init__(self, text: str, mode: str, col_types: dict[str, str],
                  used_cols: set, variables: set,
-                 part_cols: "frozenset | set" = frozenset()):
+                 part_cols: "frozenset | set" = frozenset(),
+                 def_var: "str | None" = None):
         self.toks = _tokenize(text)
         self.i = 0
         self.mode = mode
@@ -157,8 +211,11 @@ class _ExprParser:
         self.used_cols = used_cols
         self.variables = variables  # upper-cased pattern variable names
         self.part_cols = part_cols
+        self.def_var = def_var  # variable this DEFINE clause defines
         self.needs_last_row = False  # a bare non-partition column ref
         self.uses_next = False  # forward row navigation (NEXT)
+        self.max_prev = 0  # deepest PREV offset (streaming ctx_rows)
+        self.max_next = 0  # deepest NEXT offset
         self.text = text
 
     # -- token helpers
@@ -204,7 +261,20 @@ class _ExprParser:
         while self._accept_kw("OR"):
             rhs = self._and()
             lf, rf = node.fn, rhs.fn
-            node = _Node(lambda c, lf=lf, rf=rf: lf(c) | rf(c), "boolean")
+            if self.mode == "define_dyn":
+                # Kleene OR: TRUE wins, else UNKNOWN taints
+                def kor(c, lf=lf, rf=rf):
+                    a = _tri(lf(c))
+                    if a is True:
+                        return True
+                    b = _tri(rf(c))
+                    if b is True:
+                        return True
+                    return None if (a is None or b is None) else False
+
+                node = _Node(kor, "boolean")
+            else:
+                node = _Node(lambda c, lf=lf, rf=rf: lf(c) | rf(c), "boolean")
         return node
 
     def _and(self) -> _Node:
@@ -212,13 +282,32 @@ class _ExprParser:
         while self._accept_kw("AND"):
             rhs = self._not()
             lf, rf = node.fn, rhs.fn
-            node = _Node(lambda c, lf=lf, rf=rf: lf(c) & rf(c), "boolean")
+            if self.mode == "define_dyn":
+                # Kleene AND: FALSE wins, else UNKNOWN taints
+                def kand(c, lf=lf, rf=rf):
+                    a = _tri(lf(c))
+                    if a is False:
+                        return False
+                    b = _tri(rf(c))
+                    if b is False:
+                        return False
+                    return None if (a is None or b is None) else True
+
+                node = _Node(kand, "boolean")
+            else:
+                node = _Node(lambda c, lf=lf, rf=rf: lf(c) & rf(c), "boolean")
         return node
 
     def _not(self) -> _Node:
         if self._accept_kw("NOT"):
             inner = self._not()
             f = inner.fn
+            if self.mode == "define_dyn":
+                def knot(c, f=f):
+                    v = _tri(f(c))
+                    return None if v is None else (not v)
+
+                return _Node(knot, "boolean")
             return _Node(lambda c, f=f: ~f(c), "boolean")
         return self._predicate()
 
@@ -238,6 +327,13 @@ class _ExprParser:
                     return ~r if neg else r
 
                 return _Node(isnull, "boolean")
+            if self.mode == "define_dyn":
+                def isnull_s(c, f=f, neg=neg):
+                    v = f(c)
+                    r = v is None or v != v  # None or NaN
+                    return (not r) if neg else r
+
+                return _Node(isnull_s, "boolean")
             return _Node(
                 lambda c, f=f, neg=neg: (f(c) is not None) if neg else (f(c) is None),
                 "boolean",
@@ -253,30 +349,51 @@ class _ExprParser:
             "=": _op.eq, "<>": _op.ne, "!=": _op.ne,
             "<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge,
         }[op]
+        if self.mode == "define_dyn":
+            return _Node(
+                lambda c, lf=lf, rf=rf, fn=fn: _scmp(lf(c), rf(c), fn),
+                "boolean",
+            )
         return _Node(lambda c, lf=lf, rf=rf, fn=fn: fn(lf(c), rf(c)), "boolean")
 
     def _additive(self) -> _Node:
+        import operator as _op
+
+        dyn = self.mode == "define_dyn"
         node = self._term()
         while (op := self._accept_op("+", "-")) is not None:
             rhs = self._term()
             lf, rf = node.fn, rhs.fn
-            if op == "+":
-                f = lambda c, lf=lf, rf=rf: lf(c) + rf(c)  # noqa: E731
+            base = _op.add if op == "+" else _op.sub
+            if dyn:
+                f = lambda c, lf=lf, rf=rf, b=base: _sarith(lf(c), rf(c), b)  # noqa: E731
             else:
-                f = lambda c, lf=lf, rf=rf: lf(c) - rf(c)  # noqa: E731
+                f = lambda c, lf=lf, rf=rf, b=base: b(lf(c), rf(c))  # noqa: E731
             node = _Node(f, _promote(node.typ, rhs.typ))
         return node
 
     def _term(self) -> _Node:
+        dyn = self.mode == "define_dyn"
         node = self._factor()
         while (op := self._accept_op("*", "/")) is not None:
             rhs = self._factor()
             lf, rf = node.fn, rhs.fn
             if op == "*":
-                f = lambda c, lf=lf, rf=rf: lf(c) * rf(c)  # noqa: E731
+                if dyn:
+                    import operator as _op
+
+                    f = lambda c, lf=lf, rf=rf: _sarith(lf(c), rf(c), _op.mul)  # noqa: E731
+                else:
+                    f = lambda c, lf=lf, rf=rf: lf(c) * rf(c)  # noqa: E731
                 t = _promote(node.typ, rhs.typ)
             else:  # SQL '/' on any numeric input is double division
-                f = lambda c, lf=lf, rf=rf: lf(c) / rf(c)  # noqa: E731
+                if dyn:
+                    def _div(a, b):
+                        return None if b == 0 else a / b
+
+                    f = lambda c, lf=lf, rf=rf, d=_div: _sarith(lf(c), rf(c), d)  # noqa: E731
+                else:
+                    f = lambda c, lf=lf, rf=rf: lf(c) / rf(c)  # noqa: E731
                 t = "double"
             node = _Node(f, t)
         return node
@@ -285,6 +402,10 @@ class _ExprParser:
         if self._accept_op("-"):
             inner = self._factor()
             f = inner.fn
+            if self.mode == "define_dyn":
+                return _Node(
+                    lambda c, f=f: None if f(c) is None else -f(c), inner.typ
+                )
             return _Node(lambda c, f=f: -f(c), inner.typ)
         if self._accept_op("("):
             node = self._or()
@@ -329,7 +450,7 @@ class _ExprParser:
     def _func(self, fname: str) -> _Node:
         self._expect_op("(")
         if fname in ("PREV", "NEXT"):
-            if self.mode != "define":
+            if self.mode not in ("define", "define_dyn"):
                 raise ValueError(f"{fname}() is only valid inside DEFINE")
             if fname == "NEXT":
                 self.uses_next = True
@@ -341,8 +462,25 @@ class _ExprParser:
                     raise ValueError(f"{fname} offset must be an integer literal")
                 n = int(v)
             self._expect_op(")")
+            if fname == "PREV":
+                self.max_prev = max(self.max_prev, n)
+            else:
+                self.max_next = max(self.max_next, n)
             shift = n if fname == "PREV" else -n
             f = inner.fn
+            if self.mode == "define_dyn":
+                # shift current-row column reads by ``shift`` physical
+                # rows (asg-based reads — other variables' LAST/FIRST/
+                # aggregates — are match state, not row state, and stay
+                # unshifted)
+                def nav_s(d, f=f, shift=shift):
+                    d.off += shift
+                    try:
+                        return f(d)
+                    finally:
+                        d.off -= shift
+
+                return _Node(nav_s, inner.typ)
 
             def nav(pdf, f=f, shift=shift):
                 s = f(pdf)
@@ -353,6 +491,11 @@ class _ExprParser:
             inner = self._or()
             self._expect_op(")")
             f = inner.fn
+            if self.mode == "define_dyn":
+                return _Node(
+                    lambda c, f=f: None if f(c) is None else abs(f(c)),
+                    inner.typ,
+                )
             return _Node(lambda c, f=f: abs(f(c)), inner.typ)
         if fname == "CLASSIFIER":
             if self.mode != "measures":
@@ -370,12 +513,12 @@ class _ExprParser:
 
             return _Node(classifier, "string")
         if fname in _AGG_FNS:
-            if self.mode != "measures":
-                raise ValueError(
-                    f"{fname}() inside DEFINE is not supported — only "
-                    "PREV/NEXT row navigation (match-state-dependent "
-                    "DEFINE masks are out of scope)"
-                )
+            if self.mode == "define":
+                # navigation/aggregates over the rows mapped so far —
+                # per-candidate state, not a per-partition mask
+                raise _NeedsMatchState(fname)
+            if self.mode == "define_dyn":
+                return self._agg_dyn(fname)
             return self._agg(fname)
         raise ValueError(f"unsupported function {fname}() in {self.text!r}")
 
@@ -437,6 +580,78 @@ class _ExprParser:
 
         return _Node(agg, otype)
 
+    def _agg_dyn(self, fname: str) -> _Node:
+        """DEFINE-side navigation/aggregates with RUNNING semantics:
+        evaluated over ``dctx.asg`` — the rows mapped so far in the
+        current attempt, the candidate row included for its own
+        variable. An unmapped variable (or an out-of-range FIRST/LAST
+        offset) is SQL NULL, exactly Flink's
+        ``LAST(DOWN.price, 1) IS NULL`` first-row guard."""
+        t = self._next()
+        if fname == "COUNT":
+            if t == ("star", "*"):
+                self._expect_op(")")
+                return _Node(
+                    lambda d: sum(len(a) for a in d.asg.values()), "bigint"
+                )
+            if t[0] == "star":  # COUNT(V.*)
+                var = t[1].split(".")[0].upper()
+                self._check_var(var)
+                self._expect_op(")")
+                return _Node(
+                    lambda d, var=var: len(d.asg.get(var) or ()), "bigint"
+                )
+            raise ValueError("COUNT supports COUNT(*) and COUNT(V.*)")
+        if t[0] != "id" or "." not in t[1]:
+            raise ValueError(f"{fname} expects a variable-qualified column")
+        var, col = t[1].split(".", 1)
+        var = var.upper()
+        self._check_var(var)
+        ctype = self._col_type(col)
+        n = 0
+        if fname in ("FIRST", "LAST") and self._accept_op(","):
+            k, v = self._next()
+            if k != "num" or "." in v:
+                raise ValueError(f"{fname} offset must be an integer literal")
+            n = int(v)
+        self._expect_op(")")
+        if fname == "FIRST":
+            def first(d, var=var, col=col, n=n):
+                a = d.asg.get(var)
+                return d.cols[col][a[n]] if a and len(a) > n else None
+
+            return _Node(first, ctype)
+        if fname == "LAST":
+            def last(d, var=var, col=col, n=n):
+                a = d.asg.get(var)
+                return d.cols[col][a[-1 - n]] if a and len(a) > n else None
+
+            return _Node(last, ctype)
+        if fname == "AVG":
+            # exact-int sum then one correctly-rounded double division
+            # (np.mean's pairwise float accumulation could diverge from
+            # the SQL engines' sum-then-divide on long runs)
+            def avg(d, var=var, col=col):
+                a = d.asg.get(var)
+                if not a:
+                    return None
+                vals = d.cols[col].take(a).tolist()
+                return sum(vals) / len(vals)
+
+            return _Node(avg, "double")
+        red = {"SUM": sum, "MIN": min, "MAX": max}[fname]
+        otype = "bigint" if (fname == "SUM" and ctype in _INT_TYPES) else ctype
+
+        def agg(d, var=var, col=col, red=red):
+            a = d.asg.get(var)
+            if not a:
+                return None
+            # .tolist() → plain Python scalars: np.int64 results would
+            # poison downstream arithmetic in the NFA's hot recursion
+            return red(d.cols[col].take(a).tolist())
+
+        return _Node(agg, otype)
+
     # -- identifiers
     def _check_var(self, var: str) -> None:
         if var not in self.variables:
@@ -448,6 +663,18 @@ class _ExprParser:
         self.used_cols.add(col)
         return self.col_types[col]
 
+    def _dyn_cur(self, col: str, ctype: str) -> _Node:
+        """define_dyn current-row read, honoring the PREV/NEXT offset
+        (out-of-partition navigation → NULL, Flink's PREV-at-first-row
+        semantics)."""
+
+        def cur(d, col=col):
+            i = d.cur - d.off
+            arr = d.cols[col]
+            return arr[i] if 0 <= i < len(arr) else None
+
+        return _Node(cur, ctype)
+
     def _column(self, ident: str) -> _Node:
         if "." in ident:
             var, col = ident.split(".", 1)
@@ -455,10 +682,26 @@ class _ExprParser:
             if varu in self.variables:
                 ctype = self._col_type(col)
                 if self.mode == "define":
-                    # inside DEFINE, V.col is the CURRENT row's value
-                    # (the standard's semantics for the variable being
-                    # defined; Flink only allows the own variable here)
+                    if self.def_var is not None and varu != self.def_var:
+                        # another variable's column is the last row
+                        # mapped to it SO FAR — match state, not a
+                        # per-partition mask (Flink's running
+                        # cross-variable semantics)
+                        raise _NeedsMatchState(ident)
+                    # inside DEFINE, V.col for the variable being
+                    # defined is the CURRENT row's value (standard
+                    # running semantics: ≡ LAST(V.col, 0) with the
+                    # candidate row tentatively mapped)
                     return _Node(lambda pdf, col=col: pdf[col], ctype)
+                if self.mode == "define_dyn":
+                    if self.def_var is None or varu == self.def_var:
+                        return self._dyn_cur(col, ctype)
+
+                    def vlast_d(d, var=varu, col=col):
+                        a = d.asg.get(var)
+                        return d.cols[col][a[-1]] if a else None
+
+                    return _Node(vlast_d, ctype)  # ≡ LAST(V.col, 0)
 
                 def vlast(c, varu=varu, col=col):
                     s = c["segs"][varu]
@@ -470,6 +713,8 @@ class _ExprParser:
         ctype = self._col_type(col)
         if self.mode == "define":
             return _Node(lambda pdf, col=col: pdf[col], ctype)
+        if self.mode == "define_dyn":
+            return self._dyn_cur(col, ctype)
         if col in self.part_cols:
             return _Node(lambda c, col=col: c["key"][col], ctype)
         self.needs_last_row = True
@@ -499,6 +744,8 @@ class MatchRecognizeSpec:
     span: "tuple[int, int]" = (0, 0)  # [source start, past close paren)
     needs_last_row: bool = False  # some measure reads the match's last row
     uses_next: bool = False  # some DEFINE navigates forward (NEXT)
+    max_prev: int = 0  # deepest PREV offset → streaming context rows
+    max_next: int = 0  # deepest NEXT offset
 
 
 def _find_close(sql: str, open_paren: int) -> int:
@@ -567,6 +814,12 @@ def parse_match_recognize(
                          "SQL emits ONE ROW PER MATCH for aggregates too)")
 
     part = [c.strip().strip("`") for c in (bm.group("part") or "").split(",") if c.strip()]
+    if not part:
+        raise ValueError(
+            "MATCH_RECOGNIZE requires PARTITION BY — the keyed NFA "
+            "distributes by it (for a global pattern add a constant "
+            "key column to the source view and partition by that)"
+        )
     order = []
     for c in (bm.group("order") or "").split(","):
         c = c.strip()
@@ -612,7 +865,9 @@ def parse_match_recognize(
 
     used_cols: set = set()
     uses_next = False
+    max_prev = max_next = 0
     defines: dict[str, Callable] = {}
+    dyn_defines: dict[str, Callable] = {}
     for clause in _split_top(bm.group("def")):
         dm = re.match(r"^(?P<v>\w+)\s+AS\s+(?P<cond>.+)$", clause,
                       re.IGNORECASE | re.DOTALL)
@@ -621,11 +876,21 @@ def parse_match_recognize(
         var = dm.group("v").upper()
         if var not in variables:
             raise ValueError(f"DEFINE names unknown variable {var!r}")
-        dparser = _ExprParser(dm.group("cond"), "define", col_types,
-                              used_cols, variables)
-        node = dparser.parse()
+        try:
+            dparser = _ExprParser(dm.group("cond"), "define", col_types,
+                                  used_cols, variables, def_var=var)
+            defines[var] = dparser.parse().fn
+        except _NeedsMatchState:
+            # the predicate reads match state (cross-variable columns,
+            # FIRST/LAST, running aggregates) — compile a per-candidate
+            # scalar evaluator for the NFA's Step.dyn protocol instead
+            dparser = _ExprParser(dm.group("cond"), "define_dyn",
+                                  col_types, used_cols, variables,
+                                  def_var=var)
+            dyn_defines[var] = dparser.parse().fn
         uses_next = uses_next or dparser.uses_next
-        defines[var] = node.fn
+        max_prev = max(max_prev, dparser.max_prev)
+        max_next = max(max_next, dparser.max_next)
 
     def _wild(p):
         return pd.Series(True, index=p.index)
@@ -636,6 +901,7 @@ def parse_match_recognize(
             defines.get(name, _wild),
             quant=(lo, hi),
             reluctant=rel,
+            dyn=dyn_defines.get(name),
         )
         for name, lo, hi, rel in steps_raw
     ]
@@ -688,6 +954,8 @@ def parse_match_recognize(
         span=(sm.start("src"), close + 1),
         needs_last_row=needs_last_row,
         uses_next=uses_next,
+        max_prev=max_prev,
+        max_next=max_next,
     )
 
 
@@ -830,6 +1098,10 @@ def execute_match_recognize(spark, sql: str):
             buffer_cols,
             after_match=spec.after_match,
             within_us=spec.within_us,
+            # retain as many consumed context rows as the deepest PREV
+            # offset needs — PREV(col, n≥2) must see its true n-th
+            # predecessor after a match consumes the prefix
+            ctx_rows=max(1, spec.max_prev),
         )
     else:
         res = match_pattern(

@@ -195,6 +195,7 @@ def _scan_closed_prefix(
     open_end_wm_ms: "int | None" = None,
     after_match: "str | tuple[str, str]" = "past_last",
     ctx_n: int = 0,
+    dctx=None,
 ):
     """The shared sequential scan over one key's sorted closed prefix —
     the streaming twin of the batch matcher's per-key loop, with the
@@ -204,7 +205,15 @@ def _scan_closed_prefix(
     ``masks`` their precomputed boolean arrays over ALL ``n`` rows
     (context included), ``on_match(hit, first, last)`` consumes each
     completed match. Returns ``consumed`` — every row strictly before
-    it can leave the buffer."""
+    it can leave the buffer.
+
+    ``dctx`` (an :class:`operators.cep._DynCtx` over the closed
+    prefix's column arrays) enables match-state-dependent ``Step.dyn``
+    predicates. They are watermark-sound as-is: a dyn predicate only
+    reads rows already mapped in the current attempt — all at or
+    before the candidate row, hence closed — so a dyn rejection is a
+    permanent predicate failure and the touched-end deferral rules
+    apply unchanged."""
     import bisect
 
     import numpy as np
@@ -252,7 +261,9 @@ def _scan_closed_prefix(
             or (ts_list[i] + within_us) // 1000 >= open_end_wm_ms
         )
         # no failure memo here: the streaming scan consumes touched_end
-        hit, touched_end = _match_at_ex(masks, steps, i, n_i, run_ends)
+        hit, touched_end = _match_at_ex(
+            masks, steps, i, n_i, run_ends, None, dctx
+        )
         if hit is None or not any(hit):
             if hit is None and touched_end and window_open and n_i == n:
                 # ran out of closed rows mid-pattern: this start is
@@ -511,8 +522,9 @@ def stream_match_pattern(
     import numpy as np
     import pandas as pd
 
-    from flink_commons_spark.operators.cep import _Seg
+    from flink_commons_spark.operators.cep import _DynCtx, _Seg
 
+    has_dyn = any(getattr(s, "dyn", None) is not None for s in steps)
     ts_col = order_cols[0]
     for c, t in buffer_cols:
         if t not in _BUF_TYPES:
@@ -532,10 +544,15 @@ def stream_match_pattern(
         wm_ms = state.getCurrentWatermarkMs()
 
         def settle(pdf_all: "pd.DataFrame", nctx: int):
-            order = np.lexsort(
-                tuple(pdf_all[c].to_numpy() for c in reversed(order_cols))
-            )
-            pdf_all = pdf_all.take(order).reset_index(drop=True)
+            try:
+                order = np.lexsort(
+                    tuple(pdf_all[c].to_numpy() for c in reversed(order_cols))
+                )
+                pdf_all = pdf_all.take(order).reset_index(drop=True)
+            except TypeError:  # non-lexsortable dtype — pandas fallback
+                pdf_all = pdf_all.sort_values(
+                    list(order_cols), kind="mergesort"
+                ).reset_index(drop=True)
             ts = pdf_all[ts_col].to_numpy("int64")
             total = len(pdf_all)
             closed_n = int(np.searchsorted(ts // 1000, wm_ms, side="left"))
@@ -558,6 +575,7 @@ def stream_match_pattern(
                 step_list, masks, ts[:closed_n].tolist(), closed_n, on_match,
                 within_us=within_us, open_end_wm_ms=wm_ms,
                 after_match=after_match, ctx_n=nctx,
+                dctx=_DynCtx(cols) if has_dyn else None,
             )
             keep_from = consumed
             if within_us is not None:

@@ -56,9 +56,69 @@ def test_define_boolean_combinators_and_is_null():
         False, True, True]
 
 
-def test_define_rejects_aggregates():
-    with pytest.raises(ValueError, match="DEFINE"):
+def test_define_aggregates_fall_back_to_dynamic_mode():
+    # the vectorized DEFINE compiler signals match-state dependence;
+    # parse_match_recognize then re-parses in define_dyn mode
+    from flink_commons_spark.plans.match_recognize import _NeedsMatchState
+
+    with pytest.raises(_NeedsMatchState):
         _parse_expr("SUM(A.price) > 3")
+    # and the dynamic compiler accepts it, with running semantics
+    node = _ExprParser("SUM(A.price) > 3", "define_dyn", COLS, set(),
+                       {"A", "B"}, def_var="B").parse()
+    import numpy as np
+
+    from flink_commons_spark.operators.cep import _DynCtx
+
+    d = _DynCtx({"price": np.array([1.0, 2.5, 4.0])})
+    d.asg = {"A": [0, 1], "B": [2]}
+    assert node.fn(d) is True  # 3.5 > 3
+    d.asg = {"A": [], "B": [2]}
+    assert node.fn(d) is None  # empty aggregate is SQL NULL → UNKNOWN
+
+
+def test_define_cross_variable_falls_back_to_dynamic_mode():
+    from flink_commons_spark.plans.match_recognize import _NeedsMatchState
+
+    with pytest.raises(_NeedsMatchState):
+        _ExprParser("B.price > A.price", "define", COLS, set(),
+                    {"A", "B"}, def_var="B").parse()
+    node = _ExprParser("B.price > A.price", "define_dyn", COLS, set(),
+                       {"A", "B"}, def_var="B").parse()
+    import numpy as np
+
+    from flink_commons_spark.operators.cep import _DynCtx
+
+    d = _DynCtx({"price": np.array([5.0, 3.0, 4.0])})
+    d.cur = 2
+    d.asg = {"A": [0], "B": [2]}
+    assert node.fn(d) is False  # 4.0 > 5.0
+    d.asg = {"A": [1], "B": [2]}
+    assert node.fn(d) is True  # 4.0 > 3.0
+    d.asg = {"A": [], "B": [2]}
+    assert node.fn(d) is None  # A unmapped → NULL comparison → UNKNOWN
+
+
+def test_define_last_navigation_running_semantics():
+    node = _ExprParser(
+        "(LAST(B.price, 1) IS NULL AND B.price < A.price) "
+        "OR B.price < LAST(B.price, 1)",
+        "define_dyn", COLS, set(), {"A", "B"}, def_var="B",
+    ).parse()
+    import numpy as np
+
+    from flink_commons_spark.operators.cep import _DynCtx
+
+    d = _DynCtx({"price": np.array([10.0, 8.0, 6.0, 7.0])})
+    # first B candidate (row1): LAST(B,1) over [1] is NULL → guard arm
+    d.cur, d.asg = 1, {"A": [0], "B": [1]}
+    assert node.fn(d) is True  # 8 < 10
+    # second B candidate (row2): LAST(B,1) over [1,2] = row1 = 8
+    d.cur, d.asg = 2, {"A": [0], "B": [1, 2]}
+    assert node.fn(d) is True  # 6 < 8
+    # third candidate rises (row3): 7 < 6 is False
+    d.cur, d.asg = 3, {"A": [0], "B": [1, 2, 3]}
+    assert node.fn(d) is False
 
 
 def test_measures_rejects_prev():
