@@ -8107,6 +8107,449 @@ JOIN seq l ON l.user_id = a.user_id AND l.rn = a.ern
 """
 
 
+def q_match_define_xvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with a CROSS-VARIABLE DEFINE — ``B.cents >
+    A.cents`` reads the last row mapped to A (running semantics), the
+    construct Flink 1.16 accepts and the reference would run through
+    its generic executor (``SQLSubmitAction.java:74-76``). The compiler
+    detects the match-state dependence and emits a per-candidate
+    scalar evaluator (``Step.dyn``) instead of a vectorized mask; the
+    NFA re-evaluates it per extension with the A row bound.
+
+    Pattern ``(a b+)``: a view, then the maximal contiguous run of
+    clicks each pricier than THAT view. B rows are clicks only, so no
+    view is ever consumed by another match and the oracle is
+    per-view-row independent: the run ends at the first subsequent row
+    that is not a click above the view's cents."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_events_view(spark, sf_dir, "mr_events_src")
+    return execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, a_cents, n_b, sum_b
+        FROM mr_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            MEASURES
+              FIRST(a.ts_us) AS start_us,
+              a.cents AS a_cents,
+              COUNT(b.*) AS n_b,
+              SUM(b.cents) AS sum_b
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (a b+)
+            DEFINE
+              a AS a.event_type = 'view',
+              b AS b.event_type = 'click' AND b.cents > a.cents
+          )
+    """))
+
+
+# per view row, the b-run is the maximal contiguous click run whose
+# every row out-prices the view — stop = first violating row; matches
+# cannot overlap (b rows are clicks, starts are views), so no cursor
+_MATCH_DEFINE_XVAR_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+keyn AS (SELECT user_id, max(rn) AS kn FROM seq GROUP BY user_id),
+m AS (
+  SELECT v.user_id, v.ts_us AS start_us, v.cents AS a_cents, v.rn,
+         coalesce((SELECT min(s.rn) FROM seq s
+                   WHERE s.user_id = v.user_id AND s.rn > v.rn
+                     AND NOT (s.event_type = 'click'
+                              AND s.cents > v.cents)),
+                  k.kn + 1) - v.rn - 1 AS n_b
+  FROM seq v JOIN keyn k ON k.user_id = v.user_id
+  WHERE v.event_type = 'view'
+)
+SELECT m.user_id, m.start_us, m.a_cents, m.n_b::bigint AS n_b,
+       (SELECT sum(s.cents) FROM seq s
+        WHERE s.user_id = m.user_id
+          AND s.rn BETWEEN m.rn + 1 AND m.rn + m.n_b)::bigint AS sum_b
+FROM m WHERE m.n_b >= 1
+"""
+
+
+def q_match_define_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with a RUNNING AGGREGATE inside DEFINE — the
+    verdict's canonical gap: ``p AS ... p.cents > AVG(c.cents)``, the
+    purchase must out-price the average of the click leg it closes
+    (Flink 1.16 semantics: the aggregate spans the rows mapped to C so
+    far). The funnel's event-type guards make backtracking
+    deterministic — shortening the greedy click run puts a click where
+    the purchase must sit — so the oracle is the batch islands
+    formulation plus the average filter, AVG computed identically on
+    both engines (exact integer sum, one double division)."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_events_view(spark, sf_dir, "mr_events_src")
+    return execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, end_us, n_clicks, p_cents, sum_click_cents
+        FROM mr_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            MEASURES
+              FIRST(v.ts_us) AS start_us,
+              LAST(p.ts_us) AS end_us,
+              COUNT(c.*) AS n_clicks,
+              p.cents AS p_cents,
+              SUM(c.cents) AS sum_click_cents
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v c+ p)
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              p AS p.event_type = 'purchase' AND p.cents > AVG(c.cents)
+          )
+    """))
+
+
+_MATCH_DEFINE_AGG_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+isl AS (
+  SELECT user_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type = 'click'
+),
+runs AS (
+  SELECT user_id, min(rn) AS srn, max(rn) AS ern, count(*)::bigint AS n_clicks
+  FROM isl GROUP BY user_id, grp
+),
+cagg AS (
+  SELECT r.user_id, r.srn, r.ern, r.n_clicks,
+         sum(s.cents)::bigint AS sum_click_cents,
+         avg(s.cents) AS avg_c
+  FROM runs r
+  JOIN seq s ON s.user_id = r.user_id AND s.rn BETWEEN r.srn AND r.ern
+  GROUP BY r.user_id, r.srn, r.ern, r.n_clicks
+)
+SELECT c.user_id, v.ts_us AS start_us, p.ts_us AS end_us, c.n_clicks,
+       p.cents AS p_cents, c.sum_click_cents
+FROM cagg c
+JOIN seq v ON v.user_id = c.user_id AND v.rn = c.srn - 1
+          AND v.event_type = 'view'
+JOIN seq p ON p.user_id = c.user_id AND p.rn = c.ern + 1
+          AND p.event_type = 'purchase' AND p.cents > c.avg_c
+"""
+
+
+def q_match_define_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with a running ``SUM`` over the variable's OWN
+    rows inside its DEFINE — ``b AS ... SUM(b.cents) <= 30000``: the
+    click run extends while its cumulative cents (candidate row
+    included, the standard's running semantics) stays within budget.
+    The NFA re-evaluates the predicate per candidate with the
+    tentative assignment; the oracle finds the first row where the
+    prefix-sum difference exceeds the budget (cents are positive, but
+    the formulation does not rely on monotonicity — the run ends at
+    the FIRST violation either way, exactly like the matcher)."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_events_view(spark, sf_dir, "mr_events_src")
+    return execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, n_b, sum_b
+        FROM mr_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            MEASURES
+              FIRST(a.ts_us) AS start_us,
+              COUNT(b.*) AS n_b,
+              SUM(b.cents) AS sum_b
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (a b+)
+            DEFINE
+              a AS a.event_type = 'view',
+              b AS b.event_type = 'click' AND SUM(b.cents) <= 30000
+          )
+    """))
+
+
+_MATCH_DEFINE_SUM_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         sum(CAST(round(value*100) AS BIGINT))
+           OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS psum,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+keyn AS (SELECT user_id, max(rn) AS kn FROM seq GROUP BY user_id),
+m AS (
+  SELECT v.user_id, v.ts_us AS start_us, v.rn, v.psum,
+         coalesce((SELECT min(s.rn) FROM seq s
+                   WHERE s.user_id = v.user_id AND s.rn > v.rn
+                     AND NOT (s.event_type = 'click'
+                              AND s.psum - v.psum <= 30000)),
+                  k.kn + 1) - v.rn - 1 AS n_b
+  FROM seq v JOIN keyn k ON k.user_id = v.user_id
+  WHERE v.event_type = 'view'
+)
+SELECT m.user_id, m.start_us, m.n_b::bigint AS n_b,
+       (SELECT sum(s.cents) FROM seq s
+        WHERE s.user_id = m.user_id
+          AND s.rn BETWEEN m.rn + 1 AND m.rn + m.n_b)::bigint AS sum_b
+FROM m WHERE m.n_b >= 1
+"""
+
+
+def q_match_define_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with ``LAST`` NAVIGATION inside DEFINE — Flink's
+    canonical falling-price guard, verbatim shape from its docs:
+    ``(LAST(D.cents, 1) IS NULL AND D.cents < S.cents) OR D.cents <
+    LAST(D.cents, 1)``. The first D candidate has no prior D row
+    (running semantics: LAST(D,1) skips the candidate itself) so the
+    IS NULL arm compares against the start row; later candidates must
+    keep strictly falling. Exercises navigation offsets, cross-variable
+    reads and three-valued OR in one predicate. Within a contiguous
+    run the previous D row is the physical predecessor, so the oracle
+    is a lag() formulation (the start row IS the first candidate's
+    predecessor, collapsing both arms into one lag comparison)."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_events_view(spark, sf_dir, "mr_events_src")
+    return execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, n_d, last_d_cents
+        FROM mr_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            MEASURES
+              FIRST(s.ts_us) AS start_us,
+              COUNT(d.*) AS n_d,
+              LAST(d.cents) AS last_d_cents
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (s d+)
+            DEFINE
+              s AS s.event_type = 'view',
+              d AS d.event_type = 'click' AND
+                  ((LAST(d.cents, 1) IS NULL AND d.cents < s.cents)
+                   OR d.cents < LAST(d.cents, 1))
+          )
+    """))
+
+
+_MATCH_DEFINE_NAV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         lag(CAST(round(value*100) AS BIGINT))
+           OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS prev_cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+keyn AS (SELECT user_id, max(rn) AS kn FROM seq GROUP BY user_id),
+m AS (
+  SELECT v.user_id, v.ts_us AS start_us, v.rn,
+         coalesce((SELECT min(s.rn) FROM seq s
+                   WHERE s.user_id = v.user_id AND s.rn > v.rn
+                     AND NOT (s.event_type = 'click'
+                              AND s.cents < s.prev_cents)),
+                  k.kn + 1) - v.rn - 1 AS n_d
+  FROM seq v JOIN keyn k ON k.user_id = v.user_id
+  WHERE v.event_type = 'view'
+)
+SELECT m.user_id, m.start_us, m.n_d::bigint AS n_d,
+       (SELECT s.cents FROM seq s
+        WHERE s.user_id = m.user_id
+          AND s.rn = m.rn + m.n_d) AS last_d_cents
+FROM m WHERE m.n_d >= 1
+"""
+
+
+@_with_stream_shuffle(8)
+def stream_match_define_xvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of :func:`q_match_define_xvar` — the
+    cross-variable DEFINE through the SQL front door over a streaming
+    source: the per-candidate scalar evaluator runs inside the
+    watermark-gated buffered NFA (state-dependent predicates only read
+    rows at or before the candidate, all closed, so the deferral rules
+    are unchanged). Oracle = the batch per-view formulation over each
+    key's closed prefix, requiring a CLOSED violating row to end the
+    run — a run still touching the buffer tail is deferred (the greedy
+    final variable could grow), exactly the matcher's rule."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_stream_events_view(spark, sf_dir, "mr_stream_events_src")
+    out = execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, a_cents, n_b, sum_b
+        FROM mr_stream_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES
+              FIRST(a.ts_us) AS start_us,
+              a.cents AS a_cents,
+              COUNT(b.*) AS n_b,
+              SUM(b.cents) AS sum_b
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (a b+)
+            DEFINE
+              a AS a.event_type = 'view',
+              b AS b.event_type = 'click' AND b.cents > a.cents
+          )
+    """))
+    name = "fcs_stream_mr_dxvar"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-mrdx-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(name)
+
+
+# closed prefix (global final watermark); a view's match emits only if
+# a CLOSED row terminates its click run (NULL stop = deferred tail)
+_STREAM_MATCH_DEFINE_XVAR_ORACLE = """
+WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
+seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE epoch_us(ts) // 1000 < (SELECT wm_ms FROM wm)
+),
+m AS (
+  SELECT v.user_id, v.ts_us AS start_us, v.cents AS a_cents, v.rn,
+         (SELECT min(s.rn) FROM seq s
+          WHERE s.user_id = v.user_id AND s.rn > v.rn
+            AND NOT (s.event_type = 'click' AND s.cents > v.cents))
+           - v.rn - 1 AS n_b
+  FROM seq v
+  WHERE v.event_type = 'view'
+)
+SELECT m.user_id, m.start_us, m.a_cents, m.n_b::bigint AS n_b,
+       (SELECT sum(s.cents) FROM seq s
+        WHERE s.user_id = m.user_id
+          AND s.rn BETWEEN m.rn + 1 AND m.rn + m.n_b)::bigint AS sum_b
+FROM m WHERE m.n_b >= 1
+"""
+
+
+@_with_stream_shuffle(8)
+def stream_match_define_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of :func:`q_match_define_agg` — a running
+    ``AVG`` DEFINE aggregate inside the watermark-gated streaming NFA.
+    The purchase variable is bounded (``{1,1}``), so a match completed
+    within the closed prefix emits even at the buffer tail; only a
+    click run still touching the tail defers (the purchase may not
+    have arrived). Oracle = closed-prefix islands + the average
+    filter; the purchase row must itself be closed."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_stream_events_view(spark, sf_dir, "mr_stream_events_src")
+    out = execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, end_us, n_clicks, p_cents, sum_click_cents
+        FROM mr_stream_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES
+              FIRST(v.ts_us) AS start_us,
+              LAST(p.ts_us) AS end_us,
+              COUNT(c.*) AS n_clicks,
+              p.cents AS p_cents,
+              SUM(c.cents) AS sum_click_cents
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v c+ p)
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              p AS p.event_type = 'purchase' AND p.cents > AVG(c.cents)
+          )
+    """))
+    name = "fcs_stream_mr_dagg"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-mrda-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(name)
+
+
+_STREAM_MATCH_DEFINE_AGG_ORACLE = """
+WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
+seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE epoch_us(ts) // 1000 < (SELECT wm_ms FROM wm)
+),
+isl AS (
+  SELECT user_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type = 'click'
+),
+runs AS (
+  SELECT user_id, min(rn) AS srn, max(rn) AS ern, count(*)::bigint AS n_clicks
+  FROM isl GROUP BY user_id, grp
+),
+cagg AS (
+  SELECT r.user_id, r.srn, r.ern, r.n_clicks,
+         sum(s.cents)::bigint AS sum_click_cents,
+         avg(s.cents) AS avg_c
+  FROM runs r
+  JOIN seq s ON s.user_id = r.user_id AND s.rn BETWEEN r.srn AND r.ern
+  GROUP BY r.user_id, r.srn, r.ern, r.n_clicks
+)
+SELECT c.user_id, v.ts_us AS start_us, p.ts_us AS end_us, c.n_clicks,
+       p.cents AS p_cents, c.sum_click_cents
+FROM cagg c
+JOIN seq v ON v.user_id = c.user_id AND v.rn = c.srn - 1
+          AND v.event_type = 'view'
+JOIN seq p ON p.user_id = c.user_id AND p.rn = c.ern + 1
+          AND p.event_type = 'purchase' AND p.cents > c.avg_c
+"""
+
+
 def q_over_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink OVER windows with a time-RANGE frame (``RANGE BETWEEN
     INTERVAL '10' MINUTE PRECEDING AND CURRENT ROW``): per event, the
@@ -10252,6 +10695,12 @@ QUERIES = {
     "q_match_measures": q_match_measures,
     "q_match_within_sql": q_match_within_sql,
     "q_match_skip_sql": q_match_skip_sql,
+    "q_match_define_xvar": q_match_define_xvar,
+    "q_match_define_agg": q_match_define_agg,
+    "q_match_define_sum": q_match_define_sum,
+    "q_match_define_nav": q_match_define_nav,
+    "stream_match_define_xvar": stream_match_define_xvar,
+    "stream_match_define_agg": stream_match_define_agg,
     "pq_opq_recall": pq_opq_recall,
     "stream_match_quantified": stream_match_quantified,
     "stream_match_skip_to_next": stream_match_skip_to_next,
@@ -10437,6 +10886,12 @@ ORACLES = {
     "q_match_measures": _MATCH_MEASURES_ORACLE,
     "q_match_within_sql": _MATCH_WITHIN_ORACLE,
     "q_match_skip_sql": _MATCH_SKIP_TO_LAST_ORACLE,
+    "q_match_define_xvar": _MATCH_DEFINE_XVAR_ORACLE,
+    "q_match_define_agg": _MATCH_DEFINE_AGG_ORACLE,
+    "q_match_define_sum": _MATCH_DEFINE_SUM_ORACLE,
+    "q_match_define_nav": _MATCH_DEFINE_NAV_ORACLE,
+    "stream_match_define_xvar": _STREAM_MATCH_DEFINE_XVAR_ORACLE,
+    "stream_match_define_agg": _STREAM_MATCH_DEFINE_AGG_ORACLE,
     "pq_opq_recall": _PQ_OPQ_RECALL_ORACLE,
     "stream_match_quantified": _STREAM_MATCH_QUANTIFIED_ORACLE,
     "stream_match_skip_to_next": _STREAM_MATCH_SKIP_TO_NEXT_ORACLE,
