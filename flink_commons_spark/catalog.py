@@ -8550,6 +8550,91 @@ JOIN seq p ON p.user_id = c.user_id AND p.rn = c.ern + 1
 """
 
 
+@_with_stream_shuffle(8)
+def stream_match_next_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ``NEXT()`` navigation in DEFINE over a TIMESTAMP
+    ORDER BY key — the funnel where the view must be followed within
+    24 h (``NEXT(v.ts_us) - v.ts_us < 24h``). Forward navigation is
+    watermark-sound by WITHHOLDING each key's newest closed row from
+    the scan until a later row closes behind it (a closed row's
+    successor is final once present: future arrivals sort strictly
+    after every closed row). The oracle adds exactly that rule — the
+    match's last row may not be the key's last closed row — plus the
+    lead-gap filter on the view."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_stream_events_view(spark, sf_dir, "mr_stream_events_src")
+    out = execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, end_us, n_clicks
+        FROM mr_stream_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES
+              FIRST(v.ts_us) AS start_us,
+              LAST(p.ts_us) AS end_us,
+              COUNT(c.*) AS n_clicks
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v c+ p)
+            DEFINE
+              v AS v.event_type = 'view'
+                  AND NEXT(v.ts_us) - v.ts_us < 86400000000,
+              c AS c.event_type = 'click',
+              p AS p.event_type = 'purchase'
+          )
+    """))
+    name = "fcs_stream_mr_next"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-mrnx-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(name)
+
+
+# closed-prefix islands + the NEXT-gap filter on the view (lead over
+# the closed seq IS the true successor: closure is a prefix) + the
+# one-row tail withholding rule (prn <= kn - 1)
+_STREAM_MATCH_NEXT_ORACLE = """
+WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
+seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id)
+           AS nxt_ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE epoch_us(ts) // 1000 < (SELECT wm_ms FROM wm)
+),
+keyn AS (SELECT user_id, max(rn) AS kn FROM seq GROUP BY user_id),
+isl AS (
+  SELECT user_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type = 'click'
+),
+runs AS (
+  SELECT user_id, min(rn) AS srn, max(rn) AS ern, count(*)::bigint AS n_clicks
+  FROM isl GROUP BY user_id, grp
+)
+SELECT r.user_id, v.ts_us AS start_us, p.ts_us AS end_us, r.n_clicks
+FROM runs r
+JOIN keyn k ON k.user_id = r.user_id
+JOIN seq v ON v.user_id = r.user_id AND v.rn = r.srn - 1
+          AND v.event_type = 'view'
+          AND v.nxt_ts_us - v.ts_us < 86400000000
+JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
+          AND p.event_type = 'purchase' AND p.rn <= k.kn - 1
+"""
+
+
 def q_over_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink OVER windows with a time-RANGE frame (``RANGE BETWEEN
     INTERVAL '10' MINUTE PRECEDING AND CURRENT ROW``): per event, the
@@ -10701,6 +10786,7 @@ QUERIES = {
     "q_match_define_nav": q_match_define_nav,
     "stream_match_define_xvar": stream_match_define_xvar,
     "stream_match_define_agg": stream_match_define_agg,
+    "stream_match_next_sql": stream_match_next_sql,
     "pq_opq_recall": pq_opq_recall,
     "stream_match_quantified": stream_match_quantified,
     "stream_match_skip_to_next": stream_match_skip_to_next,
@@ -10892,6 +10978,7 @@ ORACLES = {
     "q_match_define_nav": _MATCH_DEFINE_NAV_ORACLE,
     "stream_match_define_xvar": _STREAM_MATCH_DEFINE_XVAR_ORACLE,
     "stream_match_define_agg": _STREAM_MATCH_DEFINE_AGG_ORACLE,
+    "stream_match_next_sql": _STREAM_MATCH_NEXT_ORACLE,
     "pq_opq_recall": _PQ_OPQ_RECALL_ORACLE,
     "stream_match_quantified": _STREAM_MATCH_QUANTIFIED_ORACLE,
     "stream_match_skip_to_next": _STREAM_MATCH_SKIP_TO_NEXT_ORACLE,

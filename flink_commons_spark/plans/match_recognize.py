@@ -988,12 +988,14 @@ def execute_match_recognize(spark, sql: str):
     view, so outer projections/filters stay in Catalyst. Returns the
     outer statement's DataFrame (streaming for streaming sources).
 
-    Streaming constraints (each with a targeted error): DEFINE may not
-    navigate forward (``NEXT`` reads rows that may not have arrived),
-    the first ORDER BY key must be a timestamp (a watermark is applied
-    on it) or an int64 epoch-µs column whose source already carries a
-    watermark, and every buffered column must be numeric or string
-    (cast timestamps to epoch micros in the source view)."""
+    Streaming specifics: the first ORDER BY key must be a timestamp (a
+    watermark is applied on it) or an int64 epoch-µs column whose
+    source already carries a watermark; other timestamp-typed columns
+    the clause reads are epoch-µs-encoded into the state buffer and
+    decoded on output; ``NEXT(expr, k)`` works by withholding each
+    key's k newest closed rows until their successors close (a key at
+    the stream's edge keeps its tail row pending — Flink's NEXT over
+    an unbounded stream likewise never resolves there)."""
     from pyspark.sql import functions as F
 
     from flink_commons_spark.operators.cep import match_pattern
@@ -1012,12 +1014,6 @@ def execute_match_recognize(spark, sql: str):
     streaming = src_df.isStreaming
     col_types = {f.name: f.dataType.simpleString() for f in src_df.schema.fields}
     spec = parse_match_recognize(sql, col_types)
-    if streaming and spec.uses_next:
-        raise ValueError(
-            "NEXT() in DEFINE is not available over a streaming source — "
-            "it reads rows that may not have arrived; only current-row "
-            "columns and PREV are watermark-sound"
-        )
 
     df = src_df
     order_cols = list(spec.order_by)
@@ -1083,18 +1079,61 @@ def execute_match_recognize(spark, sql: str):
         types_now = {
             f.name: f.dataType.simpleString() for f in df.schema.fields
         }
-        # key columns stay buffered too: a DEFINE predicate may read
-        # them through the frame (measures get them via the group key)
-        buffer_cols = [
-            (c, types_now[c]) for c in df.columns if c in needed
+        # timestamp-typed buffered columns: the state store holds flat
+        # arrays, so encode them to epoch-µs (comparisons are order-
+        # isomorphic) and decode timestamp-typed outputs afterwards.
+        # The WATERMARK column may not be replaced in place — the
+        # stateful operator requires the watermark-tagged attribute in
+        # its child plan — so it gets an encoded twin that the matcher
+        # renames back for the compiled readers.
+        enc_ts = [
+            c for c in df.columns
+            if c in needed and types_now[c].startswith("timestamp")
         ]
+        frame_renames: "dict[str, str]" = {}
+        for c in enc_ts:
+            if c == wm_col:
+                df = df.withColumn(
+                    f"__mr_enc_{c}",
+                    F.unix_micros(F.col(c).cast("timestamp")),
+                )
+                frame_renames[f"__mr_enc_{c}"] = c
+            else:
+                df = df.withColumn(
+                    c, F.unix_micros(F.col(c).cast("timestamp"))
+                )
+                types_now[c] = "bigint"
+        dec_out = [
+            c for c, t in (
+                [(c, col_types[c]) for c in key_cols]
+                + [(n, node.typ) for n, node in measure_nodes]
+            )
+            if t.startswith("timestamp")
+        ] if enc_ts else []
+        stream_schema = ", ".join(
+            [
+                f"{c} {'bigint' if c in dec_out else col_types[c]}"
+                for c in key_cols
+            ]
+            + [
+                f"{n} {'bigint' if n in dec_out else node.typ}"
+                for n, node in measure_nodes
+            ]
+        )
+        # key columns stay buffered too: a DEFINE predicate may read
+        # them through the frame (measures get them via the group key);
+        # a watermark column is buffered via its encoded twin only
+        buffer_cols = [
+            (c, types_now[c]) for c in df.columns
+            if c in needed and c not in frame_renames.values()
+        ] + [(src, "bigint") for src in frame_renames]
         res = stream_match_pattern(
             df,
             key_cols,
             order_cols,
             spec.steps,
             measures_fn,
-            out_schema,
+            stream_schema,
             buffer_cols,
             after_match=spec.after_match,
             within_us=spec.within_us,
@@ -1102,7 +1141,14 @@ def execute_match_recognize(spark, sql: str):
             # offset needs — PREV(col, n≥2) must see its true n-th
             # predecessor after a match consumes the prefix
             ctx_rows=max(1, spec.max_prev),
+            # NEXT(expr, k) defers the k newest closed rows per key —
+            # their forward masks await later rows (see
+            # stream_match_pattern's soundness note)
+            defer_tail_rows=spec.max_next,
+            frame_renames=frame_renames or None,
         )
+        for c in dec_out:
+            res = res.withColumn(c, F.timestamp_micros(F.col(c)))
     else:
         res = match_pattern(
             df,

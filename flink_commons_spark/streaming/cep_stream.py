@@ -499,6 +499,8 @@ def stream_match_pattern(
     after_match: "str | tuple[str, str]" = "past_last",
     within_us: "int | None" = None,
     ctx_rows: int = 1,
+    defer_tail_rows: int = 0,
+    frame_renames: "dict[str, str] | None" = None,
 ) -> DataFrame:
     """GENERIC watermark-gated streaming MATCH_RECOGNIZE — the
     streaming twin of :func:`operators.cep.match_pattern` with the
@@ -506,6 +508,26 @@ def stream_match_pattern(
     backward-looking ``where`` callables over the buffered frame) and
     a ``measures(key, segs)`` callable over zero-copy segment views.
     This is what the SQL front door routes streaming sources to.
+
+    ``defer_tail_rows`` enables FORWARD navigation (``NEXT(expr, k)``)
+    soundly: the last ``defer_tail_rows`` (= the deepest NEXT offset)
+    closed rows per key are withheld from each scan. Within the closed
+    prefix every row's k-th successor is final once it exists — a
+    future arrival has event time at/after the watermark, hence sorts
+    strictly after every closed row — so a withheld row becomes
+    scannable exactly when enough later rows close behind it. Masks
+    are computed over the full closed frame (the withheld rows serve
+    as lookahead context), then truncated to the scan bound. A key
+    whose successor never arrives keeps its tail row withheld —
+    Flink's NEXT over an unbounded stream likewise never resolves at
+    the stream's edge.
+
+    ``frame_renames`` (buffered name → reader-visible name) exposes a
+    buffered column to the predicate/measure callables under a
+    different name — used for watermark columns, which must stay
+    timestamp-typed in the plan (the stateful operator requires the
+    watermark-tagged attribute) while their epoch-µs twin is what gets
+    buffered. State round-trips under the buffered names.
 
     ``sdf`` must carry ``key_cols``, every ``buffer_cols`` column, and
     a watermark on its event-time source. ``order_cols`` name the
@@ -555,10 +577,17 @@ def stream_match_pattern(
                 ).reset_index(drop=True)
             ts = pdf_all[ts_col].to_numpy("int64")
             total = len(pdf_all)
-            closed_n = int(np.searchsorted(ts // 1000, wm_ms, side="left"))
-            pdf_closed = pdf_all.iloc[:closed_n]
+            closed_all = int(np.searchsorted(ts // 1000, wm_ms, side="left"))
+            # withhold the deepest-NEXT-offset tail of the closed
+            # prefix: those rows' forward masks are not yet final
+            closed_n = max(nctx, closed_all - defer_tail_rows)
+            pdf_closed = pdf_all.iloc[:closed_all]
+            if frame_renames:
+                pdf_closed = pdf_closed.rename(columns=frame_renames)
             masks = [
-                s.where(pdf_closed).to_numpy(dtype=bool, na_value=False)
+                s.where(pdf_closed).to_numpy(
+                    dtype=bool, na_value=False
+                )[:closed_n]
                 for s in step_list
             ]
             cols = {c: pdf_closed[c].to_numpy() for c in pdf_closed.columns}

@@ -292,3 +292,141 @@ def test_streaming_cross_variable_equals_batch(spark, tmp_path):
         (1, 5_000_000, 1, 250),
         (2, 1_000_000, 2, 130),
     ]
+
+
+def test_streaming_timestamp_buffer_column(spark, tmp_path):
+    """A TIMESTAMP-typed column read by MEASURES is epoch-µs-encoded
+    into the state buffer and decoded on output (before round 8 the
+    buffer-type whitelist rejected it with 'cast timestamps to epoch
+    micros')."""
+    from datetime import datetime
+
+    files = [
+        [(1, 10, "view", 100), (1, 20, "click", 150),
+         (1, 30, "click", 120), (1, 40, "signup", 0)],
+        [(9999, 10_000_000, "x", 0)],
+    ]
+    _file_stream_view(spark, tmp_path, files, "mds_tsbuf")
+    out = execute_match_recognize(spark, """
+        SELECT user_id, start_ts, n_b FROM mds_tsbuf
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ts
+            MEASURES FIRST(b.ts) AS start_ts, COUNT(b.*) AS n_b
+            ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (a b+)
+            DEFINE a AS a.event_type = 'view',
+                   b AS b.event_type = 'click' AND b.cents > a.cents
+          )""")
+    assert dict(out.dtypes)["start_ts"].startswith("timestamp")
+    got = _drain(spark, out, "mds_tsbuf_out", tmp_path)
+    rows = got.collect()
+    # both clicks out-price the view (150, 120 > 100) → n_b = 2
+    assert [(r.user_id, r.start_ts, r.n_b) for r in rows] == [
+        (1, datetime(1970, 1, 1, 0, 0, 20), 2)
+    ]
+
+
+def test_streaming_next_withholds_tail(spark, tmp_path):
+    """NEXT() over a streaming source: the newest closed row per key is
+    withheld until a successor closes behind it. Key 1's purchase has a
+    trailing row → its match emits; key 2's pattern ends on the key's
+    last row → correctly pending forever (Flink's NEXT at the stream
+    edge never resolves)."""
+    files = [
+        [(1, 1, "view", 0), (2, 1, "view", 0)],
+        [(1, 2, "click", 0), (2, 2, "click", 0)],
+        [(1, 3, "purchase", 0), (2, 3, "purchase", 0)],
+        [(1, 4, "signup", 0)],  # key 1's successor; key 2 gets none
+        [(9999, 10_000_000, "x", 0)],
+    ]
+    _file_stream_view(spark, tmp_path, files, "mds_next")
+    out = execute_match_recognize(spark, """
+        SELECT user_id, start_us, n_c FROM mds_next
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ts
+            MEASURES FIRST(v.ts_us) AS start_us, COUNT(c.*) AS n_c
+            ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v c+ p)
+            DEFINE v AS v.event_type = 'view'
+                       AND NEXT(v.ts_us) - v.ts_us < 5000000,
+                   c AS c.event_type = 'click',
+                   p AS p.event_type = 'purchase'
+          )""")
+    got = _drain(spark, out, "mds_next_out", tmp_path)
+    assert sorted(map(tuple, got.collect())) == [(1, 1_000_000, 1)]
+
+
+def test_streaming_next_kill_and_resume(spark, tmp_path):
+    """Kill-and-resume for the NEXT-deferral leg: a resumed run over
+    the same checkpoint must emit exactly the uninterrupted run's match
+    set (the withheld-tail decision must replay from state)."""
+    rows_per_key = [
+        (1, "view", 0), (2, "click", 10), (3, "click", 20),
+        (4, "purchase", 30), (5, "signup", 0),
+    ]
+    nkeys = 12
+    all_rows = [
+        (k, 10 * k + off, et, cents + k)
+        for k in range(1, nkeys + 1)
+        for off, et, cents in rows_per_key
+    ]
+    all_rows.sort(key=lambda r: r[1])
+    third = len(all_rows) // 3
+    files = [
+        all_rows[:third], all_rows[third: 2 * third], all_rows[2 * third:],
+        [(9999, 10_000_000, "x", 0)],
+    ]
+    sql = """
+        SELECT user_id, start_us, n_c FROM {v}
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ts
+            MEASURES FIRST(v.ts_us) AS start_us, COUNT(c.*) AS n_c
+            ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v c+ p)
+            DEFINE v AS v.event_type = 'view'
+                       AND NEXT(v.ts_us) - v.ts_us < 50000000,
+                   c AS c.event_type = 'click',
+                   p AS p.event_type = 'purchase'
+          )"""
+    _file_stream_view(spark, tmp_path, files, "mds_nkr")
+    out = execute_match_recognize(spark, sql.format(v="mds_nkr"))
+    ckpt = str(tmp_path / "nkr_ckpt")
+    got = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: got.extend(b.collect()))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2:
+            break
+        time.sleep(0.2)
+    assert q.isActive, "query drained before the kill point"
+    q.stop()
+
+    out2 = execute_match_recognize(spark, sql.format(v="mds_nkr"))
+    q2 = (
+        out2.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: got.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    assert q2.awaitTermination(180)
+
+    ref = []
+    out3 = execute_match_recognize(spark, sql.format(v="mds_nkr"))
+    q3 = (
+        out3.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: ref.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "nkr_ref_ckpt"))
+        .start()
+    )
+    assert q3.awaitTermination(180)
+    key = lambda r: (r.user_id, r.start_us, r.n_c)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, ref))
+    assert len(ref) == nkeys  # every key's funnel emits (tail row follows)
+    assert all(r.n_c == 2 for r in ref)

@@ -260,34 +260,39 @@ def test_streaming_source_routes_to_stream_nfa(spark):
     assert out.columns == ["value", "n"]
 
 
-def test_streaming_rejects_next_navigation(spark):
+def test_streaming_accepts_next_navigation(spark):
+    """Round 8: NEXT() over a streaming source compiles — the matcher
+    withholds each key's newest closed rows until their successors
+    close (behavioral coverage in test_match_define_state)."""
     sdf = (
         spark.readStream.format("rate").option("rowsPerSecond", 1).load()
     )
     sdf.createOrReplaceTempView("mr_rate_src2")
-    with pytest.raises(ValueError, match="NEXT.*streaming"):
-        execute_match_recognize(spark, """
-          SELECT * FROM mr_rate_src2 MATCH_RECOGNIZE (
-            PARTITION BY value ORDER BY timestamp
-            MEASURES COUNT(*) AS n PATTERN (a)
-            DEFINE a AS a.value < NEXT(a.value)
-          )""")
+    out = execute_match_recognize(spark, """
+      SELECT * FROM mr_rate_src2 MATCH_RECOGNIZE (
+        PARTITION BY value ORDER BY timestamp
+        MEASURES COUNT(*) AS n PATTERN (a)
+        DEFINE a AS a.value < NEXT(a.value)
+      )""")
+    assert out.isStreaming
 
 
-def test_streaming_rejects_timestamp_buffer_column(spark):
-    """Buffering a timestamp-typed column is rejected with guidance
-    (cast to epoch micros in the source view)."""
+def test_streaming_accepts_timestamp_buffer_column(spark):
+    """Round 8: a timestamp-typed column the clause reads is epoch-µs-
+    encoded into the state buffer and the output decoded back to a
+    timestamp (behavioral coverage in test_match_define_state)."""
     sdf = (
         spark.readStream.format("rate").option("rowsPerSecond", 1).load()
     )
     sdf.createOrReplaceTempView("mr_rate_src3")
-    with pytest.raises(ValueError, match="epoch micros"):
-        execute_match_recognize(spark, """
-          SELECT * FROM mr_rate_src3 MATCH_RECOGNIZE (
-            PARTITION BY value ORDER BY timestamp
-            MEASURES FIRST(a.timestamp) AS t PATTERN (a)
-            DEFINE a AS a.value >= 0
-          )""")
+    out = execute_match_recognize(spark, """
+      SELECT * FROM mr_rate_src3 MATCH_RECOGNIZE (
+        PARTITION BY value ORDER BY timestamp
+        MEASURES FIRST(a.timestamp) AS t PATTERN (a)
+        DEFINE a AS a.value >= 0
+      )""")
+    assert out.isStreaming
+    assert dict(out.dtypes)["t"].startswith("timestamp")
 
 
 # --------------------------------------------------- runner end-to-end
