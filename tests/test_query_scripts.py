@@ -585,3 +585,59 @@ def test_catalog_dialect_tour_script(spark, capsys):
     # CONVERT_TZ day floor renders as a date string
     assert "2024-" in out
     assert not spark.catalog.databaseExists("lake")
+
+
+def test_match_recognize_script(spark, capsys):
+    """The README-advertised queries/match_recognize.sql demo — a Flink
+    CEP user's batch MATCH_RECOGNIZE statements (funnel + PREV-based
+    V-shape) through the real runner."""
+    action = SqlSubmitAction(
+        str(QUERIES_DIR / "match_recognize.sql"),
+        {"data": "/root/testdata/sf0.001"},
+        spark=spark,
+    )
+    action.run()
+    out = capsys.readouterr().out
+    # both SELECTs printed result tables with their measure columns
+    assert "n_clicks" in out and "start_us" in out
+    assert "n_down" in out and "n_up" in out and "bottom" in out
+    # the funnel emits at least one match at sf0.001 (data rows render
+    # as |-framed lines under the header)
+    assert out.count("|") > 20
+
+
+def test_statement_set_script(spark, tmp_path):
+    """queries/statement_set.sql — EXECUTE STATEMENT SET fanning one
+    source into two parquet sinks; both sinks land and partition the
+    same 1000 events."""
+    action = SqlSubmitAction(
+        str(QUERIES_DIR / "statement_set.sql"),
+        {"data": "/root/testdata/sf0.001", "out": str(tmp_path)},
+        spark=spark,
+    )
+    action.run()
+    by_type = spark.read.parquet(str(tmp_path / "by_type"))
+    by_user = spark.read.parquet(str(tmp_path / "by_user"))
+    trows = {r.event_type: r.n for r in by_type.collect()}
+    assert set(trows) == {"click", "error", "purchase", "signup", "view"}
+    assert sum(trows.values()) == 1000
+    assert by_user.agg(F.sum("n")).first()[0] == 1000
+
+
+def test_text_analysis_script(spark, capsys):
+    """queries/text_analysis.sql — the fcs_* text-curation SQL
+    functions (token count, quality, lang-id, fingerprint) through the
+    runner; the per-language profile covers exactly the corpus's five
+    languages."""
+    action = SqlSubmitAction(
+        str(QUERIES_DIR / "text_analysis.sql"),
+        {"data": "/root/testdata/sf0.001"},
+        spark=spark,
+    )
+    action.run()
+    out = capsys.readouterr().out
+    for lang in ("de", "en", "es", "fr", "zh"):
+        assert f"|{lang}" in out.replace(" ", "")
+    assert "avg_quality" in out and "total_tokens" in out
+    # the dup-fingerprint query prints (possibly empty) with its header
+    assert "keep_id" in out
