@@ -533,7 +533,8 @@ def test_star_contraction_handles_long_chain(spark):
 
     edges = [(i, i + 1) for i in range(199)] + [(1000, 1001), (1001, 1002)]
     df = spark.createDataFrame(edges, ["a", "b"])
-    got = {r.node: r.label for r in connected_components_star(df, max_iter=12).collect()}
+    got = {r.node: r.label for r in connected_components_star(
+        df, max_iter=12, local_threshold=0).collect()}
     want = {i: 0 for i in range(200)} | {1000: 1000, 1001: 1000, 1002: 1000}
     assert got == want
 
@@ -551,7 +552,7 @@ def test_star_contraction_empty_edges(spark):
         [T.StructField("a", T.LongType()), T.StructField("b", T.LongType())]
     )
     df = spark.createDataFrame([], schema)
-    out = connected_components_star(df)
+    out = connected_components_star(df, local_threshold=0)
     assert out.columns == ["node", "label"]
     assert out.count() == 0
 
@@ -570,8 +571,12 @@ def test_star_contraction_matches_propagation(spark):
     edges = [(a, b) for a, b in edges if a != b]
     df = spark.createDataFrame(edges, ["a", "b"])
     prop = {r.node: r.label for r in connected_components(df).collect()}
-    star = {r.node: r.label for r in connected_components_star(df).collect()}
+    star = {r.node: r.label for r in connected_components_star(
+        df, local_threshold=0).collect()}
     assert star == prop
+    # the size-gated single-task union-find fallback shares the contract
+    local = {r.node: r.label for r in connected_components_star(df).collect()}
+    assert local == prop
 
 
 # ------------------------------------------------------------- sketches
