@@ -30,6 +30,14 @@ def main() -> None:
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
+    # same RAM-backed scratch default as bench.py (see its note)
+    import os
+
+    if "SPARK_GRAFT_SCRATCH_DIR" not in os.environ and os.path.isdir(
+        "/dev/shm"
+    ):
+        os.environ["SPARK_GRAFT_SCRATCH_DIR"] = "/dev/shm"
+
     from pyspark.sql import SparkSession
 
     from flink_commons_spark.catalog import QUERIES
