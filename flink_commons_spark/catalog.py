@@ -9234,6 +9234,68 @@ GROUP BY 1, 2
 """
 
 
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global boilerplate redaction — C4's repeated-span rule in
+    its word-n-gram form (RefinedWeb/Dolma run the same family before
+    training): every token position covered by a 6-gram occurring in
+    ≥2 distinct documents is removed from every document, survivors
+    re-joined in order. All built-in expressions — tokens via
+    posexplode, grams via doc-keyed lead() windows, ONE corpus-global
+    shuffle (the gram-keyed distinct-doc count), removal as a
+    (doc,pos) anti-join, per-doc bounded reassembly
+    (``operators/text.py:remove_frequent_ngrams``). The oracle replays
+    the identical rule in DuckDB SQL."""
+    from flink_commons_spark.operators.text import remove_frequent_ngrams
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_frequent_ngrams(d, "doc_id", "text", n=6, min_docs=2)
+
+
+_TEXT_BOILERPLATE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, pos,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+             || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w
+             || ' ' || lead(tok, 5) OVER w AS g,
+         lead(tok, 5) OVER w AS lst
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+freq AS (
+  SELECT g FROM grams WHERE lst IS NOT NULL
+  GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+),
+cov AS (
+  SELECT DISTINCT gr.doc_id, c.p
+  FROM grams gr
+  JOIN freq f ON gr.g = f.g
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(gr.pos, gr.pos + 5)) AS p
+  ) c
+  WHERE gr.lst IS NOT NULL
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.pos
+  WHERE c.p IS NULL
+),
+reb AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       len(string_split(d.text, ' '))::bigint AS n_tokens,
+       (len(string_split(d.text, ' ')) - coalesce(r.n_kept, 0))::bigint
+         AS n_removed
+FROM documents d LEFT JOIN reb r ON r.doc_id = d.doc_id
+"""
+
+
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bigram-LM quality score (perplexity-proxy filter):
     the corpus trains its own Laplace-smoothed bigram model in the same
@@ -10816,6 +10878,7 @@ QUERIES = {
     "q_recursive_cte": q_recursive_cte,
     "q_lateral_topk": q_lateral_topk,
     "text_lm_score": text_lm_score,
+    "text_boilerplate_ngrams": text_boilerplate_ngrams,
     "q_gapfill_locf": q_gapfill_locf,
     "q_ohlc": q_ohlc,
     "q_retention": q_retention,
@@ -11008,6 +11071,7 @@ ORACLES = {
     "q_recursive_cte": _RECURSIVE_CTE_ORACLE,
     "q_lateral_topk": _LATERAL_TOPK_ORACLE,
     "text_lm_score": _TEXT_LM_ORACLE,
+    "text_boilerplate_ngrams": _TEXT_BOILERPLATE_ORACLE,
     "q_gapfill_locf": _GAPFILL_ORACLE,
     "q_ohlc": _OHLC_ORACLE,
     "q_retention": _RETENTION_ORACLE,

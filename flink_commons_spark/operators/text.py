@@ -192,6 +192,95 @@ def c4_clean_lines(
     )
 
 
+def remove_frequent_ngrams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 6,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-global BOILERPLATE REDACTION — C4's rule family ("any
+    three-sentence span occurring more than once is removed"), the
+    word-n-gram form RefinedWeb/Dolma-style pipelines run before
+    training: every token position covered by an ``n``-gram that
+    appears in ≥ ``min_docs`` DISTINCT documents is deleted from every
+    document, and the survivors re-join in order.
+
+    Scale posture (the whole point — no driver state, no UDFs):
+
+    - tokens via ``posexplode(split(...))`` (narrow);
+    - grams via ``lead()`` windows keyed on the document — the window
+      partitions by doc id, so the sort is per-document and sharded;
+    - the frequent-gram set is a gram-keyed ``countDistinct``
+      aggregate (one shuffle on the gram hash — the only corpus-global
+      exchange, exactly the aggregation C4 runs);
+    - covered positions come from ``explode(sequence(pos, pos+n-1))``
+      joined doc-locally, removal is a ``left_anti`` join on
+      (doc, pos), and reassembly is a per-document
+      ``array_sort(collect_list(struct(pos, tok)))`` — bounded by the
+      document's own length, never by the corpus.
+
+    Returns (id, clean_text, n_tokens, n_removed); fully-redacted
+    documents keep a row with an empty ``clean_text``.
+    """
+    from pyspark.sql import Window
+
+    did = F.col(id_col)
+    toks = docs.select(
+        did.alias("__d"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("__d").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", k).over(w) for k in range(1, n)
+    ]
+    grams = toks.select(
+        "__d",
+        "pos",
+        F.concat_ws(" ", *parts).alias("g"),
+        F.lead("tok", n - 1).over(w).alias("__last"),
+    ).where(F.col("__last").isNotNull())
+    freq = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("__d").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    covered = (
+        grams.join(freq, "g")
+        .select(
+            "__d",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, ["__d", "pos"], "left_anti")
+    rebuilt = kept.groupBy("__d").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    base = docs.select(
+        did.alias("__d"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tokens"),
+    )
+    return base.join(rebuilt, "__d", "left").select(
+        F.col("__d").alias(id_col),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis column family (narrow map, no shuffle)."""
     c = F.col(text_col)

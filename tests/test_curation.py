@@ -362,3 +362,32 @@ def test_hll_estimate_is_partition_invariant_and_mergeable(spark):
     }
     # sanity: the estimate is in the right neighborhood (sigma ~ 13%)
     assert abs(e1 - 5000) / 5000 < 0.4
+
+
+def test_remove_frequent_ngrams_redacts_shared_spans(spark):
+    """C4-style repeated-span removal: positions covered by a 6-gram
+    occurring in >=2 distinct docs are deleted; fully-redacted docs
+    keep a row with empty clean_text."""
+    from flink_commons_spark.operators.text import remove_frequent_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f x"),   # shared 6-gram at pos 0-5
+            (2, "z a b c d e f"),   # shared 6-gram at pos 1-6
+            (3, "q w e r t y"),     # unique 6-gram -> untouched
+            (4, "a b c d e f"),     # fully redacted
+            (5, "a b c d e f"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+        for r in remove_frequent_ngrams(docs, n=6, min_docs=2).collect()
+    }
+    assert got == {
+        1: ("x", 7, 6),
+        2: ("z", 7, 6),
+        3: ("q w e r t y", 6, 0),
+        4: ("", 6, 6),
+        5: ("", 6, 6),
+    }
