@@ -52,3 +52,23 @@ FROM events
       down AS down.value < PREV(down.value),
       up   AS up.value   > PREV(up.value)
   );
+
+-- 3) round-8 surface: MATCH-STATE-DEPENDENT DEFINE — a running
+--    aggregate (the purchase must out-price the click-leg average)
+--    and a cross-variable comparison, as Flink 1.16 accepts
+SELECT user_id, n_clicks, p_value
+FROM events
+  MATCH_RECOGNIZE (
+    PARTITION BY user_id
+    ORDER BY ts, event_id
+    MEASURES
+      COUNT(c.*) AS n_clicks,
+      p.value    AS p_value
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (v c+ p)
+    DEFINE
+      v AS v.event_type = 'view',
+      c AS c.event_type = 'click' AND c.value > v.value / 10,
+      p AS p.event_type = 'purchase' AND p.value > AVG(c.value)
+  );

@@ -598,9 +598,11 @@ def test_match_recognize_script(spark, capsys):
     )
     action.run()
     out = capsys.readouterr().out
-    # both SELECTs printed result tables with their measure columns
+    # all three SELECTs printed result tables with their measure
+    # columns, incl. the round-8 state-dependent DEFINE statement
     assert "n_clicks" in out and "start_us" in out
     assert "n_down" in out and "n_up" in out and "bottom" in out
+    assert "p_value" in out
     # the funnel emits at least one match at sf0.001 (data rows render
     # as |-framed lines under the header)
     assert out.count("|") > 20
