@@ -178,6 +178,43 @@ def test_reluctant_quantifier_with_dynamic_define(spark):
     assert sorted(map(tuple, out.collect())) == [(1, 2, 25)]
 
 
+def test_flink_ticker_vshape_scenario(spark):
+    """The shape of Flink's canonical MATCH_RECOGNIZE ticker example
+    (docs' ACME price series, START_ROW/PRICE_DOWN+/PRICE_UP+ with
+    LAST-navigation NULL-guard DEFINEs). Expected row derived by hand
+    under the documented running semantics: the only V starts at the
+    25 of t4, bottoms at the 12 of t5, and the up-leg runs t6..t9
+    (the final 19 breaks it).
+
+    Reference route: a Flink user's ticker script enters through the
+    generic executor (``SQLSubmitAction.java:74-76``)."""
+    prices = [12, 17, 19, 21, 25, 12, 15, 20, 24, 25, 19]
+    rows = [("ACME", t, p) for t, p in enumerate(prices)]
+    spark.createDataFrame(
+        rows, "symbol string, ts_us bigint, price bigint"
+    ).createOrReplaceTempView("ticker")
+    out = execute_match_recognize(spark, """
+        SELECT symbol, start_us, bottom_us, end_us FROM ticker
+          MATCH_RECOGNIZE (
+            PARTITION BY symbol ORDER BY ts_us
+            MEASURES
+              FIRST(START_ROW.ts_us) AS start_us,
+              LAST(PRICE_DOWN.ts_us) AS bottom_us,
+              LAST(PRICE_UP.ts_us)   AS end_us
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (START_ROW PRICE_DOWN+ PRICE_UP+)
+            DEFINE
+              PRICE_DOWN AS (LAST(PRICE_DOWN.price, 1) IS NULL
+                             AND PRICE_DOWN.price < START_ROW.price)
+                         OR PRICE_DOWN.price < LAST(PRICE_DOWN.price, 1),
+              PRICE_UP AS (LAST(PRICE_UP.price, 1) IS NULL
+                           AND PRICE_UP.price > LAST(PRICE_DOWN.price))
+                       OR PRICE_UP.price > LAST(PRICE_UP.price, 1)
+          )""")
+    assert [tuple(r) for r in out.collect()] == [("ACME", 4, 5, 9)]
+
+
 # ------------------------------------------------------------ streaming
 
 
