@@ -8566,12 +8566,14 @@ def stream_match_next_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING ``NEXT()`` navigation in DEFINE over a TIMESTAMP
     ORDER BY key — the funnel where the view must be followed within
     24 h (``NEXT(v.ts_us) - v.ts_us < 24h``). Forward navigation is
-    watermark-sound by WITHHOLDING each key's newest closed row from
-    the scan until a later row closes behind it (a closed row's
-    successor is final once present: future arrivals sort strictly
-    after every closed row). The oracle adds exactly that rule — the
-    match's last row may not be the key's last closed row — plus the
-    lead-gap filter on the view."""
+    watermark-sound via PER-STEP undecided frontiers: only the
+    NAVIGATING variable's newest closed rows wait for successors (a
+    closed row's successor is final once present — future arrivals
+    sort strictly after every closed row), so a decided match emits
+    even when its last row is the key's newest closed row. The view's
+    successor here is the first click — inside the match — so the
+    oracle is exactly the closed-prefix islands plus the lead-gap
+    filter, no extra tail rule."""
     from flink_commons_spark.plans.dialect import adapt_sql
     from flink_commons_spark.plans.match_recognize import (
         execute_match_recognize,
@@ -8612,8 +8614,12 @@ def stream_match_next_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # closed-prefix islands + the NEXT-gap filter on the view (lead over
-# the closed seq IS the true successor: closure is a prefix) + the
-# one-row tail withholding rule (prn <= kn - 1)
+# the closed seq IS the true successor: closure is a prefix, and the
+# view's successor — the first click — is always closed when the
+# purchase is). Frontiers are PER STEP: only the view navigates
+# forward, and its successor is inside the match, so no extra tail
+# rule — a decided match emits even when the purchase is the key's
+# newest closed row.
 _STREAM_MATCH_NEXT_ORACLE = """
 WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
 seq AS (
@@ -8625,7 +8631,6 @@ seq AS (
                             ORDER BY epoch_us(ts), event_id) AS rn
   FROM events WHERE epoch_us(ts) // 1000 < (SELECT wm_ms FROM wm)
 ),
-keyn AS (SELECT user_id, max(rn) AS kn FROM seq GROUP BY user_id),
 isl AS (
   SELECT user_id, rn,
          rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
@@ -8637,12 +8642,11 @@ runs AS (
 )
 SELECT r.user_id, v.ts_us AS start_us, p.ts_us AS end_us, r.n_clicks
 FROM runs r
-JOIN keyn k ON k.user_id = r.user_id
 JOIN seq v ON v.user_id = r.user_id AND v.rn = r.srn - 1
           AND v.event_type = 'view'
           AND v.nxt_ts_us - v.ts_us < 86400000000
 JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
-          AND p.event_type = 'purchase' AND p.rn <= k.kn - 1
+          AND p.event_type = 'purchase'
 """
 
 

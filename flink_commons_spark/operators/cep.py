@@ -55,9 +55,15 @@ class Step:
     AVG(A.price)`` / ``LAST(B.price, 1)`` forms). ``None`` is SQL
     UNKNOWN and rejects the row. The static ``where`` mask still
     applies first (a vectorized prefilter; pass an all-True mask when
-    the whole predicate is state-dependent)."""
+    the whole predicate is state-dependent).
 
-    __slots__ = ("name", "where", "lo", "hi", "reluctant", "dyn")
+    ``next_depth`` is streaming-only metadata: the deepest ``NEXT``
+    offset this step's predicate navigates forward. The streaming
+    matcher withholds the step's last ``next_depth`` closed rows from
+    decisions (their masks await successors); batch ignores it."""
+
+    __slots__ = ("name", "where", "lo", "hi", "reluctant", "dyn",
+                 "next_depth")
 
     def __init__(
         self,
@@ -69,11 +75,13 @@ class Step:
         quant: "tuple[int, int | None] | None" = None,
         reluctant: bool = False,
         dyn: "Callable[[_DynCtx], Any] | None" = None,
+        next_depth: int = 0,
     ):
         self.name = name
         self.where = where
         self.reluctant = reluctant
         self.dyn = dyn
+        self.next_depth = next_depth
         if quant is not None:
             self.lo, self.hi = quant
         elif plus:
@@ -140,6 +148,7 @@ def _match_at_ex(
     run_ends: "list | None" = None,
     failed: "set | None" = None,
     dctx: "_DynCtx | None" = None,
+    step_bounds: "list[int] | None" = None,
 ) -> "tuple[list | None, bool]":
     """Greedy backtracking match of ``steps`` against positions
     ``start..`` — returns (per-step position ranges or None,
@@ -167,7 +176,16 @@ def _match_at_ex(
     A dyn rejection is a PREDICATE failure (permanent for streaming);
     only a run cut by the data end marks ``touched_end``. ``failed``
     must be None when any step is dynamic — the same (pos, step) can
-    succeed under a different upstream assignment."""
+    succeed under a different upstream assignment.
+
+    ``step_bounds`` (streaming NEXT support) marks, per step, the
+    first position whose mask is NOT YET DECIDED — a forward-navigating
+    step's last rows await successors. Rows at/after a step's bound
+    are treated exactly like rows past the data end FOR THAT STEP: the
+    run is cut there and ``touched_end`` set (not-yet-decided), never
+    a predicate verdict. Steps without forward navigation keep the
+    full range, so a decided match ending on another step's frontier
+    still completes."""
     touched = False
     nsteps = len(steps)
     if dctx is not None:
@@ -181,12 +199,15 @@ def _match_at_ex(
         if failed is not None and (pos, si) in failed:
             return None
         s = steps[si]
-        if pos >= n and s.lo > 0:
+        sb = n if step_bounds is None else min(n, step_bounds[si])
+        if pos >= sb and s.lo > 0:
+            # no decidable row left for a required step — either the
+            # data end or the step's undecided frontier
             touched = True
         # greedy: consume the longest admissible run first, backtrack
         # shorter down to the quantifier's lower bound (0 for */?);
         # reluctant flips the try order (shortest first)
-        limit = n if s.hi is None else min(n, pos + s.hi)
+        limit = sb if s.hi is None else min(sb, pos + s.hi)
         dyn = s.dyn if dctx is not None else None
         if dyn is None:
             if run_ends is not None:
@@ -196,8 +217,9 @@ def _match_at_ex(
                 end = pos
                 while end < limit and mask[end]:
                     end += 1
-            if end == n and (s.hi is None or end - pos < s.hi):
-                # the run was cut by the data end, not by the predicate
+            if end == sb and (s.hi is None or end - pos < s.hi):
+                # the run was cut by the data end / undecided
+                # frontier, not by the predicate
                 touched = True
             full = None
         else:
@@ -221,7 +243,7 @@ def _match_at_ex(
                 end += 1
             if (
                 not cut_by_pred
-                and end == n
+                and end == sb
                 and (s.hi is None or end - pos < s.hi)
             ):
                 touched = True
@@ -259,6 +281,17 @@ def _match_at(
     """Greedy backtracking match of ``steps`` against positions
     ``start..`` — returns per-step position ranges, or None."""
     return _match_at_ex(masks, steps, start, n, run_ends, failed, dctx)[0]
+
+
+def _step_bounds(steps: Sequence[Step], n: int) -> "list[int] | None":
+    """Per-step undecided frontiers over an ``n``-row closed prefix:
+    ``n - next_depth`` for forward-navigating steps, ``n`` otherwise.
+    None when no step navigates forward (the common case — zero
+    overhead in the recursion)."""
+    depths = [getattr(s, "next_depth", 0) or 0 for s in steps]
+    if not any(depths):
+        return None
+    return [n - d for d in depths]
 
 
 class _Seg:

@@ -251,11 +251,20 @@ def connected_components_star(
     spark.conf.set(cp_key, "false")
     try:
         e = _canon_edges(edges, src, dst).localCheckpoint(eager=False)
-        if local_threshold and e.limit(local_threshold + 1).count() <= (
-            local_threshold
-        ):
-            # the limit-probe doubles as the checkpoint materializer
-            return _cc_local(e)
+        if local_threshold:
+            # width-aware gate: the row threshold assumes ~16-byte
+            # numeric ids; string/binary ids (URLs, UUIDs) are an
+            # order of magnitude wider, so the single-task cutoff
+            # shrinks accordingly (2M longs ≈ 32 MB in one Arrow
+            # batch; 250k 100-byte strings ≈ 25 MB)
+            from pyspark.sql import types as T
+
+            cap = local_threshold
+            if not isinstance(e.schema["u"].dataType, T.NumericType):
+                cap = max(1, local_threshold // 8)
+            if e.limit(cap + 1).count() <= cap:
+                # the limit-probe doubles as the checkpoint materializer
+                return _cc_local(e)
         nodes = (
             e.select(F.col("u").alias("node"))
             .union(e.select(F.col("v").alias("node")))

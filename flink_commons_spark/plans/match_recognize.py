@@ -53,10 +53,13 @@ to :mod:`flink_commons_spark.streaming.cep_stream`'s watermark-gated
 buffered NFA (state-dependent DEFINE included: such predicates only
 read rows at or before the candidate, all watermark-closed).
 
-Not supported (raises with a clear message): ``ALL ROWS PER MATCH``,
-pattern alternation/permutation, subqueries as the MATCH_RECOGNIZE
-source (register a view first), and ``NEXT()`` over streaming
-sources (it reads rows that may not have arrived).
+Not supported (raises with a clear message): ``ALL ROWS PER MATCH``
+(Flink's MATCH_RECOGNIZE likewise emits ONE ROW PER MATCH only),
+pattern alternation/permutation, and subqueries as the
+MATCH_RECOGNIZE source (register a view first). ``NEXT()`` works on
+streaming sources too — the navigating step's newest closed rows wait
+for their successors to close, per-step, so decided matches still
+emit at the buffer tail (see :func:`execute_match_recognize`).
 """
 
 from __future__ import annotations
@@ -522,19 +525,22 @@ class _ExprParser:
             return self._agg(fname)
         raise ValueError(f"unsupported function {fname}() in {self.text!r}")
 
-    def _agg(self, fname: str) -> _Node:
+    def _agg_args(self, fname: str) -> "tuple":
+        """Shared argument parse for _agg/_agg_dyn: consumes the
+        argument list and closing paren, returning
+        ``(count_kind, var, col, ctype, n)`` — ``count_kind`` is
+        ``"*"`` / ``"V*"`` for the COUNT star forms (var/col/ctype/n
+        meaningless then) and None for column aggregates."""
         t = self._next()
         if fname == "COUNT":
             if t == ("star", "*"):
                 self._expect_op(")")
-                return _Node(
-                    lambda c: sum(len(s) for s in c["segs"].values()), "bigint"
-                )
+                return "*", None, None, None, 0
             if t[0] == "star":  # COUNT(V.*)
                 var = t[1].split(".")[0].upper()
                 self._check_var(var)
                 self._expect_op(")")
-                return _Node(lambda c, var=var: len(c["segs"][var]), "bigint")
+                return "V*", var, None, None, 0
             raise ValueError("COUNT supports COUNT(*) and COUNT(V.*)")
         if t[0] != "id" or "." not in t[1]:
             raise ValueError(f"{fname} expects a variable-qualified column")
@@ -549,6 +555,16 @@ class _ExprParser:
                 raise ValueError(f"{fname} offset must be an integer literal")
             n = int(v)
         self._expect_op(")")
+        return None, var, col, ctype, n
+
+    def _agg(self, fname: str) -> _Node:
+        count_kind, var, col, ctype, n = self._agg_args(fname)
+        if count_kind == "*":
+            return _Node(
+                lambda c: sum(len(s) for s in c["segs"].values()), "bigint"
+            )
+        if count_kind == "V*":
+            return _Node(lambda c, var=var: len(c["segs"][var]), "bigint")
         # nodes read the matcher's zero-copy segment views directly
         # (seg.scalar/seg.array) — one pandas Series per access was the
         # measured hot path at ~20k matches per key bucket
@@ -586,35 +602,19 @@ class _ExprParser:
         current attempt, the candidate row included for its own
         variable. An unmapped variable (or an out-of-range FIRST/LAST
         offset) is SQL NULL, exactly Flink's
-        ``LAST(DOWN.price, 1) IS NULL`` first-row guard."""
-        t = self._next()
-        if fname == "COUNT":
-            if t == ("star", "*"):
-                self._expect_op(")")
-                return _Node(
-                    lambda d: sum(len(a) for a in d.asg.values()), "bigint"
-                )
-            if t[0] == "star":  # COUNT(V.*)
-                var = t[1].split(".")[0].upper()
-                self._check_var(var)
-                self._expect_op(")")
-                return _Node(
-                    lambda d, var=var: len(d.asg.get(var) or ()), "bigint"
-                )
-            raise ValueError("COUNT supports COUNT(*) and COUNT(V.*)")
-        if t[0] != "id" or "." not in t[1]:
-            raise ValueError(f"{fname} expects a variable-qualified column")
-        var, col = t[1].split(".", 1)
-        var = var.upper()
-        self._check_var(var)
-        ctype = self._col_type(col)
-        n = 0
-        if fname in ("FIRST", "LAST") and self._accept_op(","):
-            k, v = self._next()
-            if k != "num" or "." in v:
-                raise ValueError(f"{fname} offset must be an integer literal")
-            n = int(v)
-        self._expect_op(")")
+        ``LAST(DOWN.price, 1) IS NULL`` first-row guard. Aggregates
+        SKIP NULL values (SQL semantics — a NaN would otherwise poison
+        SUM/AVG, and None crashes MIN/MAX on object columns); an
+        all-NULL segment aggregates to NULL."""
+        count_kind, var, col, ctype, n = self._agg_args(fname)
+        if count_kind == "*":
+            return _Node(
+                lambda d: sum(len(a) for a in d.asg.values()), "bigint"
+            )
+        if count_kind == "V*":
+            return _Node(
+                lambda d, var=var: len(d.asg.get(var) or ()), "bigint"
+            )
         if fname == "FIRST":
             def first(d, var=var, col=col, n=n):
                 a = d.asg.get(var)
@@ -627,28 +627,36 @@ class _ExprParser:
                 return d.cols[col][a[-1 - n]] if a and len(a) > n else None
 
             return _Node(last, ctype)
+
+        def _vals(d, var=var, col=col):
+            a = d.asg.get(var)
+            if not a:
+                return None
+            # .tolist() → plain Python scalars (np.int64 results would
+            # poison downstream arithmetic in the NFA's hot recursion);
+            # SQL aggregates skip NULLs (None, and NaN from nullable
+            # numeric columns)
+            vs = [
+                v for v in d.cols[col].take(a).tolist()
+                if v is not None and v == v
+            ]
+            return vs or None
+
         if fname == "AVG":
             # exact-int sum then one correctly-rounded double division
             # (np.mean's pairwise float accumulation could diverge from
             # the SQL engines' sum-then-divide on long runs)
-            def avg(d, var=var, col=col):
-                a = d.asg.get(var)
-                if not a:
-                    return None
-                vals = d.cols[col].take(a).tolist()
-                return sum(vals) / len(vals)
+            def avg(d, _vals=_vals):
+                vs = _vals(d)
+                return None if vs is None else sum(vs) / len(vs)
 
             return _Node(avg, "double")
         red = {"SUM": sum, "MIN": min, "MAX": max}[fname]
         otype = "bigint" if (fname == "SUM" and ctype in _INT_TYPES) else ctype
 
-        def agg(d, var=var, col=col, red=red):
-            a = d.asg.get(var)
-            if not a:
-                return None
-            # .tolist() → plain Python scalars: np.int64 results would
-            # poison downstream arithmetic in the NFA's hot recursion
-            return red(d.cols[col].take(a).tolist())
+        def agg(d, red=red, _vals=_vals):
+            vs = _vals(d)
+            return None if vs is None else red(vs)
 
         return _Node(agg, otype)
 
@@ -766,6 +774,54 @@ def _find_close(sql: str, open_paren: int) -> int:
     raise ValueError("unbalanced parentheses in MATCH_RECOGNIZE")
 
 
+def _split_top_and(text: str) -> list[str]:
+    """Split a DEFINE condition at its TOP-LEVEL ``AND``s (paren/quote
+    aware) so each conjunct can compile independently — state-dependent
+    conjuncts become the per-candidate ``Step.dyn`` evaluator while
+    row-local ones stay a vectorized mask PREFILTER. Splitting is only
+    sound when AND is the top-level operator: any top-level ``OR``
+    returns the text unsplit (OR binds weaker, so the expression's
+    root would not be the conjunction)."""
+    bounds: list[int] = []
+    depth, in_q = 0, False
+    up = text.upper()
+    i = 0
+
+    def _word_at(kw: str, j: int) -> bool:
+        if up[j : j + len(kw)] != kw:
+            return False
+        before = text[j - 1] if j > 0 else " "
+        after = text[j + len(kw)] if j + len(kw) < len(text) else " "
+        return not (before.isalnum() or before == "_") and not (
+            after.isalnum() or after == "_"
+        )
+
+    while i < len(text):
+        ch = text[i]
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0:
+                if _word_at("OR", i):
+                    return [text]
+                if _word_at("AND", i):
+                    bounds.append(i)
+                    i += 3
+                    continue
+        i += 1
+    parts, start = [], 0
+    for b in bounds:
+        parts.append(text[start:b])
+        start = b + 3
+    parts.append(text[start:])
+    out = [p.strip() for p in parts if p.strip()]
+    return out or [text]
+
+
 def _split_top(text: str) -> list[str]:
     """Split on top-level commas (paren/quote aware)."""
     parts, depth, in_q, start = [], 0, False, 0
@@ -866,6 +922,7 @@ def parse_match_recognize(
     used_cols: set = set()
     uses_next = False
     max_prev = max_next = 0
+    var_next: dict[str, int] = {}  # per-variable deepest NEXT offset
     defines: dict[str, Callable] = {}
     dyn_defines: dict[str, Callable] = {}
     for clause in _split_top(bm.group("def")):
@@ -876,21 +933,53 @@ def parse_match_recognize(
         var = dm.group("v").upper()
         if var not in variables:
             raise ValueError(f"DEFINE names unknown variable {var!r}")
-        try:
-            dparser = _ExprParser(dm.group("cond"), "define", col_types,
-                                  used_cols, variables, def_var=var)
-            defines[var] = dparser.parse().fn
-        except _NeedsMatchState:
-            # the predicate reads match state (cross-variable columns,
-            # FIRST/LAST, running aggregates) — compile a per-candidate
-            # scalar evaluator for the NFA's Step.dyn protocol instead
-            dparser = _ExprParser(dm.group("cond"), "define_dyn",
-                                  col_types, used_cols, variables,
-                                  def_var=var)
-            dyn_defines[var] = dparser.parse().fn
-        uses_next = uses_next or dparser.uses_next
-        max_prev = max(max_prev, dparser.max_prev)
-        max_next = max(max_next, dparser.max_next)
+        # per-conjunct compilation: row-local conjuncts stay a
+        # vectorized mask (the Step's prefilter, evaluated once per
+        # partition); only the state-dependent residue pays the
+        # per-candidate scalar evaluator
+        static_fns: list = []
+        dyn_fns: list = []
+        for conj in _split_top_and(dm.group("cond")):
+            try:
+                dparser = _ExprParser(conj, "define", col_types,
+                                      used_cols, variables, def_var=var)
+                static_fns.append(dparser.parse().fn)
+            except _NeedsMatchState:
+                # reads match state (cross-variable columns, FIRST/
+                # LAST, running aggregates) — Step.dyn protocol
+                dparser = _ExprParser(conj, "define_dyn", col_types,
+                                      used_cols, variables, def_var=var)
+                dyn_fns.append(dparser.parse().fn)
+            uses_next = uses_next or dparser.uses_next
+            max_prev = max(max_prev, dparser.max_prev)
+            max_next = max(max_next, dparser.max_next)
+            var_next[var] = max(var_next.get(var, 0), dparser.max_next)
+        if static_fns:
+            if len(static_fns) == 1:
+                defines[var] = static_fns[0]
+            else:
+                def _mask_and(pdf, fns=tuple(static_fns)):
+                    m = fns[0](pdf)
+                    for f in fns[1:]:
+                        m = m & f(pdf)
+                    return m
+
+                defines[var] = _mask_and
+        if dyn_fns:
+            if len(dyn_fns) == 1:
+                dyn_defines[var] = dyn_fns[0]
+            else:
+                def _dyn_and(d, fns=tuple(dyn_fns)):
+                    unk = False
+                    for f in fns:
+                        v = _tri(f(d))
+                        if v is False:
+                            return False
+                        if v is None:
+                            unk = True
+                    return None if unk else True
+
+                dyn_defines[var] = _dyn_and
 
     def _wild(p):
         return pd.Series(True, index=p.index)
@@ -902,6 +991,7 @@ def parse_match_recognize(
             quant=(lo, hi),
             reluctant=rel,
             dyn=dyn_defines.get(name),
+            next_depth=var_next.get(name, 0),
         )
         for name, lo, hi, rel in steps_raw
     ]
@@ -992,10 +1082,13 @@ def execute_match_recognize(spark, sql: str):
     watermark is applied on it) or an int64 epoch-µs column whose
     source already carries a watermark; other timestamp-typed columns
     the clause reads are epoch-µs-encoded into the state buffer and
-    decoded on output; ``NEXT(expr, k)`` works by withholding each
-    key's k newest closed rows until their successors close (a key at
-    the stream's edge keeps its tail row pending — Flink's NEXT over
-    an unbounded stream likewise never resolves there)."""
+    decoded on output; ``NEXT(expr, k)`` works via PER-STEP undecided
+    frontiers — only the navigating variable's k newest closed rows
+    wait for successors, so a decided match still emits at the buffer
+    tail, while a row whose successor never arrives stays pending
+    (Flink's NEXT over an unbounded stream likewise never resolves
+    there). NEXT cannot combine with WITHIN on a streaming source
+    (targeted error)."""
     from pyspark.sql import functions as F
 
     from flink_commons_spark.operators.cep import match_pattern
@@ -1139,12 +1232,9 @@ def execute_match_recognize(spark, sql: str):
             within_us=spec.within_us,
             # retain as many consumed context rows as the deepest PREV
             # offset needs — PREV(col, n≥2) must see its true n-th
-            # predecessor after a match consumes the prefix
+            # predecessor after a match consumes the prefix; NEXT
+            # frontiers travel per-step via Step.next_depth
             ctx_rows=max(1, spec.max_prev),
-            # NEXT(expr, k) defers the k newest closed rows per key —
-            # their forward masks await later rows (see
-            # stream_match_pattern's soundness note)
-            defer_tail_rows=spec.max_next,
             frame_renames=frame_renames or None,
         )
         for c in dec_out:

@@ -196,6 +196,7 @@ def _scan_closed_prefix(
     after_match: "str | tuple[str, str]" = "past_last",
     ctx_n: int = 0,
     dctx=None,
+    step_bounds=None,
 ):
     """The shared sequential scan over one key's sorted closed prefix —
     the streaming twin of the batch matcher's per-key loop, with the
@@ -213,7 +214,17 @@ def _scan_closed_prefix(
     reads rows already mapped in the current attempt — all at or
     before the candidate row, hence closed — so a dyn rejection is a
     permanent predicate failure and the touched-end deferral rules
-    apply unchanged."""
+    apply unchanged.
+
+    ``step_bounds`` (from :func:`operators.cep._step_bounds`) marks
+    each forward-navigating step's undecided frontier; a run cut there
+    raises ``touched_end`` inside the backtracker, and a COMPLETED
+    match whose growable final variable was cut at its own frontier is
+    deferred exactly like one cut at the data end (future successors
+    could extend it). Callers must not combine ``step_bounds`` with
+    ``within_us`` — the backtracker cannot distinguish a decided
+    WITHIN-edge cut from an undecided frontier cut (the SQL door
+    rejects that combination with a targeted error)."""
     import bisect
 
     import numpy as np
@@ -232,7 +243,12 @@ def _scan_closed_prefix(
             raise ValueError(f"after_match variable {skip_var!r} not in pattern")
     elif after_match not in ("past_last", "to_next_row"):
         raise ValueError(f"unknown after_match {after_match!r}")
+    if step_bounds is not None and within_us is not None:
+        raise ValueError(
+            "step_bounds (NEXT frontiers) cannot combine with within_us"
+        )
     final_hi = steps[-1].hi
+    final_bound = n if step_bounds is None else min(n, step_bounds[-1])
     run_ends = _run_ends(masks, n)
     # jump between admissible starts when the first variable is
     # required: a skipped position fails its PREDICATE (permanent,
@@ -262,7 +278,7 @@ def _scan_closed_prefix(
         )
         # no failure memo here: the streaming scan consumes touched_end
         hit, touched_end = _match_at_ex(
-            masks, steps, i, n_i, run_ends, None, dctx
+            masks, steps, i, n_i, run_ends, None, dctx, step_bounds
         )
         if hit is None or not any(hit):
             if hit is None and touched_end and window_open and n_i == n:
@@ -275,12 +291,17 @@ def _scan_closed_prefix(
         last = max(seg[-1] for seg in hit if seg)
         if (
             window_open
-            and last == n - 1
+            and (
+                last == n - 1
+                or (step_bounds is not None and last == final_bound - 1)
+            )
             and (final_hi is None or len(hit[-1]) < final_hi)
             and n_i == n
         ):
             # the greedy final variable could still grow with future
-            # rows: keep everything from here buffered
+            # rows — it was cut at the data end or at its own
+            # undecided NEXT frontier: keep everything from here
+            # buffered
             break
         on_match(hit, first, last)
         if after_match == "past_last":
@@ -499,7 +520,6 @@ def stream_match_pattern(
     after_match: "str | tuple[str, str]" = "past_last",
     within_us: "int | None" = None,
     ctx_rows: int = 1,
-    defer_tail_rows: int = 0,
     frame_renames: "dict[str, str] | None" = None,
 ) -> DataFrame:
     """GENERIC watermark-gated streaming MATCH_RECOGNIZE — the
@@ -509,18 +529,22 @@ def stream_match_pattern(
     a ``measures(key, segs)`` callable over zero-copy segment views.
     This is what the SQL front door routes streaming sources to.
 
-    ``defer_tail_rows`` enables FORWARD navigation (``NEXT(expr, k)``)
-    soundly: the last ``defer_tail_rows`` (= the deepest NEXT offset)
-    closed rows per key are withheld from each scan. Within the closed
-    prefix every row's k-th successor is final once it exists — a
-    future arrival has event time at/after the watermark, hence sorts
-    strictly after every closed row — so a withheld row becomes
-    scannable exactly when enough later rows close behind it. Masks
-    are computed over the full closed frame (the withheld rows serve
-    as lookahead context), then truncated to the scan bound. A key
-    whose successor never arrives keeps its tail row withheld —
+    FORWARD navigation (``NEXT(expr, k)`` — ``Step.next_depth > 0``)
+    is sound via PER-STEP frontiers: a forward-navigating step's last
+    ``next_depth`` closed rows have not-yet-decided masks (they read
+    successors that may not have arrived), so the backtracker treats
+    them, for that step only, like rows past the data end — attempts
+    needing them defer, while a decided match whose rows all sit
+    before their steps' frontiers emits even at the buffer tail.
+    Within the closed prefix every row's k-th successor is final once
+    it exists — a future arrival has event time at/after the
+    watermark, hence sorts strictly after every closed row — so a
+    pending row becomes decidable exactly when enough later rows close
+    behind it. A row whose successor never arrives stays pending —
     Flink's NEXT over an unbounded stream likewise never resolves at
-    the stream's edge.
+    the stream's edge. NEXT cannot combine with ``within_us`` (the
+    within-edge cut and the frontier cut are indistinguishable inside
+    the backtracker; the SQL door raises a targeted error).
 
     ``frame_renames`` (buffered name → reader-visible name) exposes a
     buffered column to the predicate/measure callables under a
@@ -544,9 +568,21 @@ def stream_match_pattern(
     import numpy as np
     import pandas as pd
 
-    from flink_commons_spark.operators.cep import _DynCtx, _Seg
+    from flink_commons_spark.operators.cep import (
+        _DynCtx,
+        _Seg,
+        _step_bounds,
+    )
 
     has_dyn = any(getattr(s, "dyn", None) is not None for s in steps)
+    has_next = any(getattr(s, "next_depth", 0) for s in steps)
+    if has_next and within_us is not None:
+        raise ValueError(
+            "NEXT() in DEFINE cannot combine with PATTERN ... WITHIN "
+            "over a streaming source — a run cut at the (decided) "
+            "within edge and one cut at the (undecided) successor "
+            "frontier are indistinguishable inside the matcher"
+        )
     ts_col = order_cols[0]
     for c, t in buffer_cols:
         if t not in _BUF_TYPES:
@@ -577,17 +613,12 @@ def stream_match_pattern(
                 ).reset_index(drop=True)
             ts = pdf_all[ts_col].to_numpy("int64")
             total = len(pdf_all)
-            closed_all = int(np.searchsorted(ts // 1000, wm_ms, side="left"))
-            # withhold the deepest-NEXT-offset tail of the closed
-            # prefix: those rows' forward masks are not yet final
-            closed_n = max(nctx, closed_all - defer_tail_rows)
-            pdf_closed = pdf_all.iloc[:closed_all]
+            closed_n = int(np.searchsorted(ts // 1000, wm_ms, side="left"))
+            pdf_closed = pdf_all.iloc[:closed_n]
             if frame_renames:
                 pdf_closed = pdf_closed.rename(columns=frame_renames)
             masks = [
-                s.where(pdf_closed).to_numpy(
-                    dtype=bool, na_value=False
-                )[:closed_n]
+                s.where(pdf_closed).to_numpy(dtype=bool, na_value=False)
                 for s in step_list
             ]
             cols = {c: pdf_closed[c].to_numpy() for c in pdf_closed.columns}
@@ -605,6 +636,9 @@ def stream_match_pattern(
                 within_us=within_us, open_end_wm_ms=wm_ms,
                 after_match=after_match, ctx_n=nctx,
                 dctx=_DynCtx(cols) if has_dyn else None,
+                step_bounds=(
+                    _step_bounds(step_list, closed_n) if has_next else None
+                ),
             )
             keep_from = consumed
             if within_us is not None:

@@ -363,17 +363,19 @@ def test_streaming_timestamp_buffer_column(spark, tmp_path):
     ]
 
 
-def test_streaming_next_withholds_tail(spark, tmp_path):
-    """NEXT() over a streaming source: the newest closed row per key is
-    withheld until a successor closes behind it. Key 1's purchase has a
-    trailing row → its match emits; key 2's pattern ends on the key's
-    last row → correctly pending forever (Flink's NEXT at the stream
-    edge never resolves)."""
+def test_streaming_next_per_step_frontier(spark, tmp_path):
+    """NEXT() over a streaming source defers PER STEP: only the
+    navigating variable's newest closed rows wait for successors.
+    Keys 1 and 2 both emit — the view's successor (the click) is
+    closed, and the purchase step never navigates forward, so the
+    match is fully decided even when the purchase is the key's last
+    row. Key 3's single view sits on its own undecided frontier (its
+    successor never arrives) → correctly pending forever."""
     files = [
         [(1, 1, "view", 0), (2, 1, "view", 0)],
         [(1, 2, "click", 0), (2, 2, "click", 0)],
         [(1, 3, "purchase", 0), (2, 3, "purchase", 0)],
-        [(1, 4, "signup", 0)],  # key 1's successor; key 2 gets none
+        [(1, 4, "signup", 0), (3, 4, "view", 0)],  # key 3: view only
         [(9999, 10_000_000, "x", 0)],
     ]
     _file_stream_view(spark, tmp_path, files, "mds_next")
@@ -390,7 +392,29 @@ def test_streaming_next_withholds_tail(spark, tmp_path):
                    p AS p.event_type = 'purchase'
           )""")
     got = _drain(spark, out, "mds_next_out", tmp_path)
-    assert sorted(map(tuple, got.collect())) == [(1, 1_000_000, 1)]
+    assert sorted(map(tuple, got.collect())) == [
+        (1, 1_000_000, 1),
+        (2, 1_000_000, 1),
+    ]
+
+
+def test_streaming_next_rejects_within_combination(spark, tmp_path):
+    """NEXT + WITHIN over a streaming source raises the targeted
+    error (within-edge cuts and frontier cuts are indistinguishable
+    inside the matcher)."""
+    files = [[(1, 1, "view", 0)], [(9999, 10_000_000, "x", 0)]]
+    _file_stream_view(spark, tmp_path, files, "mds_nw")
+    with pytest.raises(Exception, match="NEXT.*WITHIN|WITHIN.*NEXT"):
+        execute_match_recognize(spark, """
+            SELECT user_id, n_c FROM mds_nw
+              MATCH_RECOGNIZE (
+                PARTITION BY user_id ORDER BY ts
+                MEASURES COUNT(c.*) AS n_c
+                ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+                PATTERN (v c+) WITHIN INTERVAL '1' HOUR
+                DEFINE v AS NEXT(v.ts_us) > v.ts_us,
+                       c AS c.event_type = 'click'
+              )""")
 
 
 def test_streaming_next_kill_and_resume(spark, tmp_path):
