@@ -592,7 +592,14 @@ class _ExprParser:
             s = c["segs"][var]
             if not len(s):
                 return None  # SQL aggregate over zero rows is NULL
-            return red(s.array(col))
+            arr = s.array(col)
+            if arr.dtype.kind in "iub":
+                # non-nullable numerics: the zero-copy fast path
+                return red(arr)
+            # SQL aggregates skip NULLs (NaN in float columns, None in
+            # object columns — np reducers would return NaN or raise)
+            vals = [v for v in arr.tolist() if v is not None and v == v]
+            return red(vals) if vals else None
 
         return _Node(agg, otype)
 
@@ -751,9 +758,7 @@ class MatchRecognizeSpec:
     used_cols: set = field(default_factory=set)
     span: "tuple[int, int]" = (0, 0)  # [source start, past close paren)
     needs_last_row: bool = False  # some measure reads the match's last row
-    uses_next: bool = False  # some DEFINE navigates forward (NEXT)
     max_prev: int = 0  # deepest PREV offset → streaming context rows
-    max_next: int = 0  # deepest NEXT offset
 
 
 def _find_close(sql: str, open_paren: int) -> int:
@@ -920,8 +925,7 @@ def parse_match_recognize(
                          "(per-variable MEASURES would be ambiguous)")
 
     used_cols: set = set()
-    uses_next = False
-    max_prev = max_next = 0
+    max_prev = 0
     var_next: dict[str, int] = {}  # per-variable deepest NEXT offset
     defines: dict[str, Callable] = {}
     dyn_defines: dict[str, Callable] = {}
@@ -950,9 +954,7 @@ def parse_match_recognize(
                 dparser = _ExprParser(conj, "define_dyn", col_types,
                                       used_cols, variables, def_var=var)
                 dyn_fns.append(dparser.parse().fn)
-            uses_next = uses_next or dparser.uses_next
             max_prev = max(max_prev, dparser.max_prev)
-            max_next = max(max_next, dparser.max_next)
             var_next[var] = max(var_next.get(var, 0), dparser.max_next)
         if static_fns:
             if len(static_fns) == 1:
@@ -1043,9 +1045,7 @@ def parse_match_recognize(
         used_cols=used_cols,
         span=(sm.start("src"), close + 1),
         needs_last_row=needs_last_row,
-        uses_next=uses_next,
         max_prev=max_prev,
-        max_next=max_next,
     )
 
 

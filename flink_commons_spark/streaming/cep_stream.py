@@ -219,12 +219,14 @@ def _scan_closed_prefix(
     ``step_bounds`` (from :func:`operators.cep._step_bounds`) marks
     each forward-navigating step's undecided frontier; a run cut there
     raises ``touched_end`` inside the backtracker, and a COMPLETED
-    match whose growable final variable was cut at its own frontier is
-    deferred exactly like one cut at the data end (future successors
-    could extend it). Callers must not combine ``step_bounds`` with
-    ``within_us`` — the backtracker cannot distinguish a decided
-    WITHIN-edge cut from an undecided frontier cut (the SQL door
-    rejects that combination with a targeted error)."""
+    match whose exploration touched ANY step's frontier (or the data
+    end) is deferred: once the frontier row's mask decides, greedy
+    could prefer a longer run and a different match, so emitting now
+    could be permanently wrong. Callers must not combine
+    ``step_bounds`` with ``within_us`` — the backtracker cannot
+    distinguish a decided WITHIN-edge cut from an undecided frontier
+    cut (the SQL door rejects that combination with a targeted
+    error)."""
     import bisect
 
     import numpy as np
@@ -248,7 +250,6 @@ def _scan_closed_prefix(
             "step_bounds (NEXT frontiers) cannot combine with within_us"
         )
     final_hi = steps[-1].hi
-    final_bound = n if step_bounds is None else min(n, step_bounds[-1])
     run_ends = _run_ends(masks, n)
     # jump between admissible starts when the first variable is
     # required: a skipped position fails its PREDICATE (permanent,
@@ -291,17 +292,24 @@ def _scan_closed_prefix(
         last = max(seg[-1] for seg in hit if seg)
         if (
             window_open
-            and (
-                last == n - 1
-                or (step_bounds is not None and last == final_bound - 1)
-            )
+            and last == n - 1
             and (final_hi is None or len(hit[-1]) < final_hi)
             and n_i == n
         ):
             # the greedy final variable could still grow with future
-            # rows — it was cut at the data end or at its own
-            # undecided NEXT frontier: keep everything from here
-            # buffered
+            # rows: keep everything from here buffered
+            break
+        if (
+            step_bounds is not None
+            and touched_end
+            and window_open
+            and n_i == n
+        ):
+            # a COMPLETED match under NEXT frontiers whose exploration
+            # was cut at any step's undecided frontier (touched_end on
+            # success): once the frontier row's mask decides, greedy
+            # could prefer a LONGER run and a different match — defer
+            # the whole attempt rather than emit a possibly-wrong one
             break
         on_match(hit, first, last)
         if after_match == "past_last":

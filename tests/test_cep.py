@@ -345,3 +345,58 @@ def test_streaming_nfa_closed_prefix_defers_growing_up_run():
     out, consumed = _run_pattern_nfa(
         1, rows, pat, defines=defs, emit=emit, open_end_wm_ms=999_999)
     assert out == [] and consumed == 0
+
+
+def test_scan_defers_non_final_frontier_cut_match():
+    """Regression (round-8 review): a COMPLETED match whose NON-FINAL
+    navigating step's greedy run was cut at that step's undecided NEXT
+    frontier must be DEFERRED, not emitted — once the frontier row's
+    mask decides, greedy could prefer a longer run and a different
+    match. Pattern (A+ B) with A navigating (next_depth=1): A's mask is
+    True on rows 0-2 (row 3 undecided), B's True at row 3; emitting
+    {A:[0,1,2], B:[3]} now would be permanently wrong if A's mask at
+    row 3 later turns True (batch would match {A:[0..3], B:[4]})."""
+    import numpy as np
+
+    from flink_commons_spark.operators.cep import Step, _step_bounds
+    from flink_commons_spark.streaming.cep_stream import (
+        _scan_closed_prefix,
+    )
+
+    n = 4
+    steps = [
+        Step("A", None, plus=True, next_depth=1),
+        Step("B", None),
+    ]
+    masks = [
+        np.array([True, True, True, False]),  # row 3's entry undecided
+        np.array([False, False, False, True]),
+    ]
+    out = []
+    consumed = _scan_closed_prefix(
+        steps, masks, [1, 2, 3, 4], n,
+        lambda hit, first, last: out.append(hit),
+        open_end_wm_ms=10,
+        step_bounds=_step_bounds(steps, n),
+    )
+    assert out == []  # deferred, not emitted
+    assert consumed == 0  # every row stays buffered for the re-scan
+
+    # once enough successors close (n=6): A's mask at row 3 decides
+    # True, and row 4's A-mask decides False (a real predicate cut,
+    # inside A's frontier) — the re-scan emits the LONGER greedy match
+    masks2 = [
+        np.array([True, True, True, True, False, False]),
+        np.array([False, False, False, False, True, False]),
+    ]
+    out2 = []
+    consumed2 = _scan_closed_prefix(
+        steps, masks2, [1, 2, 3, 4, 5, 6], 6,
+        lambda hit, first, last: out2.append(hit),
+        open_end_wm_ms=10,
+        step_bounds=_step_bounds(steps, 6),
+    )
+    assert [[list(seg) for seg in h] for h in out2] == [
+        [[0, 1, 2, 3], [4]]
+    ]
+    assert consumed2 == 5
