@@ -417,3 +417,39 @@ def test_final_running_prefixes_and_classifier(spark):
       ) WHERE user_id = 1""")
     row = df.collect()[0]
     assert (row.sp, row.n, row.last_var) == (15.0, 2, "P")
+
+
+def test_split_top_and_or_guard():
+    """DEFINE conjunct splitting is sound only when AND is the
+    top-level operator: any top-level OR returns the text unsplit,
+    parenthesized/quoted ANDs don't split, and identifier substrings
+    ('BAND', 'ANDY') are not keywords."""
+    from flink_commons_spark.plans.match_recognize import _split_top_and
+
+    assert _split_top_and("a = 1 AND b = 2 AND c = 3") == [
+        "a = 1", "b = 2", "c = 3"]
+    assert _split_top_and("a = 1 AND b = 2 OR c = 3") == [
+        "a = 1 AND b = 2 OR c = 3"]
+    assert _split_top_and("(a = 1 AND b = 2)") == ["(a = 1 AND b = 2)"]
+    assert _split_top_and("x = 'A AND B' AND y = 2") == [
+        "x = 'A AND B'", "y = 2"]
+    assert _split_top_and("band = 1") == ["band = 1"]
+
+
+def test_conjunct_split_keeps_static_prefilter_on_dyn_steps():
+    """A DEFINE mixing a row-local conjunct with a state-dependent one
+    compiles to BOTH a vectorized mask (the prefilter) and a dyn
+    evaluator — not an all-True mask."""
+    import pandas as pd
+
+    sql = """SELECT * FROM t MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts_us
+      MEASURES FIRST(a.ts_us) AS s ONE ROW PER MATCH
+      PATTERN (a b+)
+      DEFINE a AS a.event_type = 'view',
+             b AS b.event_type = 'click' AND b.price > a.price)"""
+    spec = parse_match_recognize(sql, COLS)
+    b = spec.steps[1]
+    assert b.dyn is not None
+    mask = b.where(pd.DataFrame({"event_type": ["click", "view"]}))
+    assert mask.tolist() == [True, False]  # real prefilter, not _wild
