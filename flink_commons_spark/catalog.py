@@ -9300,6 +9300,46 @@ FROM documents d LEFT JOIN reb r ON r.doc_id = d.doc_id
 """
 
 
+def text_decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram benchmark decontamination — the GPT-3/PaLM recipe:
+    flag every training document sharing a word 4-gram with the
+    "benchmark" slice (``doc_id % 7 = 0`` stands in for an eval
+    suite). Complements the Bloom-sketch decontamination contract
+    entry (zero false positives here, at the cost of an exact
+    gram-keyed join; AQE broadcast-converts the benchmark side when
+    small). Emits flagged docs with their DISTINCT shared-gram counts
+    (``operators/text.py:decontaminate_exact_ngrams``)."""
+    from flink_commons_spark.operators.text import decontaminate_exact_ngrams
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 7 == 0)
+    corpus = d.where(F.col("doc_id") % 7 != 0)
+    return decontaminate_exact_ngrams(corpus, bench, n=4)
+
+
+_TEXT_DECONTAM_EXACT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+             || ' ' || lead(tok, 3) OVER w AS g,
+         lead(tok, 3) OVER w AS lst
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+bg AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0 AND lst IS NOT NULL
+)
+SELECT gr.doc_id, count(DISTINCT gr.g)::bigint AS n_shared
+FROM grams gr JOIN bg ON gr.g = bg.g
+WHERE gr.doc_id % 7 <> 0 AND gr.lst IS NOT NULL
+GROUP BY gr.doc_id
+"""
+
+
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bigram-LM quality score (perplexity-proxy filter):
     the corpus trains its own Laplace-smoothed bigram model in the same
@@ -10883,6 +10923,7 @@ QUERIES = {
     "q_lateral_topk": q_lateral_topk,
     "text_lm_score": text_lm_score,
     "text_boilerplate_ngrams": text_boilerplate_ngrams,
+    "text_decontaminate_exact": text_decontaminate_exact,
     "q_gapfill_locf": q_gapfill_locf,
     "q_ohlc": q_ohlc,
     "q_retention": q_retention,
@@ -11076,6 +11117,7 @@ ORACLES = {
     "q_lateral_topk": _LATERAL_TOPK_ORACLE,
     "text_lm_score": _TEXT_LM_ORACLE,
     "text_boilerplate_ngrams": _TEXT_BOILERPLATE_ORACLE,
+    "text_decontaminate_exact": _TEXT_DECONTAM_EXACT_ORACLE,
     "q_gapfill_locf": _GAPFILL_ORACLE,
     "q_ohlc": _OHLC_ORACLE,
     "q_retention": _RETENTION_ORACLE,

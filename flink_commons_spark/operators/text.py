@@ -192,6 +192,63 @@ def c4_clean_lines(
     )
 
 
+def word_ngrams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 6,
+) -> DataFrame:
+    """Positioned word ``n``-grams: (``__d``, ``pos``, ``g``) — tokens
+    via ``posexplode(split(...))`` (narrow), grams via ``lead()``
+    windows keyed on the document, so the sort is per-document and
+    sharded; tail positions with fewer than ``n`` tokens are dropped.
+    The shared gram builder for boilerplate redaction and n-gram
+    decontamination."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("__d"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("__d").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
+    return toks.select(
+        "__d",
+        "pos",
+        F.concat_ws(" ", *parts).alias("g"),
+        F.lead("tok", n - 1).over(w).alias("__last"),
+    ).where(F.col("__last").isNotNull()).drop("__last")
+
+
+def decontaminate_exact_ngrams(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """EXACT n-gram benchmark decontamination — the GPT-3/PaLM recipe
+    (flag any training document sharing an ``n``-gram with the eval
+    set), the exact-join complement of the repo's Bloom-sketch
+    decontamination (``operators/sketch.py``): no false positives, at
+    the cost of materializing the benchmark's gram set.
+
+    Returns flagged documents only: (id, n_shared) where ``n_shared``
+    counts DISTINCT shared grams. Scale posture: both sides are
+    doc-keyed window grams (sharded, no global sort); the join keys on
+    the gram hash — one shuffle, and AQE broadcast-converts the
+    benchmark side when it is small (the usual case: eval suites are
+    MBs against a 100 TB corpus)."""
+    cg = word_ngrams(docs, id_col, text_col, n)
+    bg = word_ngrams(benchmark, id_col, text_col, n).select("g").distinct()
+    return (
+        cg.join(bg, "g")
+        .groupBy("__d")
+        .agg(F.countDistinct("g").alias("n_shared"))
+        .select(F.col("__d").alias(id_col), "n_shared")
+    )
+
+
 def remove_frequent_ngrams(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -223,23 +280,12 @@ def remove_frequent_ngrams(
     Returns (id, clean_text, n_tokens, n_removed); fully-redacted
     documents keep a row with an empty ``clean_text``.
     """
-    from pyspark.sql import Window
-
     did = F.col(id_col)
     toks = docs.select(
         did.alias("__d"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
     )
-    w = Window.partitionBy("__d").orderBy("pos")
-    parts = [F.col("tok")] + [
-        F.lead("tok", k).over(w) for k in range(1, n)
-    ]
-    grams = toks.select(
-        "__d",
-        "pos",
-        F.concat_ws(" ", *parts).alias("g"),
-        F.lead("tok", n - 1).over(w).alias("__last"),
-    ).where(F.col("__last").isNotNull())
+    grams = word_ngrams(docs, id_col, text_col, n)
     freq = (
         grams.groupBy("g")
         .agg(F.countDistinct("__d").alias("nd"))

@@ -391,3 +391,31 @@ def test_remove_frequent_ngrams_redacts_shared_spans(spark):
         4: ("", 6, 6),
         5: ("", 6, 6),
     }
+
+
+def test_decontaminate_exact_ngrams_flags_shared_grams(spark):
+    """GPT-3-style exact decontamination: a corpus doc sharing any
+    4-gram with the benchmark is flagged with its DISTINCT shared-gram
+    count; disjoint docs are absent."""
+    from flink_commons_spark.operators.text import (
+        decontaminate_exact_ngrams,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")],
+        "doc_id bigint, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares 'the quick brown fox' AND 'quick brown fox jumps'
+            (1, "x the quick brown fox jumps y"),
+            (2, "quick brown fox leaps"),   # only a 3-gram overlap
+            (3, "completely different words here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r.n_shared
+        for r in decontaminate_exact_ngrams(corpus, bench, n=4).collect()
+    }
+    assert got == {1: 2}
