@@ -453,3 +453,47 @@ def test_conjunct_split_keeps_static_prefilter_on_dyn_steps():
     assert b.dyn is not None
     mask = b.where(pd.DataFrame({"event_type": ["click", "view"]}))
     assert mask.tolist() == [True, False]  # real prefilter, not _wild
+
+
+def test_conjunct_split_equivalence_property():
+    """Property: for purely row-local DEFINEs, compiling the whole
+    expression must equal AND-ing the split conjuncts' masks — random
+    AND/OR trees over two columns, evaluated on a random frame."""
+    import random
+
+    import numpy as np
+
+    from flink_commons_spark.plans.match_recognize import _split_top_and
+
+    rng = random.Random(7)
+
+    def leaf():
+        col = rng.choice(["price", "ts_us"])
+        op = rng.choice(["<", ">", "<=", ">=", "="])
+        return f"{col} {op} {rng.randint(0, 5)}"
+
+    def tree(depth):
+        if depth == 0 or rng.random() < 0.4:
+            return leaf()
+        op = rng.choice(["AND", "OR"])
+        l, r = tree(depth - 1), tree(depth - 1)
+        if rng.random() < 0.5:
+            return f"({l} {op} {r})"
+        return f"{l} {op} {r}"
+
+    pdf = pd.DataFrame({
+        "price": np.array([0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 2.0]),
+        "ts_us": np.array([5, 4, 3, 2, 1, 0, 3], dtype="int64"),
+    })
+    for _ in range(60):
+        text = tree(3)
+        whole = _parse_expr(text).fn(pdf)
+        whole = pd.Series(whole, index=pdf.index).to_numpy(
+            dtype=bool, na_value=False)
+        parts = _split_top_and(text)
+        combined = np.ones(len(pdf), dtype=bool)
+        for p in parts:
+            m = _parse_expr(p).fn(pdf)
+            combined &= pd.Series(m, index=pdf.index).to_numpy(
+                dtype=bool, na_value=False)
+        assert combined.tolist() == whole.tolist(), text
