@@ -8650,6 +8650,187 @@ JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
 """
 
 
+def q_match_prev2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``PREV(col, 2)`` — deeper-than-one row navigation in DEFINE
+    (the round-7 ADVICE surface: offsets ≥2 must see their true n-th
+    predecessor). Single-variable pattern: every row pricier than the
+    row TWO back emits one match; with a one-row pattern the oracle is
+    exactly the lag(2) window filter."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_events_view(spark, sf_dir, "mr_events_src")
+    return execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, m_us, m_cents
+        FROM mr_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            MEASURES
+              FIRST(m.ts_us) AS m_us,
+              m.cents AS m_cents
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (m)
+            DEFINE
+              m AS m.cents > PREV(m.cents, 2)
+          )
+    """))
+
+
+_MATCH_PREV2_ORACLE = """
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         lag(CAST(round(value*100) AS BIGINT), 2)
+           OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS p2
+  FROM events
+)
+SELECT user_id, ts_us AS m_us, cents AS m_cents
+FROM seq WHERE cents > p2
+"""
+
+
+@_with_stream_shuffle(8)
+def stream_match_prev2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of :func:`q_match_prev2` — ``PREV(col, 2)``
+    through the watermark-gated matcher, whose per-key state must
+    retain TWO consumed context rows (``ctx_rows`` = deepest PREV
+    offset, the round-7 ADVICE defect) so a row matched after a
+    consumed prefix still sees its true 2-back predecessor. The
+    one-row pattern completes at its own row (hi reached), so matches
+    emit even at the buffer tail — the oracle is the closed-prefix
+    lag(2) filter with no tail rule."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_stream_events_view(spark, sf_dir, "mr_stream_events_src")
+    out = execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, m_us, m_cents
+        FROM mr_stream_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES
+              FIRST(m.ts_us) AS m_us,
+              m.cents AS m_cents
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (m)
+            DEFINE
+              m AS m.cents > PREV(m.cents, 2)
+          )
+    """))
+    name = "fcs_stream_mr_prev2"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-mrp2-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(name)
+
+
+_STREAM_MATCH_PREV2_ORACLE = """
+WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
+seq AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         lag(CAST(round(value*100) AS BIGINT), 2)
+           OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS p2
+  FROM events WHERE epoch_us(ts) // 1000 < (SELECT wm_ms FROM wm)
+)
+SELECT user_id, ts_us AS m_us, cents AS m_cents
+FROM seq WHERE cents > p2
+"""
+
+
+@_with_stream_shuffle(8)
+def stream_match_define_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of :func:`q_match_define_nav` — Flink's
+    canonical LAST-navigation NULL-guard DEFINE over a streaming
+    source: the falling click run below its view, matched by the
+    per-candidate dyn evaluator inside the watermark-gated NFA. The
+    greedy unbounded ``d+`` defers when its run touches the buffer
+    tail, so the oracle requires a CLOSED violating row to terminate
+    the run (the same rule as the xvar streaming twin)."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_stream_events_view(spark, sf_dir, "mr_stream_events_src")
+    out = execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, n_d, last_d_cents
+        FROM mr_stream_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES
+              FIRST(s.ts_us) AS start_us,
+              COUNT(d.*) AS n_d,
+              LAST(d.cents) AS last_d_cents
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (s d+)
+            DEFINE
+              s AS s.event_type = 'view',
+              d AS d.event_type = 'click' AND
+                  ((LAST(d.cents, 1) IS NULL AND d.cents < s.cents)
+                   OR d.cents < LAST(d.cents, 1))
+          )
+    """))
+    name = "fcs_stream_mr_dnav"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-mrdn-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(name)
+
+
+_STREAM_MATCH_DEFINE_NAV_ORACLE = """
+WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
+seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         lag(CAST(round(value*100) AS BIGINT))
+           OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS prev_cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE epoch_us(ts) // 1000 < (SELECT wm_ms FROM wm)
+),
+m AS (
+  SELECT v.user_id, v.ts_us AS start_us, v.rn,
+         (SELECT min(s.rn) FROM seq s
+          WHERE s.user_id = v.user_id AND s.rn > v.rn
+            AND NOT (s.event_type = 'click'
+                     AND s.cents < s.prev_cents)) - v.rn - 1 AS n_d
+  FROM seq v
+  WHERE v.event_type = 'view'
+)
+SELECT m.user_id, m.start_us, m.n_d::bigint AS n_d,
+       (SELECT s.cents FROM seq s
+        WHERE s.user_id = m.user_id
+          AND s.rn = m.rn + m.n_d) AS last_d_cents
+FROM m WHERE m.n_d >= 1
+"""
+
+
 def q_over_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink OVER windows with a time-RANGE frame (``RANGE BETWEEN
     INTERVAL '10' MINUTE PRECEDING AND CURRENT ROW``): per event, the
@@ -10904,6 +11085,9 @@ QUERIES = {
     "stream_match_define_xvar": stream_match_define_xvar,
     "stream_match_define_agg": stream_match_define_agg,
     "stream_match_next_sql": stream_match_next_sql,
+    "q_match_prev2": q_match_prev2,
+    "stream_match_prev2": stream_match_prev2,
+    "stream_match_define_nav": stream_match_define_nav,
     "pq_opq_recall": pq_opq_recall,
     "stream_match_quantified": stream_match_quantified,
     "stream_match_skip_to_next": stream_match_skip_to_next,
@@ -11098,6 +11282,9 @@ ORACLES = {
     "stream_match_define_xvar": _STREAM_MATCH_DEFINE_XVAR_ORACLE,
     "stream_match_define_agg": _STREAM_MATCH_DEFINE_AGG_ORACLE,
     "stream_match_next_sql": _STREAM_MATCH_NEXT_ORACLE,
+    "q_match_prev2": _MATCH_PREV2_ORACLE,
+    "stream_match_prev2": _STREAM_MATCH_PREV2_ORACLE,
+    "stream_match_define_nav": _STREAM_MATCH_DEFINE_NAV_ORACLE,
     "pq_opq_recall": _PQ_OPQ_RECALL_ORACLE,
     "stream_match_quantified": _STREAM_MATCH_QUANTIFIED_ORACLE,
     "stream_match_skip_to_next": _STREAM_MATCH_SKIP_TO_NEXT_ORACLE,
