@@ -149,17 +149,30 @@ def _match_at_ex(
     failed: "set | None" = None,
     dctx: "_DynCtx | None" = None,
     step_bounds: "list[int] | None" = None,
-) -> "tuple[list | None, bool]":
+    undecided_n: "int | None" = None,
+) -> "tuple[list | None, int]":
     """Greedy backtracking match of ``steps`` against positions
     ``start..`` — returns (per-step position ranges or None,
-    touched_end). ``touched_end`` is True when the attempt ran out of
-    ROWS rather than failing on a predicate: some required step had no
-    row left, or a quantified run was cut at position ``n`` below its
-    upper bound. A streaming caller matching a closed prefix must
-    treat a touched-end failure as NOT-YET-DECIDED (future rows could
-    complete it), where a predicate failure is permanent. The flag is
-    a sound over-approximation: it may be True for attempts no future
-    row could save, never False for one that could.
+    touched_end). ``touched_end`` is a BITMASK of the KINDS of
+    boundary the exploration ran against instead of failing a
+    predicate (0 = none — every cut was a decided predicate/quantifier
+    verdict): bit 1 = cut at the scan end ``n`` while that end is
+    UNDECIDED (see ``undecided_n``), bit 2 = cut at a step's NEXT
+    frontier (``step_bounds``). A streaming caller matching a closed
+    prefix must treat any nonzero touched failure as NOT-YET-DECIDED
+    (future rows could complete or change it), where a predicate
+    failure is permanent. The mask is a sound over-approximation: a
+    bit may be set for attempts no future row could save, never clear
+    for one a future row could change.
+
+    ``undecided_n`` classifies cuts at the scan end ``n``: positions
+    at/after it are undecided-because-unclosed (the true data end of a
+    live stream's closed prefix), so a cut at ``n >= undecided_n``
+    sets bit 1, while ``n < undecided_n`` means the scan end is a
+    DECIDED boundary (a WITHIN window edge strictly inside the closed
+    prefix) and the cut is a permanent verdict (no bit). ``None``
+    (the default, and the batch behavior) treats every end cut as
+    undecided — equivalent to ``undecided_n = 0``.
 
     ``run_ends`` (from :func:`_run_ends`) makes each greedy-run scan
     O(1). ``failed`` is an optional cross-start memo of (pos, step)
@@ -182,12 +195,15 @@ def _match_at_ex(
     first position whose mask is NOT YET DECIDED — a forward-navigating
     step's last rows await successors. Rows at/after a step's bound
     are treated exactly like rows past the data end FOR THAT STEP: the
-    run is cut there and ``touched_end`` set (not-yet-decided), never
-    a predicate verdict. Steps without forward navigation keep the
-    full range, so a decided match ending on another step's frontier
-    still completes."""
-    touched = False
+    run is cut there and ``touched_end`` bit 2 set (not-yet-decided),
+    never a predicate verdict. Steps without forward navigation keep
+    the full range, so a decided match ending on another step's
+    frontier still completes. A frontier cut is undecided regardless
+    of ``undecided_n`` — the frontier row's mask decides when its
+    successors close, even inside a closed WITHIN window."""
+    touched = 0
     nsteps = len(steps)
+    end_kind = 1 if undecided_n is None or n >= undecided_n else 0
     if dctx is not None:
         dctx.asg.clear()  # stale entries from a prior attempt must
         # not leak into predicates referencing not-yet-mapped variables
@@ -200,10 +216,15 @@ def _match_at_ex(
             return None
         s = steps[si]
         sb = n if step_bounds is None else min(n, step_bounds[si])
+        # the kind of boundary a cut at ``sb`` represents: the step's
+        # NEXT frontier (strictly inside the scan range → bit 2) or
+        # the scan end (undecided data end → bit 1, decided WITHIN
+        # edge → no bit)
+        kind = 2 if sb < n else end_kind
         if pos >= sb and s.lo > 0:
             # no decidable row left for a required step — either the
             # data end or the step's undecided frontier
-            touched = True
+            touched |= kind
         # greedy: consume the longest admissible run first, backtrack
         # shorter down to the quantifier's lower bound (0 for */?);
         # reluctant flips the try order (shortest first)
@@ -218,9 +239,9 @@ def _match_at_ex(
                 while end < limit and mask[end]:
                     end += 1
             if end == sb and (s.hi is None or end - pos < s.hi):
-                # the run was cut by the data end / undecided
-                # frontier, not by the predicate
-                touched = True
+                # the run was cut at the step's boundary, not by the
+                # predicate — undecided unless it's a WITHIN edge
+                touched |= kind
             full = None
         else:
             # state-dependent extension: static mask prefilter, then
@@ -246,7 +267,7 @@ def _match_at_ex(
                 and end == sb
                 and (s.hi is None or end - pos < s.hi)
             ):
-                touched = True
+                touched |= kind
             full = list(range(pos, end))
         takes = range(end - pos, s.lo - 1, -1)
         if s.reluctant:

@@ -219,6 +219,7 @@ class _ExprParser:
         self.uses_next = False  # forward row navigation (NEXT)
         self.max_prev = 0  # deepest PREV offset (streaming ctx_rows)
         self.max_next = 0  # deepest NEXT offset
+        self._nav_depth = 0  # >0 while parsing a PREV/NEXT argument
         self.text = text
 
     # -- token helpers
@@ -457,7 +458,11 @@ class _ExprParser:
                 raise ValueError(f"{fname}() is only valid inside DEFINE")
             if fname == "NEXT":
                 self.uses_next = True
-            inner = self._or()
+            self._nav_depth += 1
+            try:
+                inner = self._or()
+            finally:
+                self._nav_depth -= 1
             n = 1
             if self._accept_op(","):
                 k, v = self._next()
@@ -472,10 +477,14 @@ class _ExprParser:
             shift = n if fname == "PREV" else -n
             f = inner.fn
             if self.mode == "define_dyn":
-                # shift current-row column reads by ``shift`` physical
-                # rows (asg-based reads — other variables' LAST/FIRST/
-                # aggregates — are match state, not row state, and stay
-                # unshifted)
+                # shift EVERY row read by ``shift`` physical rows —
+                # current-row reads and asg-based single-row reads
+                # (other variables' columns, FIRST/LAST) alike: the
+                # SQL standard (and Flink) navigate physically from
+                # the row the inner reference resolves to, so
+                # PREV(A.price, 1) inside B's DEFINE is the price one
+                # physical row before A's last mapped row. Aggregates
+                # under navigation are rejected at parse time.
                 def nav_s(d, f=f, shift=shift):
                     d.off += shift
                     try:
@@ -613,6 +622,12 @@ class _ExprParser:
         SKIP NULL values (SQL semantics — a NaN would otherwise poison
         SUM/AVG, and None crashes MIN/MAX on object columns); an
         all-NULL segment aggregates to NULL."""
+        if self._nav_depth and fname not in ("FIRST", "LAST"):
+            raise ValueError(
+                f"{fname}() inside PREV/NEXT is unsupported — physical "
+                "navigation applies to row references, not aggregates "
+                "(SQL:2016 RPR restricts <navigation operand> likewise)"
+            )
         count_kind, var, col, ctype, n = self._agg_args(fname)
         if count_kind == "*":
             return _Node(
@@ -622,16 +637,27 @@ class _ExprParser:
             return _Node(
                 lambda d, var=var: len(d.asg.get(var) or ()), "bigint"
             )
+        # FIRST/LAST resolve to one physical row; an enclosing PREV/
+        # NEXT then shifts that row by d.off (bounds → NULL), matching
+        # the standard's nested-navigation semantics
         if fname == "FIRST":
             def first(d, var=var, col=col, n=n):
                 a = d.asg.get(var)
-                return d.cols[col][a[n]] if a and len(a) > n else None
+                if not a or len(a) <= n:
+                    return None
+                i = a[n] - d.off
+                arr = d.cols[col]
+                return arr[i] if 0 <= i < len(arr) else None
 
             return _Node(first, ctype)
         if fname == "LAST":
             def last(d, var=var, col=col, n=n):
                 a = d.asg.get(var)
-                return d.cols[col][a[-1 - n]] if a and len(a) > n else None
+                if not a or len(a) <= n:
+                    return None
+                i = a[-1 - n] - d.off
+                arr = d.cols[col]
+                return arr[i] if 0 <= i < len(arr) else None
 
             return _Node(last, ctype)
 
@@ -714,9 +740,15 @@ class _ExprParser:
 
                     def vlast_d(d, var=varu, col=col):
                         a = d.asg.get(var)
-                        return d.cols[col][a[-1]] if a else None
+                        if not a:
+                            return None
+                        # ≡ LAST(V.col, 0); an enclosing PREV/NEXT
+                        # shifts the resolved row physically (d.off)
+                        i = a[-1] - d.off
+                        arr = d.cols[col]
+                        return arr[i] if 0 <= i < len(arr) else None
 
-                    return _Node(vlast_d, ctype)  # ≡ LAST(V.col, 0)
+                    return _Node(vlast_d, ctype)
 
                 def vlast(c, varu=varu, col=col):
                     s = c["segs"][varu]
@@ -1087,8 +1119,9 @@ def execute_match_recognize(spark, sql: str):
     wait for successors, so a decided match still emits at the buffer
     tail, while a row whose successor never arrives stays pending
     (Flink's NEXT over an unbounded stream likewise never resolves
-    there). NEXT cannot combine with WITHIN on a streaming source
-    (targeted error)."""
+    there). NEXT composes with ``PATTERN ... WITHIN`` on streams: the
+    matcher classifies each boundary cut, so a decided within-edge
+    verdict stays permanent while frontier cuts defer."""
     from pyspark.sql import functions as F
 
     from flink_commons_spark.operators.cep import match_pattern

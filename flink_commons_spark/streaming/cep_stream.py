@@ -176,11 +176,15 @@ def _run_pattern_nfa(
                 (key_id, rows[first][0], rows[last][0], len(hit[count_idx]))
             )
 
-    consumed = _scan_closed_prefix(
+    consumed, _pending = _scan_closed_prefix(
         steps, masks, ts_list, n, on_match,
         within_us=within_us, open_end_wm_ms=open_end_wm_ms,
         after_match=after_match, ctx_n=ctx_n,
     )
+    # pending is only needed for the NEXT-frontier expiry cap, which
+    # this surface (no forward navigation) never hits: a pure-within
+    # deferral implies the pattern window is still open, so the
+    # deferred rows survive the window-expiry filter by construction
     return out, consumed
 
 
@@ -218,15 +222,27 @@ def _scan_closed_prefix(
 
     ``step_bounds`` (from :func:`operators.cep._step_bounds`) marks
     each forward-navigating step's undecided frontier; a run cut there
-    raises ``touched_end`` inside the backtracker, and a COMPLETED
-    match whose exploration touched ANY step's frontier (or the data
-    end) is deferred: once the frontier row's mask decides, greedy
-    could prefer a longer run and a different match, so emitting now
-    could be permanently wrong. Callers must not combine
-    ``step_bounds`` with ``within_us`` — the backtracker cannot
-    distinguish a decided WITHIN-edge cut from an undecided frontier
-    cut (the SQL door rejects that combination with a targeted
-    error)."""
+    sets ``touched_end`` bit 2 inside the backtracker. DEFERRAL RULE
+    (failure and success alike): an attempt whose exploration was cut
+    at a frontier (bit 2 — the frontier mask decides when successors
+    close, even inside a closed WITHIN window), or at the closed-data
+    end while the pattern window is still open (bit 1 + window_open),
+    stops the scan with everything from its start kept buffered. For
+    COMPLETED matches this matters because every touched branch was
+    tried BEFORE the successful one (greedy preference order): once
+    the boundary row decides, greedy could prefer that longer branch
+    and a different match, so emitting now could be permanently wrong
+    — Flink's NFA likewise holds a partial match open at the stream
+    edge. A cut at a WITHIN edge strictly inside the closed prefix is
+    a DECIDED verdict (no bit, via ``undecided_n``), so WITHIN and
+    NEXT frontiers compose soundly.
+
+    Returns ``(consumed, pending)`` — every row strictly before
+    ``consumed`` can leave the buffer; ``pending`` is the start
+    position of the attempt that deferred (None when the scan ran to
+    the end), which callers must NOT expire rows at/after even when
+    their WITHIN window has passed (a frontier-deferred match may be
+    decided later by successors alone)."""
     import bisect
 
     import numpy as np
@@ -245,10 +261,6 @@ def _scan_closed_prefix(
             raise ValueError(f"after_match variable {skip_var!r} not in pattern")
     elif after_match not in ("past_last", "to_next_row"):
         raise ValueError(f"unknown after_match {after_match!r}")
-    if step_bounds is not None and within_us is not None:
-        raise ValueError(
-            "step_bounds (NEXT frontiers) cannot combine with within_us"
-        )
     final_hi = steps[-1].hi
     run_ends = _run_ends(masks, n)
     # jump between admissible starts when the first variable is
@@ -279,13 +291,18 @@ def _scan_closed_prefix(
         )
         # no failure memo here: the streaming scan consumes touched_end
         hit, touched_end = _match_at_ex(
-            masks, steps, i, n_i, run_ends, None, dctx, step_bounds
+            masks, steps, i, n_i, run_ends, None, dctx, step_bounds,
+            undecided_n=n,
         )
+        # bit 2 (frontier cut) always defers; bit 1 (closed-data end)
+        # only while the pattern window is still open — a closed
+        # window admits no future row, so its end cuts are decided
+        undecided = (touched_end & 2) or ((touched_end & 1) and window_open)
         if hit is None or not any(hit):
-            if hit is None and touched_end and window_open and n_i == n:
-                # ran out of closed rows mid-pattern: this start is
+            if hit is None and undecided:
+                # ran out of decidable rows mid-pattern: this start is
                 # undecided — stop here, keep its rows buffered
-                break
+                return consumed, i
             i += 1
             continue
         first = min(seg[0] for seg in hit if seg)
@@ -298,19 +315,15 @@ def _scan_closed_prefix(
         ):
             # the greedy final variable could still grow with future
             # rows: keep everything from here buffered
-            break
-        if (
-            step_bounds is not None
-            and touched_end
-            and window_open
-            and n_i == n
-        ):
-            # a COMPLETED match under NEXT frontiers whose exploration
-            # was cut at any step's undecided frontier (touched_end on
-            # success): once the frontier row's mask decides, greedy
-            # could prefer a LONGER run and a different match — defer
-            # the whole attempt rather than emit a possibly-wrong one
-            break
+            return consumed, i
+        if undecided:
+            # a COMPLETED match whose exploration was cut at an
+            # undecided boundary (touched_end on success): every
+            # touched branch precedes the success in greedy preference
+            # order, so once the boundary row decides, greedy could
+            # prefer that LONGER run and a different match — defer the
+            # whole attempt rather than emit a possibly-wrong one
+            return consumed, i
         on_match(hit, first, last)
         if after_match == "past_last":
             i = last + 1
@@ -331,7 +344,7 @@ def _scan_closed_prefix(
                 )
             i = nxt
         consumed = i
-    return consumed
+    return consumed, None
 
 
 def _run_funnel_nfa(
@@ -550,9 +563,11 @@ def stream_match_pattern(
     pending row becomes decidable exactly when enough later rows close
     behind it. A row whose successor never arrives stays pending —
     Flink's NEXT over an unbounded stream likewise never resolves at
-    the stream's edge. NEXT cannot combine with ``within_us`` (the
-    within-edge cut and the frontier cut are indistinguishable inside
-    the backtracker; the SQL door raises a targeted error).
+    the stream's edge. NEXT composes with ``within_us``: the
+    backtracker classifies every boundary cut (``undecided_n``) — a
+    WITHIN-edge cut strictly inside the closed prefix is a DECIDED
+    verdict, a frontier or closed-data-end cut defers — and window
+    expiry never drops rows at/after a deferred attempt's start.
 
     ``frame_renames`` (buffered name → reader-visible name) exposes a
     buffered column to the predicate/measure callables under a
@@ -584,13 +599,6 @@ def stream_match_pattern(
 
     has_dyn = any(getattr(s, "dyn", None) is not None for s in steps)
     has_next = any(getattr(s, "next_depth", 0) for s in steps)
-    if has_next and within_us is not None:
-        raise ValueError(
-            "NEXT() in DEFINE cannot combine with PATTERN ... WITHIN "
-            "over a streaming source — a run cut at the (decided) "
-            "within edge and one cut at the (undecided) successor "
-            "frontier are indistinguishable inside the matcher"
-        )
     ts_col = order_cols[0]
     for c, t in buffer_cols:
         if t not in _BUF_TYPES:
@@ -639,7 +647,7 @@ def stream_match_pattern(
                 }
                 out.append(measures(key, segs))
 
-            consumed = _scan_closed_prefix(
+            consumed, pending = _scan_closed_prefix(
                 step_list, masks, ts[:closed_n].tolist(), closed_n, on_match,
                 within_us=within_us, open_end_wm_ms=wm_ms,
                 after_match=after_match, ctx_n=nctx,
@@ -651,9 +659,13 @@ def stream_match_pattern(
             keep_from = consumed
             if within_us is not None:
                 # expired-window drop is a further prefix cut: monotone
-                # in ts, and open rows never satisfy the condition
+                # in ts, and open rows never satisfy the condition.
+                # Never expire at/after a deferred attempt's start — a
+                # frontier-deferred match (NEXT) may still be decided
+                # by successors alone even after its window passed
+                exp_stop = total if pending is None else min(total, pending)
                 while (
-                    keep_from < total
+                    keep_from < exp_stop
                     and (int(ts[keep_from]) + within_us) // 1000 < wm_ms
                 ):
                     keep_from += 1

@@ -373,7 +373,7 @@ def test_scan_defers_non_final_frontier_cut_match():
         np.array([False, False, False, True]),
     ]
     out = []
-    consumed = _scan_closed_prefix(
+    consumed, pending = _scan_closed_prefix(
         steps, masks, [1, 2, 3, 4], n,
         lambda hit, first, last: out.append(hit),
         open_end_wm_ms=10,
@@ -381,6 +381,7 @@ def test_scan_defers_non_final_frontier_cut_match():
     )
     assert out == []  # deferred, not emitted
     assert consumed == 0  # every row stays buffered for the re-scan
+    assert pending == 0  # the deferred attempt's start is reported
 
     # once enough successors close (n=6): A's mask at row 3 decides
     # True, and row 4's A-mask decides False (a real predicate cut,
@@ -390,7 +391,7 @@ def test_scan_defers_non_final_frontier_cut_match():
         np.array([False, False, False, False, True, False]),
     ]
     out2 = []
-    consumed2 = _scan_closed_prefix(
+    consumed2, pending2 = _scan_closed_prefix(
         steps, masks2, [1, 2, 3, 4, 5, 6], 6,
         lambda hit, first, last: out2.append(hit),
         open_end_wm_ms=10,
@@ -400,3 +401,4 @@ def test_scan_defers_non_final_frontier_cut_match():
         [[0, 1, 2, 3], [4]]
     ]
     assert consumed2 == 5
+    assert pending2 is None

