@@ -8831,6 +8831,215 @@ FROM m WHERE m.n_d >= 1
 """
 
 
+@_with_stream_shuffle(8)
+def stream_match_next_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ``NEXT()`` in DEFINE **combined with** ``PATTERN ...
+    WITHIN`` — the round-8 verdict's last capability rejection, now
+    composed via the matcher's tri-state cut kind: a run cut at the
+    WITHIN edge strictly inside the closed prefix is a DECIDED verdict
+    (the attempt fails permanently, the scan moves on), while a cut at
+    the NEXT frontier or the closed-data end defers. Funnel where the
+    view's successor must follow within 12 h AND the whole match must
+    complete within 24 h of the view.
+
+    Oracle: the closed-prefix islands + the lead-gap filter on the
+    view (as ``stream_match_next_sql``) + the window predicate (as
+    ``stream_match_within``). No extra tail rule: a completed funnel
+    never touches an undecided boundary (the click run is always cut
+    by the purchase row — disjoint event types), a failure deferral
+    requires clicks to run to the closed-data end (so no later
+    purchase exists to be blocked), and a window edge falling inside
+    the click run excludes exactly the matches whose purchase misses
+    the window predicate."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_stream_events_view(spark, sf_dir, "mr_stream_events_src")
+    out = execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, end_us, n_clicks
+        FROM mr_stream_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES
+              FIRST(v.ts_us) AS start_us,
+              LAST(p.ts_us) AS end_us,
+              COUNT(c.*) AS n_clicks
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v c+ p) WITHIN INTERVAL '24' HOUR
+            DEFINE
+              v AS v.event_type = 'view'
+                  AND NEXT(v.ts_us) - v.ts_us < 43200000000,
+              c AS c.event_type = 'click',
+              p AS p.event_type = 'purchase'
+          )
+    """))
+    name = "fcs_stream_mr_nxtw"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-mrnw-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(name)
+
+
+_STREAM_MATCH_NEXT_WITHIN_ORACLE = """
+WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
+seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id)
+           AS nxt_ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE epoch_us(ts) // 1000 < (SELECT wm_ms FROM wm)
+),
+isl AS (
+  SELECT user_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type = 'click'
+),
+runs AS (
+  SELECT user_id, min(rn) AS srn, max(rn) AS ern, count(*)::bigint AS n_clicks
+  FROM isl GROUP BY user_id, grp
+)
+SELECT r.user_id, v.ts_us AS start_us, p.ts_us AS end_us, r.n_clicks
+FROM runs r
+JOIN seq v ON v.user_id = r.user_id AND v.rn = r.srn - 1
+          AND v.event_type = 'view'
+          AND v.nxt_ts_us - v.ts_us < 43200000000
+JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
+          AND p.event_type = 'purchase'
+WHERE p.ts_us - v.ts_us < 86400000000
+"""
+
+
+def q_match_prev_xvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``PREV`` over ANOTHER pattern variable's column — physical
+    navigation from the referenced row (SQL:2016 / Flink: the read
+    lands one physical row before A's last mapped row; the round-8
+    ADVICE defect was silently evaluating it as plain ``A.cents``).
+    Pattern ``(a b)`` where the view's successor must out-price the
+    row BEFORE the view; b is restricted to non-view rows so matches
+    cannot overlap and the oracle is the flat lag/lead join."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_events_view(spark, sf_dir, "mr_events_src")
+    return execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, a_us, b_cents
+        FROM mr_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            MEASURES
+              FIRST(a.ts_us) AS a_us,
+              b.cents AS b_cents
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (a b)
+            DEFINE
+              a AS a.event_type = 'view',
+              b AS b.event_type <> 'view' AND b.cents > PREV(a.cents)
+          )
+    """))
+
+
+# a = view, b = the next (non-view) row, condition: b out-prices the
+# row physically BEFORE the view (PREV from a's row). b never consumes
+# a view, so every view is a candidate start and matches cannot
+# overlap — the sequential NFA scan degenerates to the flat join.
+_MATCH_PREV_XVAR_ORACLE = """
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_type,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         lag(CAST(round(value*100) AS BIGINT))
+           OVER w AS p_cents,
+         lead(event_type) OVER w AS nxt_type,
+         lead(CAST(round(value*100) AS BIGINT)) OVER w AS nxt_cents
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT user_id, ts_us AS a_us, nxt_cents AS b_cents
+FROM seq
+WHERE event_type = 'view' AND nxt_type <> 'view'
+  AND nxt_cents > p_cents
+"""
+
+
+@_with_stream_shuffle(8)
+def stream_match_prev_xvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of :func:`q_match_prev_xvar`: the cross-variable
+    PREV read runs inside the watermark-gated NFA, where the navigated
+    predecessor may be a CONSUMED context row (``ctx_rows`` retention).
+    Both pattern variables are single-row (hi reached), so completed
+    matches never touch an undecided boundary; a view on the key's
+    last closed row defers, and the oracle's lead() over the closed
+    prefix is NULL exactly there — no extra tail rule."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_stream_events_view(spark, sf_dir, "mr_stream_events_src")
+    out = execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, a_us, b_cents
+        FROM mr_stream_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES
+              FIRST(a.ts_us) AS a_us,
+              b.cents AS b_cents
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (a b)
+            DEFINE
+              a AS a.event_type = 'view',
+              b AS b.event_type <> 'view' AND b.cents > PREV(a.cents)
+          )
+    """))
+    name = "fcs_stream_mr_pxv"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-mrpxv-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(name)
+
+
+_STREAM_MATCH_PREV_XVAR_ORACLE = """
+WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
+seq AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_type,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         lag(CAST(round(value*100) AS BIGINT))
+           OVER w AS p_cents,
+         lead(event_type) OVER w AS nxt_type,
+         lead(CAST(round(value*100) AS BIGINT)) OVER w AS nxt_cents
+  FROM events WHERE epoch_us(ts) // 1000 < (SELECT wm_ms FROM wm)
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT user_id, ts_us AS a_us, nxt_cents AS b_cents
+FROM seq
+WHERE event_type = 'view' AND nxt_type <> 'view'
+  AND nxt_cents > p_cents
+"""
+
+
 def q_over_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink OVER windows with a time-RANGE frame (``RANGE BETWEEN
     INTERVAL '10' MINUTE PRECEDING AND CURRENT ROW``): per event, the
@@ -11088,6 +11297,9 @@ QUERIES = {
     "q_match_prev2": q_match_prev2,
     "stream_match_prev2": stream_match_prev2,
     "stream_match_define_nav": stream_match_define_nav,
+    "stream_match_next_within": stream_match_next_within,
+    "q_match_prev_xvar": q_match_prev_xvar,
+    "stream_match_prev_xvar": stream_match_prev_xvar,
     "pq_opq_recall": pq_opq_recall,
     "stream_match_quantified": stream_match_quantified,
     "stream_match_skip_to_next": stream_match_skip_to_next,
@@ -11285,6 +11497,9 @@ ORACLES = {
     "q_match_prev2": _MATCH_PREV2_ORACLE,
     "stream_match_prev2": _STREAM_MATCH_PREV2_ORACLE,
     "stream_match_define_nav": _STREAM_MATCH_DEFINE_NAV_ORACLE,
+    "stream_match_next_within": _STREAM_MATCH_NEXT_WITHIN_ORACLE,
+    "q_match_prev_xvar": _MATCH_PREV_XVAR_ORACLE,
+    "stream_match_prev_xvar": _STREAM_MATCH_PREV_XVAR_ORACLE,
     "pq_opq_recall": _PQ_OPQ_RECALL_ORACLE,
     "stream_match_quantified": _STREAM_MATCH_QUANTIFIED_ORACLE,
     "stream_match_skip_to_next": _STREAM_MATCH_SKIP_TO_NEXT_ORACLE,

@@ -189,3 +189,147 @@ def test_dyn_backtracker_matches_brute_force(vals, raw_steps):
     got = _scan(arr, steps, dyn_specs, fast)
     want = _scan(arr, bsteps, dyn_specs, brute)
     assert got == want
+
+
+# ----------------------------------------------- streaming replay: the
+# NEXT-frontier + WITHIN tri-state deferral must make incremental
+# watermark-driven settles PREFIX-CONSISTENT with the all-data scan
+
+
+def _frame_mask(kind, vals):
+    """Static step mask over a (closed-prefix) frame, the way the
+    streaming harness computes them: NEXT-navigating kinds read
+    successors INSIDE the frame only (missing successor → NaN → False,
+    protected by the step's frontier)."""
+    v = np.asarray(vals, dtype=float)
+    n = len(v)
+    if kind == 0:
+        return np.ones(n, dtype=bool)
+    if kind == 1:
+        return v >= 3
+    if kind == 2:  # NEXT(val) > val, depth 1
+        nxt = np.append(v[1:], np.nan)
+        with np.errstate(invalid="ignore"):
+            return nxt > v
+    # kind 3: NEXT(val, 2) >= 2, depth 2
+    nxt2 = np.append(v[2:], [np.nan, np.nan])
+    with np.errstate(invalid="ignore"):
+        return nxt2 >= 2
+
+
+_MASK_DEPTH = {0: 0, 1: 0, 2: 1, 3: 2}
+
+replay_step = st.tuples(
+    st.sampled_from([(1, 1), (1, None), (0, None), (0, 1), (2, 3)]),
+    st.booleans(),  # reluctant
+    st.integers(0, 3),  # mask kind (2/3 navigate forward)
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    vals=st.lists(st.integers(0, 6), min_size=0, max_size=10),
+    raw_steps=st.lists(replay_step, min_size=1, max_size=3),
+    within_rows=st.sampled_from([None, 2, 5]),
+    to_next=st.booleans(),
+)
+def test_streaming_replay_is_prefix_of_batch(
+    vals, raw_steps, within_rows, to_next
+):
+    """Differential replay: settle a key's buffer at every successive
+    watermark (masks recomputed over the closed prefix only, per-step
+    NEXT frontiers, WITHIN expiry with the pending cap — exactly the
+    generic harness's settle loop) and require the concatenated
+    emissions to be a PREFIX of the single all-data scan's match list
+    at every point. This is the soundness contract of the tri-state
+    cut kind: no settle may emit a match the full data would not
+    produce (premature greedy verdicts), in the same order, with
+    decided WITHIN-edge cuts never deferring the scan forever."""
+    from flink_commons_spark.streaming.cep_stream import (
+        _scan_closed_prefix,
+    )
+
+    # rows 1 ms apart; a mask-proof far sentinel closes every window
+    rows = [((i + 1) * 1000, v) for i, v in enumerate(vals)]
+    rows.append(((len(vals) + 30) * 1000, -999))
+    ts_all = [r[0] for r in rows]
+    vals_all = [r[1] for r in rows]
+    names = ["A", "B", "C"]
+    quants = [q for q, _, _ in raw_steps]
+    rels = [r for _, r, _ in raw_steps]
+    kinds = [k for _, _, k in raw_steps]
+    within_us = None if within_rows is None else within_rows * 1000
+    am = "to_next_row" if to_next else "past_last"
+
+    def build_steps():
+        return [
+            Step(
+                names[k], None, quant=quants[k], reluctant=rels[k],
+                next_depth=_MASK_DEPTH[kinds[k]],
+            )
+            for k in range(len(raw_steps))
+        ]
+
+    def scan_once(frame_ts, frame_vals, wm_ms, nctx):
+        """One settle over a buffer frame: closed-prefix masks,
+        frontiers, scan, expiry — returns (matches, keep_from,
+        pending)."""
+        closed_n = sum(1 for t in frame_ts if t // 1000 < wm_ms)
+        masks = [
+            _frame_mask(kinds[k], frame_vals[:closed_n])
+            for k in range(len(raw_steps))
+        ]
+        steps = build_steps()
+        depths = [s.next_depth for s in steps]
+        sb = (
+            [closed_n - d for d in depths] if any(depths) else None
+        )
+        out = []
+        consumed, pending = _scan_closed_prefix(
+            steps, masks, frame_ts[:closed_n], closed_n,
+            lambda hit, first, last: out.append(
+                tuple(tuple(seg) for seg in hit)
+            ),
+            within_us=within_us, open_end_wm_ms=wm_ms,
+            after_match=am, ctx_n=nctx, step_bounds=sb,
+        )
+        keep_from = consumed
+        if within_us is not None:
+            stop = (
+                len(frame_ts) if pending is None
+                else min(len(frame_ts), pending)
+            )
+            while (
+                keep_from < stop
+                and (frame_ts[keep_from] + within_us) // 1000 < wm_ms
+            ):
+                keep_from += 1
+        return out, keep_from, pending
+
+    # batch reference: everything closed, no frontiers, no deferral
+    ref = []
+    ref_masks = [_frame_mask(kinds[k], vals_all) for k in range(len(raw_steps))]
+    _scan_closed_prefix(
+        build_steps(), ref_masks, ts_all, len(ts_all),
+        lambda hit, first, last: ref.append(
+            tuple(tuple(seg) for seg in hit)
+        ),
+        within_us=within_us, open_end_wm_ms=None, after_match=am,
+    )
+
+    # streaming replay: buffer all rows, settle at each watermark
+    kept = list(range(len(rows)))  # original indices
+    emitted: list = []
+    wms = sorted({t // 1000 for t in ts_all}) + [ts_all[-1] // 1000 + 1]
+    for wm in [w + 1 for w in wms]:
+        frame_ts = [ts_all[i] for i in kept]
+        frame_vals = [vals_all[i] for i in kept]
+        out, keep_from, _p = scan_once(frame_ts, frame_vals, wm, 0)
+        for hit in out:  # map frame positions → original indices
+            emitted.append(
+                tuple(tuple(kept[p] for p in seg) for seg in hit)
+            )
+        kept = kept[keep_from:]
+        assert emitted == ref[: len(emitted)], (
+            f"settle at wm={wm} diverged from the batch scan"
+        )

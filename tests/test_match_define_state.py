@@ -501,6 +501,91 @@ def test_streaming_next_within_combination(spark, tmp_path):
     ]
 
 
+def test_streaming_next_within_kill_and_resume(spark, tmp_path):
+    """Kill-and-resume with NEXT **and** WITHIN active together: the
+    tri-state deferral decisions (frontier cuts deferred, window-edge
+    cuts permanent) must replay identically from checkpointed state.
+    Key 0 gets an extra early view whose 60 s window expires without a
+    purchase — the resumed run must reproduce that permanent verdict,
+    not resurrect or double-emit it."""
+    rows_per_key = [
+        (1, "view", 0), (2, "click", 10), (3, "click", 20),
+        (4, "purchase", 30), (5, "signup", 0),
+    ]
+    nkeys = 8
+    all_rows = [
+        (k, 1000 * k + off, et, cents + k)
+        for k in range(1, nkeys + 1)
+        for off, et, cents in rows_per_key
+    ]
+    # key 1 only: an early lone view; its successor (the funnel view,
+    # 100 s later) fails the NEXT gap AND its 60 s window expires
+    all_rows.append((1, 901, "view", 0))
+    all_rows.sort(key=lambda r: r[1])
+    third = len(all_rows) // 3
+    files = [
+        all_rows[:third], all_rows[third: 2 * third], all_rows[2 * third:],
+        [(9999, 10_000_000, "x", 0)],
+    ]
+    sql = """
+        SELECT user_id, start_us, n_c FROM {v}
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ts
+            MEASURES FIRST(v.ts_us) AS start_us, COUNT(c.*) AS n_c
+            ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v c+ p) WITHIN INTERVAL '60' SECOND
+            DEFINE v AS v.event_type = 'view'
+                       AND NEXT(v.ts_us) - v.ts_us < 50000000,
+                   c AS c.event_type = 'click',
+                   p AS p.event_type = 'purchase'
+          )"""
+    _file_stream_view(spark, tmp_path, files, "mds_nwkr")
+    out = execute_match_recognize(spark, sql.format(v="mds_nwkr"))
+    ckpt = str(tmp_path / "nwkr_ckpt")
+    got = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: got.extend(b.collect()))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2:
+            break
+        time.sleep(0.2)
+    assert q.isActive, "query drained before the kill point"
+    q.stop()
+
+    out2 = execute_match_recognize(spark, sql.format(v="mds_nwkr"))
+    q2 = (
+        out2.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: got.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    assert q2.awaitTermination(180)
+
+    ref = []
+    out3 = execute_match_recognize(spark, sql.format(v="mds_nwkr"))
+    q3 = (
+        out3.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: ref.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "nwkr_ref_ckpt"))
+        .start()
+    )
+    assert q3.awaitTermination(180)
+    key = lambda r: (r.user_id, r.start_us, r.n_c)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, ref))
+    # every key's funnel completes inside its 60 s window; key 1's
+    # extra early view emits nothing (expired window = permanent no)
+    assert len(ref) == nkeys
+    assert all(r.n_c == 2 for r in ref)
+    assert (1, 901_000_000, 1) not in set(map(key, ref))
+
+
 def test_streaming_next_kill_and_resume(spark, tmp_path):
     """Kill-and-resume for the NEXT-deferral leg: a resumed run over
     the same checkpoint must emit exactly the uninterrupted run's match
