@@ -9021,6 +9021,143 @@ def stream_match_prev_xvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_match_subquery_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``FROM (SELECT ... WHERE ...) MATCH_RECOGNIZE`` — a derived
+    table as the pattern source (Flink accepts it; the executor
+    auto-registers the subquery as a temp view,
+    ``plans/match_recognize.py:_inline_subquery_source``). Filtering
+    signups out BEFORE matching changes which rows are adjacent, so
+    the funnel finds strictly more matches than over the raw stream —
+    the oracle applies the same WHERE inside its row-number CTE."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_events_view(spark, sf_dir, "mr_events_src")
+    return execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, end_us, n_clicks
+        FROM (SELECT user_id, event_id, event_type, ts_us
+              FROM mr_events_src WHERE event_type <> 'signup')
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            MEASURES
+              FIRST(v.ts_us) AS start_us,
+              LAST(p.ts_us) AS end_us,
+              COUNT(c.*) AS n_clicks
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v c+ p)
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              p AS p.event_type = 'purchase'
+          )
+    """))
+
+
+_MATCH_SUBQUERY_SRC_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE event_type <> 'signup'
+),
+isl AS (
+  SELECT user_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type = 'click'
+),
+runs AS (
+  SELECT user_id, min(rn) AS srn, max(rn) AS ern, count(*)::bigint AS n_clicks
+  FROM isl GROUP BY user_id, grp
+)
+SELECT r.user_id, v.ts_us AS start_us, p.ts_us AS end_us, r.n_clicks
+FROM runs r
+JOIN seq v ON v.user_id = r.user_id AND v.rn = r.srn - 1
+          AND v.event_type = 'view'
+JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
+          AND p.event_type = 'purchase'
+"""
+
+
+@_with_stream_shuffle(8)
+def stream_match_subquery_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of :func:`q_match_subquery_src`: the subquery
+    runs as a streaming projection/filter ahead of the watermark-gated
+    NFA (``spark.sql`` over a streaming temp view yields a streaming
+    frame; the executor then watermarks the first ORDER BY key). The
+    watermark closes over the FILTERED stream, so the oracle's closed
+    prefix and row numbering both exclude signups."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_stream_events_view(spark, sf_dir, "mr_stream_events_src")
+    out = execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, end_us, n_clicks
+        FROM (SELECT user_id, event_id, event_type, ts, ts_us
+              FROM mr_stream_events_src WHERE event_type <> 'signup')
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES
+              FIRST(v.ts_us) AS start_us,
+              LAST(p.ts_us) AS end_us,
+              COUNT(c.*) AS n_clicks
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v c+ p)
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              p AS p.event_type = 'purchase'
+          )
+    """))
+    name = "fcs_stream_mr_subq"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-mrsq-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(name)
+
+
+_STREAM_MATCH_SUBQUERY_SRC_ORACLE = """
+WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms
+            FROM events WHERE event_type <> 'signup'),
+seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+  WHERE event_type <> 'signup'
+    AND epoch_us(ts) // 1000 < (SELECT wm_ms FROM wm)
+),
+isl AS (
+  SELECT user_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type = 'click'
+),
+runs AS (
+  SELECT user_id, min(rn) AS srn, max(rn) AS ern, count(*)::bigint AS n_clicks
+  FROM isl GROUP BY user_id, grp
+)
+SELECT r.user_id, v.ts_us AS start_us, p.ts_us AS end_us, r.n_clicks
+FROM runs r
+JOIN seq v ON v.user_id = r.user_id AND v.rn = r.srn - 1
+          AND v.event_type = 'view'
+JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
+          AND p.event_type = 'purchase'
+"""
+
+
 _STREAM_MATCH_PREV_XVAR_ORACLE = """
 WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
 seq AS (
@@ -11300,6 +11437,8 @@ QUERIES = {
     "stream_match_next_within": stream_match_next_within,
     "q_match_prev_xvar": q_match_prev_xvar,
     "stream_match_prev_xvar": stream_match_prev_xvar,
+    "q_match_subquery_src": q_match_subquery_src,
+    "stream_match_subquery_src": stream_match_subquery_src,
     "pq_opq_recall": pq_opq_recall,
     "stream_match_quantified": stream_match_quantified,
     "stream_match_skip_to_next": stream_match_skip_to_next,
@@ -11500,6 +11639,8 @@ ORACLES = {
     "stream_match_next_within": _STREAM_MATCH_NEXT_WITHIN_ORACLE,
     "q_match_prev_xvar": _MATCH_PREV_XVAR_ORACLE,
     "stream_match_prev_xvar": _STREAM_MATCH_PREV_XVAR_ORACLE,
+    "q_match_subquery_src": _MATCH_SUBQUERY_SRC_ORACLE,
+    "stream_match_subquery_src": _STREAM_MATCH_SUBQUERY_SRC_ORACLE,
     "pq_opq_recall": _PQ_OPQ_RECALL_ORACLE,
     "stream_match_quantified": _STREAM_MATCH_QUANTIFIED_ORACLE,
     "stream_match_skip_to_next": _STREAM_MATCH_SKIP_TO_NEXT_ORACLE,

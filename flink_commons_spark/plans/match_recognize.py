@@ -1088,6 +1088,60 @@ def parse_match_recognize(
 _view_ids = itertools.count()
 
 
+def _match_open_paren(sql: str, close_idx: int) -> int:
+    """Index of the ``(`` matching the ``)`` at ``close_idx``
+    (quote-aware forward scan from the statement start)."""
+    stack: "list[int]" = []
+    in_q = False
+    for i in range(close_idx + 1):
+        ch = sql[i]
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                stack.append(i)
+            elif ch == ")":
+                if not stack:
+                    raise ValueError(
+                        "unbalanced parentheses before MATCH_RECOGNIZE"
+                    )
+                o = stack.pop()
+                if i == close_idx:
+                    return o
+    raise ValueError("unbalanced parentheses before MATCH_RECOGNIZE")
+
+
+def _inline_subquery_source(spark, sql: str) -> str:
+    """Support ``FROM (SELECT ...) MATCH_RECOGNIZE (...)`` — the
+    derived-table source Flink accepts (the reference executes any
+    Flink SQL through its generic executor, ``SQLSubmitAction.java:
+    74-76``): when the clause's source is a parenthesized subquery,
+    run it (``spark.sql`` works on batch and streaming temp views
+    alike — a streaming source yields a streaming frame, and a
+    projection preserves an inherited watermark) and register the
+    result as a temp view, returning the statement with the subquery
+    span replaced by the view name. Statements whose source is a
+    plain identifier come back unchanged."""
+    m = _MR_RE.search(sql)
+    if not m:
+        return sql
+    j = m.start() - 1
+    while j >= 0 and sql[j].isspace():
+        j -= 1
+    if j < 0 or sql[j] != ")":
+        return sql
+    o = _match_open_paren(sql, j)
+    inner = sql[o + 1 : j].strip()
+    if not inner.upper().startswith(("SELECT", "WITH")):
+        raise ValueError(
+            "MATCH_RECOGNIZE source must be a table, view, or "
+            f"(SELECT ...) subquery — got {inner[:60]!r}"
+        )
+    view = f"__mr_src_{next(_view_ids)}"
+    spark.sql(inner).createOrReplaceTempView(view)
+    return sql[:o] + view + sql[j + 1 :]
+
+
 def _has_watermark(df) -> bool:
     """Whether the (streaming) frame already carries an event-time
     watermark — redefining one is a Spark error, and a connector table
@@ -1102,7 +1156,9 @@ def execute_match_recognize(spark, sql: str):
     """Run a SELECT statement containing MATCH_RECOGNIZE: the clause
     executes on the keyed NFA — batch sources on
     :func:`operators.cep.match_pattern` (one hash exchange on
-    PARTITION BY, Arrow-batched per-key scans), STREAMING sources on
+    PARTITION BY, Arrow-batched per-key scans), a parenthesized
+    ``FROM (SELECT ...)`` subquery source auto-registered as a temp
+    view first (:func:`_inline_subquery_source`), STREAMING sources on
     :func:`streaming.cep_stream.stream_match_pattern` (the
     watermark-gated buffered NFA, Flink CEP's event-time semantics) —
     its output registers as a temp view, and the surrounding statement
@@ -1126,6 +1182,7 @@ def execute_match_recognize(spark, sql: str):
 
     from flink_commons_spark.operators.cep import match_pattern
 
+    sql = _inline_subquery_source(spark, sql)
     probe = _MR_RE.search(sql)
     if not probe:
         raise ValueError("no MATCH_RECOGNIZE clause in statement")

@@ -497,3 +497,70 @@ def test_conjunct_split_equivalence_property():
             combined &= pd.Series(m, index=pdf.index).to_numpy(
                 dtype=bool, na_value=False)
         assert combined.tolist() == whole.tolist(), text
+
+
+# --------------------------------------------------- subquery sources
+
+
+def test_subquery_source_batch(spark):
+    """``FROM (SELECT ... WHERE ...) MATCH_RECOGNIZE`` — the derived
+    table is auto-registered as a temp view and matched; the WHERE
+    changes row adjacency (the filtered-out row would otherwise break
+    the click run)."""
+    rows = [
+        (1, 1, "view", 0.0), (1, 2, "click", 0.0), (1, 3, "signup", 0.0),
+        (1, 4, "click", 0.0), (1, 5, "purchase", 0.0),
+    ]
+    spark.createDataFrame(
+        rows, "user_id bigint, ts_us bigint, event_type string, price double"
+    ).createOrReplaceTempView("mrsub_ev")
+    out = execute_match_recognize(spark, """
+        SELECT user_id, n_c
+        FROM (SELECT user_id, ts_us, event_type FROM mrsub_ev
+              WHERE event_type <> 'signup')
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ts_us
+            MEASURES COUNT(c.*) AS n_c
+            ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v c+ p)
+            DEFINE v AS v.event_type = 'view',
+                   c AS c.event_type = 'click',
+                   p AS p.event_type = 'purchase'
+          )""")
+    # with the signup removed, both clicks are adjacent -> one match
+    # of 2 clicks; over the raw rows the funnel would not match at all
+    assert [tuple(r) for r in out.collect()] == [(1, 2)]
+
+
+def test_subquery_source_rewrites_only_the_source(spark):
+    """The rewrite replaces exactly the parenthesized span; outer
+    projections and scalar parens elsewhere in the statement are
+    untouched."""
+    from flink_commons_spark.plans.match_recognize import (
+        _inline_subquery_source,
+    )
+
+    spark.createDataFrame(
+        [(1, 1, "view", 0.0)],
+        "user_id bigint, ts_us bigint, event_type string, price double",
+    ).createOrReplaceTempView("mrsub_ev2")
+    sql = ("SELECT (1 + 2) AS three, user_id FROM (SELECT * FROM mrsub_ev2) "
+           "MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts_us "
+           "MEASURES FIRST(a.ts_us) AS s ONE ROW PER MATCH "
+           "PATTERN (a) DEFINE a AS a.price >= 0)")
+    rewritten = _inline_subquery_source(spark, sql)
+    assert "(SELECT * FROM mrsub_ev2)" not in rewritten
+    assert rewritten.startswith("SELECT (1 + 2) AS three, user_id FROM ")
+    assert "__mr_src_" in rewritten
+    # a plain-identifier source comes back byte-identical
+    plain = sql.replace("(SELECT * FROM mrsub_ev2)", "mrsub_ev2")
+    assert _inline_subquery_source(spark, plain) == plain
+
+
+def test_subquery_source_rejects_non_select(spark):
+    with pytest.raises(ValueError, match="subquery"):
+        execute_match_recognize(spark, """
+            SELECT * FROM (1 + 2)
+              MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts_us
+                MEASURES FIRST(a.ts_us) AS s ONE ROW PER MATCH
+                PATTERN (a) DEFINE a AS a.price >= 0)""")
