@@ -134,6 +134,21 @@ HEADLINE = [
 ]
 
 
+def _unload_state_stores(spark) -> None:
+    """Unload lingering streaming state-store providers (and their
+    maintenance thread) between queries: a stopped streaming query's
+    providers keep per-partition in-memory maps loaded in the
+    executor, and the round-8 driver bench showed q1-class batch
+    queries reading ~2x when run late in a shared session after the
+    streaming family. Providers are re-created on demand by the next
+    streaming query, so this only costs a provider reload there."""
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:
+        pass  # non-classic session or API drift — isolation is best-effort
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -259,10 +274,12 @@ def main() -> None:
             continue
         finally:
             # per-query isolation: drop persisted RDDs an operator may
-            # have pinned (e.g. the minhash shingle table). In a
+            # have pinned (e.g. the minhash shingle table) and unload
+            # stopped streaming queries' state-store providers. In a
             # finally so a FAILED query cannot leave its cache pinned
             # and skew the next query's timings.
             spark.catalog.clearCache()
+            _unload_state_stores(spark)
         dt = min(runs)
         timings[name] = dt
         samples[name] = runs
@@ -289,6 +306,15 @@ def main() -> None:
         "sf": sf,
         "warm_runs": warm_runs,
         "timed_runs": timed_runs,
+        # where streaming checkpoints/WAL land for THIS run (defaults
+        # to RAM-backed /dev/shm — the bench measures operator
+        # throughput, not checkpoint durability); recorded so readings
+        # are attributable when comparing against durability-inclusive
+        # baselines
+        "scratch_dir": os.environ.get("SPARK_GRAFT_SCRATCH_DIR", ""),
+        # session position per query (1-based run order): late-session
+        # drift is attributable without re-deriving dict order
+        "order": {name: i + 1 for i, name in enumerate(HEADLINE)},
     }, indent=1))
 
     print(json.dumps({

@@ -193,9 +193,19 @@ def _cc_local(e: DataFrame) -> DataFrame:
             (find(i) for i in range(len(uniq))), dtype=np.int64
         )
         ser = pd.Series(uniq)
-        return pd.DataFrame(
-            {"node": ser, "label": ser.groupby(roots).transform("min")}
-        )
+        if ser.dtype == object and len(ser) and isinstance(ser.iloc[0], str):
+            # pick the representative by UTF-8 BYTE order — the same
+            # ordering Spark's min() uses on strings in the star-
+            # contraction path, so the label choice is identical on
+            # whichever side of the size gate a graph lands (Python's
+            # str min is code-point order; isomorphic for valid
+            # Unicode, but byte order makes the parity self-evident
+            # and covers bytes-typed ids uniformly)
+            enc = ser.str.encode("utf-8")
+            label = enc.groupby(roots).transform("min").str.decode("utf-8")
+        else:
+            label = ser.groupby(roots).transform("min")
+        return pd.DataFrame({"node": ser, "label": label})
 
     return (
         e.withColumn("__cc_g", F.lit(0))
@@ -249,19 +259,20 @@ def connected_components_star(
     cp_key = "spark.sql.constraintPropagation.enabled"
     cp_prev = spark.conf.get(cp_key, "true")
     spark.conf.set(cp_key, "false")
+    from pyspark.sql import types as T
+
     try:
         e = _canon_edges(edges, src, dst).localCheckpoint(eager=False)
+        numeric_ids = isinstance(e.schema["u"].dataType, T.NumericType)
         if local_threshold:
             # width-aware gate: the row threshold assumes ~16-byte
             # numeric ids; string/binary ids (URLs, UUIDs) are an
             # order of magnitude wider, so the single-task cutoff
             # shrinks accordingly (2M longs ≈ 32 MB in one Arrow
             # batch; 250k 100-byte strings ≈ 25 MB)
-            from pyspark.sql import types as T
-
-            cap = local_threshold
-            if not isinstance(e.schema["u"].dataType, T.NumericType):
-                cap = max(1, local_threshold // 8)
+            cap = local_threshold if numeric_ids else max(
+                1, local_threshold // 8
+            )
             if e.limit(cap + 1).count() <= cap:
                 # the limit-probe doubles as the checkpoint materializer
                 return _cc_local(e)
@@ -286,7 +297,15 @@ def connected_components_star(
             # the saved probe/checkpoint jobs on these tiny frames
             m, _adj = _node_mins(e)
             m = m.localCheckpoint(eager=False)
-            cur = m.agg(F.sum(F.col("m").cast("decimal(38,0)"))).first()[0]
+            # the exact-decimal sum is a cheap monotone convergence
+            # gate for NUMERIC ids only; string/binary ids (no decimal
+            # cast) skip the gate and run the structural fixpoint
+            # check every round from round 2 — exact either way, the
+            # probe only saves jobs
+            cur = (
+                m.agg(F.sum(F.col("m").cast("decimal(38,0)"))).first()[0]
+                if numeric_ids else None
+            )
             if cur == prev:
                 # labels flat — but flat sums gate, they do not prove,
                 # convergence: confirm the STRUCTURAL fixpoint exactly

@@ -74,6 +74,7 @@ def main() -> None:
         "queries": mins,
         "total": round(sum(mins.values()), 3),
         "samples": samples,
+        "scratch_dir": os.environ.get("SPARK_GRAFT_SCRATCH_DIR", ""),
     }))
 
 

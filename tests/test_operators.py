@@ -579,6 +579,30 @@ def test_star_contraction_matches_propagation(spark):
     assert local == prop
 
 
+def test_star_contraction_string_ids_label_parity(spark):
+    """Non-ASCII STRING ids: the size-gated union-find must pick the
+    same component representative as the star-contraction path, which
+    uses Spark's UTF-8-binary min() — the local side now takes the min
+    over UTF-8-encoded bytes (the round-8 ADVICE label-choice note)."""
+    from flink_commons_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    # mixed-script ids within one component; representative = the
+    # UTF-8-binary minimum ("a1" — ASCII sorts below all multi-byte)
+    edges = [
+        ("éclair", "a1"), ("a1", "Ω-node"), ("Ω-node", "ß2"),
+        ("日本", "中文"),
+    ]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    star = {r.node: r.label for r in connected_components_star(
+        df, local_threshold=0).collect()}
+    local = {r.node: r.label for r in connected_components_star(df).collect()}
+    assert local == star
+    assert local["éclair"] == "a1"
+    assert local["日本"] == min("日本".encode(), "中文".encode()).decode()
+
+
 # ------------------------------------------------------------- sketches
 
 def test_hll_sketch_rollup_accuracy(spark):
