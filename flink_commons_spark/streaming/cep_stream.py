@@ -47,7 +47,7 @@ MATCH_SCHEMA = "user_id bigint, start_us bigint, end_us bigint, n_clicks bigint"
 #: predecessor after a match consumes the prefix; never matched again
 BUFFER_STATE_SCHEMA = (
     "ts array<long>, et array<string>, eid array<long>, "
-    "val array<double>, nctx int"
+    "val array<double>, nctx int, presorted int"
 )
 _COLS = ["user_id", "start_us", "end_us", "n_clicks"]
 
@@ -421,7 +421,7 @@ def stream_match_conversions(
         key_id = int(key[0])
         wm_ms = state.getCurrentWatermarkMs()
 
-        def settle(rows, nctx):
+        def settle(rows, nctx, presorted=False):
             """Match the watermark-closed prefix; re-buffer the rest.
 
             The re-armed timer targets the next watermark horizon at
@@ -440,8 +440,35 @@ def stream_match_conversions(
 
             Context rows always sort first: they were closed when
             consumed (ts < the then-watermark), and every later-
-            arriving row is at/above that watermark."""
-            rows = sorted(rows, key=lambda r: (r[0], r[2]))
+            arriving row is at/above that watermark.
+
+            ``presorted`` flags a buffer read back verbatim from state
+            (always stored sorted) — its sort is skipped; and a buffer
+            with NOTHING closed yet (the availableNow first batch for
+            every key: watermark still 0) is stored as-is, skipping
+            sort and scan entirely."""
+            if not any(r[0] // 1000 < wm_ms for r in rows):
+                if rows:
+                    state.update((
+                        [r[0] for r in rows],
+                        [r[1] for r in rows],
+                        [r[2] for r in rows],
+                        [float(r[3]) if len(r) > 3 else 0.0 for r in rows],
+                        nctx,
+                        int(presorted),
+                    ))
+                    lo = min(r[0] for r in rows)
+                    cand = [lo // 1000 + 1]
+                    if within_us is not None:
+                        cand.append((lo + within_us) // 1000 + 1)
+                    live = [t for t in cand if t > wm_ms]
+                    if live:
+                        state.setTimeoutTimestamp(min(live))
+                elif state.exists:
+                    state.remove()
+                return []
+            if not presorted:
+                rows = sorted(rows, key=lambda r: (r[0], r[2]))
             closed = [r for r in rows if r[0] // 1000 < wm_ms]
             still_open = [r for r in rows if r[0] // 1000 >= wm_ms]
             matches, consumed = _run_pattern_nfa(
@@ -472,6 +499,7 @@ def stream_match_conversions(
                     [r[2] for r in rest],
                     [float(r[3]) if len(r) > 3 else 0.0 for r in rest],
                     len(ctx),
+                    1,  # the kept suffix stays sorted
                 ))
                 cand = [max(r[0] for r in kept) // 1000 + 1]
                 if still_open:
@@ -488,8 +516,10 @@ def stream_match_conversions(
             return matches
 
         if state.hasTimedOut:
-            ts, et, eid, val, nctx = state.get
-            matches = settle(list(zip(ts, et, eid, val)), int(nctx))
+            ts, et, eid, val, nctx, srt = state.get
+            matches = settle(
+                list(zip(ts, et, eid, val)), int(nctx), bool(srt)
+            )
             if matches:
                 yield pd.DataFrame(matches, columns=out_cols)
             return
@@ -504,7 +534,7 @@ def stream_match_conversions(
         )
         nctx = 0
         if state.exists:
-            pts, pet, peid, pval, pnctx = state.get
+            pts, pet, peid, pval, pnctx, _srt = state.get
             ts, et = list(pts) + ts, list(pet) + et
             eid, val = list(peid) + eid, list(pval) + val
             nctx = int(pnctx)
@@ -609,7 +639,7 @@ def stream_match_pattern(
             )
     state_schema = ", ".join(
         [f"{c} array<{_BUF_TYPES[t][0]}>" for c, t in buffer_cols]
-        + ["nctx int"]
+        + ["nctx int", "presorted int"]
     )
     out_cols = [f.strip().split()[0] for f in output_schema.split(",")]
     step_list = list(steps)
@@ -617,18 +647,51 @@ def stream_match_pattern(
     def fn(key, batches, state):
         wm_ms = state.getCurrentWatermarkMs()
 
-        def settle(pdf_all: "pd.DataFrame", nctx: int):
-            try:
-                order = np.lexsort(
-                    tuple(pdf_all[c].to_numpy() for c in reversed(order_cols))
-                )
-                pdf_all = pdf_all.take(order).reset_index(drop=True)
-            except TypeError:  # non-lexsortable dtype — pandas fallback
-                pdf_all = pdf_all.sort_values(
-                    list(order_cols), kind="mergesort"
-                ).reset_index(drop=True)
-            ts = pdf_all[ts_col].to_numpy("int64")
+        def settle(pdf_all: "pd.DataFrame", nctx: int, presorted: bool):
             total = len(pdf_all)
+            ts_raw = pdf_all[ts_col].to_numpy("int64")
+            if not int((ts_raw // 1000 < wm_ms).sum()):
+                # NOTHING closed yet — the availableNow FIRST batch for
+                # every key (watermark still 0) and any key whose rows
+                # all sit at/after the watermark: matching cannot make
+                # progress, so store the buffer AS-IS (order preserved;
+                # context rows, if any, stay leading — new arrivals are
+                # at/after the watermark, hence never sort before them)
+                # and skip the sort/mask/scan entirely. Profiled at
+                # sf1: per-key pandas fixed costs (sort, mask Series
+                # calls, frame take) dominate the settle, so the
+                # double-pass floor drops to one buffered store.
+                if total:
+                    state.update(tuple(
+                        [pdf_all[c].tolist() for c, _ in buffer_cols]
+                        + [nctx, int(presorted)]
+                    ))
+                    lo = int(ts_raw.min())
+                    cand = [int(ts_raw.max()) // 1000 + 1,
+                            lo // 1000 + 1]
+                    if within_us is not None:
+                        cand.append((lo + within_us) // 1000 + 1)
+                    live = [t for t in cand if t > wm_ms]
+                    if live:
+                        state.setTimeoutTimestamp(min(live))
+                elif state.exists:
+                    state.remove()
+                return []
+            if not presorted:
+                try:
+                    order = np.lexsort(tuple(
+                        pdf_all[c].to_numpy() for c in reversed(order_cols)
+                    ))
+                    pdf_all = pdf_all.take(order).reset_index(drop=True)
+                except TypeError:  # non-lexsortable dtype — pandas fallback
+                    pdf_all = pdf_all.sort_values(
+                        list(order_cols), kind="mergesort"
+                    ).reset_index(drop=True)
+                ts = pdf_all[ts_col].to_numpy("int64")
+            else:
+                # state is stored sorted (flagged) — a timer settle
+                # re-reads it verbatim, so the lexsort would be a no-op
+                ts = ts_raw
             closed_n = int(np.searchsorted(ts // 1000, wm_ms, side="left"))
             pdf_closed = pdf_all.iloc[:closed_n]
             if frame_renames:
@@ -674,7 +737,7 @@ def stream_match_pattern(
                 rest = pdf_all.iloc[ctx_start:]
                 state.update(tuple(
                     [rest[c].tolist() for c, _ in buffer_cols]
-                    + [keep_from - ctx_start]
+                    + [keep_from - ctx_start, 1]  # suffix stays sorted
                 ))
                 cand = [int(ts[total - 1]) // 1000 + 1]
                 if closed_n < total:
@@ -694,13 +757,14 @@ def stream_match_pattern(
                 c: pd.array(vals[i], dtype=_BUF_TYPES[t][1])
                 for i, (c, t) in enumerate(buffer_cols)
             })
-            matches = settle(pdf_all, int(vals[-1]))
+            matches = settle(pdf_all, int(vals[-2]), bool(vals[-1]))
             if matches:
                 yield pd.DataFrame(matches, columns=out_cols)
             return
 
         new = pd.concat(list(batches))[[c for c, _ in buffer_cols]]
         nctx = 0
+        presorted = False
         if state.exists:
             vals = state.get
             prev = pd.DataFrame({
@@ -708,8 +772,8 @@ def stream_match_pattern(
                 for i, (c, t) in enumerate(buffer_cols)
             })
             new = pd.concat([prev, new], ignore_index=True)
-            nctx = int(vals[-1])
-        matches = settle(new.reset_index(drop=True), nctx)
+            nctx = int(vals[-2])
+        matches = settle(new.reset_index(drop=True), nctx, presorted)
         if matches:
             yield pd.DataFrame(matches, columns=out_cols)
 
