@@ -221,9 +221,14 @@ def _match_at_ex(
         # the scan end (undecided data end → bit 1, decided WITHIN
         # edge → no bit)
         kind = 2 if sb < n else end_kind
-        if pos >= sb and s.lo > 0:
-            # no decidable row left for a required step — either the
-            # data end or the step's undecided frontier
+        if pos >= sb and (s.lo > 0 or kind == 2):
+            # no decidable row left: a REQUIRED step at/past its
+            # boundary is cut undecided; an OPTIONAL (lo=0) step past
+            # its NEXT frontier is too — its 0-take "succeeds", but
+            # greedy would prefer any take the frontier rows could
+            # decide later. (For lo=0 at the plain data end the final-
+            # variable growable rule already covers the emission-side
+            # risk, so only the frontier kind flags here.)
             touched |= kind
         # greedy: consume the longest admissible run first, backtrack
         # shorter down to the quantifier's lower bound (0 for */?);

@@ -1111,25 +1111,49 @@ def _match_open_paren(sql: str, close_idx: int) -> int:
     raise ValueError("unbalanced parentheses before MATCH_RECOGNIZE")
 
 
-def _inline_subquery_source(spark, sql: str) -> str:
-    """Support ``FROM (SELECT ...) MATCH_RECOGNIZE (...)`` — the
-    derived-table source Flink accepts (the reference executes any
-    Flink SQL through its generic executor, ``SQLSubmitAction.java:
-    74-76``): when the clause's source is a parenthesized subquery,
-    run it (``spark.sql`` works on batch and streaming temp views
-    alike — a streaming source yields a streaming frame, and a
+def _inline_subquery_source(spark, sql: str) -> "tuple[str, str | None]":
+    """Support ``FROM (SELECT ...) [AS alias] MATCH_RECOGNIZE (...)``
+    — the derived-table source Flink accepts (the reference executes
+    any Flink SQL through its generic executor, ``SQLSubmitAction.
+    java:74-76``): when the clause's source is a parenthesized
+    subquery, run it (``spark.sql`` works on batch and streaming temp
+    views alike — a streaming source yields a streaming frame, and a
     projection preserves an inherited watermark) and register the
-    result as a temp view, returning the statement with the subquery
-    span replaced by the view name. Statements whose source is a
-    plain identifier come back unchanged."""
+    result as a temp view, returning ``(rewritten_sql, view_name)``
+    with the subquery span — input alias included; MATCH_RECOGNIZE
+    replaces the table primary, so the alias is referenceable nowhere
+    outside — replaced by the view name. Statements whose source is a
+    plain identifier come back unchanged as ``(sql, None)``; the
+    caller drops the view once the statement is analyzed."""
     m = _MR_RE.search(sql)
     if not m:
-        return sql
+        return sql, None
     j = m.start() - 1
     while j >= 0 and sql[j].isspace():
         j -= 1
+    span_end = j
+    if j >= 0 and (sql[j].isalnum() or sql[j] in "_`"):
+        # possible input alias between the subquery and the clause:
+        # scan back over `ident` and an optional AS — only treat it as
+        # an alias when a ')' precedes (a bare identifier is the plain
+        # table-source path, handled by _SRC_RE)
+        k = j
+        while k >= 0 and (sql[k].isalnum() or sql[k] in "_`"):
+            k -= 1
+        jj = k
+        while jj >= 0 and sql[jj].isspace():
+            jj -= 1
+        if jj >= 1 and sql[jj - 1 : jj + 1].upper() == "AS" and not (
+            jj >= 2 and (sql[jj - 2].isalnum() or sql[jj - 2] == "_")
+        ):
+            jj -= 2
+            while jj >= 0 and sql[jj].isspace():
+                jj -= 1
+        if jj < 0 or sql[jj] != ")":
+            return sql, None
+        j = jj
     if j < 0 or sql[j] != ")":
-        return sql
+        return sql, None
     o = _match_open_paren(sql, j)
     inner = sql[o + 1 : j].strip()
     if not inner.upper().startswith(("SELECT", "WITH")):
@@ -1139,7 +1163,7 @@ def _inline_subquery_source(spark, sql: str) -> str:
         )
     view = f"__mr_src_{next(_view_ids)}"
     spark.sql(inner).createOrReplaceTempView(view)
-    return sql[:o] + view + sql[j + 1 :]
+    return sql[:o] + view + sql[span_end + 1 :], view
 
 
 def _has_watermark(df) -> bool:
@@ -1182,7 +1206,6 @@ def execute_match_recognize(spark, sql: str):
 
     from flink_commons_spark.operators.cep import match_pattern
 
-    sql = _inline_subquery_source(spark, sql)
     probe = _MR_RE.search(sql)
     if not probe:
         raise ValueError("no MATCH_RECOGNIZE clause in statement")
@@ -1190,6 +1213,12 @@ def execute_match_recognize(spark, sql: str):
     if _MR_RE.search(sql, close):
         raise ValueError("multiple MATCH_RECOGNIZE clauses in one statement "
                          "are not supported")
+    # cheap validations first — the subquery rewrite runs spark.sql
+    # and registers a temp view, which a doomed statement should not pay
+    sql, subq_view = _inline_subquery_source(spark, sql)
+    if subq_view is not None:
+        probe = _MR_RE.search(sql)
+        close = _find_close(sql, probe.end() - 1)
     sm = _SRC_RE.search(sql, 0, probe.start())
     if not sm:
         raise ValueError("MATCH_RECOGNIZE must follow a table identifier")
@@ -1343,4 +1372,12 @@ def execute_match_recognize(spark, sql: str):
     view = f"__mr_out_{next(_view_ids)}"
     res.createOrReplaceTempView(view)
     outer = sql[: spec.span[0]] + view + " " + sql[spec.span[1] :]
-    return spark.sql(outer)
+    out = spark.sql(outer)
+    if subq_view is not None:
+        # the source subtree is resolved into res's analyzed plan
+        # (schema was read above); force the outer statement's
+        # analysis too, then drop the helper view so a long-lived
+        # session does not accumulate catalog entries
+        out.schema
+        spark.catalog.dropTempView(subq_view)
+    return out

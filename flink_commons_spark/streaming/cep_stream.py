@@ -266,10 +266,15 @@ def _scan_closed_prefix(
     # jump between admissible starts when the first variable is
     # required: a skipped position fails its PREDICATE (permanent,
     # decided) — never a touched-end deferral — so the closed-prefix
-    # semantics are unchanged
+    # semantics are unchanged. EXCEPT under NEXT frontiers: the first
+    # step's mask at positions at/after its frontier is False only
+    # because the successor it reads is not closed yet (NaN), NOT a
+    # verdict — those positions are UNDECIDED potential starts and
+    # must defer, never be skipped (or expired) as failed.
     starts = None
     if steps[0].lo > 0:
         starts = [p for p in np.flatnonzero(masks[0]).tolist() if p >= ctx_n]
+    undec0 = n if step_bounds is None else step_bounds[0]
     s_ptr = 0
     consumed = ctx_n
     i = ctx_n
@@ -277,9 +282,16 @@ def _scan_closed_prefix(
         if starts is not None:
             while s_ptr < len(starts) and starts[s_ptr] < i:
                 s_ptr += 1
-            if s_ptr == len(starts):
+            nxt_start = starts[s_ptr] if s_ptr < len(starts) else None
+            u0 = max(i, undec0)
+            if u0 < n and (nxt_start is None or u0 < nxt_start):
+                # an undecided potential start precedes the next
+                # decided one — under the sequential-scan contract it
+                # must resolve first: defer there
+                return consumed, u0
+            if nxt_start is None:
                 break
-            i = starts[s_ptr]
+            i = nxt_start
         n_i = n
         if within_us is not None:
             # exclusive window edge, matching Flink's NFA pruning rule
@@ -299,9 +311,12 @@ def _scan_closed_prefix(
         # window admits no future row, so its end cuts are decided
         undecided = (touched_end & 2) or ((touched_end & 1) and window_open)
         if hit is None or not any(hit):
-            if hit is None and undecided:
-                # ran out of decidable rows mid-pattern: this start is
-                # undecided — stop here, keep its rows buffered
+            if undecided:
+                # ran out of decidable rows mid-pattern (or an all-
+                # optional pattern completed EMPTY while a quantified
+                # extension was cut at an undecided boundary): this
+                # start is undecided — stop here, keep its rows
+                # buffered
                 return consumed, i
             i += 1
             continue

@@ -401,4 +401,8 @@ def test_scan_defers_non_final_frontier_cut_match():
         [[0, 1, 2, 3], [4]]
     ]
     assert consumed2 == 5
-    assert pending2 is None
+    # row 5 sits at/past A's frontier: its mask False is NOT a verdict
+    # (the successor it reads is unclosed), so it is an undecided
+    # potential START — reported as pending so WITHIN expiry can never
+    # drop it (the round-9 review's frontier/expiry defect)
+    assert pending2 == 5

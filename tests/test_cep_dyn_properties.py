@@ -228,7 +228,10 @@ replay_step = st.tuples(
 
 @settings(max_examples=100, deadline=None)
 @given(
-    vals=st.lists(st.integers(0, 6), min_size=0, max_size=10),
+    vals=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(1, 7)),
+        min_size=0, max_size=10,
+    ),
     raw_steps=st.lists(replay_step, min_size=1, max_size=3),
     within_rows=st.sampled_from([None, 2, 5]),
     to_next=st.booleans(),
@@ -241,17 +244,25 @@ def test_streaming_replay_is_prefix_of_batch(
     NEXT frontiers, WITHIN expiry with the pending cap — exactly the
     generic harness's settle loop) and require the concatenated
     emissions to be a PREFIX of the single all-data scan's match list
-    at every point. This is the soundness contract of the tri-state
-    cut kind: no settle may emit a match the full data would not
-    produce (premature greedy verdicts), in the same order, with
-    decided WITHIN-edge cuts never deferring the scan forever."""
+    at every point, and EQUAL to it once the final settle reports no
+    pending deferral. The completeness leg is what catches expiry
+    holes: variable inter-row gaps (1-7 ms, possibly exceeding the
+    2-5 ms windows) make a row's window expire BEFORE its successor
+    closes, so a start skipped-as-failed instead of deferred-as-
+    undecided loses a match the all-data scan produces (the round-9
+    review's frontier/expiry defect)."""
     from flink_commons_spark.streaming.cep_stream import (
         _scan_closed_prefix,
     )
 
-    # rows 1 ms apart; a mask-proof far sentinel closes every window
-    rows = [((i + 1) * 1000, v) for i, v in enumerate(vals)]
-    rows.append(((len(vals) + 30) * 1000, -999))
+    # variable gaps; the far sentinel is MATCHABLE (val 6) so a late-
+    # deciding NEXT mask can flip a tail verdict in the reference too
+    rows = []
+    t = 0
+    for v, gap in vals:
+        t += gap
+        rows.append((t * 1000, v))
+    rows.append(((t + 30) * 1000, 6))
     ts_all = [r[0] for r in rows]
     vals_all = [r[1] for r in rows]
     names = ["A", "B", "C"]
@@ -320,11 +331,12 @@ def test_streaming_replay_is_prefix_of_batch(
     # streaming replay: buffer all rows, settle at each watermark
     kept = list(range(len(rows)))  # original indices
     emitted: list = []
+    pending = None
     wms = sorted({t // 1000 for t in ts_all}) + [ts_all[-1] // 1000 + 1]
     for wm in [w + 1 for w in wms]:
         frame_ts = [ts_all[i] for i in kept]
         frame_vals = [vals_all[i] for i in kept]
-        out, keep_from, _p = scan_once(frame_ts, frame_vals, wm, 0)
+        out, keep_from, pending = scan_once(frame_ts, frame_vals, wm, 0)
         for hit in out:  # map frame positions → original indices
             emitted.append(
                 tuple(tuple(kept[p] for p in seg) for seg in hit)
@@ -333,3 +345,9 @@ def test_streaming_replay_is_prefix_of_batch(
         assert emitted == ref[: len(emitted)], (
             f"settle at wm={wm} diverged from the batch scan"
         )
+    if pending is None:
+        # the final settle (everything closed) ran to completion with
+        # nothing deferred — every reference match must have emitted;
+        # a shortfall here means some undecided start was skipped or
+        # expired as if decided
+        assert emitted == ref, "decided replay lost matches vs batch"

@@ -548,13 +548,44 @@ def test_subquery_source_rewrites_only_the_source(spark):
            "MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts_us "
            "MEASURES FIRST(a.ts_us) AS s ONE ROW PER MATCH "
            "PATTERN (a) DEFINE a AS a.price >= 0)")
-    rewritten = _inline_subquery_source(spark, sql)
+    rewritten, view = _inline_subquery_source(spark, sql)
     assert "(SELECT * FROM mrsub_ev2)" not in rewritten
     assert rewritten.startswith("SELECT (1 + 2) AS three, user_id FROM ")
-    assert "__mr_src_" in rewritten
+    assert view and view in rewritten
+    spark.catalog.dropTempView(view)  # execute_... drops it; here we must
     # a plain-identifier source comes back byte-identical
     plain = sql.replace("(SELECT * FROM mrsub_ev2)", "mrsub_ev2")
-    assert _inline_subquery_source(spark, plain) == plain
+    assert _inline_subquery_source(spark, plain) == (plain, None)
+    # a bare table alias is NOT mistaken for a derived table
+    aliased_tbl = sql.replace("(SELECT * FROM mrsub_ev2)", "mrsub_ev2 t")
+    assert _inline_subquery_source(spark, aliased_tbl) == (aliased_tbl, None)
+
+
+def test_subquery_source_with_alias(spark):
+    """``FROM (SELECT ...) AS t MATCH_RECOGNIZE`` — the input alias is
+    consumed with the subquery span (MATCH_RECOGNIZE replaces the
+    table primary, so the alias is referenceable nowhere outside);
+    both the AS and the bare-alias spellings work, and the helper view
+    is dropped once the statement is analyzed."""
+    rows = [(1, 1, "view", 5.0), (1, 2, "click", 6.0)]
+    spark.createDataFrame(
+        rows, "user_id bigint, ts_us bigint, event_type string, price double"
+    ).createOrReplaceTempView("mrsub_ev3")
+    for alias in ("AS t", "t"):
+        out = execute_match_recognize(spark, f"""
+            SELECT user_id, s FROM (SELECT * FROM mrsub_ev3
+                                    WHERE price > 5) {alias}
+              MATCH_RECOGNIZE (
+                PARTITION BY user_id ORDER BY ts_us
+                MEASURES FIRST(a.ts_us) AS s ONE ROW PER MATCH
+                PATTERN (a) DEFINE a AS a.event_type = 'click'
+              )""")
+        assert [tuple(r) for r in out.collect()] == [(1, 2)]
+    leftovers = [
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith("__mr_src_")
+    ]
+    assert leftovers == []
 
 
 def test_subquery_source_rejects_non_select(spark):
