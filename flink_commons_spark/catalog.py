@@ -159,10 +159,16 @@ def _with_stream_shuffle(n: int = 8):
     contract queries here are bounded ``availableNow`` runs over
     modest key spaces; 32 partitions would spend more time opening and
     committing state stores than aggregating (measured: the streaming
-    tail dropped ~40% at 8). On a real cluster the same knob arrives
-    via the runner's ``SET 'parallelism.default'`` mapping
-    (``conf.py``) and should scale with executor count. Restores the
-    session value afterwards — no conf leak into batch queries.
+    tail dropped ~40% at 8). Per-family tuning (round-9 A/B at sf0.1,
+    min-of-2): the Python-heavy CEP matchers are fastest at 16-24
+    partitions (the per-key pandas settle parallelizes; 16 picked),
+    while the lightweight stateful aggs (exact UV, sessions) are
+    fastest at 8 (state-store open/commit dominates) — so
+    ``stream_match_*`` queries pass 16 and the rest keep 8. On a real
+    cluster the same knob arrives via the runner's
+    ``SET 'parallelism.default'`` mapping (``conf.py``) and should
+    scale with executor count. Restores the session value afterwards —
+    no conf leak into batch queries.
     """
     import functools
 
@@ -2579,7 +2585,7 @@ WHERE (end_us + 14400000000 + 999) // 1000 <= max_us // 1000
 """
 
 
-@_with_stream_shuffle(8)
+@_with_stream_shuffle(16)
 def stream_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING CEP — Flink's event-time MATCH_RECOGNIZE
     (``streaming/cep_stream.py``): per-key buffers hold out-of-order
@@ -2626,7 +2632,7 @@ def stream_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@_with_stream_shuffle(8)
+@_with_stream_shuffle(16)
 def stream_match_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING CEP with Flink's ``PATTERN ... WITHIN interval``:
     the conversion funnel must COMPLETE within 24 h of its first event
@@ -2702,7 +2708,7 @@ WHERE p.ts_us - v.ts_us < 86400000000
 """
 
 
-@_with_stream_shuffle(8)
+@_with_stream_shuffle(16)
 def stream_match_skip_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING CEP with ``AFTER MATCH SKIP TO NEXT ROW`` — the
     streaming twin of ``q_match_skip_to_next``: every click streak of
@@ -2790,7 +2796,7 @@ WHERE r.ern < e.key_n
 """
 
 
-@_with_stream_shuffle(8)
+@_with_stream_shuffle(16)
 def stream_match_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING CEP with a greedy ``*`` quantifier — the streaming
     twin of :func:`q_match_quantified`: pattern ``view click*
@@ -2905,7 +2911,7 @@ JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
 """
 
 
-@_with_stream_shuffle(8)
+@_with_stream_shuffle(16)
 def stream_match_skip_to_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING ``AFTER MATCH SKIP TO LAST <var>`` — the streaming
     twin of :func:`q_match_skip_to_last`: pattern ``v e{2}`` (view +
@@ -7299,7 +7305,7 @@ JOIN seq s2 ON s2.user_id = sc.user_id AND s2.rn = sc.p + 2
 """
 
 
-@_with_stream_shuffle(8)
+@_with_stream_shuffle(16)
 def stream_match_skip_to_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING ``AFTER MATCH SKIP TO FIRST <var>`` — the streaming
     twin of :func:`q_match_skip_to_first` on the watermark-gated keyed
@@ -7380,7 +7386,7 @@ JOIN seq s2 ON s2.user_id = sc.user_id AND s2.rn = sc.p + 2
 """
 
 
-@_with_stream_shuffle(8)
+@_with_stream_shuffle(16)
 def stream_match_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING CEP with row-navigating DEFINE predicates — the
     streaming twin of :func:`q_match_vshape`: Flink's canonical price
@@ -7517,7 +7523,7 @@ JOIN seq s2 ON s2.user_id = sc.user_id AND s2.rn = c.ue
 """
 
 
-@_with_stream_shuffle(8)
+@_with_stream_shuffle(16)
 def stream_match_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING CEP MEASURES beyond the count triple — the streaming
     twin of :func:`q_match_measures`: the conversion funnel emitting
@@ -7695,7 +7701,7 @@ def _mr_stream_events_view(spark: SparkSession, sf_dir: str, name: str) -> None:
     )
 
 
-@_with_stream_shuffle(8)
+@_with_stream_shuffle(16)
 def stream_match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING ``MATCH_RECOGNIZE`` as SQL TEXT — the statement a
     Flink CEP user actually writes, over a STREAMING source: the SQL
@@ -7743,7 +7749,7 @@ def stream_match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@_with_stream_shuffle(8)
+@_with_stream_shuffle(16)
 def stream_match_vshape_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING MATCH_RECOGNIZE as SQL with ROW-NAVIGATING DEFINE —
     Flink's canonical streaming CEP statement end-to-end: the price
@@ -7789,7 +7795,7 @@ def stream_match_vshape_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@_with_stream_shuffle(8)
+@_with_stream_shuffle(16)
 def stream_match_within_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING ``PATTERN ... WITHIN`` as SQL text — exercises the
     generic streaming matcher's within leg end-to-end: the parser's
@@ -8399,7 +8405,7 @@ FROM m WHERE m.n_d >= 1
 """
 
 
-@_with_stream_shuffle(8)
+@_with_stream_shuffle(16)
 def stream_match_define_xvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of :func:`q_match_define_xvar` — the
     cross-variable DEFINE through the SQL front door over a streaming
@@ -8476,7 +8482,7 @@ FROM m WHERE m.n_b >= 1
 """
 
 
-@_with_stream_shuffle(8)
+@_with_stream_shuffle(16)
 def stream_match_define_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of :func:`q_match_define_agg` — a running
     ``AVG`` DEFINE aggregate inside the watermark-gated streaming NFA.
@@ -8561,7 +8567,7 @@ JOIN seq p ON p.user_id = c.user_id AND p.rn = c.ern + 1
 """
 
 
-@_with_stream_shuffle(8)
+@_with_stream_shuffle(16)
 def stream_match_next_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING ``NEXT()`` navigation in DEFINE over a TIMESTAMP
     ORDER BY key — the funnel where the view must be followed within
@@ -8694,7 +8700,7 @@ FROM seq WHERE cents > p2
 """
 
 
-@_with_stream_shuffle(8)
+@_with_stream_shuffle(16)
 def stream_match_prev2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of :func:`q_match_prev2` — ``PREV(col, 2)``
     through the watermark-gated matcher, whose per-key state must
@@ -8754,7 +8760,7 @@ FROM seq WHERE cents > p2
 """
 
 
-@_with_stream_shuffle(8)
+@_with_stream_shuffle(16)
 def stream_match_define_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of :func:`q_match_define_nav` — Flink's
     canonical LAST-navigation NULL-guard DEFINE over a streaming
@@ -8831,7 +8837,7 @@ FROM m WHERE m.n_d >= 1
 """
 
 
-@_with_stream_shuffle(8)
+@_with_stream_shuffle(16)
 def stream_match_next_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING ``NEXT()`` in DEFINE **combined with** ``PATTERN ...
     WITHIN`` — the round-8 verdict's last capability rejection, now
@@ -8976,7 +8982,7 @@ WHERE event_type = 'view' AND nxt_type <> 'view'
 """
 
 
-@_with_stream_shuffle(8)
+@_with_stream_shuffle(16)
 def stream_match_prev_xvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of :func:`q_match_prev_xvar`: the cross-variable
     PREV read runs inside the watermark-gated NFA, where the navigated
@@ -9082,7 +9088,7 @@ JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
 """
 
 
-@_with_stream_shuffle(8)
+@_with_stream_shuffle(16)
 def stream_match_subquery_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of :func:`q_match_subquery_src`: the subquery
     runs as a streaming projection/filter ahead of the watermark-gated
