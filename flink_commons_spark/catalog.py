@@ -164,7 +164,8 @@ def _with_stream_shuffle(n: int = 8):
     partitions (the per-key pandas settle parallelizes; 16 picked),
     while the lightweight stateful aggs (exact UV, sessions) are
     fastest at 8 (state-store open/commit dominates) — so
-    ``stream_match_*`` queries pass 16 and the rest keep 8. On a real
+    ``stream_match_*`` queries pass 16 and the rest keep 8 (one
+    outlier: ``stream_broadcast_rules`` runs at 4). On a real
     cluster the same knob arrives via the runner's
     ``SET 'parallelism.default'`` mapping (``conf.py``) and should
     scale with executor count. Restores the session value afterwards —

@@ -1128,32 +1128,18 @@ def _inline_subquery_source(spark, sql: str) -> "tuple[str, str | None]":
     m = _MR_RE.search(sql)
     if not m:
         return sql, None
-    j = m.start() - 1
-    while j >= 0 and sql[j].isspace():
-        j -= 1
-    span_end = j
-    if j >= 0 and (sql[j].isalnum() or sql[j] in "_`"):
-        # possible input alias between the subquery and the clause:
-        # scan back over `ident` and an optional AS — only treat it as
-        # an alias when a ')' precedes (a bare identifier is the plain
-        # table-source path, handled by _SRC_RE)
-        k = j
-        while k >= 0 and (sql[k].isalnum() or sql[k] in "_`"):
-            k -= 1
-        jj = k
-        while jj >= 0 and sql[jj].isspace():
-            jj -= 1
-        if jj >= 1 and sql[jj - 1 : jj + 1].upper() == "AS" and not (
-            jj >= 2 and (sql[jj - 2].isalnum() or sql[jj - 2] == "_")
-        ):
-            jj -= 2
-            while jj >= 0 and sql[jj].isspace():
-                jj -= 1
-        if jj < 0 or sql[jj] != ")":
-            return sql, None
-        j = jj
-    if j < 0 or sql[j] != ")":
+    # a ')' (optionally followed by '[AS] alias') immediately before
+    # the clause marks a derived-table source; a bare identifier is
+    # the plain table path (handled by _SRC_RE), anything else too
+    am = re.search(
+        r"\)\s*(?:(?:AS\s+)?(?:`[^`]+`|[A-Za-z_]\w*))?\s*$",
+        sql[: m.start()],
+        re.IGNORECASE,
+    )
+    if not am:
         return sql, None
+    j = am.start()  # the ')' position
+    span_end = m.start() - 1  # consume trailing alias + whitespace too
     o = _match_open_paren(sql, j)
     inner = sql[o + 1 : j].strip()
     if not inner.upper().startswith(("SELECT", "WITH")):
@@ -1163,7 +1149,7 @@ def _inline_subquery_source(spark, sql: str) -> "tuple[str, str | None]":
         )
     view = f"__mr_src_{next(_view_ids)}"
     spark.sql(inner).createOrReplaceTempView(view)
-    return sql[:o] + view + sql[span_end + 1 :], view
+    return sql[:o] + view + " " + sql[span_end + 1 :], view
 
 
 def _has_watermark(df) -> bool:
@@ -1202,10 +1188,6 @@ def execute_match_recognize(spark, sql: str):
     there). NEXT composes with ``PATTERN ... WITHIN`` on streams: the
     matcher classifies each boundary cut, so a decided within-edge
     verdict stays permanent while frontier cuts defer."""
-    from pyspark.sql import functions as F
-
-    from flink_commons_spark.operators.cep import match_pattern
-
     probe = _MR_RE.search(sql)
     if not probe:
         raise ValueError("no MATCH_RECOGNIZE clause in statement")
@@ -1216,9 +1198,30 @@ def execute_match_recognize(spark, sql: str):
     # cheap validations first — the subquery rewrite runs spark.sql
     # and registers a temp view, which a doomed statement should not pay
     sql, subq_view = _inline_subquery_source(spark, sql)
-    if subq_view is not None:
-        probe = _MR_RE.search(sql)
-        close = _find_close(sql, probe.end() - 1)
+    if subq_view is None:
+        return _execute_mr_resolved(spark, sql)
+    try:
+        out = _execute_mr_resolved(spark, sql)
+        # the source subtree is resolved into the returned frame's
+        # analyzed plan; force that analysis before the helper view
+        # goes away
+        out.schema
+        return out
+    finally:
+        # drop on success AND on failure — a statement that raises
+        # after the rewrite must not leak catalog entries
+        spark.catalog.dropTempView(subq_view)
+
+
+def _execute_mr_resolved(spark, sql: str):
+    """:func:`execute_match_recognize` body once the source is a plain
+    table/view identifier (subquery sources already inlined)."""
+    from pyspark.sql import functions as F
+
+    from flink_commons_spark.operators.cep import match_pattern
+
+    probe = _MR_RE.search(sql)
+    close = _find_close(sql, probe.end() - 1)
     sm = _SRC_RE.search(sql, 0, probe.start())
     if not sm:
         raise ValueError("MATCH_RECOGNIZE must follow a table identifier")
@@ -1372,12 +1375,4 @@ def execute_match_recognize(spark, sql: str):
     view = f"__mr_out_{next(_view_ids)}"
     res.createOrReplaceTempView(view)
     outer = sql[: spec.span[0]] + view + " " + sql[spec.span[1] :]
-    out = spark.sql(outer)
-    if subq_view is not None:
-        # the source subtree is resolved into res's analyzed plan
-        # (schema was read above); force the outer statement's
-        # analysis too, then drop the helper view so a long-lived
-        # session does not accumulate catalog entries
-        out.schema
-        spark.catalog.dropTempView(subq_view)
-    return out
+    return spark.sql(outer)

@@ -588,6 +588,29 @@ def test_subquery_source_with_alias(spark):
     assert leftovers == []
 
 
+def test_subquery_source_dropped_on_failure(spark):
+    """A statement that raises AFTER the subquery rewrite (here: an
+    unknown function in MEASURES) must not leak its __mr_src_* helper
+    view — the round-9 review's error-path catalog-growth finding."""
+    spark.createDataFrame(
+        [(1, 1, "view", 5.0)],
+        "user_id bigint, ts_us bigint, event_type string, price double",
+    ).createOrReplaceTempView("mrsub_ev4")
+    for _ in range(3):
+        with pytest.raises(ValueError, match="unsupported function"):
+            execute_match_recognize(spark, """
+                SELECT * FROM (SELECT * FROM mrsub_ev4)
+                  MATCH_RECOGNIZE (
+                    PARTITION BY user_id ORDER BY ts_us
+                    MEASURES BOGUS_FN(a.ts_us) AS s ONE ROW PER MATCH
+                    PATTERN (a) DEFINE a AS a.price >= 0)""")
+    leftovers = [
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith("__mr_src_")
+    ]
+    assert leftovers == []
+
+
 def test_subquery_source_rejects_non_select(spark):
     with pytest.raises(ValueError, match="subquery"):
         execute_match_recognize(spark, """
