@@ -586,6 +586,40 @@ def test_streaming_next_within_kill_and_resume(spark, tmp_path):
     assert (1, 901_000_000, 1) not in set(map(key, ref))
 
 
+def test_streaming_frontier_pending_survives_window_expiry(spark, tmp_path):
+    """A row whose static mask awaits a successor (NEXT frontier) must
+    survive WITHIN expiry while pending — the round-9 review defect in
+    the real stateful harness (the replay property test covers the
+    logic; this drives the applyInPandasWithState state path).
+
+    Key 1's lone view arrives, the watermark then jumps PAST its 5 s
+    pattern window with the successor still unseen (an unprotected
+    expiry would drop the row here), and the successor only arrives
+    afterwards with a 24 s gap — satisfying the single-row pattern's
+    NEXT predicate, so the match must still emit once the mask
+    decides. Key 2 is the control: its successor gap (2 s) fails the
+    predicate — a decided no."""
+    files = [
+        [(1, 1, "view", 0), (2, 1, "view", 0), (2, 3, "x", 0)],
+        [(9998, 20, "x", 0)],  # wm past 1+5s with key 1's mask pending
+        [(1, 25, "x", 0)],  # the late successor (ts >= wm, not late)
+        [(9999, 10_000_000, "x", 0)],
+    ]
+    _file_stream_view(spark, tmp_path, files, "mds_fpe")
+    out = execute_match_recognize(spark, """
+        SELECT user_id, v_us FROM mds_fpe
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ts
+            MEASURES FIRST(v.ts_us) AS v_us
+            ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v) WITHIN INTERVAL '5' SECOND
+            DEFINE v AS v.event_type = 'view'
+                       AND NEXT(v.ts_us) - v.ts_us > 10000000
+          )""")
+    got = _drain(spark, out, "mds_fpe_out", tmp_path)
+    assert sorted(map(tuple, got.collect())) == [(1, 1_000_000)]
+
+
 def test_streaming_next_kill_and_resume(spark, tmp_path):
     """Kill-and-resume for the NEXT-deferral leg: a resumed run over
     the same checkpoint must emit exactly the uninterrupted run's match
