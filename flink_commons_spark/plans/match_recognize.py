@@ -1089,25 +1089,58 @@ _view_ids = itertools.count()
 
 
 def _match_open_paren(sql: str, close_idx: int) -> int:
-    """Index of the ``(`` matching the ``)`` at ``close_idx``
-    (quote-aware forward scan from the statement start)."""
+    """Index of the ``(`` matching the ``)`` at ``close_idx`` — a
+    forward scan from the statement start that skips every span Spark's
+    lexer would: ``'...'`` / ``"..."`` string literals (both ``''``
+    doubling and Spark-default backslash escapes), backtick-quoted
+    identifiers (``` `weird (col` ```, backtick doubled as ``````` ``),
+    ``--`` line comments, and ``/* */`` block comments (non-nesting,
+    per Spark). A paren inside any of those spans is payload, not
+    structure."""
     stack: "list[int]" = []
-    in_q = False
-    for i in range(close_idx + 1):
+    i, n = 0, close_idx + 1
+    while i < n:
         ch = sql[i]
-        if ch == "'":
-            in_q = not in_q
-        elif not in_q:
-            if ch == "(":
-                stack.append(i)
-            elif ch == ")":
-                if not stack:
-                    raise ValueError(
-                        "unbalanced parentheses before MATCH_RECOGNIZE"
-                    )
-                o = stack.pop()
-                if i == close_idx:
-                    return o
+        if ch in ("'", '"'):
+            q = ch
+            i += 1
+            while i < len(sql):
+                if sql[i] == "\\":
+                    i += 2
+                    continue
+                if sql[i] == q:
+                    # '' / "" doubling escapes the quote
+                    if i + 1 < len(sql) and sql[i + 1] == q:
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == "`":
+            i += 1
+            while i < len(sql):
+                if sql[i] == "`":
+                    if i + 1 < len(sql) and sql[i + 1] == "`":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == "-" and sql[i : i + 2] == "--":
+            nl = sql.find("\n", i)
+            i = len(sql) if nl < 0 else nl
+        elif ch == "/" and sql[i : i + 2] == "/*":
+            end = sql.find("*/", i + 2)
+            i = len(sql) if end < 0 else end + 1
+        elif ch == "(":
+            stack.append(i)
+        elif ch == ")":
+            if not stack:
+                raise ValueError(
+                    "unbalanced parentheses before MATCH_RECOGNIZE"
+                )
+            o = stack.pop()
+            if i == close_idx:
+                return o
+        i += 1
     raise ValueError("unbalanced parentheses before MATCH_RECOGNIZE")
 
 
@@ -1141,6 +1174,12 @@ def _inline_subquery_source(spark, sql: str) -> "tuple[str, str | None]":
     j = am.start()  # the ')' position
     span_end = m.start() - 1  # consume trailing alias + whitespace too
     o = _match_open_paren(sql, j)
+    # anchor to the FROM clause: only "FROM ( ... )" is a derived-table
+    # source; a table-function call ("FROM f(x) t") or any other
+    # trailing paren falls through to the plain-source path, whose own
+    # parser owns the error message
+    if not re.search(r"\bFROM\s*$", sql[:o], re.IGNORECASE):
+        return sql, None
     inner = sql[o + 1 : j].strip()
     if not inner.upper().startswith(("SELECT", "WITH")):
         raise ValueError(

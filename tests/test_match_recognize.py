@@ -618,3 +618,61 @@ def test_subquery_source_rejects_non_select(spark):
               MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts_us
                 MEASURES FIRST(a.ts_us) AS s ONE ROW PER MATCH
                 PATTERN (a) DEFINE a AS a.price >= 0)""")
+
+
+def test_match_open_paren_adversarial():
+    """The paren scan skips every span Spark's lexer would: string
+    literals with backslash escapes and '' doubling, double-quoted
+    strings, backtick identifiers, -- line comments, /* */ block
+    comments — a paren/quote inside any of them is payload."""
+    from flink_commons_spark.plans.match_recognize import _match_open_paren
+
+    cases = [
+        # (sql with exactly one REAL balanced pair, open_idx, close_idx)
+        (r"x ('it\'s (' ) y", 2, 13),                  # backslash escape
+        ("x ('it''s (' ) y", 2, 13),                   # '' doubling
+        ('x ("say (" ) y', 2, 11),                     # double-quoted
+        ("x (`weird (col` ) y", 2, 16),                # backtick ident
+        ("x (`a``b(` ) y", 2, 11),                     # `` doubling
+        ("x (-- note ) here\n ) y", 2, 19),            # line comment
+        ("x (/* ) */ ) y", 2, 11),                     # block comment
+    ]
+    for sql, o, c in cases:
+        assert sql[o] == "(" and sql[c] == ")", sql
+        assert _match_open_paren(sql, c) == o, sql
+
+
+def test_subquery_source_with_escaped_literal(spark):
+    """End-to-end: a subquery whose SELECT list contains a
+    backslash-escaped quote and an unbalanced paren inside a string
+    literal still has its span extracted correctly."""
+    spark.createDataFrame(
+        [(1, 1, "click", 6.0)],
+        "user_id bigint, ts_us bigint, event_type string, price double",
+    ).createOrReplaceTempView("mrsub_ev5")
+    out = execute_match_recognize(spark, """
+        SELECT user_id, s FROM (SELECT *, 'it\\'s (' AS lit
+                                FROM mrsub_ev5 -- trailing ) comment
+                               ) t
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ts_us
+            MEASURES FIRST(a.ts_us) AS s ONE ROW PER MATCH
+            PATTERN (a) DEFINE a AS a.event_type = 'click'
+          )""")
+    assert [tuple(r) for r in out.collect()] == [(1, 1)]
+
+
+def test_subquery_detection_anchored_to_from(spark):
+    """A trailing ') [alias]' that is NOT a FROM-clause derived table —
+    e.g. a table-function source 'FROM f(x) t' — must not take the
+    subquery-rewrite path; it falls through unchanged to the plain
+    source parser, which owns the error."""
+    from flink_commons_spark.plans.match_recognize import (
+        _inline_subquery_source,
+    )
+
+    sql = ("SELECT * FROM f(x) t "
+           "MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts_us "
+           "MEASURES FIRST(a.ts_us) AS s ONE ROW PER MATCH "
+           "PATTERN (a) DEFINE a AS a.price >= 0)")
+    assert _inline_subquery_source(spark, sql) == (sql, None)
