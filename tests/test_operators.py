@@ -603,6 +603,23 @@ def test_star_contraction_string_ids_label_parity(spark):
     assert local["日本"] == min("日本".encode(), "中文".encode()).decode()
 
 
+def test_cc_local_mixed_null_ids_no_nan_labels(spark):
+    """A string id column CONTAINING NULLS reaches _cc_local as a mixed
+    object column (str + None). The UTF-8 encode path would map None to
+    NaN and could silently hand a component a NaN label — the all-str
+    gate must route such input to the generic branch: every emitted
+    label is a real string and component labels stay correct."""
+    from flink_commons_spark.operators.graph import connected_components_star
+
+    df = spark.createDataFrame(
+        [("b", "c"), ("a", None), ("x", "a")], "a string, b string"
+    )
+    got = {r.node: r.label for r in connected_components_star(df).collect()}
+    assert all(isinstance(v, str) for v in got.values()), got
+    assert got["b"] == "b" and got["c"] == "b"
+    assert got["x"] == "a" and got["a"] == "a"
+
+
 # ------------------------------------------------------------- sketches
 
 def test_hll_sketch_rollup_accuracy(spark):
