@@ -566,13 +566,46 @@ def stream_match_conversions(
     )
 
 
-#: Spark SQL column type → (state array element type, pandas dtype)
+#: Spark SQL column type → (state field type, numpy dtype or None)
+#: Numeric buffers live in state as a single PACKED ``binary`` blob
+#: (``ndarray.tobytes()`` on store, zero-copy ``np.frombuffer`` on
+#: load) — a settle's store/load is then one memcpy per column instead
+#: of O(rows) Python boxing through ``tolist()``/``pd.array(list)``,
+#: the dominant state-transfer slice in the sf1 settle profile
+#: (PERFORMANCE.md §4c). Strings stay ``array<string>`` (variable
+#: width; Arrow's string transport already avoids per-row boxing).
+#: NOTE: this is a state-SCHEMA change — checkpoints written by
+#: earlier builds do not restore across it (Spark validates the state
+#: schema); streaming checkpoints are not forward-compatible across
+#: engine upgrades that repack state.
 _BUF_TYPES = {
-    "tinyint": ("long", "int64"), "smallint": ("long", "int64"),
-    "int": ("long", "int64"), "bigint": ("long", "int64"),
-    "float": ("double", "float64"), "double": ("double", "float64"),
-    "string": ("string", None),
+    "tinyint": ("binary", "int64"), "smallint": ("binary", "int64"),
+    "int": ("binary", "int64"), "bigint": ("binary", "int64"),
+    "float": ("binary", "float64"), "double": ("binary", "float64"),
+    "string": ("array<string>", None),
 }
+
+
+def _enc_buf(series, spark_type):
+    """One state value for a buffered column: packed bytes for numeric
+    columns, a plain list for strings."""
+    np_dt = _BUF_TYPES[spark_type][1]
+    if np_dt is None:
+        return series.tolist()
+    return series.to_numpy(np_dt).tobytes()
+
+
+def _dec_buf(val, spark_type):
+    """Inverse of :func:`_enc_buf` — numeric blobs decode as ZERO-COPY
+    (read-only) numpy views; every mutating consumer copies anyway
+    (``take``/``concat``)."""
+    import numpy as np
+    import pandas as pd
+
+    np_dt = _BUF_TYPES[spark_type][1]
+    if np_dt is None:
+        return pd.array(val if val is not None else [], dtype=None)
+    return np.frombuffer(val if val is not None else b"", dtype=np_dt)
 
 
 def stream_match_pattern(
@@ -653,7 +686,7 @@ def stream_match_pattern(
                 "timestamps to epoch micros in the source view)"
             )
     state_schema = ", ".join(
-        [f"{c} array<{_BUF_TYPES[t][0]}>" for c, t in buffer_cols]
+        [f"{c} {_BUF_TYPES[t][0]}" for c, t in buffer_cols]
         + ["nctx int", "presorted int"]
     )
     out_cols = [f.strip().split()[0] for f in output_schema.split(",")]
@@ -678,7 +711,7 @@ def stream_match_pattern(
                 # double-pass floor drops to one buffered store.
                 if total:
                     state.update(tuple(
-                        [pdf_all[c].tolist() for c, _ in buffer_cols]
+                        [_enc_buf(pdf_all[c], t) for c, t in buffer_cols]
                         + [nctx, int(presorted)]
                     ))
                     lo = int(ts_raw.min())
@@ -751,7 +784,7 @@ def stream_match_pattern(
                 ctx_start = max(0, keep_from - ctx_rows)
                 rest = pdf_all.iloc[ctx_start:]
                 state.update(tuple(
-                    [rest[c].tolist() for c, _ in buffer_cols]
+                    [_enc_buf(rest[c], t) for c, t in buffer_cols]
                     + [keep_from - ctx_start, 1]  # suffix stays sorted
                 ))
                 cand = [int(ts[total - 1]) // 1000 + 1]
@@ -769,7 +802,7 @@ def stream_match_pattern(
         if state.hasTimedOut:
             vals = state.get
             pdf_all = pd.DataFrame({
-                c: pd.array(vals[i], dtype=_BUF_TYPES[t][1])
+                c: _dec_buf(vals[i], t)
                 for i, (c, t) in enumerate(buffer_cols)
             })
             matches = settle(pdf_all, int(vals[-2]), bool(vals[-1]))
@@ -783,7 +816,7 @@ def stream_match_pattern(
         if state.exists:
             vals = state.get
             prev = pd.DataFrame({
-                c: pd.array(vals[i], dtype=_BUF_TYPES[t][1])
+                c: _dec_buf(vals[i], t)
                 for i, (c, t) in enumerate(buffer_cols)
             })
             new = pd.concat([prev, new], ignore_index=True)
