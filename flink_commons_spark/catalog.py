@@ -4478,11 +4478,35 @@ def pq_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     perm = S.group_dims_by_correlation(emb_s, m=8, dims=64)
     emb_o = S.permute_dims(emb_s, perm).localCheckpoint(eager=False)
     probes_o = emb_o.where("vec_id < 10")
-    cbs_o = S.train_pq_codebooks(emb_o, m=8, ksub=16, dims=64, iterations=1)
+    # one seed collect serves BOTH corpora (emb_o is emb_s with
+    # permuted elements — same 16 lowest-id rows), and the two Lloyd
+    # refinements run as ONE tagged union job: 2 driver actions for
+    # training instead of 4, bit-identical codebooks (profiled A/B in
+    # PERFORMANCE.md; the oracle replays both trainings unchanged)
+    seed_vecs = [
+        list(r[0])
+        for r in emb_s.orderBy("vec_id").limit(16).select("embedding").collect()
+    ]
+    trained = S.train_pq_codebooks_joint(
+        {
+            "o": (
+                emb_o,
+                S.seed_codebooks_from_vectors(
+                    [[v[p] for p in perm] for v in seed_vecs],
+                    m=8, ksub=16, dims=64,
+                ),
+            ),
+            "r": (
+                emb_s,
+                S.seed_codebooks_from_vectors(seed_vecs, m=8, ksub=16, dims=64),
+            ),
+        },
+        m=8, ksub=16, dims=64, iterations=1,
+    )
+    cbs_o, cbs_r = trained["o"], trained["r"]
     ax_o = S.pq_adc_topk(probes_o, emb_o, cbs_o, k=5).select(
         "query_id", "neighbor_id"
     )
-    cbs_r = S.train_pq_codebooks(emb_s, m=8, ksub=16, dims=64, iterations=1)
     ax_r = S.pq_adc_topk(probes_s, emb_s, cbs_r, k=5).select(
         "query_id", "neighbor_id"
     )

@@ -650,12 +650,30 @@ def pq_codebooks(
     """
     if dims % m:
         raise ValueError(f"dims={dims} not divisible by m={m}")
-    d_sub = dims // m
     rows = corpus.orderBy(id_col).limit(ksub).select(vec_col).collect()
-    if len(rows) < ksub:
+    return seed_codebooks_from_vectors(
+        [r[0] for r in rows], m=m, ksub=ksub, dims=dims
+    )
+
+
+def seed_codebooks_from_vectors(
+    vectors: "list[list[float]]", m: int = 8, ksub: int = 16, dims: int = 64
+) -> list[list[list[float]]]:
+    """Driver-side seed slicer behind :func:`pq_codebooks`: codebooks
+    from ALREADY-COLLECTED seed vectors. Callers that can derive one
+    corpus's seeds from another's (e.g. an OPQ-permuted twin of the
+    same corpus — identical rows, permuted elements) use this to avoid
+    a second seed-collect job."""
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    if len(vectors) < ksub:
         raise ValueError(f"corpus has fewer than ksub={ksub} vectors")
+    d_sub = dims // m
     return [
-        [[float(x) for x in r[0][j * d_sub:(j + 1) * d_sub]] for r in rows]
+        [
+            [float(x) for x in v[j * d_sub:(j + 1) * d_sub]]
+            for v in vectors[:ksub]
+        ]
         for j in range(m)
     ]
 
@@ -716,6 +734,67 @@ def train_pq_codebooks(
         new = [[list(cw) for cw in cb] for cb in cbs]
         for row in means.collect():
             new[row["j"]][row["code"]] = [
+                float(row[f"c{i}"]) for i in range(d_sub)
+            ]
+        cbs = new
+    return cbs
+
+
+def train_pq_codebooks_joint(
+    corpora: "dict[str, tuple[DataFrame, list[list[list[float]]]]]",
+    m: int = 8,
+    ksub: int = 16,
+    dims: int = 64,
+    iterations: int = 1,
+    vec_col: str = "embedding",
+) -> "dict[str, list[list[list[float]]]]":
+    """Refine PQ codebooks for SEVERAL corpora in ONE distributed
+    aggregate per iteration — bit-identical per corpus to
+    :func:`train_pq_codebooks` (the per-cell mean groups on an extra
+    corpus tag, so corpora never mix; the decimal(18,6) sums keep each
+    cell order-independent), but the Lloyd step is a single union job
+    instead of one assignment + one aggregate job per corpus. At
+    cluster scale that halves scheduler round-trips for the common
+    A/B-training shape (e.g. raw vs OPQ-permuted corpus); the driver
+    holds len(corpora) × m × ksub aggregate rows.
+
+    ``corpora`` maps a tag to ``(corpus, seed_codebooks)`` — seeds
+    from :func:`pq_codebooks` or :func:`seed_codebooks_from_vectors`.
+    """
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    d_sub = dims // m
+    cbs = {tag: cb for tag, (_, cb) in corpora.items()}
+    for _ in range(iterations):
+        tagged = None
+        for tag, (df, _) in corpora.items():
+            coded = with_pq_codes(df, cbs[tag], vec_col).select(
+                F.lit(tag).alias("__corpus"),
+                F.transform(
+                    F.col(vec_col), lambda x: x.cast("double")
+                ).alias("__v"),
+                F.posexplode("pq_codes").alias("j", "code"),
+            )
+            tagged = coded if tagged is None else tagged.unionByName(coded)
+        means = tagged.groupBy("__corpus", "j", "code").agg(
+            *[
+                F.round(
+                    F.sum(
+                        F.get(F.col("__v"), F.col("j") * d_sub + i).cast(
+                            "decimal(18,6)"
+                        )
+                    ).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias(f"c{i}")
+                for i in range(d_sub)
+            ],
+        )
+        new = {
+            tag: [[list(cw) for cw in cb] for cb in cbs[tag]] for tag in cbs
+        }
+        for row in means.collect():
+            new[row["__corpus"]][row["j"]][row["code"]] = [
                 float(row[f"c{i}"]) for i in range(d_sub)
             ]
         cbs = new
