@@ -267,7 +267,9 @@ class SqlSubmitAction(Action):
         )
 
         if contains_match_recognize(sql):
-            return execute_match_recognize(spark, sql)
+            return execute_match_recognize(
+                spark, sql, strict_compat=self.strict_compat
+            )
         return spark.sql(sql)
 
     # ------------------------------------------------------------------ DDL

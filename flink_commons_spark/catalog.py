@@ -9160,6 +9160,197 @@ def stream_match_subquery_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_match_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE pattern ALTERNATION — ``PATTERN (v (c|e)* p)``:
+    the funnel whose middle leg accepts clicks OR errors, a SQL:2016
+    row-pattern feature Flink 1.16 REJECTS (this engine accepts it as
+    a flagged extension; ``--strict-compat`` keeps the parity
+    rejection — ``plans/match_recognize.py:parse_match_recognize``).
+    The NFA runs the group as ONE step on the UNION of the member
+    masks; each matched row is attributed to the LEFTMOST member whose
+    predicate holds (the standard's alternative preference), so
+    per-member measures (``COUNT(c.*)``, ``COUNT(e.*)``) see exactly
+    their rows and ``COUNT(*)`` counts each row once. Member
+    predicates are mutually exclusive by event type, so the oracle is
+    the gaps-and-islands formulation over the UNION type set plus the
+    zero-length group case."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_events_view(spark, sf_dir, "mr_events_src")
+    return execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, end_us, n_clicks, n_errors, n_rows
+        FROM mr_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            MEASURES
+              FIRST(v.ts_us) AS start_us,
+              LAST(p.ts_us) AS end_us,
+              COUNT(c.*) AS n_clicks,
+              COUNT(e.*) AS n_errors,
+              COUNT(*) AS n_rows
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v (c|e)* p)
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              e AS e.event_type = 'error',
+              p AS p.event_type = 'purchase'
+          )
+    """))
+
+
+# maximal runs of click/error rows bounded by an immediately-preceding
+# view and immediately-following purchase (mutually-exclusive member
+# predicates make the greedy group = the maximal island), plus the
+# zero-length-group case (view directly before purchase); per-member
+# measures split the run by event type
+_MATCH_ALTERNATION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+isl AS (
+  SELECT user_id, rn, event_type, cents,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type IN ('click', 'error')
+),
+runs AS (
+  SELECT user_id, min(rn) AS srn, max(rn) AS ern,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::bigint
+           AS n_clicks,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::bigint
+           AS n_errors
+  FROM isl GROUP BY user_id, grp
+),
+grp_matches AS (
+  SELECT r.user_id, v.ts_us AS start_us, p.ts_us AS end_us,
+         r.n_clicks, r.n_errors,
+         r.n_clicks + r.n_errors + 2 AS n_rows
+  FROM runs r
+  JOIN seq v ON v.user_id = r.user_id AND v.rn = r.srn - 1
+            AND v.event_type = 'view'
+  JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
+            AND p.event_type = 'purchase'
+),
+zero_matches AS (
+  SELECT v.user_id, v.ts_us AS start_us, p.ts_us AS end_us,
+         0::bigint AS n_clicks, 0::bigint AS n_errors,
+         2::bigint AS n_rows
+  FROM seq v
+  JOIN seq p ON p.user_id = v.user_id AND p.rn = v.rn + 1
+  WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+)
+SELECT * FROM grp_matches UNION ALL SELECT * FROM zero_matches
+"""
+
+
+@_with_stream_shuffle(16)
+def stream_match_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of :func:`q_match_alternation`: the alternation
+    group runs inside the watermark-gated buffered NFA
+    (``streaming/cep_stream.py:stream_match_pattern`` — union mask in
+    the backtracker, member attribution at emit time). The final
+    variable is an exactly-one purchase, so a completed match at the
+    closed-prefix tail is DECIDED (no greedy trailing quantifier) and
+    the availableNow run converges to the batch islands oracle over
+    the watermark-closed prefix."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_stream_events_view(spark, sf_dir, "mr_stream_events_src")
+    out = execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, end_us, n_clicks, n_errors, n_rows
+        FROM mr_stream_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES
+              FIRST(v.ts_us) AS start_us,
+              LAST(p.ts_us) AS end_us,
+              COUNT(c.*) AS n_clicks,
+              COUNT(e.*) AS n_errors,
+              COUNT(*) AS n_rows
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v (c|e)* p)
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              e AS e.event_type = 'error',
+              p AS p.event_type = 'purchase'
+          )
+    """))
+    name = "fcs_stream_mr_alt"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-mralt-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(name)
+
+
+# the batch islands formulation over the watermark-CLOSED prefix (keys
+# whose newest event sits on the final watermark never close, exactly
+# like the other stream_match_* oracles)
+_STREAM_MATCH_ALTERNATION_ORACLE = """
+WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
+seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+  WHERE epoch_us(ts) // 1000 < (SELECT wm_ms FROM wm)
+),
+isl AS (
+  SELECT user_id, rn, event_type, cents,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type IN ('click', 'error')
+),
+runs AS (
+  SELECT user_id, min(rn) AS srn, max(rn) AS ern,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::bigint
+           AS n_clicks,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::bigint
+           AS n_errors
+  FROM isl GROUP BY user_id, grp
+),
+grp_matches AS (
+  SELECT r.user_id, v.ts_us AS start_us, p.ts_us AS end_us,
+         r.n_clicks, r.n_errors,
+         r.n_clicks + r.n_errors + 2 AS n_rows
+  FROM runs r
+  JOIN seq v ON v.user_id = r.user_id AND v.rn = r.srn - 1
+            AND v.event_type = 'view'
+  JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
+            AND p.event_type = 'purchase'
+),
+zero_matches AS (
+  SELECT v.user_id, v.ts_us AS start_us, p.ts_us AS end_us,
+         0::bigint AS n_clicks, 0::bigint AS n_errors,
+         2::bigint AS n_rows
+  FROM seq v
+  JOIN seq p ON p.user_id = v.user_id AND p.rn = v.rn + 1
+  WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+)
+SELECT * FROM grp_matches UNION ALL SELECT * FROM zero_matches
+"""
+
+
 _STREAM_MATCH_SUBQUERY_SRC_ORACLE = """
 WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms
             FROM events WHERE event_type <> 'signup'),
@@ -11470,6 +11661,8 @@ QUERIES = {
     "stream_match_prev_xvar": stream_match_prev_xvar,
     "q_match_subquery_src": q_match_subquery_src,
     "stream_match_subquery_src": stream_match_subquery_src,
+    "q_match_alternation": q_match_alternation,
+    "stream_match_alternation": stream_match_alternation,
     "pq_opq_recall": pq_opq_recall,
     "stream_match_quantified": stream_match_quantified,
     "stream_match_skip_to_next": stream_match_skip_to_next,
@@ -11672,6 +11865,8 @@ ORACLES = {
     "stream_match_prev_xvar": _STREAM_MATCH_PREV_XVAR_ORACLE,
     "q_match_subquery_src": _MATCH_SUBQUERY_SRC_ORACLE,
     "stream_match_subquery_src": _STREAM_MATCH_SUBQUERY_SRC_ORACLE,
+    "q_match_alternation": _MATCH_ALTERNATION_ORACLE,
+    "stream_match_alternation": _STREAM_MATCH_ALTERNATION_ORACLE,
     "pq_opq_recall": _PQ_OPQ_RECALL_ORACLE,
     "stream_match_quantified": _STREAM_MATCH_QUANTIFIED_ORACLE,
     "stream_match_skip_to_next": _STREAM_MATCH_SKIP_TO_NEXT_ORACLE,

@@ -60,10 +60,22 @@ class Step:
     ``next_depth`` is streaming-only metadata: the deepest ``NEXT``
     offset this step's predicate navigates forward. The streaming
     matcher withholds the step's last ``next_depth`` closed rows from
-    decisions (their masks await successors); batch ignores it."""
+    decisions (their masks await successors); batch ignores it.
+
+    ``alts`` marks the step as an ALTERNATION group ``(A|B)``: a list
+    of ``(member_name, member_where)`` pairs. The step's ``where``
+    must be the union of the member predicates (the group matches a
+    row iff SOME member does); after a match, each consumed row is
+    attributed to the FIRST member whose predicate holds there
+    (SQL:2016's leftmost-alternative preference, applied per row), and
+    the executors register a measures segment under EACH member name.
+    Sound exactly when member choice cannot affect the continuation —
+    the parser therefore only builds alternations from row-local
+    (static) member predicates and rejects combining them with
+    match-state-dependent DEFINEs."""
 
     __slots__ = ("name", "where", "lo", "hi", "reluctant", "dyn",
-                 "next_depth")
+                 "next_depth", "alts")
 
     def __init__(
         self,
@@ -76,12 +88,14 @@ class Step:
         reluctant: bool = False,
         dyn: "Callable[[_DynCtx], Any] | None" = None,
         next_depth: int = 0,
+        alts: "list[tuple[str, Callable]] | None" = None,
     ):
         self.name = name
         self.where = where
         self.reluctant = reluctant
         self.dyn = dyn
         self.next_depth = next_depth
+        self.alts = alts
         if quant is not None:
             self.lo, self.hi = quant
         elif plus:
@@ -117,6 +131,39 @@ class _DynCtx:
         self.asg: dict[str, list[int]] = {}
         self.cur = 0
         self.off = 0
+
+
+def _alt_member_masks(steps: Sequence[Step], pdf: pd.DataFrame) -> dict:
+    """Per-member boolean masks for every alternation step — computed
+    once per frame (vectorized), read per match during attribution."""
+    out: dict[str, Any] = {}
+    for s in steps:
+        if s.alts:
+            for aname, afn in s.alts:
+                out[aname] = afn(pdf).to_numpy(dtype=bool, na_value=False)
+    return out
+
+
+def _add_alt_segs(steps, hit, alt_masks, cols, segs) -> None:
+    """Attribute each alternation step's matched rows to members
+    (leftmost member whose predicate holds — SQL:2016 alternative
+    preference, per row) and register a segment per member name."""
+    import numpy as np
+
+    for s, pos in zip(steps, hit):
+        if not s.alts:
+            continue
+        per: dict[str, list[int]] = {aname: [] for aname, _ in s.alts}
+        names = [aname for aname, _ in s.alts]
+        for p in pos:
+            for aname in names:
+                if alt_masks[aname][p]:
+                    per[aname].append(p)
+                    break
+        for aname in names:
+            segs[aname] = _Seg(
+                cols, np.asarray(per[aname], dtype=np.intp)
+            )
 
 
 def _run_ends(masks: list, n: int) -> list:
@@ -328,11 +375,17 @@ class _Seg:
     copy), ``len(seg)`` the row count — without the per-match
     ``DataFrame.iloc[list]`` materialization that dominated the
     matcher's profile (~75 % of wall time at sf0.1: three block-manager
-    ``take``s per match for a handful of scalar reads)."""
+    ``take``s per match for a handful of scalar reads).
+
+    ``rng`` is a contiguous ``range`` for plain pattern variables (the
+    zero-copy slice path); alternation MEMBERS attribute possibly
+    NON-contiguous rows, passed as an integer position array — those
+    read via numpy fancy indexing (a copy, but member segments are a
+    handful of rows)."""
 
     __slots__ = ("_cols", "_rng")
 
-    def __init__(self, cols: dict, rng: range):
+    def __init__(self, cols: dict, rng):
         self._cols = cols
         self._rng = rng
 
@@ -340,23 +393,33 @@ class _Seg:
         return len(self._rng)
 
     def __getitem__(self, col: str) -> pd.Series:
-        return pd.Series(self._cols[col][self._rng.start : self._rng.stop])
+        r = self._rng
+        a = self._cols[col]
+        return pd.Series(a[r.start : r.stop] if type(r) is range else a[r])
 
     def scalar(self, col: str, i: int):
         """One value of ``col`` at position ``i`` (negative = from the
         end) without Series construction — the measures hot path."""
         r = self._rng
-        return self._cols[col][r.start + i if i >= 0 else r.stop + i]
+        if type(r) is range:
+            return self._cols[col][r.start + i if i >= 0 else r.stop + i]
+        return self._cols[col][r[i]]
 
     def array(self, col: str):
-        """Numpy view of ``col`` over the matched slice."""
-        return self._cols[col][self._rng.start : self._rng.stop]
+        """Numpy view of ``col`` over the matched slice (fancy-index
+        copy for non-contiguous alternation-member positions)."""
+        r = self._rng
+        a = self._cols[col]
+        return a[r.start : r.stop] if type(r) is range else a[r]
 
     def to_frame(self) -> pd.DataFrame:
         """Materialize the full matched slice (rarely needed)."""
-        return pd.DataFrame(
-            {c: a[self._rng.start : self._rng.stop] for c, a in self._cols.items()}
-        )
+        r = self._rng
+        if type(r) is range:
+            return pd.DataFrame(
+                {c: a[r.start : r.stop] for c, a in self._cols.items()}
+            )
+        return pd.DataFrame({c: a[r] for c, a in self._cols.items()})
 
 
 def match_pattern(
@@ -458,6 +521,7 @@ def match_pattern(
         n = len(pdf)
         masks = [s.where(pdf).to_numpy(dtype=bool, na_value=False) for s in step_list]
         run_ends = _run_ends(masks, n)
+        alt_masks = _alt_member_masks(step_list, pdf)
         cols = {c: pdf[c].to_numpy() for c in pdf.columns}
         ts = (
             pdf[order_cols[0]].to_numpy("int64")
@@ -501,6 +565,8 @@ def match_pattern(
                 i += 1
                 continue
             segs = {s.name: _Seg(cols, pos) for s, pos in zip(step_list, hit)}
+            if alt_masks:
+                _add_alt_segs(step_list, hit, alt_masks, cols, segs)
             out.append(measures(key, segs))
             i = _resume(i, hit)
         return out

@@ -26,8 +26,12 @@ Supported surface (the reference demo's dialect of the standard):
 - ``AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | TO [FIRST|LAST] V``;
 - ``PATTERN`` with the NFA's quantifiers: ``V``, ``V+``, ``V*``,
   ``V?``, ``V{l,u}``, ``V{l,}``, and the reluctant ``+? *? ??``
-  variants (no alternation/grouping — Flink's CEP SQL also rejects
-  ``|`` inside PATTERN);
+  variants; plus — as a flagged SQL:2016 EXTENSION beyond Flink 1.16,
+  which rejects ``|`` inside PATTERN — single-level alternation
+  groups ``(A|B)`` of plain variables, quantifiable as a group
+  (``(A|B)+`` etc.), with row-local member predicates; each matched
+  row is attributed to the leftmost member whose predicate holds.
+  ``--strict-compat`` keeps Flink's rejection;
 - ``WITHIN INTERVAL 'n' UNIT``;
 - ``DEFINE V AS <predicate>`` with comparisons, arithmetic, AND/OR/
   NOT, ``IS [NOT] NULL``, and row-navigation ``PREV(expr [, n])`` /
@@ -55,8 +59,10 @@ read rows at or before the candidate, all watermark-closed).
 
 Not supported (raises with a clear message): ``ALL ROWS PER MATCH``
 (Flink's MATCH_RECOGNIZE likewise emits ONE ROW PER MATCH only),
-pattern alternation/permutation, and subqueries as the
-MATCH_RECOGNIZE source (register a view first). ``NEXT()`` works on
+pattern permutation, alternation combined with match-state-dependent
+DEFINEs, and alternation under ``--strict-compat`` (Flink parity).
+Derived-table sources ``FROM (SELECT ...)`` ARE supported (inlined as
+a temp view). ``NEXT()`` works on
 streaming sources too — the navigating step's newest closed rows wait
 for their successors to close, per-step, so decided matches still
 emit at the buffer tail (see :func:`execute_match_recognize`).
@@ -84,7 +90,7 @@ _BODY_RE = re.compile(
     r"(?:(?P<rowmode>ONE\s+ROW\s+PER\s+MATCH|ALL\s+ROWS\s+PER\s+MATCH)\s+)?"
     r"(?:AFTER\s+MATCH\s+(?P<skip>SKIP\s+(?:PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW"
     r"|TO\s+(?:FIRST\s+|LAST\s+)?\w+))\s+)?"
-    r"PATTERN\s*\(\s*(?P<pat>[^)]*?)\s*\)\s*"
+    r"PATTERN\s*\(\s*(?P<pat>(?:[^()]|\([^()]*\))*?)\s*\)\s*"
     r"(?:WITHIN\s+INTERVAL\s+'(?P<wn>\d+)'\s+(?P<wu>SECOND|MINUTE|HOUR|DAY)S?\s*)?"
     r"DEFINE\s+(?P<def>.*?)\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -93,6 +99,31 @@ _BODY_RE = re.compile(
 _PAT_TOKEN_RE = re.compile(
     r"^(?P<name>\w+)(?P<q>\{\d+(?:,\d*)?\}|[+*?])?(?P<rel>\?)?$"
 )
+
+#: pattern scanner: an alternation group ``(A|B)q`` or a plain
+#: variable ``Vq`` — gaps between tokens must be whitespace
+_PAT_SCAN_RE = re.compile(
+    r"\(\s*(?P<alts>\w+(?:\s*\|\s*\w+)+)\s*\)"
+    r"(?P<gq>\{\d+(?:,\d*)?\}|[+*?])?(?P<grel>\?)?"
+    r"|(?P<name>\w+)(?P<q>\{\d+(?:,\d*)?\}|[+*?])?(?P<rel>\?)?"
+)
+
+
+def _parse_quant(q: str) -> "tuple[int, int | None]":
+    """Quantifier suffix → (lo, hi); ``hi=None`` unbounded."""
+    if q == "+":
+        return 1, None
+    if q == "*":
+        return 0, None
+    if q == "?":
+        return 0, 1
+    if q.startswith("{"):
+        inner = q[1:-1]
+        if "," in inner:
+            a, b = inner.split(",")
+            return int(a), (int(b) if b else None)
+        return int(inner), int(inner)
+    return 1, 1
 
 _WITHIN_US = {"SECOND": 10**6, "MINUTE": 60 * 10**6,
               "HOUR": 3600 * 10**6, "DAY": 86400 * 10**6}
@@ -569,9 +600,11 @@ class _ExprParser:
     def _agg(self, fname: str) -> _Node:
         count_kind, var, col, ctype, n = self._agg_args(fname)
         if count_kind == "*":
-            return _Node(
-                lambda c: sum(len(s) for s in c["segs"].values()), "bigint"
-            )
+            # total rows of the match = the PATTERN STEPS' segments
+            # only (precomputed by measures_fn) — the segs dict also
+            # carries per-member views for alternation groups, which a
+            # naive sum over segs.values() would double-count
+            return _Node(lambda c: c["n_rows"], "bigint")
         if count_kind == "V*":
             return _Node(lambda c, var=var: len(c["segs"][var]), "bigint")
         # nodes read the matcher's zero-copy segment views directly
@@ -878,11 +911,18 @@ def _split_top(text: str) -> list[str]:
 
 
 def parse_match_recognize(
-    sql: str, col_types: dict[str, str]
+    sql: str, col_types: dict[str, str], strict_compat: bool = False
 ) -> MatchRecognizeSpec:
     """Parse the (single) MATCH_RECOGNIZE clause out of ``sql``.
     ``col_types`` maps the source's columns to Spark SQL type strings
-    (needed to type the DEFINE/MEASURES expressions)."""
+    (needed to type the DEFINE/MEASURES expressions).
+
+    ``strict_compat=True`` keeps Flink 1.16 parity exactly: pattern
+    alternation ``(A|B)`` is rejected like Flink's CEP SQL rejects it.
+    The default accepts single-level alternation groups of plain
+    variables — an EXTENSION beyond the reference (SQL:2016 feature
+    Flink lacks) — with row-local member predicates; each matched row
+    is attributed to the leftmost member whose predicate holds."""
     import pandas as pd
 
     from flink_commons_spark.operators.cep import Step
@@ -925,36 +965,60 @@ def parse_match_recognize(
     if not order:
         raise ValueError("MATCH_RECOGNIZE requires ORDER BY")
 
-    # pattern variables + quantifiers
-    steps_raw: list[tuple[str, int, "int | None", bool]] = []
-    for tok in bm.group("pat").split():
-        tm = _PAT_TOKEN_RE.match(tok)
-        if not tm:
-            raise ValueError(f"unsupported PATTERN token {tok!r} "
-                             "(alternation/grouping not supported)")
-        q = tm.group("q") or ""
-        lo, hi = 1, 1
-        if q == "+":
-            lo, hi = 1, None
-        elif q == "*":
-            lo, hi = 0, None
-        elif q == "?":
-            lo, hi = 0, 1
-        elif q.startswith("{"):
-            inner = q[1:-1]
-            if "," in inner:
-                a, b = inner.split(",")
-                lo, hi = int(a), (int(b) if b else None)
-            else:
-                lo = hi = int(inner)
-        rel = tm.group("rel") == "?"
-        if rel and not q:
-            raise ValueError(f"bare '?' without quantifier in {tok!r}")
-        steps_raw.append((tm.group("name").upper(), lo, hi, rel))
-    variables = {name for name, *_ in steps_raw}
-    if len(variables) != len(steps_raw):
+    # pattern variables + quantifiers; an entry's last element is the
+    # alternation member list (None for a plain variable)
+    pat_text = bm.group("pat")
+    if strict_compat and ("(" in pat_text or "|" in pat_text):
+        raise ValueError("unsupported PATTERN token "
+                         "(alternation/grouping not supported)")
+    steps_raw: "list[tuple[str, int, int | None, bool, list[str] | None]]" \
+        = []
+    pos = 0
+    for tm in _PAT_SCAN_RE.finditer(pat_text):
+        if pat_text[pos:tm.start()].strip():
+            raise ValueError(
+                f"unsupported PATTERN token {pat_text[pos:tm.start()].strip()!r} "
+                "(alternation/grouping not supported)"
+            )
+        pos = tm.end()
+        if tm.group("alts"):
+            members = [
+                a.strip().upper() for a in tm.group("alts").split("|")
+            ]
+            lo, hi = _parse_quant(tm.group("gq") or "")
+            rel = tm.group("grel") == "?"
+            if rel and not tm.group("gq"):
+                raise ValueError(
+                    f"bare '?' without quantifier in {tm.group(0)!r}"
+                )
+            steps_raw.append(("|".join(members), lo, hi, rel, members))
+        else:
+            lo, hi = _parse_quant(tm.group("q") or "")
+            rel = tm.group("rel") == "?"
+            if rel and not tm.group("q"):
+                raise ValueError(
+                    f"bare '?' without quantifier in {tm.group(0)!r}"
+                )
+            steps_raw.append((tm.group("name").upper(), lo, hi, rel, None))
+    if pat_text[pos:].strip():
+        raise ValueError(
+            f"unsupported PATTERN token {pat_text[pos:].strip()!r} "
+            "(alternation/grouping not supported)"
+        )
+    if not steps_raw:
+        raise ValueError("empty PATTERN")
+    variables: set = set()
+    n_named = 0
+    for name, _, _, _, members in steps_raw:
+        names = members if members else [name]
+        n_named += len(names)
+        variables.update(names)
+    if len(variables) != n_named:
         raise ValueError("repeated pattern variables are not supported "
                          "(per-variable MEASURES would be ambiguous)")
+    alt_members = {
+        a for _, _, _, _, members in steps_raw if members for a in members
+    }
 
     used_cols: set = set()
     max_prev = 0
@@ -1018,17 +1082,48 @@ def parse_match_recognize(
     def _wild(p):
         return pd.Series(True, index=p.index)
 
-    steps = [
-        Step(
+    if alt_members and dyn_defines:
+        # member choice must not affect the continuation for the
+        # union-mask + leftmost-attribution execution to equal the
+        # true alternating NFA; a match-state-dependent DEFINE (its
+        # own, or one that could read a member's running state) breaks
+        # that, so the combination is rejected outright
+        raise ValueError(
+            "pattern alternation cannot be combined with match-state-"
+            "dependent DEFINE predicates (FIRST/LAST, running "
+            "aggregates, cross-variable reads) — alternation members "
+            "and all other variables must be row-local"
+        )
+
+    steps = []
+    for name, lo, hi, rel, members in steps_raw:
+        if members is None:
+            steps.append(Step(
+                name,
+                defines.get(name, _wild),
+                quant=(lo, hi),
+                reluctant=rel,
+                dyn=dyn_defines.get(name),
+                next_depth=var_next.get(name, 0),
+            ))
+            continue
+        member_fns = [(a, defines.get(a, _wild)) for a in members]
+
+        def _union(pdf, fns=tuple(f for _, f in member_fns)):
+            m = fns[0](pdf)
+            for f in fns[1:]:
+                m = m | f(pdf)
+            return m
+
+        steps.append(Step(
             name,
-            defines.get(name, _wild),
+            _union,
             quant=(lo, hi),
             reluctant=rel,
-            dyn=dyn_defines.get(name),
-            next_depth=var_next.get(name, 0),
-        )
-        for name, lo, hi, rel in steps_raw
-    ]
+            next_depth=max((var_next.get(a, 0) for a in members),
+                           default=0),
+            alts=member_fns,
+        ))
 
     measures: list[tuple[str, _Node]] = []
     needs_last_row = False
@@ -1058,6 +1153,11 @@ def parse_match_recognize(
         after_match = ("to_last", skip[3])
     else:  # SKIP TO <var> is SKIP TO LAST <var> in the standard
         after_match = ("to_last", skip[2])
+    if isinstance(after_match, tuple) and after_match[1] in alt_members:
+        raise ValueError(
+            "AFTER MATCH SKIP TO an alternation member is not supported "
+            "(skip targets must be plain pattern variables)"
+        )
 
     within_us = None
     if bm.group("wn"):
@@ -1201,7 +1301,7 @@ def _has_watermark(df) -> bool:
         return False
 
 
-def execute_match_recognize(spark, sql: str):
+def execute_match_recognize(spark, sql: str, strict_compat: bool = False):
     """Run a SELECT statement containing MATCH_RECOGNIZE: the clause
     executes on the keyed NFA — batch sources on
     :func:`operators.cep.match_pattern` (one hash exchange on
@@ -1226,7 +1326,11 @@ def execute_match_recognize(spark, sql: str):
     (Flink's NEXT over an unbounded stream likewise never resolves
     there). NEXT composes with ``PATTERN ... WITHIN`` on streams: the
     matcher classifies each boundary cut, so a decided within-edge
-    verdict stays permanent while frontier cuts defer."""
+    verdict stays permanent while frontier cuts defer.
+
+    ``strict_compat=True`` keeps the Flink 1.16 parity rejections
+    (notably pattern alternation — see :func:`parse_match_recognize`);
+    the default enables the flagged SQL:2016 extensions."""
     probe = _MR_RE.search(sql)
     if not probe:
         raise ValueError("no MATCH_RECOGNIZE clause in statement")
@@ -1238,9 +1342,9 @@ def execute_match_recognize(spark, sql: str):
     # and registers a temp view, which a doomed statement should not pay
     sql, subq_view = _inline_subquery_source(spark, sql)
     if subq_view is None:
-        return _execute_mr_resolved(spark, sql)
+        return _execute_mr_resolved(spark, sql, strict_compat)
     try:
-        out = _execute_mr_resolved(spark, sql)
+        out = _execute_mr_resolved(spark, sql, strict_compat)
         # the source subtree is resolved into the returned frame's
         # analyzed plan; force that analysis before the helper view
         # goes away
@@ -1252,7 +1356,7 @@ def execute_match_recognize(spark, sql: str):
         spark.catalog.dropTempView(subq_view)
 
 
-def _execute_mr_resolved(spark, sql: str):
+def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
     """:func:`execute_match_recognize` body once the source is a plain
     table/view identifier (subquery sources already inlined)."""
     from pyspark.sql import functions as F
@@ -1267,7 +1371,7 @@ def _execute_mr_resolved(spark, sql: str):
     src_df = spark.table(sm.group("src"))
     streaming = src_df.isStreaming
     col_types = {f.name: f.dataType.simpleString() for f in src_df.schema.fields}
-    spec = parse_match_recognize(sql, col_types)
+    spec = parse_match_recognize(sql, col_types, strict_compat=strict_compat)
 
     df = src_df
     order_cols = list(spec.order_by)
@@ -1315,7 +1419,12 @@ def _execute_mr_resolved(spark, sql: str):
                         for c in needed if c in seg._cols
                     }
                     break
-        ctx = {"key": key_map, "segs": segs, "last_row": last_row}
+        ctx = {
+            "key": key_map,
+            "segs": segs,
+            "last_row": last_row,
+            "n_rows": sum(len(segs[name]) for name in step_names),
+        }
         row = dict(key_map)
         for name, node in measure_nodes:
             row[name] = node.fn(ctx)

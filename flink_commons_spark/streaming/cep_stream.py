@@ -672,6 +672,8 @@ def stream_match_pattern(
     from flink_commons_spark.operators.cep import (
         _DynCtx,
         _Seg,
+        _add_alt_segs,
+        _alt_member_masks,
         _step_bounds,
     )
 
@@ -748,6 +750,7 @@ def stream_match_pattern(
                 s.where(pdf_closed).to_numpy(dtype=bool, na_value=False)
                 for s in step_list
             ]
+            alt_masks = _alt_member_masks(step_list, pdf_closed)
             cols = {c: pdf_closed[c].to_numpy() for c in pdf_closed.columns}
             out = []
 
@@ -756,6 +759,8 @@ def stream_match_pattern(
                     s.name: _Seg(cols, pos)
                     for s, pos in zip(step_list, hit)
                 }
+                if alt_masks:
+                    _add_alt_segs(step_list, hit, alt_masks, cols, segs)
                 out.append(measures(key, segs))
 
             consumed, pending = _scan_closed_prefix(

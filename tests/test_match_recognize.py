@@ -662,6 +662,142 @@ def test_subquery_source_with_escaped_literal(spark):
     assert [tuple(r) for r in out.collect()] == [(1, 1)]
 
 
+# --------------------------------------------------- pattern alternation
+
+
+def _alt_view(spark, rows, name):
+    spark.createDataFrame(
+        rows, "user_id bigint, ts_us bigint, event_type string, price double"
+    ).createOrReplaceTempView(name)
+
+
+def test_alternation_batch_end_to_end(spark):
+    """``PATTERN (v (c|s)* p)`` — the SQL:2016 alternation extension:
+    the group matches the union of the member predicates, per-member
+    COUNTs split the run, member aggregates (SUM/LAST/FIRST) read the
+    attributed rows, an empty member aggregates to NULL, and COUNT(*)
+    counts each matched row exactly once (not once per member seg)."""
+    _alt_view(spark, [
+        (1, 1, "view", 0.5), (1, 2, "click", 1.0), (1, 3, "scroll", 2.0),
+        (1, 4, "click", 3.0), (1, 5, "purchase", 4.0),
+        (2, 1, "view", 0.0), (2, 2, "purchase", 1.0),
+        (3, 1, "view", 0.0), (3, 2, "signup", 1.0), (3, 3, "purchase", 2.0),
+    ], "alt_ev1")
+    out = execute_match_recognize(spark, """
+        SELECT user_id, n_c, n_s, sum_c, last_s, first_c, n
+        FROM alt_ev1 MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES COUNT(c.*) AS n_c, COUNT(s.*) AS n_s,
+                   SUM(c.price) AS sum_c, LAST(s.price) AS last_s,
+                   FIRST(c.ts_us) AS first_c, COUNT(*) AS n
+          ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (v (c|s)* p)
+          DEFINE v AS v.event_type = 'view', c AS c.event_type = 'click',
+                 s AS s.event_type = 'scroll',
+                 p AS p.event_type = 'purchase'
+        )""")
+    got = sorted(map(tuple, out.collect()))
+    assert got == [
+        (1, 2, 1, 4.0, 2.0, 2, 5),          # clicks at ts 2,4; scroll at 3
+        (2, 0, 0, None, None, None, 2),     # zero-length group
+    ]  # user 3: signup breaks adjacency — no match
+
+
+def test_alternation_leftmost_preference(spark):
+    """A row satisfying BOTH members is attributed to the LEFTMOST
+    alternative (SQL:2016 preference order), not to every member."""
+    _alt_view(spark, [
+        (1, 1, "view", 0.0), (1, 2, "x", 5.0), (1, 3, "x", 0.5),
+        (1, 4, "purchase", 0.0),
+    ], "alt_ev2")
+    # hi AS price >= 1 (row ts=2 only); any AS price >= 0 (both rows)
+    out = execute_match_recognize(spark, """
+        SELECT user_id, n_hi, n_any
+        FROM alt_ev2 MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES COUNT(hi.*) AS n_hi, COUNT(little.*) AS n_any
+          ONE ROW PER MATCH
+          PATTERN (v (hi|little)+ p)
+          DEFINE v AS v.event_type = 'view',
+                 hi AS hi.event_type = 'x' AND hi.price >= 1,
+                 little AS little.event_type = 'x',
+                 p AS p.event_type = 'purchase'
+        )""")
+    assert [tuple(r) for r in out.collect()] == [(1, 1, 1)]
+
+
+def test_alternation_group_quantifier_bounds(spark):
+    """A bounded-group quantifier ``(a|b){2}`` takes exactly two group
+    rows; a longer run leaves the tail unconsumed and the pattern
+    fails if the next variable does not follow."""
+    _alt_view(spark, [
+        (1, 1, "view", 0.0), (1, 2, "a", 0.0), (1, 3, "b", 0.0),
+        (1, 4, "purchase", 0.0),
+        (2, 1, "view", 0.0), (2, 2, "a", 0.0), (2, 3, "b", 0.0),
+        (2, 4, "a", 0.0), (2, 5, "purchase", 0.0),
+    ], "alt_ev3")
+    out = execute_match_recognize(spark, """
+        SELECT user_id, n_a, n_b
+        FROM alt_ev3 MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES COUNT(a.*) AS n_a, COUNT(b.*) AS n_b
+          ONE ROW PER MATCH
+          PATTERN (v (a|b){2} p)
+          DEFINE v AS v.event_type = 'view', a AS a.event_type = 'a',
+                 b AS b.event_type = 'b', p AS p.event_type = 'purchase'
+        )""")
+    # user 1: exactly 2 group rows then purchase -> match;
+    # user 2: 3 group rows -> after {2} the next row is 'a', not
+    # purchase -> no match
+    assert sorted(map(tuple, out.collect())) == [(1, 1, 1)]
+
+
+def test_alternation_strict_compat_rejected(spark):
+    """Under --strict-compat the Flink 1.16 parity rejection is kept."""
+    _alt_view(spark, [(1, 1, "view", 0.0)], "alt_ev4")
+    with pytest.raises(ValueError, match="alternation/grouping"):
+        execute_match_recognize(spark, """
+            SELECT user_id FROM alt_ev4 MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts_us
+              MEASURES COUNT(a.*) AS n ONE ROW PER MATCH
+              PATTERN (v (a|b) p) DEFINE v AS v.event_type = 'view',
+              a AS a.event_type = 'a', b AS b.event_type = 'b',
+              p AS p.event_type = 'purchase')""", strict_compat=True)
+
+
+def test_alternation_rejections(spark):
+    """Targeted rejections: match-state-dependent DEFINEs anywhere in
+    an alternation statement, SKIP TO a member, quantified members
+    inside a group, single-member groups, and repeated variables
+    across group/plain positions."""
+    _alt_view(spark, [(1, 1, "view", 1.0)], "alt_ev5")
+    base = """
+        SELECT user_id FROM alt_ev5 MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES COUNT(a.*) AS n ONE ROW PER MATCH {skip}
+          PATTERN {pattern} DEFINE {defines})"""
+    plain = ("v AS v.event_type = 'view', a AS a.event_type = 'a', "
+             "b AS b.event_type = 'b', p AS p.event_type = 'purchase'")
+    with pytest.raises(ValueError, match="match-state"):
+        execute_match_recognize(spark, base.format(
+            skip="", pattern="(v (a|b) p)",
+            defines=plain.replace("p.event_type = 'purchase'",
+                                  "p.price > LAST(a.price)")))
+    with pytest.raises(ValueError, match="alternation member"):
+        execute_match_recognize(spark, base.format(
+            skip="AFTER MATCH SKIP TO LAST a", pattern="(v (a|b) p)",
+            defines=plain))
+    with pytest.raises(ValueError, match="unsupported PATTERN token"):
+        execute_match_recognize(spark, base.format(
+            skip="", pattern="(v (a+|b) p)", defines=plain))
+    with pytest.raises(ValueError, match="unsupported PATTERN token"):
+        execute_match_recognize(spark, base.format(
+            skip="", pattern="(v (a) p)", defines=plain))
+    with pytest.raises(ValueError, match="repeated pattern variables"):
+        execute_match_recognize(spark, base.format(
+            skip="", pattern="(v (a|b) a p)", defines=plain))
+
+
 def test_subquery_detection_anchored_to_from(spark):
     """A trailing ') [alias]' that is NOT a FROM-clause derived table —
     e.g. a table-function source 'FROM f(x) t' — must not take the
