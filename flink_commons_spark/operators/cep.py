@@ -134,36 +134,41 @@ class _DynCtx:
 
 
 def _alt_member_masks(steps: Sequence[Step], pdf: pd.DataFrame) -> dict:
-    """Per-member boolean masks for every alternation step — computed
-    once per frame (vectorized), read per match during attribution."""
+    """Per alternation step: ``step.name → (member_names, choice)``
+    where ``choice[row]`` is the index of the LEFTMOST member whose
+    predicate holds there (-1: none) — the SQL:2016 alternative
+    preference, computed ONCE per frame as vectorized mask overwrites
+    (later members assigned first, earlier members overwrite)."""
+    import numpy as np
+
     out: dict[str, Any] = {}
     for s in steps:
-        if s.alts:
-            for aname, afn in s.alts:
-                out[aname] = afn(pdf).to_numpy(dtype=bool, na_value=False)
+        if not s.alts:
+            continue
+        names = [aname for aname, _ in s.alts]
+        choice = np.full(len(pdf), -1, dtype=np.int16)
+        for k in range(len(names) - 1, -1, -1):
+            m = s.alts[k][1](pdf).to_numpy(dtype=bool, na_value=False)
+            choice[m] = k
+        out[s.name] = (names, choice)
     return out
 
 
 def _add_alt_segs(steps, hit, alt_masks, cols, segs) -> None:
-    """Attribute each alternation step's matched rows to members
-    (leftmost member whose predicate holds — SQL:2016 alternative
-    preference, per row) and register a segment per member name."""
+    """Attribute each alternation step's matched rows to members (per
+    the precomputed leftmost-choice array) and register a segment per
+    member name — one vectorized compare per member, no per-row
+    Python."""
     import numpy as np
 
     for s, pos in zip(steps, hit):
         if not s.alts:
             continue
-        per: dict[str, list[int]] = {aname: [] for aname, _ in s.alts}
-        names = [aname for aname, _ in s.alts]
-        for p in pos:
-            for aname in names:
-                if alt_masks[aname][p]:
-                    per[aname].append(p)
-                    break
-        for aname in names:
-            segs[aname] = _Seg(
-                cols, np.asarray(per[aname], dtype=np.intp)
-            )
+        names, choice = alt_masks[s.name]
+        pos_arr = np.asarray(pos, dtype=np.intp)
+        ch = choice[pos_arr]
+        for k, aname in enumerate(names):
+            segs[aname] = _Seg(cols, pos_arr[ch == k])
 
 
 def _run_ends(masks: list, n: int) -> list:

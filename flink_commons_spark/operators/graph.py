@@ -193,13 +193,14 @@ def _cc_local(e: DataFrame) -> DataFrame:
             (find(i) for i in range(len(uniq))), dtype=np.int64
         )
         ser = pd.Series(uniq)
-        if ser.dtype == object and len(ser) and all(
-            type(v) is str for v in ser
-        ):
-            # all-str gate (not just the first element): a mixed object
-            # column (str + None/bytes) must take the generic branch —
-            # .str.encode maps non-str entries to NaN, which would
-            # silently become a component's label
+        if ser.dtype == object and len(ser) and pd.api.types.infer_dtype(
+            ser, skipna=False
+        ) == "string":
+            # all-str gate (C-speed infer_dtype, not a Python loop over
+            # up-to-millions of ids): a mixed object column (str +
+            # None/bytes) must take the generic branch — .str.encode
+            # maps non-str entries to NaN, which would silently become
+            # a component's label
             # pick the representative by UTF-8 BYTE order — the same
             # ordering Spark's min() uses on strings in the star-
             # contraction path, so the label choice is identical on

@@ -140,7 +140,7 @@ def contains_match_recognize(sql: str) -> bool:
 _TOKEN_RE = re.compile(
     r"""\s*(?:
       (?P<num>\d+(?:\.\d+)?)
-    | (?P<str>'[^']*')
+    | (?P<str>'(?:[^'\\]|\\.|'')*')
     | (?P<star>\w+\.\*|\*)
     | (?P<id>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)
     | (?P<op><=|>=|<>|!=|[<>=+\-*/(),])
@@ -454,7 +454,16 @@ class _ExprParser:
             v = int(val)
             return _Node(lambda c, v=v: v, "bigint")
         if kind == "str":
-            v = val[1:-1]
+            # unescape the two literal quote forms Spark accepts
+            # (backslash-escape and '' doubling) plus common backslash
+            # escapes — the lexer kept the raw span
+            v = re.sub(
+                r"''|\\(.)",
+                lambda m: "'" if m.group(0) == "''" else {
+                    "n": "\n", "t": "\t", "r": "\r",
+                }.get(m.group(1), m.group(1)),
+                val[1:-1],
+            )
             return _Node(lambda c, v=v: v, "string")
         if kind == "id":
             up = val.upper()
@@ -826,20 +835,78 @@ class MatchRecognizeSpec:
     max_prev: int = 0  # deepest PREV offset → streaming context rows
 
 
-def _find_close(sql: str, open_paren: int) -> int:
-    depth, in_q = 1, False
-    i = open_paren + 1
-    while i < len(sql):
-        ch = sql[i]
-        if ch == "'":
-            in_q = not in_q
-        elif not in_q:
-            if ch == "(":
+def _skip_span(sql: str, i: int) -> int:
+    """If ``sql[i]`` starts a span Spark's lexer treats as payload — a
+    ``'...'``/``"..."`` string literal (backslash escapes and
+    doubled-quote escaping), a backtick-quoted identifier (``` `` ```
+    doubling), a ``--`` line comment, or a ``/* */`` bracketed comment
+    (NESTED, per Spark's SPARK-28880) — return the index just past the
+    span; otherwise return ``i`` unchanged. Shared by every structural
+    scanner in this module so quotes/comments can never be mistaken
+    for parens or clause keywords."""
+    ch = sql[i]
+    n = len(sql)
+    if ch in ("'", '"'):
+        q = ch
+        j = i + 1
+        while j < n:
+            if sql[j] == "\\":
+                j += 2
+                continue
+            if sql[j] == q:
+                if j + 1 < n and sql[j + 1] == q:
+                    j += 2
+                    continue
+                return j + 1
+            j += 1
+        return n
+    if ch == "`":
+        j = i + 1
+        while j < n:
+            if sql[j] == "`":
+                if j + 1 < n and sql[j + 1] == "`":
+                    j += 2
+                    continue
+                return j + 1
+            j += 1
+        return n
+    if ch == "-" and sql[i : i + 2] == "--":
+        nl = sql.find("\n", i)
+        return n if nl < 0 else nl + 1
+    if ch == "/" and sql[i : i + 2] == "/*":
+        depth, j = 1, i + 2
+        while j < n and depth:
+            if sql[j : j + 2] == "/*":
                 depth += 1
-            elif ch == ")":
+                j += 2
+            elif sql[j : j + 2] == "*/":
                 depth -= 1
-                if depth == 0:
-                    return i
+                j += 2
+            else:
+                j += 1
+        return j
+    return i
+
+
+def _find_close(sql: str, open_paren: int) -> int:
+    """Index of the ``)`` closing the ``(`` at ``open_paren`` —
+    skipping string literals, quoted identifiers, and comments
+    (:func:`_skip_span`), so a paren inside any of those is payload."""
+    depth = 1
+    i = open_paren + 1
+    n = len(sql)
+    while i < n:
+        j = _skip_span(sql, i)
+        if j != i:
+            i = j
+            continue
+        ch = sql[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
         i += 1
     raise ValueError("unbalanced parentheses in MATCH_RECOGNIZE")
 
@@ -853,7 +920,7 @@ def _split_top_and(text: str) -> list[str]:
     returns the text unsplit (OR binds weaker, so the expression's
     root would not be the conjunction)."""
     bounds: list[int] = []
-    depth, in_q = 0, False
+    depth = 0
     up = text.upper()
     i = 0
 
@@ -867,21 +934,22 @@ def _split_top_and(text: str) -> list[str]:
         )
 
     while i < len(text):
+        j = _skip_span(text, i)
+        if j != i:
+            i = j
+            continue
         ch = text[i]
-        if ch == "'":
-            in_q = not in_q
-        elif not in_q:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif depth == 0:
-                if _word_at("OR", i):
-                    return [text]
-                if _word_at("AND", i):
-                    bounds.append(i)
-                    i += 3
-                    continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            if _word_at("OR", i):
+                return [text]
+            if _word_at("AND", i):
+                bounds.append(i)
+                i += 3
+                continue
         i += 1
     parts, start = [], 0
     for b in bounds:
@@ -893,19 +961,23 @@ def _split_top_and(text: str) -> list[str]:
 
 
 def _split_top(text: str) -> list[str]:
-    """Split on top-level commas (paren/quote aware)."""
-    parts, depth, in_q, start = [], 0, False, 0
-    for i, ch in enumerate(text):
-        if ch == "'":
-            in_q = not in_q
-        elif not in_q:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif ch == "," and depth == 0:
-                parts.append(text[start:i].strip())
-                start = i + 1
+    """Split on top-level commas (paren/quote/comment aware —
+    :func:`_skip_span`)."""
+    parts, depth, start, i = [], 0, 0, 0
+    while i < len(text):
+        j = _skip_span(text, i)
+        if j != i:
+            i = j
+            continue
+        ch = text[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[start:i].strip())
+            start = i + 1
+        i += 1
     parts.append(text[start:].strip())
     return [p for p in parts if p]
 
@@ -1190,47 +1262,20 @@ _view_ids = itertools.count()
 
 def _match_open_paren(sql: str, close_idx: int) -> int:
     """Index of the ``(`` matching the ``)`` at ``close_idx`` — a
-    forward scan from the statement start that skips every span Spark's
-    lexer would: ``'...'`` / ``"..."`` string literals (both ``''``
-    doubling and Spark-default backslash escapes), backtick-quoted
-    identifiers (``` `weird (col` ```, backtick doubled as ``````` ``),
-    ``--`` line comments, and ``/* */`` block comments (non-nesting,
-    per Spark). A paren inside any of those spans is payload, not
-    structure."""
+    forward scan from the statement start that skips every span
+    Spark's lexer would (:func:`_skip_span`: string literals with
+    backslash and doubled-quote escapes, backtick identifiers, ``--``
+    line comments, nested ``/* */`` bracketed comments). A paren
+    inside any of those spans is payload, not structure."""
     stack: "list[int]" = []
     i, n = 0, close_idx + 1
     while i < n:
+        j = _skip_span(sql, i)
+        if j != i:
+            i = j
+            continue
         ch = sql[i]
-        if ch in ("'", '"'):
-            q = ch
-            i += 1
-            while i < len(sql):
-                if sql[i] == "\\":
-                    i += 2
-                    continue
-                if sql[i] == q:
-                    # '' / "" doubling escapes the quote
-                    if i + 1 < len(sql) and sql[i + 1] == q:
-                        i += 2
-                        continue
-                    break
-                i += 1
-        elif ch == "`":
-            i += 1
-            while i < len(sql):
-                if sql[i] == "`":
-                    if i + 1 < len(sql) and sql[i + 1] == "`":
-                        i += 2
-                        continue
-                    break
-                i += 1
-        elif ch == "-" and sql[i : i + 2] == "--":
-            nl = sql.find("\n", i)
-            i = len(sql) if nl < 0 else nl
-        elif ch == "/" and sql[i : i + 2] == "/*":
-            end = sql.find("*/", i + 2)
-            i = len(sql) if end < 0 else end + 1
-        elif ch == "(":
+        if ch == "(":
             stack.append(i)
         elif ch == ")":
             if not stack:
@@ -1277,8 +1322,13 @@ def _inline_subquery_source(spark, sql: str) -> "tuple[str, str | None]":
     # anchor to the FROM clause: only "FROM ( ... )" is a derived-table
     # source; a table-function call ("FROM f(x) t") or any other
     # trailing paren falls through to the plain-source path, whose own
-    # parser owns the error message
-    if not re.search(r"\bFROM\s*$", sql[:o], re.IGNORECASE):
+    # parser owns the error message. Comments may sit between FROM and
+    # the paren ("FROM /* src */ (SELECT ...)")
+    if not re.search(
+        r"\bFROM\s*(?:(?:--[^\n]*(?:\n|$)|/\*.*?\*/)\s*)*$",
+        sql[:o],
+        re.IGNORECASE | re.DOTALL,
+    ):
         return sql, None
     inner = sql[o + 1 : j].strip()
     if not inner.upper().startswith(("SELECT", "WITH")):

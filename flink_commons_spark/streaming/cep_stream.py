@@ -588,10 +588,24 @@ _BUF_TYPES = {
 
 def _enc_buf(series, spark_type):
     """One state value for a buffered column: packed bytes for numeric
-    columns, a plain list for strings."""
+    columns, a plain list for strings. NULLs in an INTEGER buffer are
+    rejected loudly — ``to_numpy('int64')`` would silently cast NaN to
+    INT64_MIN and corrupt every later predicate/measure read (float
+    buffers round-trip NaN faithfully, so they pass through)."""
     np_dt = _BUF_TYPES[spark_type][1]
     if np_dt is None:
         return series.tolist()
+    if (
+        np_dt == "int64"
+        and series.dtype.kind not in "iu"
+        and series.isna().any()
+    ):
+        raise ValueError(
+            f"NULL in integer buffered column {series.name!r} — streaming "
+            "MATCH_RECOGNIZE buffers integer columns as packed int64 state "
+            "and cannot represent NULL; filter NULL rows out (or cast the "
+            "column to double) in the source view"
+        )
     return series.to_numpy(np_dt).tobytes()
 
 

@@ -417,3 +417,28 @@ def test_stream_match_pattern_checkpoint_resume(spark, tmp_path):
     # odd keys (tail rows follow the V) emit; even keys stay deferred
     assert len(ref) == 2 * (WAVE_KEYS // 2)
     assert all(r.n_down == 2 and r.n_up == 2 for r in ref)
+
+
+def test_enc_buf_rejects_null_in_integer_buffer():
+    """Packed int64 state cannot represent NULL: a nullable integer
+    buffer column (arriving from Arrow as float64-with-NaN) must raise
+    loudly instead of silently packing NaN as INT64_MIN."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from flink_commons_spark.streaming.cep_stream import _dec_buf, _enc_buf
+
+    ok = pd.Series([1, 2, 3], name="ts")
+    assert np.frombuffer(_enc_buf(ok, "bigint"), dtype=np.int64).tolist() \
+        == [1, 2, 3]
+    with pytest.raises(ValueError, match="NULL in integer buffered"):
+        _enc_buf(pd.Series([1.0, np.nan], name="cents"), "bigint")
+    # float buffers round-trip NaN faithfully
+    f = _dec_buf(_enc_buf(pd.Series([1.0, np.nan], name="v"), "double"),
+                 "double")
+    assert f[0] == 1.0 and np.isnan(f[1])
+    # strings round-trip as lists, missing preserved as NA/None
+    s = _dec_buf(_enc_buf(pd.Series(["a", None], name="et"), "string"),
+                 "string")
+    assert s[0] == "a" and pd.isna(s[1])

@@ -636,10 +636,47 @@ def test_match_open_paren_adversarial():
         ("x (`a``b(` ) y", 2, 11),                     # `` doubling
         ("x (-- note ) here\n ) y", 2, 19),            # line comment
         ("x (/* ) */ ) y", 2, 11),                     # block comment
+        ("x (/* a /* ) */ ( */ ) y", 2, 21),           # NESTED comment
     ]
     for sql, o, c in cases:
         assert sql[o] == "(" and sql[c] == ")", sql
         assert _match_open_paren(sql, c) == o, sql
+
+
+def test_find_close_lexer_hardened(spark):
+    """The clause-body close scanner shares the hardened lexer: an
+    escaped quote (with a paren inside the literal) in a DEFINE
+    predicate must not break the clause span — end-to-end the
+    statement parses and matches."""
+    spark.createDataFrame(
+        [(1, 1, "it's (", 1.0), (1, 2, "click", 2.0)],
+        "user_id bigint, ts_us bigint, event_type string, price double",
+    ).createOrReplaceTempView("fc_ev")
+    out = execute_match_recognize(spark, """
+        SELECT user_id, s FROM fc_ev
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ts_us
+            MEASURES FIRST(a.ts_us) AS s ONE ROW PER MATCH
+            PATTERN (a) DEFINE a AS a.event_type = 'it\\'s ('
+          )""")
+    assert [tuple(r) for r in out.collect()] == [(1, 1)]
+
+
+def test_subquery_source_comment_between_from_and_paren(spark):
+    """``FROM /* comment */ (SELECT ...)`` — the FROM anchor skips
+    comments between the keyword and the derived table's paren."""
+    spark.createDataFrame(
+        [(1, 1, "click", 1.0)],
+        "user_id bigint, ts_us bigint, event_type string, price double",
+    ).createOrReplaceTempView("fc_ev2")
+    out = execute_match_recognize(spark, """
+        SELECT user_id, s FROM /* derived src */ (SELECT * FROM fc_ev2) t
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ts_us
+            MEASURES FIRST(a.ts_us) AS s ONE ROW PER MATCH
+            PATTERN (a) DEFINE a AS a.event_type = 'click'
+          )""")
+    assert [tuple(r) for r in out.collect()] == [(1, 1)]
 
 
 def test_subquery_source_with_escaped_literal(spark):
