@@ -9252,6 +9252,85 @@ SELECT * FROM grp_matches UNION ALL SELECT * FROM zero_matches
 """
 
 
+def q_match_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ALL ROWS PER MATCH`` — the SQL:2016 per-row output mode
+    Flink 1.16 rejects (flagged extension; ``--strict-compat`` keeps
+    the parity rejection): one output row per MATCHED INPUT ROW of the
+    funnel, carrying the row's own columns plus per-row
+    ``CLASSIFIER()``, the per-key scan-order ``MATCH_NUMBER()``, and a
+    FINAL (whole-match) click count replicated over the match's rows
+    (``plans/match_recognize.py`` — the executor's all-rows measures
+    emitter over the same keyed NFA). The oracle expands each islands
+    match into its member rows, classifying by position."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_events_view(spark, sf_dir, "mr_events_src")
+    return execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, event_id, ts_us, cls, match_no, n_clicks
+        FROM mr_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            MEASURES
+              CLASSIFIER() AS cls,
+              MATCH_NUMBER() AS match_no,
+              FINAL COUNT(c.*) AS n_clicks
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v c+ p)
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              p AS p.event_type = 'purchase'
+          )
+    """))
+
+
+# each islands match (maximal click run bounded by view/purchase)
+# expands to its rows: rn srn-1 (view, 'V'), srn..ern (clicks, 'C'),
+# ern+1 (purchase, 'P'); match_no = per-user ordinal of the match in
+# scan (= srn) order — matches are disjoint, so position order is
+# emission order
+_MATCH_ALL_ROWS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+isl AS (
+  SELECT user_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type = 'click'
+),
+runs AS (
+  SELECT user_id, min(rn) AS srn, max(rn) AS ern, count(*)::bigint AS n_clicks
+  FROM isl GROUP BY user_id, grp
+),
+matches AS (
+  SELECT r.user_id, r.srn, r.ern, r.n_clicks,
+         row_number() OVER (PARTITION BY r.user_id
+                            ORDER BY r.srn)::bigint AS match_no
+  FROM runs r
+  JOIN seq v ON v.user_id = r.user_id AND v.rn = r.srn - 1
+            AND v.event_type = 'view'
+  JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
+            AND p.event_type = 'purchase'
+)
+SELECT s.user_id, s.event_id, s.ts_us,
+       CASE WHEN s.rn = m.srn - 1 THEN 'V'
+            WHEN s.rn = m.ern + 1 THEN 'P'
+            ELSE 'C' END AS cls,
+       m.match_no, m.n_clicks
+FROM matches m
+JOIN seq s ON s.user_id = m.user_id
+          AND s.rn BETWEEN m.srn - 1 AND m.ern + 1
+"""
+
+
 @_with_stream_shuffle(16)
 def stream_match_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of :func:`q_match_alternation`: the alternation
@@ -11663,6 +11742,7 @@ QUERIES = {
     "stream_match_subquery_src": stream_match_subquery_src,
     "q_match_alternation": q_match_alternation,
     "stream_match_alternation": stream_match_alternation,
+    "q_match_all_rows": q_match_all_rows,
     "pq_opq_recall": pq_opq_recall,
     "stream_match_quantified": stream_match_quantified,
     "stream_match_skip_to_next": stream_match_skip_to_next,
@@ -11867,6 +11947,7 @@ ORACLES = {
     "stream_match_subquery_src": _STREAM_MATCH_SUBQUERY_SRC_ORACLE,
     "q_match_alternation": _MATCH_ALTERNATION_ORACLE,
     "stream_match_alternation": _STREAM_MATCH_ALTERNATION_ORACLE,
+    "q_match_all_rows": _MATCH_ALL_ROWS_ORACLE,
     "pq_opq_recall": _PQ_OPQ_RECALL_ORACLE,
     "stream_match_quantified": _STREAM_MATCH_QUANTIFIED_ORACLE,
     "stream_match_skip_to_next": _STREAM_MATCH_SKIP_TO_NEXT_ORACLE,

@@ -572,7 +572,13 @@ def match_pattern(
             segs = {s.name: _Seg(cols, pos) for s, pos in zip(step_list, hit)}
             if alt_masks:
                 _add_alt_segs(step_list, hit, alt_masks, cols, segs)
-            out.append(measures(key, segs))
+            res = measures(key, segs)
+            # ALL ROWS PER MATCH measures return one dict PER MATCHED
+            # ROW; the default returns the match's single output row
+            if isinstance(res, list):
+                out.extend(res)
+            else:
+                out.append(res)
             i = _resume(i, hit)
         return out
 

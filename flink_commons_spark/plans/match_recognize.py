@@ -22,7 +22,14 @@ Supported surface (the reference demo's dialect of the standard):
   ``V.col`` (≡ ``LAST(V.col)``, the SQL-standard default), bare
   ``col`` (last row of the match), literals and arithmetic over any
   of these;
-- ``ONE ROW PER MATCH`` (the only per-match mode, as in Flink);
+- ``ONE ROW PER MATCH`` (Flink's only mode); plus — a flagged
+  SQL:2016 EXTENSION, batch sources only — ``ALL ROWS PER MATCH``:
+  one output row per matched input row carrying every source column,
+  the measures (``CLASSIFIER()`` and bare-column reads are per-row;
+  navigation/aggregates evaluate FINAL — whole-match — semantics, the
+  documented divergence from the standard's RUNNING default), and
+  ``MATCH_NUMBER()`` (per-key scan-order ordinal).
+  ``--strict-compat`` keeps Flink's rejection;
 - ``AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | TO [FIRST|LAST] V``;
 - ``PATTERN`` with the NFA's quantifiers: ``V``, ``V+``, ``V*``,
   ``V?``, ``V{l,u}``, ``V{l,}``, and the reluctant ``+? *? ??``
@@ -57,10 +64,10 @@ to :mod:`flink_commons_spark.streaming.cep_stream`'s watermark-gated
 buffered NFA (state-dependent DEFINE included: such predicates only
 read rows at or before the candidate, all watermark-closed).
 
-Not supported (raises with a clear message): ``ALL ROWS PER MATCH``
-(Flink's MATCH_RECOGNIZE likewise emits ONE ROW PER MATCH only),
-pattern permutation, alternation combined with match-state-dependent
-DEFINEs, and alternation under ``--strict-compat`` (Flink parity).
+Not supported (raises with a clear message): pattern permutation,
+alternation combined with match-state-dependent DEFINEs, streaming
+``ALL ROWS PER MATCH``, and — under ``--strict-compat`` (Flink
+parity) — alternation and ``ALL ROWS PER MATCH`` entirely.
 Derived-table sources ``FROM (SELECT ...)`` ARE supported (inlined as
 a temp view). ``NEXT()`` works on
 streaming sources too — the navigating step's newest closed rows wait
@@ -237,7 +244,8 @@ class _ExprParser:
     def __init__(self, text: str, mode: str, col_types: dict[str, str],
                  used_cols: set, variables: set,
                  part_cols: "frozenset | set" = frozenset(),
-                 def_var: "str | None" = None):
+                 def_var: "str | None" = None,
+                 all_rows: bool = False):
         self.toks = _tokenize(text)
         self.i = 0
         self.mode = mode
@@ -246,6 +254,7 @@ class _ExprParser:
         self.variables = variables  # upper-cased pattern variable names
         self.part_cols = part_cols
         self.def_var = def_var  # variable this DEFINE clause defines
+        self.all_rows = all_rows  # ALL ROWS PER MATCH measure context
         self.needs_last_row = False  # a bare non-partition column ref
         self.uses_next = False  # forward row navigation (NEXT)
         self.max_prev = 0  # deepest PREV offset (streaming ctx_rows)
@@ -553,17 +562,19 @@ class _ExprParser:
             if self.mode != "measures":
                 raise ValueError("CLASSIFIER() is only valid in MEASURES")
             self._expect_op(")")
-
-            def classifier(c):
-                # the variable mapped to the match's LAST row — segs
-                # preserves pattern order, so the last non-empty wins
-                name = None
-                for var, seg in c["segs"].items():
-                    if len(seg):
-                        name = var
-                return name
-
-            return _Node(classifier, "string")
+            # per-row variable name under ALL ROWS PER MATCH; the
+            # match's last row's variable under ONE ROW PER MATCH —
+            # both precomputed by measures_fn (alternation members
+            # classify as the member name)
+            return _Node(lambda c: c["classifier"], "string")
+        if fname == "MATCH_NUMBER":
+            if self.mode != "measures" or not self.all_rows:
+                raise ValueError(
+                    "MATCH_NUMBER() is only supported in MEASURES with "
+                    "ALL ROWS PER MATCH"
+                )
+            self._expect_op(")")
+            return _Node(lambda c: c["match_no"], "bigint")
         if fname in _AGG_FNS:
             if self.mode == "define":
                 # navigation/aggregates over the rows mapped so far —
@@ -833,6 +844,7 @@ class MatchRecognizeSpec:
     span: "tuple[int, int]" = (0, 0)  # [source start, past close paren)
     needs_last_row: bool = False  # some measure reads the match's last row
     max_prev: int = 0  # deepest PREV offset → streaming context rows
+    all_rows: bool = False  # ALL ROWS PER MATCH (batch-only extension)
 
 
 def _skip_span(sql: str, i: int) -> int:
@@ -1014,7 +1026,10 @@ def parse_match_recognize(
     bm = _BODY_RE.match(body)
     if not bm:
         raise ValueError(f"cannot parse MATCH_RECOGNIZE body: {body[:120]!r}")
-    if bm.group("rowmode") and "ALL" in bm.group("rowmode").upper():
+    all_rows = bool(
+        bm.group("rowmode") and "ALL" in bm.group("rowmode").upper()
+    )
+    if all_rows and strict_compat:
         raise ValueError("ALL ROWS PER MATCH is not supported (Flink CEP "
                          "SQL emits ONE ROW PER MATCH for aggregates too)")
 
@@ -1206,7 +1221,8 @@ def parse_match_recognize(
         if not mm:
             raise ValueError(f"MEASURES entry needs 'expr AS name': {clause!r}")
         parser = _ExprParser(mm.group("expr"), "measures", col_types,
-                             used_cols, variables, part_set)
+                             used_cols, variables, part_set,
+                             all_rows=all_rows)
         node = parser.parse()
         needs_last_row = needs_last_row or parser.needs_last_row
         measures.append((mm.group("name").strip("`"), node))
@@ -1250,6 +1266,7 @@ def parse_match_recognize(
         span=(sm.start("src"), close + 1),
         needs_last_row=needs_last_row,
         max_prev=max_prev,
+        all_rows=all_rows,
     )
 
 
@@ -1447,15 +1464,45 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
     elif spec.within_us is not None and first_t not in _INT_TYPES:
         raise ValueError("WITHIN requires the first ORDER BY key to be a "
                          "timestamp or integer event-time column")
+    if spec.all_rows and streaming:
+        raise ValueError(
+            "streaming ALL ROWS PER MATCH is not supported — the "
+            "extension is batch-only (Flink rejects the mode entirely)"
+        )
     needed = set(spec.partition_by) | set(order_cols) | spec.used_cols
     keep = set(needed) | ({wm_col} if wm_col else set())
-    df = df.select(*[c for c in df.columns if c in keep])
+    if not spec.all_rows:
+        # ALL ROWS emits every source column, so pruning only applies
+        # to the one-row mode (where measures are the whole output)
+        df = df.select(*[c for c in df.columns if c in keep])
 
     key_cols = spec.partition_by
     measure_nodes = spec.measures
     step_names = [s.name for s in spec.steps]
+    alt_members_of = {
+        s.name: [a for a, _ in s.alts]
+        for s in spec.steps if getattr(s, "alts", None)
+    }
 
     needs_last_row = spec.needs_last_row
+
+    def _last_classifier(segs: dict) -> "str | None":
+        """Variable name of the match's LAST row (pattern order; an
+        alternation group resolves to the member owning that row)."""
+        for name in reversed(step_names):
+            seg = segs[name]
+            if not len(seg):
+                continue
+            members = alt_members_of.get(name)
+            if not members:
+                return name
+            last_pos = seg._rng[-1]
+            for m in members:
+                arr = segs[m]._rng
+                if len(arr) and arr[-1] == last_pos:
+                    return m
+            return name  # unreachable: some member owns every row
+        return None
 
     def measures_fn(key: tuple, segs: dict) -> dict:
         key_map = dict(zip(key_cols, key))
@@ -1474,16 +1521,70 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
             "segs": segs,
             "last_row": last_row,
             "n_rows": sum(len(segs[name]) for name in step_names),
+            "classifier": _last_classifier(segs),
         }
         row = dict(key_map)
         for name, node in measure_nodes:
             row[name] = node.fn(ctx)
         return row
 
-    out_schema = ", ".join(
-        [f"{c} {col_types[c]}" for c in key_cols]
-        + [f"{n} {node.typ}" for n, node in measure_nodes]
-    )
+    if spec.all_rows:
+        # one output row PER MATCHED INPUT ROW: every source column,
+        # then the measures (evaluated per row: CLASSIFIER() and the
+        # current-row bare-column reads vary; navigation/aggregates
+        # are FINAL — whole-match — semantics, the documented
+        # divergence from the standard's RUNNING default). Match
+        # numbering is per partition key in scan order.
+        src_cols = [c for c in src_df.columns]
+        match_nos: dict = {}
+
+        def measures_fn(key: tuple, segs: dict):  # noqa: F811
+            key_t = key if isinstance(key, tuple) else (key,)
+            n_match = match_nos.get(key_t, 0) + 1
+            match_nos[key_t] = n_match
+            key_map = dict(zip(key_cols, key))
+            pairs: "list[tuple[int, str]]" = []
+            for name in step_names:
+                members = alt_members_of.get(name)
+                if members:
+                    for m in members:
+                        pairs.extend(
+                            (int(p), m) for p in segs[m]._rng
+                        )
+                else:
+                    pairs.extend((int(p), name) for p in segs[name]._rng)
+            pairs.sort()
+            cols = next(iter(segs.values()))._cols
+            out_rows = []
+            n_rows = len(pairs)
+            for pos, cls in pairs:
+                ctx = {
+                    "key": key_map,
+                    "segs": segs,
+                    # bare columns read the CURRENT row (the standard's
+                    # ALL ROWS semantics), not the match's last row
+                    "last_row": {
+                        c: cols[c][pos] for c in needed if c in cols
+                    },
+                    "n_rows": n_rows,
+                    "classifier": cls,
+                    "match_no": n_match,
+                }
+                row = {c: cols[c][pos] for c in src_cols}
+                for name, node in measure_nodes:
+                    row[name] = node.fn(ctx)
+                out_rows.append(row)
+            return out_rows
+
+        out_schema = ", ".join(
+            [f"{c} {col_types[c]}" for c in src_cols]
+            + [f"{n} {node.typ}" for n, node in measure_nodes]
+        )
+    else:
+        out_schema = ", ".join(
+            [f"{c} {col_types[c]}" for c in key_cols]
+            + [f"{n} {node.typ}" for n, node in measure_nodes]
+        )
     if streaming:
         from flink_commons_spark.streaming.cep_stream import (
             stream_match_pattern,

@@ -156,15 +156,15 @@ def test_parse_full_clause():
 
 
 @pytest.mark.parametrize("frag,err", [
-    ("ALL ROWS PER MATCH", "ALL ROWS PER MATCH"),
+    # ALL ROWS PER MATCH is a default-mode EXTENSION now; the Flink
+    # parity rejection survives under --strict-compat only
     ("PATTERN (a | b)", "PATTERN token|parse MATCH_RECOGNIZE body"),
     ("ORDER BY ts_us DESC", "ascending"),
     ("DEFINE q AS q.price > 1", "unknown variable"),
 ])
 def test_parse_rejects(frag, err):
     sql = _FUNNEL.replace(
-        {"ALL ROWS PER MATCH": "ONE ROW PER MATCH",
-         "PATTERN (a | b)": "PATTERN (a b{2,} c?)",
+        {"PATTERN (a | b)": "PATTERN (a b{2,} c?)",
          "ORDER BY ts_us DESC": "ORDER BY ts_us",
          "DEFINE q AS q.price > 1":
              "DEFINE a AS a.event_type = 'view', b AS b.price > PREV(b.price)",
@@ -173,6 +173,16 @@ def test_parse_rejects(frag, err):
     )
     with pytest.raises(ValueError, match=err):
         parse_match_recognize(sql, COLS)
+
+
+def test_parse_all_rows_strict_vs_default():
+    """ALL ROWS PER MATCH: accepted (all_rows flag set) by default,
+    parity-rejected under strict_compat."""
+    sql = _FUNNEL.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
+    assert parse_match_recognize(sql, COLS).all_rows
+    assert not parse_match_recognize(_FUNNEL, COLS).all_rows
+    with pytest.raises(ValueError, match="ALL ROWS PER MATCH"):
+        parse_match_recognize(sql, COLS, strict_compat=True)
 
 
 def test_repeated_variable_rejected():
@@ -833,6 +843,99 @@ def test_alternation_rejections(spark):
     with pytest.raises(ValueError, match="repeated pattern variables"):
         execute_match_recognize(spark, base.format(
             skip="", pattern="(v (a|b) a p)", defines=plain))
+
+
+# --------------------------------------------------- ALL ROWS PER MATCH
+
+
+def test_all_rows_per_match_batch(spark):
+    """ALL ROWS PER MATCH (SQL:2016 extension): one output row per
+    matched input row with every source column, per-row CLASSIFIER(),
+    per-key MATCH_NUMBER(), FINAL aggregates replicated, and bare
+    columns reading the CURRENT row."""
+    _alt_view(spark, [
+        (1, 1, "view", 0.5), (1, 2, "click", 1.0), (1, 3, "purchase", 4.0),
+        (1, 4, "view", 1.0), (1, 5, "purchase", 2.0),
+        (1, 6, "error", 0.0),
+    ], "ar_ev1")
+    out = execute_match_recognize(spark, """
+        SELECT user_id, ts_us, cls, mno, n_c, cur_et
+        FROM ar_ev1 MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS mno,
+                   FINAL COUNT(c.*) AS n_c, event_type AS cur_et
+          ALL ROWS PER MATCH AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (v c* p)
+          DEFINE v AS v.event_type = 'view', c AS c.event_type = 'click',
+                 p AS p.event_type = 'purchase'
+        )""")
+    assert sorted(map(tuple, out.collect())) == [
+        (1, 1, "V", 1, 1, "view"), (1, 2, "C", 1, 1, "click"),
+        (1, 3, "P", 1, 1, "purchase"),
+        (1, 4, "V", 2, 0, "view"), (1, 5, "P", 2, 0, "purchase"),
+    ]
+
+
+def test_all_rows_with_alternation_classifier(spark):
+    """ALL ROWS + alternation: each group row classifies as the MEMBER
+    that matched it (leftmost preference)."""
+    _alt_view(spark, [
+        (1, 1, "view", 0.0), (1, 2, "a", 0.0), (1, 3, "b", 0.0),
+        (1, 4, "purchase", 0.0),
+    ], "ar_ev2")
+    out = execute_match_recognize(spark, """
+        SELECT ts_us, cls FROM ar_ev2 MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES CLASSIFIER() AS cls
+          ALL ROWS PER MATCH
+          PATTERN (v (a|b)+ p)
+          DEFINE v AS v.event_type = 'view', a AS a.event_type = 'a',
+                 b AS b.event_type = 'b', p AS p.event_type = 'purchase'
+        )""")
+    assert sorted(map(tuple, out.collect())) == [
+        (1, "V"), (2, "A"), (3, "B"), (4, "P"),
+    ]
+
+
+def test_one_row_classifier_is_last_step_not_member(spark):
+    """ONE ROW PER MATCH CLASSIFIER() = the variable of the match's
+    LAST row — with an alternation mid-pattern the last row belongs to
+    the final step, not to a member (regression: the old last-
+    non-empty-seg scan would have returned a member name)."""
+    _alt_view(spark, [
+        (1, 1, "view", 0.0), (1, 2, "a", 0.0), (1, 3, "purchase", 0.0),
+    ], "ar_ev3")
+    out = execute_match_recognize(spark, """
+        SELECT cls FROM ar_ev3 MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES CLASSIFIER() AS cls
+          ONE ROW PER MATCH
+          PATTERN (v (a|b)+ p)
+          DEFINE v AS v.event_type = 'view', a AS a.event_type = 'a',
+                 b AS b.event_type = 'b', p AS p.event_type = 'purchase'
+        )""")
+    assert [r.cls for r in out.collect()] == ["P"]
+
+
+def test_all_rows_rejections(spark):
+    """--strict-compat keeps the Flink parity rejection; MATCH_NUMBER
+    requires ALL ROWS; streaming sources reject the mode."""
+    _alt_view(spark, [(1, 1, "view", 0.0)], "ar_ev4")
+    stmt = """
+        SELECT user_id FROM ar_ev4 MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES COUNT(a.*) AS n
+          ALL ROWS PER MATCH
+          PATTERN (a) DEFINE a AS a.event_type = 'view')"""
+    with pytest.raises(ValueError, match="ALL ROWS PER MATCH is not"):
+        execute_match_recognize(spark, stmt, strict_compat=True)
+    with pytest.raises(ValueError, match="MATCH_NUMBER"):
+        execute_match_recognize(spark, """
+            SELECT mno FROM ar_ev4 MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts_us
+              MEASURES MATCH_NUMBER() AS mno
+              ONE ROW PER MATCH
+              PATTERN (a) DEFINE a AS a.event_type = 'view')""")
 
 
 def test_subquery_detection_anchored_to_from(spark):
