@@ -72,3 +72,45 @@ FROM events
       c AS c.event_type = 'click' AND c.value > v.value / 10,
       p AS p.event_type = 'purchase' AND p.value > AVG(c.value)
   );
+
+-- 4) round-10 extensions (SQL:2016 features Flink 1.16 lacks; both
+--    rejected under --strict-compat for parity):
+--    pattern ALTERNATION — the middle leg accepts clicks OR errors,
+--    per-member COUNTs split the run
+SELECT user_id, n_clicks, n_errors
+FROM events
+  MATCH_RECOGNIZE (
+    PARTITION BY user_id
+    ORDER BY ts, event_id
+    MEASURES
+      COUNT(c.*) AS n_clicks,
+      COUNT(e.*) AS n_errors
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (v (c|e)+ p)
+    DEFINE
+      v AS v.event_type = 'view',
+      c AS c.event_type = 'click',
+      e AS e.event_type = 'error',
+      p AS p.event_type = 'purchase'
+  );
+
+-- 5) ALL ROWS PER MATCH — one output row per matched input row, with
+--    the per-row CLASSIFIER() and the per-key MATCH_NUMBER()
+SELECT user_id, event_id, cls, match_no, n_clicks
+FROM events
+  MATCH_RECOGNIZE (
+    PARTITION BY user_id
+    ORDER BY ts, event_id
+    MEASURES
+      CLASSIFIER()        AS cls,
+      MATCH_NUMBER()      AS match_no,
+      FINAL COUNT(c.*)    AS n_clicks
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (v c+ p)
+    DEFINE
+      v AS v.event_type = 'view',
+      c AS c.event_type = 'click',
+      p AS p.event_type = 'purchase'
+  );

@@ -603,6 +603,10 @@ def test_match_recognize_script(spark, capsys):
     assert "n_clicks" in out and "start_us" in out
     assert "n_down" in out and "n_up" in out and "bottom" in out
     assert "p_value" in out
+    # round-10 extension statements: alternation member counts and the
+    # ALL ROWS per-row classifier/match-number columns
+    assert "n_errors" in out
+    assert "cls" in out and "match_no" in out
     # the funnel emits at least one match at sf0.001 (data rows render
     # as |-framed lines under the header)
     assert out.count("|") > 20
