@@ -10204,9 +10204,16 @@ scored AS (
   FROM f2 JOIN lm USING (bg)
   GROUP BY doc_id
 )
+-- avg in exact integer micros, half away from zero (see
+-- operators/curation.py:bigram_lm_scores — double round(.,6) is
+-- engine-unstable on .5 ties)
 SELECT t.doc_id,
        coalesce(n_bigrams, 0)::bigint AS n_bigrams,
-       round(s::double / n_bigrams, 6) AS avg_logp
+       (CASE WHEN (s * 1000000)::bigint < 0
+             THEN -((2 * (-(s * 1000000)::bigint) + n_bigrams)
+                    // (2 * n_bigrams))
+             ELSE ((2 * (s * 1000000)::bigint + n_bigrams)
+                    // (2 * n_bigrams)) END) / 1000000.0 AS avg_logp
 FROM tdf t LEFT JOIN scored USING (doc_id)
 """
 

@@ -492,15 +492,27 @@ def bigram_lm_scores(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_bigrams"), F.sum("__logp").alias("__s"))
     )
+    # the average is computed in EXACT INTEGER MICROS with an explicit
+    # half-away-from-zero rule — `round(sum/n, 6)` on doubles is
+    # engine-unstable exactly on .5 ties (a 1e-6 divergence vs DuckDB
+    # surfaced at sf3, where the corpus counts land two documents'
+    # sums on a tie); integer arithmetic is bit-stable everywhere
     return (
         tdf.select(id_col)
         .join(scored, id_col, "left")
+        .withColumn("__smic", (F.col("__s") * 1000000).cast("bigint"))
+        .withColumn(
+            "__qmic",
+            F.expr(
+                "CASE WHEN __smic < 0 "
+                "THEN -((2 * (-__smic) + n_bigrams) div (2 * n_bigrams)) "
+                "ELSE (2 * __smic + n_bigrams) div (2 * n_bigrams) END"
+            ),
+        )
         .select(
             id_col,
             F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
-            F.round(
-                F.col("__s").cast("double") / F.col("n_bigrams"), 6
-            ).alias("avg_logp"),
+            (F.col("__qmic") / F.lit(1000000.0)).alias("avg_logp"),
         )
     )
 
