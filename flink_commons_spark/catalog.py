@@ -9332,6 +9332,101 @@ JOIN seq s ON s.user_id = m.user_id
 
 
 @_with_stream_shuffle(16)
+def stream_match_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ``ALL ROWS PER MATCH`` — the streaming twin of
+    :func:`q_match_all_rows` (flagged SQL:2016 extension; Flink 1.16
+    rejects the row mode entirely): one output row per matched input
+    row with per-row ``CLASSIFIER()``, the per-key scan-order
+    ``MATCH_NUMBER()`` (persisted across settles in an extra
+    ``nmatch`` state field — ``streaming/cep_stream.py:
+    stream_match_pattern(all_rows=True)``), and the FINAL click count
+    replicated over the match's rows. Every source column is buffered
+    (the mode emits them all) — the mode's inherent state cost; the
+    funnel ends in an exactly-one purchase, so matches at the
+    closed-prefix tail are decided and the availableNow run converges
+    to the batch expansion oracle over the watermark-closed prefix."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_stream_events_view(spark, sf_dir, "mr_stream_events_src")
+    out = execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, event_id, ts_us, cls, match_no, n_clicks
+        FROM mr_stream_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES
+              CLASSIFIER() AS cls,
+              MATCH_NUMBER() AS match_no,
+              FINAL COUNT(c.*) AS n_clicks
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v c+ p)
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              p AS p.event_type = 'purchase'
+          )
+    """))
+    name = "fcs_stream_mr_allrows"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-mrar-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(name)
+
+
+# the batch per-row expansion over the watermark-CLOSED prefix (keys
+# whose newest event sits on the final watermark never close, exactly
+# like the other stream_match_* oracles); match_no numbers a key's
+# matches in scan order WITHIN the closed prefix — identical to the
+# streaming counter, which only ever sees closed rows
+_STREAM_MATCH_ALL_ROWS_ORACLE = """
+WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
+seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE epoch_us(ts) // 1000 < (SELECT wm_ms FROM wm)
+),
+isl AS (
+  SELECT user_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type = 'click'
+),
+runs AS (
+  SELECT user_id, min(rn) AS srn, max(rn) AS ern, count(*)::bigint AS n_clicks
+  FROM isl GROUP BY user_id, grp
+),
+matches AS (
+  SELECT r.user_id, r.srn, r.ern, r.n_clicks,
+         row_number() OVER (PARTITION BY r.user_id
+                            ORDER BY r.srn)::bigint AS match_no
+  FROM runs r
+  JOIN seq v ON v.user_id = r.user_id AND v.rn = r.srn - 1
+            AND v.event_type = 'view'
+  JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
+            AND p.event_type = 'purchase'
+)
+SELECT s.user_id, s.event_id, s.ts_us,
+       CASE WHEN s.rn = m.srn - 1 THEN 'V'
+            WHEN s.rn = m.ern + 1 THEN 'P'
+            ELSE 'C' END AS cls,
+       m.match_no, m.n_clicks
+FROM matches m
+JOIN seq s ON s.user_id = m.user_id
+          AND s.rn BETWEEN m.srn - 1 AND m.ern + 1
+"""
+
+
+@_with_stream_shuffle(16)
 def stream_match_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of :func:`q_match_alternation`: the alternation
     group runs inside the watermark-gated buffered NFA
@@ -11749,6 +11844,7 @@ QUERIES = {
     "stream_match_subquery_src": stream_match_subquery_src,
     "q_match_alternation": q_match_alternation,
     "stream_match_alternation": stream_match_alternation,
+    "stream_match_all_rows": stream_match_all_rows,
     "q_match_all_rows": q_match_all_rows,
     "pq_opq_recall": pq_opq_recall,
     "stream_match_quantified": stream_match_quantified,
@@ -11954,6 +12050,7 @@ ORACLES = {
     "stream_match_subquery_src": _STREAM_MATCH_SUBQUERY_SRC_ORACLE,
     "q_match_alternation": _MATCH_ALTERNATION_ORACLE,
     "stream_match_alternation": _STREAM_MATCH_ALTERNATION_ORACLE,
+    "stream_match_all_rows": _STREAM_MATCH_ALL_ROWS_ORACLE,
     "q_match_all_rows": _MATCH_ALL_ROWS_ORACLE,
     "pq_opq_recall": _PQ_OPQ_RECALL_ORACLE,
     "stream_match_quantified": _STREAM_MATCH_QUANTIFIED_ORACLE,

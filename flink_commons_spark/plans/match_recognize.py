@@ -65,9 +65,11 @@ buffered NFA (state-dependent DEFINE included: such predicates only
 read rows at or before the candidate, all watermark-closed).
 
 Not supported (raises with a clear message): pattern permutation,
-alternation combined with match-state-dependent DEFINEs, streaming
-``ALL ROWS PER MATCH``, and — under ``--strict-compat`` (Flink
-parity) — alternation and ``ALL ROWS PER MATCH`` entirely.
+alternation combined with match-state-dependent DEFINEs, and — under
+``--strict-compat`` (Flink parity) — alternation and ``ALL ROWS PER
+MATCH`` entirely. ``ALL ROWS PER MATCH`` works on BOTH batch and
+streaming sources (streaming persists the per-key ``MATCH_NUMBER()``
+ordinal in state — see ``streaming/cep_stream.py``).
 Derived-table sources ``FROM (SELECT ...)`` ARE supported (inlined as
 a temp view). ``NEXT()`` works on
 streaming sources too — the navigating step's newest closed rows wait
@@ -1464,12 +1466,12 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
     elif spec.within_us is not None and first_t not in _INT_TYPES:
         raise ValueError("WITHIN requires the first ORDER BY key to be a "
                          "timestamp or integer event-time column")
-    if spec.all_rows and streaming:
-        raise ValueError(
-            "streaming ALL ROWS PER MATCH is not supported — the "
-            "extension is batch-only (Flink rejects the mode entirely)"
-        )
     needed = set(spec.partition_by) | set(order_cols) | spec.used_cols
+    if spec.all_rows:
+        # ALL ROWS emits every source column, so they are all "needed"
+        # — batch reads them through the match segments; streaming
+        # buffers them all in state (the mode's inherent state cost)
+        needed |= set(src_df.columns)
     keep = set(needed) | ({wm_col} if wm_col else set())
     if not spec.all_rows:
         # ALL ROWS emits every source column, so pruning only applies
@@ -1534,14 +1536,13 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
         # current-row bare-column reads vary; navigation/aggregates
         # are FINAL — whole-match — semantics, the documented
         # divergence from the standard's RUNNING default). Match
-        # numbering is per partition key in scan order.
+        # numbering is per partition key in scan order — counted
+        # task-locally for batch (each key lives in one task, matches
+        # arrive in scan order) and persisted in state for streaming
+        # (``stream_match_pattern(all_rows=True)``).
         src_cols = [c for c in src_df.columns]
-        match_nos: dict = {}
 
-        def measures_fn(key: tuple, segs: dict):  # noqa: F811
-            key_t = key if isinstance(key, tuple) else (key,)
-            n_match = match_nos.get(key_t, 0) + 1
-            match_nos[key_t] = n_match
+        def _emit_all_rows(key: tuple, segs: dict, n_match: int):
             key_map = dict(zip(key_cols, key))
             pairs: "list[tuple[int, str]]" = []
             for name in step_names:
@@ -1575,6 +1576,14 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
                     row[name] = node.fn(ctx)
                 out_rows.append(row)
             return out_rows
+
+        match_nos: dict = {}
+
+        def measures_fn(key: tuple, segs: dict):  # noqa: F811
+            key_t = key if isinstance(key, tuple) else (key,)
+            n_match = match_nos.get(key_t, 0) + 1
+            match_nos[key_t] = n_match
+            return _emit_all_rows(key, segs, n_match)
 
         out_schema = ", ".join(
             [f"{c} {col_types[c]}" for c in src_cols]
@@ -1617,22 +1626,18 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
                     c, F.unix_micros(F.col(c).cast("timestamp"))
                 )
                 types_now[c] = "bigint"
+        # ALL ROWS emits every source column (buffered encoded, decoded
+        # below); one-row emits the key + measures only
+        out_pairs = (
+            [(c, col_types[c]) for c in src_cols]
+            if spec.all_rows
+            else [(c, col_types[c]) for c in key_cols]
+        ) + [(n, node.typ) for n, node in measure_nodes]
         dec_out = [
-            c for c, t in (
-                [(c, col_types[c]) for c in key_cols]
-                + [(n, node.typ) for n, node in measure_nodes]
-            )
-            if t.startswith("timestamp")
+            c for c, t in out_pairs if t.startswith("timestamp")
         ] if enc_ts else []
         stream_schema = ", ".join(
-            [
-                f"{c} {'bigint' if c in dec_out else col_types[c]}"
-                for c in key_cols
-            ]
-            + [
-                f"{n} {'bigint' if n in dec_out else node.typ}"
-                for n, node in measure_nodes
-            ]
+            f"{c} {'bigint' if c in dec_out else t}" for c, t in out_pairs
         )
         # key columns stay buffered too: a DEFINE predicate may read
         # them through the frame (measures get them via the group key);
@@ -1646,11 +1651,12 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
             key_cols,
             order_cols,
             spec.steps,
-            measures_fn,
+            _emit_all_rows if spec.all_rows else measures_fn,
             stream_schema,
             buffer_cols,
             after_match=spec.after_match,
             within_us=spec.within_us,
+            all_rows=spec.all_rows,
             # retain as many consumed context rows as the deepest PREV
             # offset needs — PREV(col, n≥2) must see its true n-th
             # predecessor after a match consumes the prefix; NEXT

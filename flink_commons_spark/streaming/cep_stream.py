@@ -634,6 +634,7 @@ def stream_match_pattern(
     within_us: "int | None" = None,
     ctx_rows: int = 1,
     frame_renames: "dict[str, str] | None" = None,
+    all_rows: bool = False,
 ) -> DataFrame:
     """GENERIC watermark-gated streaming MATCH_RECOGNIZE — the
     streaming twin of :func:`operators.cep.match_pattern` with the
@@ -679,7 +680,21 @@ def stream_match_pattern(
     drained-buffer divergence).
 
     Closed-prefix semantics are byte-identical to the funnel harness —
-    both run :func:`_scan_closed_prefix`."""
+    both run :func:`_scan_closed_prefix`.
+
+    ``all_rows=True`` is the streaming ``ALL ROWS PER MATCH`` mode (a
+    flagged SQL:2016 extension — Flink 1.16 rejects the row mode
+    entirely): ``measures`` is then called as ``measures(key, segs,
+    match_seq)`` and must return a LIST of output-row dicts (one per
+    matched input row). ``match_seq`` is the per-key scan-order match
+    ordinal (``MATCH_NUMBER()``), persisted in state across settles by
+    an extra ``nmatch`` state field — appended ONLY in this mode, so
+    existing one-row checkpoints keep their layout. One documented
+    divergence: when a key's buffer fully drains its state (counter
+    included) is dropped, so on a genuinely unbounded stream a key
+    that re-appears after a complete drain restarts MATCH_NUMBER at 1;
+    a bounded replay (availableNow) settles every match before the
+    drain, where numbering equals the batch executor's."""
     import numpy as np
     import pandas as pd
 
@@ -704,14 +719,17 @@ def stream_match_pattern(
     state_schema = ", ".join(
         [f"{c} {_BUF_TYPES[t][0]}" for c, t in buffer_cols]
         + ["nctx int", "presorted int"]
+        + (["nmatch bigint"] if all_rows else [])
     )
     out_cols = [f.strip().split()[0] for f in output_schema.split(",")]
     step_list = list(steps)
+    nbuf = len(buffer_cols)
 
     def fn(key, batches, state):
         wm_ms = state.getCurrentWatermarkMs()
 
-        def settle(pdf_all: "pd.DataFrame", nctx: int, presorted: bool):
+        def settle(pdf_all: "pd.DataFrame", nctx: int, presorted: bool,
+                   nmatch: int = 0):
             total = len(pdf_all)
             ts_raw = pdf_all[ts_col].to_numpy("int64")
             if not int((ts_raw // 1000 < wm_ms).sum()):
@@ -729,6 +747,7 @@ def stream_match_pattern(
                     state.update(tuple(
                         [_enc_buf(pdf_all[c], t) for c, t in buffer_cols]
                         + [nctx, int(presorted)]
+                        + ([nmatch] if all_rows else [])
                     ))
                     lo = int(ts_raw.min())
                     cand = [int(ts_raw.max()) // 1000 + 1,
@@ -767,6 +786,7 @@ def stream_match_pattern(
             alt_masks = _alt_member_masks(step_list, pdf_closed)
             cols = {c: pdf_closed[c].to_numpy() for c in pdf_closed.columns}
             out = []
+            seq = [nmatch]  # per-key MATCH_NUMBER cursor (all_rows mode)
 
             def on_match(hit, first, last):
                 segs = {
@@ -775,7 +795,11 @@ def stream_match_pattern(
                 }
                 if alt_masks:
                     _add_alt_segs(step_list, hit, alt_masks, cols, segs)
-                out.append(measures(key, segs))
+                if all_rows:
+                    seq[0] += 1
+                    out.extend(measures(key, segs, seq[0]))
+                else:
+                    out.append(measures(key, segs))
 
             consumed, pending = _scan_closed_prefix(
                 step_list, masks, ts[:closed_n].tolist(), closed_n, on_match,
@@ -805,6 +829,7 @@ def stream_match_pattern(
                 state.update(tuple(
                     [_enc_buf(rest[c], t) for c, t in buffer_cols]
                     + [keep_from - ctx_start, 1]  # suffix stays sorted
+                    + ([seq[0]] if all_rows else [])
                 ))
                 cand = [int(ts[total - 1]) // 1000 + 1]
                 if closed_n < total:
@@ -824,7 +849,10 @@ def stream_match_pattern(
                 c: _dec_buf(vals[i], t)
                 for i, (c, t) in enumerate(buffer_cols)
             })
-            matches = settle(pdf_all, int(vals[-2]), bool(vals[-1]))
+            matches = settle(
+                pdf_all, int(vals[nbuf]), bool(vals[nbuf + 1]),
+                int(vals[nbuf + 2]) if all_rows else 0,
+            )
             if matches:
                 yield pd.DataFrame(matches, columns=out_cols)
             return
@@ -832,6 +860,7 @@ def stream_match_pattern(
         new = pd.concat(list(batches))[[c for c, _ in buffer_cols]]
         nctx = 0
         presorted = False
+        nmatch = 0
         if state.exists:
             vals = state.get
             prev = pd.DataFrame({
@@ -839,8 +868,10 @@ def stream_match_pattern(
                 for i, (c, t) in enumerate(buffer_cols)
             })
             new = pd.concat([prev, new], ignore_index=True)
-            nctx = int(vals[-2])
-        matches = settle(new.reset_index(drop=True), nctx, presorted)
+            nctx = int(vals[nbuf])
+            if all_rows:
+                nmatch = int(vals[nbuf + 2])
+        matches = settle(new.reset_index(drop=True), nctx, presorted, nmatch)
         if matches:
             yield pd.DataFrame(matches, columns=out_cols)
 

@@ -12,6 +12,18 @@ import pytest
 from pyspark.sql import functions as F
 
 
+@pytest.fixture(autouse=True)
+def _no_broadcast(spark):
+    """Force the shuffle path (the thing under test) WITHOUT leaking
+    the conf into later test modules on the shared session — an
+    unrestored ``-1`` turns scalar-broadcast joins elsewhere into
+    cartesian products and fails the plan-quality gate."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 @pytest.fixture()
 def warehouse_tables(spark):
     # spark.sql.warehouse.dir is static; tables land in ./spark-warehouse
@@ -28,7 +40,6 @@ def warehouse_tables(spark):
 
 
 def test_bucketed_join_has_no_shuffle(spark, warehouse_tables):
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     joined = (
         spark.table("b_lineitem")
         .join(spark.table("b_orders"),
@@ -50,7 +61,6 @@ def test_bucketed_join_has_no_shuffle(spark, warehouse_tables):
 
 def test_unbucketed_join_does_shuffle(spark):
     """Control: the same join over raw parquet shuffles both sides."""
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     joined = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))

@@ -694,3 +694,129 @@ def test_streaming_next_kill_and_resume(spark, tmp_path):
     assert sorted(map(key, got)) == sorted(map(key, ref))
     assert len(ref) == nkeys  # every key's funnel emits (tail row follows)
     assert all(r.n_c == 2 for r in ref)
+
+# ---------------------------------------------- streaming ALL ROWS mode
+
+
+def test_streaming_all_rows_per_match(spark, tmp_path):
+    """STREAMING ``ALL ROWS PER MATCH`` (flagged SQL:2016 extension):
+    per-row CLASSIFIER(), a per-key MATCH_NUMBER() persisted ACROSS
+    settles (key 1's two funnels decide in different microbatches —
+    the ``nmatch`` state field carries the ordinal between them), and
+    every source column on the output rows."""
+    files = [
+        [(1, 1, "view", 10), (1, 2, "click", 20), (1, 3, "purchase", 30),
+         (2, 1, "view", 5)],
+        [(1, 4, "view", 40), (1, 5, "click", 50), (1, 6, "click", 55),
+         (1, 7, "purchase", 60), (2, 8, "click", 6)],
+        [(2, 9, "purchase", 7)],
+        [(9999, 10_000_000, "x", 0)],
+    ]
+    _file_stream_view(spark, tmp_path, files, "mds_allrows")
+    out = execute_match_recognize(spark, """
+        SELECT user_id, ts_us, cls, match_no, n_c FROM mds_allrows
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ts
+            MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS match_no,
+                     FINAL COUNT(c.*) AS n_c
+            ALL ROWS PER MATCH AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v c+ p)
+            DEFINE v AS v.event_type = 'view',
+                   c AS c.event_type = 'click',
+                   p AS p.event_type = 'purchase'
+          )""")
+    got = _drain(spark, out, "mds_allrows_out", tmp_path)
+    rows = sorted(
+        (r.user_id, r.ts_us, r.cls, r.match_no, r.n_c) for r in got.collect()
+    )
+    sec = 1_000_000
+    assert rows == [
+        (1, 1 * sec, "V", 1, 1), (1, 2 * sec, "C", 1, 1),
+        (1, 3 * sec, "P", 1, 1),
+        (1, 4 * sec, "V", 2, 2), (1, 5 * sec, "C", 2, 2),
+        (1, 6 * sec, "C", 2, 2), (1, 7 * sec, "P", 2, 2),
+        (2, 1 * sec, "V", 1, 1), (2, 8 * sec, "C", 1, 1),
+        (2, 9 * sec, "P", 1, 1),
+    ]
+    # every source column rides along (ts decoded back to timestamp)
+    assert {"user_id", "ts", "ts_us", "event_type", "cents"} <= set(
+        c for c in spark.table("mds_allrows").columns
+    )
+
+
+def test_streaming_all_rows_kill_and_resume(spark, tmp_path):
+    """Kill-and-resume for the all-rows mode: the extra ``nmatch``
+    state field must round-trip through the checkpoint so a resumed
+    run numbers later matches after the pre-kill ones instead of
+    restarting at 1."""
+    rows_per_key = [
+        (0, "view", 0), (1, "click", 10), (2, "purchase", 20),
+        (3, "view", 0), (4, "click", 11), (5, "purchase", 21),
+        (6, "signup", 0),
+    ]
+    nkeys = 8
+    all_rows = [
+        (k, 10 * k + off, et, cents + k)
+        for k in range(1, nkeys + 1)
+        for off, et, cents in rows_per_key
+    ]
+    all_rows.sort(key=lambda r: r[1])
+    third = len(all_rows) // 3
+    files = [
+        all_rows[:third], all_rows[third: 2 * third], all_rows[2 * third:],
+        [(9999, 10_000_000, "x", 0)],
+    ]
+    sql = """
+        SELECT user_id, ts_us, cls, match_no FROM {v}
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id ORDER BY ts
+            MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS match_no
+            ALL ROWS PER MATCH AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v c+ p)
+            DEFINE v AS v.event_type = 'view',
+                   c AS c.event_type = 'click',
+                   p AS p.event_type = 'purchase'
+          )"""
+    _file_stream_view(spark, tmp_path, files, "mds_arkr")
+    out = execute_match_recognize(spark, sql.format(v="mds_arkr"))
+    ckpt = str(tmp_path / "arkr_ckpt")
+    got = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: got.extend(b.collect()))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2:
+            break
+        time.sleep(0.2)
+    assert q.isActive, "query drained before the kill point"
+    q.stop()
+
+    out2 = execute_match_recognize(spark, sql.format(v="mds_arkr"))
+    q2 = (
+        out2.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: got.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    assert q2.awaitTermination(180)
+
+    ref = []
+    out3 = execute_match_recognize(spark, sql.format(v="mds_arkr"))
+    q3 = (
+        out3.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: ref.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "arkr_ref_ckpt"))
+        .start()
+    )
+    assert q3.awaitTermination(180)
+    key = lambda r: (r.user_id, r.ts_us, r.cls, r.match_no)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, ref))
+    # every key emits two funnels of 3 rows each, numbered 1 then 2
+    assert len(ref) == nkeys * 6
+    assert {r.match_no for r in ref} == {1, 2}
