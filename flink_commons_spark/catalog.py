@@ -9331,6 +9331,102 @@ JOIN seq s ON s.user_id = m.user_id
 """
 
 
+def q_match_running_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``RUNNING`` vs ``FINAL`` measure semantics under ``ALL ROWS PER
+    MATCH`` (SQL:2016 §9.27: RUNNING is the all-rows DEFAULT): bare
+    aggregates evaluate over the match's rows UP TO the current row —
+    ``COUNT(c.*)`` climbs 0,1,2,… down the funnel, ``SUM(c.cents)`` is
+    NULL before the first click (coalesced to -1 on both engines — the
+    driver's pandas comparison path renders nullable bigint as
+    float64) — while ``FINAL SUM(c.cents)`` replicates the whole-match
+    total on every row (``plans/match_recognize.py`` — the
+    FINAL/RUNNING prefix wrapper swapping truncated vs whole-match
+    segment views). The oracle computes the running columns with
+    window functions over the expanded match rows."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_events_view(spark, sf_dir, "mr_events_src")
+    return execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, event_id, ts_us, cls, run_rows, run_clicks,
+               COALESCE(run_cents, -1) AS run_cents, fin_cents
+        FROM mr_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            MEASURES
+              CLASSIFIER() AS cls,
+              RUNNING COUNT(*) AS run_rows,
+              COUNT(c.*) AS run_clicks,
+              SUM(c.cents) AS run_cents,
+              FINAL SUM(c.cents) AS fin_cents
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v c+ p)
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              p AS p.event_type = 'purchase'
+          )
+    """))
+
+
+# the islands expansion with the running columns as window functions
+# over each match's rows in scan order: running row count = position,
+# running click count = clicks at or before the row, running cents =
+# the cumulative click-cents window (NULL before the first click →
+# the shared -1 sentinel), final cents = the whole-match total
+_MATCH_RUNNING_MEASURES_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+isl AS (
+  SELECT user_id, rn, cents,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type = 'click'
+),
+runs AS (
+  SELECT user_id, min(rn) AS srn, max(rn) AS ern,
+         count(*)::bigint AS n_clicks, sum(cents)::bigint AS sum_cents
+  FROM isl GROUP BY user_id, grp
+),
+matches AS (
+  SELECT r.user_id, r.srn, r.ern, r.n_clicks, r.sum_cents
+  FROM runs r
+  JOIN seq v ON v.user_id = r.user_id AND v.rn = r.srn - 1
+            AND v.event_type = 'view'
+  JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
+            AND p.event_type = 'purchase'
+),
+expand AS (
+  SELECT s.user_id, s.event_id, s.ts_us,
+         CASE WHEN s.rn = m.srn - 1 THEN 'V'
+              WHEN s.rn = m.ern + 1 THEN 'P'
+              ELSE 'C' END AS cls,
+         (s.rn - m.srn + 2)::bigint AS run_rows,
+         (CASE WHEN s.rn < m.srn THEN 0
+               WHEN s.rn > m.ern THEN m.n_clicks
+               ELSE s.rn - m.srn + 1 END)::bigint AS run_clicks,
+         sum(CASE WHEN s.event_type = 'click' THEN s.cents END)
+           OVER (PARTITION BY m.user_id, m.srn ORDER BY s.rn)
+           AS run_cents_raw,
+         m.sum_cents AS fin_cents
+  FROM matches m
+  JOIN seq s ON s.user_id = m.user_id
+            AND s.rn BETWEEN m.srn - 1 AND m.ern + 1
+)
+SELECT user_id, event_id, ts_us, cls, run_rows, run_clicks,
+       COALESCE(run_cents_raw, -1)::bigint AS run_cents, fin_cents
+FROM expand
+"""
+
+
 @_with_stream_shuffle(16)
 def stream_match_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING ``ALL ROWS PER MATCH`` — the streaming twin of
@@ -11845,6 +11941,7 @@ QUERIES = {
     "q_match_alternation": q_match_alternation,
     "stream_match_alternation": stream_match_alternation,
     "stream_match_all_rows": stream_match_all_rows,
+    "q_match_running_measures": q_match_running_measures,
     "q_match_all_rows": q_match_all_rows,
     "pq_opq_recall": pq_opq_recall,
     "stream_match_quantified": stream_match_quantified,
@@ -12051,6 +12148,7 @@ ORACLES = {
     "q_match_alternation": _MATCH_ALTERNATION_ORACLE,
     "stream_match_alternation": _STREAM_MATCH_ALTERNATION_ORACLE,
     "stream_match_all_rows": _STREAM_MATCH_ALL_ROWS_ORACLE,
+    "q_match_running_measures": _MATCH_RUNNING_MEASURES_ORACLE,
     "q_match_all_rows": _MATCH_ALL_ROWS_ORACLE,
     "pq_opq_recall": _PQ_OPQ_RECALL_ORACLE,
     "stream_match_quantified": _STREAM_MATCH_QUANTIFIED_ORACLE,

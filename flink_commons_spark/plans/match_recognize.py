@@ -490,11 +490,27 @@ class _ExprParser:
                 and self._peek() is not None
                 and self._peek() != ("op", "(")
             ):
-                # SQL-standard per-row semantics prefixes; with ONE ROW
-                # PER MATCH (the only supported mode) the emitted row is
-                # the match's last, where RUNNING ≡ FINAL — accept both
-                # as no-ops, as Flink's examples write them
-                return self._factor()
+                # SQL-standard per-row semantics prefixes. Under ONE
+                # ROW PER MATCH the emitted row is the match's last,
+                # where RUNNING ≡ FINAL — both are no-ops there (the
+                # ctx carries no *_run/*_final pair, as Flink's
+                # examples write them). Under ALL ROWS PER MATCH the
+                # emitter provides both views and the wrapper swaps the
+                # subtree's segment reads: RUNNING = rows of the match
+                # up to the CURRENT row (the standard's all-rows
+                # default), FINAL = the whole match.
+                inner = self._factor()
+
+                def sem(c, f=inner.fn, run=(up == "RUNNING")):
+                    if "segs_run" not in c:
+                        return f(c)
+                    c2 = dict(c)
+                    which = "run" if run else "final"
+                    c2["segs"] = c[f"segs_{which}"]
+                    c2["n_rows"] = c[f"n_rows_{which}"]
+                    return f(c2)
+
+                return _Node(sem, inner.typ)
             nxt = self._peek()
             if nxt and nxt[0] == "op" and nxt[1] == "(":
                 return self._func(up)
@@ -846,7 +862,7 @@ class MatchRecognizeSpec:
     span: "tuple[int, int]" = (0, 0)  # [source start, past close paren)
     needs_last_row: bool = False  # some measure reads the match's last row
     max_prev: int = 0  # deepest PREV offset → streaming context rows
-    all_rows: bool = False  # ALL ROWS PER MATCH (batch-only extension)
+    all_rows: bool = False  # ALL ROWS PER MATCH (batch + streaming extension)
 
 
 def _skip_span(sql: str, i: int) -> int:
@@ -1532,15 +1548,38 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
 
     if spec.all_rows:
         # one output row PER MATCHED INPUT ROW: every source column,
-        # then the measures (evaluated per row: CLASSIFIER() and the
-        # current-row bare-column reads vary; navigation/aggregates
-        # are FINAL — whole-match — semantics, the documented
-        # divergence from the standard's RUNNING default). Match
+        # then the measures evaluated per row — CLASSIFIER(), the
+        # current-row bare-column reads, and aggregate semantics per
+        # SQL:2016: RUNNING (rows of the match up to the current row)
+        # is the default, FINAL forces the whole match. Match
         # numbering is per partition key in scan order — counted
         # task-locally for batch (each key lives in one task, matches
         # arrive in scan order) and persisted in state for streaming
         # (``stream_match_pattern(all_rows=True)``).
+        from flink_commons_spark.operators.cep import _Seg
+
         src_cols = [c for c in src_df.columns]
+
+        class _RunningSegs:
+            """Lazy per-row RUNNING view of the match's segments:
+            ``[var]`` truncates the segment to positions at or before
+            the current row — built on ACCESS, so FINAL-only measure
+            lists never pay the truncation."""
+
+            __slots__ = ("_segs", "_pos")
+
+            def __init__(self, segs, pos):
+                self._segs = segs
+                self._pos = pos
+
+            def __getitem__(self, var):
+                seg = self._segs[var]
+                r = seg._rng
+                if type(r) is range:
+                    return _Seg(
+                        seg._cols, range(r.start, min(r.stop, self._pos + 1))
+                    )
+                return _Seg(seg._cols, r[r <= self._pos])
 
         def _emit_all_rows(key: tuple, segs: dict, n_match: int):
             key_map = dict(zip(key_cols, key))
@@ -1558,16 +1597,24 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
             cols = next(iter(segs.values()))._cols
             out_rows = []
             n_rows = len(pairs)
-            for pos, cls in pairs:
+            for i, (pos, cls) in enumerate(pairs):
+                run_segs = _RunningSegs(segs, pos)
                 ctx = {
                     "key": key_map,
-                    "segs": segs,
+                    # default aggregate semantics = RUNNING (SQL:2016's
+                    # all-rows default); the FINAL/RUNNING prefix
+                    # wrapper swaps in segs_final / segs_run explicitly
+                    "segs": run_segs,
+                    "segs_run": run_segs,
+                    "segs_final": segs,
                     # bare columns read the CURRENT row (the standard's
                     # ALL ROWS semantics), not the match's last row
                     "last_row": {
                         c: cols[c][pos] for c in needed if c in cols
                     },
-                    "n_rows": n_rows,
+                    "n_rows": i + 1,
+                    "n_rows_run": i + 1,
+                    "n_rows_final": n_rows,
                     "classifier": cls,
                     "match_no": n_match,
                 }

@@ -919,7 +919,8 @@ def test_one_row_classifier_is_last_step_not_member(spark):
 
 def test_all_rows_rejections(spark):
     """--strict-compat keeps the Flink parity rejection; MATCH_NUMBER
-    requires ALL ROWS; streaming sources reject the mode."""
+    requires ALL ROWS (streaming sources run the mode too — see
+    test_match_define_state's streaming all-rows tests)."""
     _alt_view(spark, [(1, 1, "view", 0.0)], "ar_ev4")
     stmt = """
         SELECT user_id FROM ar_ev4 MATCH_RECOGNIZE (
@@ -936,6 +937,39 @@ def test_all_rows_rejections(spark):
               MEASURES MATCH_NUMBER() AS mno
               ONE ROW PER MATCH
               PATTERN (a) DEFINE a AS a.event_type = 'view')""")
+
+
+def test_all_rows_running_vs_final(spark):
+    """SQL:2016 aggregate semantics under ALL ROWS PER MATCH: bare
+    aggregates and bare V.col reads are RUNNING (rows of the match up
+    to the CURRENT row — NULL/0 before the variable first matches),
+    the FINAL prefix forces whole-match values, and the explicit
+    RUNNING prefix is the default spelled out. ONE ROW PER MATCH is
+    unaffected (RUNNING ≡ FINAL at the match's last row)."""
+    _alt_view(spark, [
+        (1, 1, "view", 0.0), (1, 2, "click", 2.0),
+        (1, 3, "click", 0.5), (1, 4, "purchase", 0.0),
+    ], "ar_ev5")
+    out = execute_match_recognize(spark, """
+        SELECT ts_us, run_rows, run_clicks, run_price, fin_price, run_last
+        FROM ar_ev5 MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES RUNNING COUNT(*) AS run_rows,
+                   COUNT(c.*) AS run_clicks,
+                   SUM(c.price) AS run_price,
+                   FINAL SUM(c.price) AS fin_price,
+                   c.price AS run_last
+          ALL ROWS PER MATCH AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (v c+ p)
+          DEFINE v AS v.event_type = 'view', c AS c.event_type = 'click',
+                 p AS p.event_type = 'purchase'
+        )""")
+    assert sorted(map(tuple, out.collect())) == [
+        (1, 1, 0, None, 2.5, None),
+        (2, 2, 1, 2.0, 2.5, 2.0),
+        (3, 3, 2, 2.5, 2.5, 0.5),
+        (4, 4, 2, 2.5, 2.5, 0.5),
+    ]
 
 
 def test_subquery_detection_anchored_to_from(spark):
