@@ -23,12 +23,13 @@ Supported surface (the reference demo's dialect of the standard):
   ``col`` (last row of the match), literals and arithmetic over any
   of these;
 - ``ONE ROW PER MATCH`` (Flink's only mode); plus — a flagged
-  SQL:2016 EXTENSION, batch sources only — ``ALL ROWS PER MATCH``:
-  one output row per matched input row carrying every source column,
-  the measures (``CLASSIFIER()`` and bare-column reads are per-row;
-  navigation/aggregates evaluate FINAL — whole-match — semantics, the
-  documented divergence from the standard's RUNNING default), and
-  ``MATCH_NUMBER()`` (per-key scan-order ordinal).
+  SQL:2016 EXTENSION, batch AND streaming sources — ``ALL ROWS PER
+  MATCH``: one output row per matched input row carrying every source
+  column, the measures (``CLASSIFIER()`` and bare-column reads are
+  per-row; aggregates default to RUNNING — rows of the match up to
+  the current row, the standard's all-rows default — with ``FINAL``
+  forcing whole-match values), and ``MATCH_NUMBER()`` (per-key
+  scan-order ordinal, state-persisted on streams).
   ``--strict-compat`` keeps Flink's rejection;
 - ``AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | TO [FIRST|LAST] V``;
 - ``PATTERN`` with the NFA's quantifiers: ``V``, ``V+``, ``V*``,
@@ -508,6 +509,10 @@ class _ExprParser:
                     which = "run" if run else "final"
                     c2["segs"] = c[f"segs_{which}"]
                     c2["n_rows"] = c[f"n_rows_{which}"]
+                    if not run:
+                        # FINAL bare columns read the match's LAST row,
+                        # not the current one
+                        c2["last_row"] = c["last_row_final"]
                     return f(c2)
 
                 return _Node(sem, inner.typ)
@@ -1048,8 +1053,11 @@ def parse_match_recognize(
         bm.group("rowmode") and "ALL" in bm.group("rowmode").upper()
     )
     if all_rows and strict_compat:
-        raise ValueError("ALL ROWS PER MATCH is not supported (Flink CEP "
-                         "SQL emits ONE ROW PER MATCH for aggregates too)")
+        raise ValueError(
+            "ALL ROWS PER MATCH is disabled under --strict-compat (Flink "
+            "CEP SQL emits ONE ROW PER MATCH for aggregates too); drop "
+            "the flag to use the SQL:2016 extension"
+        )
 
     part = [c.strip().strip("`") for c in (bm.group("part") or "").split(",") if c.strip()]
     if not part:
@@ -1243,7 +1251,18 @@ def parse_match_recognize(
                              all_rows=all_rows)
         node = parser.parse()
         needs_last_row = needs_last_row or parser.needs_last_row
-        measures.append((mm.group("name").strip("`"), node))
+        mname = mm.group("name").strip("`")
+        if all_rows and mname in col_types:
+            # ALL ROWS emits every source column ALONGSIDE the
+            # measures — a colliding alias would declare the output
+            # column twice and die deep in Arrow with a column-count
+            # error; reject it here with the fix spelled out
+            raise ValueError(
+                f"measure alias {mname!r} collides with a source column "
+                "— ALL ROWS PER MATCH emits every source column, so "
+                "measures need distinct names"
+            )
+        measures.append((mname, node))
     if not measures:
         raise ValueError("MATCH_RECOGNIZE requires at least one measure")
 
@@ -1597,6 +1616,13 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
             cols = next(iter(segs.values()))._cols
             out_rows = []
             n_rows = len(pairs)
+            # bare-column ctx rows only when some measure reads one
+            # (the one-row path's needs_last_row gate); FINAL bare
+            # columns read the match's LAST row, built once per match
+            last_final = None
+            if needs_last_row:
+                lp = pairs[-1][0]
+                last_final = {c: cols[c][lp] for c in needed if c in cols}
             for i, (pos, cls) in enumerate(pairs):
                 run_segs = _RunningSegs(segs, pos)
                 ctx = {
@@ -1608,10 +1634,11 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
                     "segs_run": run_segs,
                     "segs_final": segs,
                     # bare columns read the CURRENT row (the standard's
-                    # ALL ROWS semantics), not the match's last row
+                    # ALL ROWS semantics); FINAL swaps last_row_final in
                     "last_row": {
                         c: cols[c][pos] for c in needed if c in cols
-                    },
+                    } if needs_last_row else None,
+                    "last_row_final": last_final,
                     "n_rows": i + 1,
                     "n_rows_run": i + 1,
                     "n_rows_final": n_rows,
@@ -1624,13 +1651,19 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
                 out_rows.append(row)
             return out_rows
 
-        match_nos: dict = {}
+        # per-key scan-order match ordinal: groups arrive one at a
+        # time and their matches in scan order, so tracking only the
+        # CURRENT key keeps the counter O(1) instead of one dead dict
+        # entry per key for the task's lifetime
+        match_seq = {"key": None, "n": 0}
 
         def measures_fn(key: tuple, segs: dict):  # noqa: F811
             key_t = key if isinstance(key, tuple) else (key,)
-            n_match = match_nos.get(key_t, 0) + 1
-            match_nos[key_t] = n_match
-            return _emit_all_rows(key, segs, n_match)
+            if match_seq["key"] != key_t:
+                match_seq["key"] = key_t
+                match_seq["n"] = 0
+            match_seq["n"] += 1
+            return _emit_all_rows(key, segs, match_seq["n"])
 
         out_schema = ", ".join(
             [f"{c} {col_types[c]}" for c in src_cols]

@@ -578,7 +578,12 @@ def test_streaming_next_within_kill_and_resume(spark, tmp_path):
     )
     assert q3.awaitTermination(180)
     key = lambda r: (r.user_id, r.start_us, r.n_c)  # noqa: E731
-    assert sorted(map(key, got)) == sorted(map(key, ref))
+    # SET equality, not multiset: foreachBatch is AT-LEAST-ONCE across
+    # a restart — a batch that ran but had not committed before the
+    # kill replays on resume, so `got` may legitimately hold duplicates
+    # of individually-unique rows (exactly-once is the idempotent
+    # sink's job, and every emitted row here is key-unique)
+    assert set(map(key, got)) == set(map(key, ref))
     # every key's funnel completes inside its 60 s window; key 1's
     # extra early view emits nothing (expired window = permanent no)
     assert len(ref) == nkeys
@@ -691,7 +696,12 @@ def test_streaming_next_kill_and_resume(spark, tmp_path):
     )
     assert q3.awaitTermination(180)
     key = lambda r: (r.user_id, r.start_us, r.n_c)  # noqa: E731
-    assert sorted(map(key, got)) == sorted(map(key, ref))
+    # SET equality, not multiset: foreachBatch is AT-LEAST-ONCE across
+    # a restart — a batch that ran but had not committed before the
+    # kill replays on resume, so `got` may legitimately hold duplicates
+    # of individually-unique rows (exactly-once is the idempotent
+    # sink's job, and every emitted row here is key-unique)
+    assert set(map(key, got)) == set(map(key, ref))
     assert len(ref) == nkeys  # every key's funnel emits (tail row follows)
     assert all(r.n_c == 2 for r in ref)
 
@@ -816,7 +826,12 @@ def test_streaming_all_rows_kill_and_resume(spark, tmp_path):
     )
     assert q3.awaitTermination(180)
     key = lambda r: (r.user_id, r.ts_us, r.cls, r.match_no)  # noqa: E731
-    assert sorted(map(key, got)) == sorted(map(key, ref))
+    # SET equality, not multiset: foreachBatch is AT-LEAST-ONCE across
+    # a restart — a batch that ran but had not committed before the
+    # kill replays on resume, so `got` may legitimately hold duplicates
+    # of individually-unique rows (exactly-once is the idempotent
+    # sink's job, and every emitted row here is key-unique)
+    assert set(map(key, got)) == set(map(key, ref))
     # every key emits two funnels of 3 rows each, numbered 1 then 2
     assert len(ref) == nkeys * 6
     assert {r.match_no for r in ref} == {1, 2}

@@ -928,7 +928,7 @@ def test_all_rows_rejections(spark):
           MEASURES COUNT(a.*) AS n
           ALL ROWS PER MATCH
           PATTERN (a) DEFINE a AS a.event_type = 'view')"""
-    with pytest.raises(ValueError, match="ALL ROWS PER MATCH is not"):
+    with pytest.raises(ValueError, match="ALL ROWS PER MATCH is disabled"):
         execute_match_recognize(spark, stmt, strict_compat=True)
     with pytest.raises(ValueError, match="MATCH_NUMBER"):
         execute_match_recognize(spark, """
@@ -970,6 +970,43 @@ def test_all_rows_running_vs_final(spark):
         (3, 3, 2, 2.5, 2.5, 0.5),
         (4, 4, 2, 2.5, 2.5, 0.5),
     ]
+
+
+def test_all_rows_final_bare_column(spark):
+    """FINAL applied to a bare column under ALL ROWS reads the match's
+    LAST row on every output row (the unprefixed bare column reads the
+    CURRENT row) — regression for the sem wrapper swapping segs but
+    not last_row."""
+    _alt_view(spark, [
+        (1, 1, "view", 0.0), (1, 2, "click", 0.0), (1, 3, "purchase", 0.0),
+    ], "ar_ev6")
+    out = execute_match_recognize(spark, """
+        SELECT ts_us, cur_et, fin_et FROM ar_ev6 MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES event_type AS cur_et, FINAL event_type AS fin_et
+          ALL ROWS PER MATCH
+          PATTERN (v c+ p)
+          DEFINE v AS v.event_type = 'view', c AS c.event_type = 'click',
+                 p AS p.event_type = 'purchase'
+        )""")
+    assert sorted(map(tuple, out.collect())) == [
+        (1, "view", "purchase"), (2, "click", "purchase"),
+        (3, "purchase", "purchase"),
+    ]
+
+
+def test_all_rows_measure_alias_collision_rejected(spark):
+    """A measure alias equal to a source column is a parse-time error
+    under ALL ROWS (the mode emits every source column, so a collision
+    would declare the output column twice and die deep in Arrow)."""
+    _alt_view(spark, [(1, 1, "view", 0.0)], "ar_ev7")
+    with pytest.raises(ValueError, match="collides with a source column"):
+        execute_match_recognize(spark, """
+            SELECT user_id FROM ar_ev7 MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts_us
+              MEASURES COUNT(a.*) AS event_type
+              ALL ROWS PER MATCH
+              PATTERN (a) DEFINE a AS a.event_type = 'view')""")
 
 
 def test_subquery_detection_anchored_to_from(spark):
