@@ -114,3 +114,25 @@ FROM events
       c AS c.event_type = 'click',
       p AS p.event_type = 'purchase'
   );
+
+-- 6) RUNNING vs FINAL measure semantics under ALL ROWS PER MATCH
+--    (SQL:2016: RUNNING — rows of the match up to the current row —
+--    is the all-rows default; FINAL replicates the whole-match value)
+SELECT user_id, event_id, cls, run_rows, run_value, fin_value
+FROM events
+  MATCH_RECOGNIZE (
+    PARTITION BY user_id
+    ORDER BY ts, event_id
+    MEASURES
+      CLASSIFIER()             AS cls,
+      RUNNING COUNT(*)         AS run_rows,
+      SUM(c.value)             AS run_value,
+      FINAL SUM(c.value)       AS fin_value
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (v c+ p)
+    DEFINE
+      v AS v.event_type = 'view',
+      c AS c.event_type = 'click',
+      p AS p.event_type = 'purchase'
+  );

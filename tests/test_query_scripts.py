@@ -607,6 +607,8 @@ def test_match_recognize_script(spark, capsys):
     # ALL ROWS per-row classifier/match-number columns
     assert "n_errors" in out
     assert "cls" in out and "match_no" in out
+    # round-10 RUNNING/FINAL statement: both aggregate flavors printed
+    assert "run_value" in out and "fin_value" in out
     # the funnel emits at least one match at sf0.001 (data rows render
     # as |-framed lines under the header)
     assert out.count("|") > 20
