@@ -1009,6 +1009,55 @@ def test_all_rows_measure_alias_collision_rejected(spark):
               PATTERN (a) DEFINE a AS a.event_type = 'view')""")
 
 
+def test_all_rows_running_invariants_random(spark):
+    """Cross-row invariants of RUNNING semantics over a randomized
+    event tape (seeded): within every match, RUNNING COUNT(*) is
+    1..n_rows in row order, RUNNING aggregates at the match's LAST row
+    equal their FINAL twins on every row, and running counts are
+    non-decreasing."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    ts = 0
+    for uid in range(1, 21):
+        for _ in range(rng.randint(5, 40)):
+            ts += 1
+            rows.append((uid, ts,
+                         rng.choice(["view", "click", "purchase", "x"]),
+                         float(rng.randint(1, 9))))
+    _alt_view(spark, rows, "ar_rand")
+    out = execute_match_recognize(spark, """
+        SELECT user_id, ts_us, match_no, run_rows, run_c, fin_c,
+               run_sum, fin_sum
+        FROM ar_rand MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES MATCH_NUMBER() AS match_no,
+                   RUNNING COUNT(*) AS run_rows,
+                   COUNT(c.*) AS run_c, FINAL COUNT(c.*) AS fin_c,
+                   SUM(c.price) AS run_sum, FINAL SUM(c.price) AS fin_sum
+          ALL ROWS PER MATCH AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (v c* p)
+          DEFINE v AS v.event_type = 'view', c AS c.event_type = 'click',
+                 p AS p.event_type = 'purchase'
+        )""")
+    import pandas as pd
+
+    pdf = out.toPandas()
+    assert len(pdf), "seeded tape produced no matches"
+    for (_uid, _mno), g in pdf.groupby(["user_id", "match_no"]):
+        g = g.sort_values("ts_us").reset_index(drop=True)
+        n = len(g)
+        assert list(g["run_rows"]) == list(range(1, n + 1))
+        assert (g["fin_c"] == g["fin_c"].iloc[0]).all()
+        # running counts are non-decreasing and land on FINAL
+        assert (g["run_c"].diff().fillna(g["run_c"].iloc[0]) >= 0).all()
+        assert g["run_c"].iloc[-1] == g["fin_c"].iloc[0]
+        last_sum = g["run_sum"].iloc[-1]
+        fin_sum = g["fin_sum"].iloc[0]
+        assert (pd.isna(last_sum) and pd.isna(fin_sum)) or last_sum == fin_sum
+
+
 def test_subquery_detection_anchored_to_from(spark):
     """A trailing ') [alias]' that is NOT a FROM-clause derived table —
     e.g. a table-function source 'FROM f(x) t' — must not take the
