@@ -62,11 +62,20 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     # defaults suit the sf0.01 gate; at sf1+ raise both
-    # (SPARK_GRAFT_CPUS=32 SPARK_GRAFT_DRIVER_MEM=16g) or the 1g-default
-    # JVM dies mid-run and every later query reads "Connection refused"
+    # (SPARK_GRAFT_CPUS=32 SPARK_GRAFT_DRIVER_MEM=16g) or the JVM dies
+    # mid-run and every later query reads "Connection refused". The
+    # heap default AUTO-SIZES with the dataset (the harness collects
+    # both engines' full results for hashing, so driver heap must
+    # scale with the largest result set — the round-10 sf3 crash at
+    # dedup_clusters was exactly this): ~4g per 50 MB of parquet,
+    # clamped to [4g, 32g]; env overrides win.
     import os
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    data_mb = sum(
+        f.stat().st_size for f in Path(sf_dir).glob("*.parquet")
+    ) // 2**20
+    auto_mem = f"{min(32, max(4, 4 * (1 + data_mb // 50)))}g"
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("check-correctness")
@@ -74,7 +83,8 @@ def main() -> int:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"))
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", auto_mem))
         # q_recursive_cte is row-bounded but crosses the 1M default guard ~sf0.5
         .config("spark.sql.cteRecursionRowLimit", "500000000")
         .getOrCreate()
