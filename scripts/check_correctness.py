@@ -90,6 +90,17 @@ def main() -> int:
         .getOrCreate()
     )
     con = duckdb.connect()
+    # bound the ORACLE side too: an oracle whose intermediate is
+    # quadratic in duplicate density (e.g. a shingle self-join over a
+    # 30x-clone corpus) must spill to disk instead of taking the box
+    # down — the round-10 sf3 run was OOM-killed at 104 GB RSS by
+    # dedup_minhash_recall's DuckDB leg before this cap existed
+    import tempfile
+
+    con.execute("SET memory_limit='24GB'")
+    con.execute(
+        f"SET temp_directory='{tempfile.mkdtemp(prefix='fcs-duck-')}'"
+    )
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
