@@ -27,6 +27,7 @@ from __future__ import annotations
 from collections.abc import Callable, Sequence
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -427,6 +428,204 @@ class _Seg:
         return pd.DataFrame({c: a[r] for c, a in self._cols.items()})
 
 
+def _null_where(out, bad):
+    """``out`` with SQL NULL (None) at ``bad`` positions — stays a
+    native-dtype array on the no-NULL fast path, promotes to object
+    only when a NULL actually occurs (arrow converts both)."""
+    if not bad.any():
+        return out
+    res = out.astype(object)
+    res[bad] = None
+    return res
+
+
+class _VecSeg:
+    """Vectorized RUNNING view of one pattern variable's matched rows
+    under ``ALL ROWS PER MATCH``: every read returns one value PER
+    OUTPUT ROW of the match (a numpy array aligned with the emitted
+    rows), computed by prefix scans over the variable's member rows —
+    O(match_len) total where the per-row truncated-segment loop was
+    O(match_len²) for running aggregates.
+
+    ``pos_arr`` is the match's sorted row positions (one per output
+    row); ``mpos`` the variable's sorted member positions.  The
+    running view at output row *i* is exactly the members at positions
+    ``<= pos_arr[i]`` — ``cnt[i]`` of them, via one ``searchsorted``.
+    NULL-skip semantics mirror the scalar measures path
+    (:class:`~flink_commons_spark.plans.match_recognize._ExprParser`):
+    non-nullable numeric dtypes reduce directly; float skips NaN;
+    other dtypes skip None/NaN via a per-member Python prefix pass
+    (still O(members), not O(members²))."""
+
+    __slots__ = ("_cols", "_mpos", "_cnt")
+
+    def __init__(self, cols: dict, mpos, pos_arr):
+        self._cols = cols
+        self._mpos = mpos
+        self._cnt = np.searchsorted(mpos, pos_arr, side="right")
+
+    def vec_count(self):
+        """RUNNING ``COUNT(V.*)`` — members at/before each row."""
+        return self._cnt.astype(np.int64)
+
+    def _member_vals(self, col: str):
+        return self._cols[col][self._mpos]
+
+    def vec_first(self, col: str, n: int):
+        """RUNNING ``FIRST(V.col, n)`` — constant once the (n+1)-th
+        member is reached, NULL before."""
+        mv = self._member_vals(col)
+        k = self._cnt
+        out = np.empty(len(k), dtype=object)
+        out[:] = None
+        if n < len(mv):
+            out[k > n] = mv[n]
+            if bool((k > n).all()):
+                return np.full(len(k), mv[n])
+        return out
+
+    def vec_last(self, col: str, n: int):
+        """RUNNING ``LAST(V.col, n)`` (n=0 is the bare ``V.col``
+        measures read) — the (cnt-1-n)-th member value per row."""
+        mv = self._member_vals(col)
+        k = self._cnt
+        idx = k - 1 - n
+        bad = idx < 0
+        if len(mv) == 0:
+            out = np.empty(len(k), dtype=object)
+            out[:] = None
+            return out
+        return _null_where(mv[np.where(bad, 0, idx)], bad)
+
+    def vec_reduce(self, col: str, fname: str):
+        """RUNNING SUM/MIN/MAX/AVG over the members at/before each
+        row, SQL NULL-skip semantics, via one prefix scan."""
+        mv = self._member_vals(col)
+        k = self._cnt
+        none_rows = k == 0
+        if len(mv) == 0:
+            out = np.empty(len(k), dtype=object)
+            out[:] = None
+            return out
+        idx = np.where(none_rows, 0, k - 1)
+        kind = mv.dtype.kind
+        if kind in "iub":
+            # non-nullable numerics — the zero-copy fast path (same
+            # dtype family the scalar path reduces directly)
+            if fname == "SUM":
+                return _null_where(np.cumsum(mv)[idx], none_rows)
+            if fname == "MIN":
+                return _null_where(np.minimum.accumulate(mv)[idx], none_rows)
+            if fname == "MAX":
+                return _null_where(np.maximum.accumulate(mv)[idx], none_rows)
+            # AVG: exact integer prefix sums, one float division
+            return _null_where(
+                np.cumsum(mv)[idx] / np.where(none_rows, 1, k), none_rows
+            )
+        if kind == "f":
+            valid = ~np.isnan(mv)
+            vcnt = np.cumsum(valid)
+            nvalid = vcnt[idx]
+            bad = none_rows | (nvalid == 0)
+            if fname in ("SUM", "AVG"):
+                pre = np.cumsum(np.where(valid, mv, 0.0))
+                out = pre[idx]
+                if fname == "AVG":
+                    out = out / np.where(bad, 1, nvalid)
+                return _null_where(out, bad)
+            fill = np.inf if fname == "MIN" else -np.inf
+            acc = (np.minimum if fname == "MIN" else np.maximum).accumulate(
+                np.where(valid, mv, fill)
+            )
+            return _null_where(acc[idx], bad)
+        # object / datetime dtypes: per-member Python prefix pass
+        # (None/NaN/NaT skipped, matching the scalar list path)
+        import operator as _op
+
+        if fname == "AVG":
+            sums: list = []
+            cnts: list = []
+            s = 0
+            c = 0
+            for v in mv.tolist():
+                if v is not None and v == v:
+                    s += v
+                    c += 1
+                sums.append(s)
+                cnts.append(c)
+            out = np.empty(len(k), dtype=object)
+            for i, j in enumerate(idx):
+                out[i] = (
+                    None if none_rows[i] or cnts[j] == 0
+                    else sums[j] / cnts[j]
+                )
+            return out
+        red2 = {"SUM": _op.add, "MIN": min, "MAX": max}[fname]
+        pre: list = []
+        cur = None
+        for v in mv.tolist():
+            if v is not None and v == v:
+                cur = v if cur is None else red2(cur, v)
+            pre.append(cur)
+        out = np.empty(len(k), dtype=object)
+        for i, j in enumerate(idx):
+            out[i] = None if none_rows[i] else pre[j]
+        return out
+
+
+class _VecSegs:
+    """Lazy ``{var: _VecSeg}`` mapping handed to the ALL ROWS measures
+    context as ``ctx["segs"]`` — each variable's prefix-count array is
+    built on first access, so FINAL-only measure lists never pay it."""
+
+    __slots__ = ("_segs", "_pos_arr", "_cache")
+
+    def __init__(self, segs: dict, pos_arr):
+        self._segs = segs
+        self._pos_arr = pos_arr
+        self._cache: dict = {}
+
+    def __getitem__(self, var: str) -> _VecSeg:
+        v = self._cache.get(var)
+        if v is None:
+            seg = self._segs[var]
+            r = seg._rng
+            mpos = (
+                np.arange(r.start, r.stop, dtype=np.int64)
+                if type(r) is range else np.asarray(r, dtype=np.int64)
+            )
+            v = _VecSeg(seg._cols, mpos, self._pos_arr)
+            self._cache[var] = v
+        return v
+
+
+def _assemble_all_rows(
+    chunks: "list[tuple[int, dict]]", out_cols: "list[str]"
+) -> pd.DataFrame:
+    """One columnar frame from per-match ALL ROWS chunks.  Each chunk
+    is ``(n_rows, {col: per-row ndarray | match-constant scalar})`` —
+    scalars (FINAL aggregates, MATCH_NUMBER, partition keys) expand
+    here, once per match, and every output column concatenates exactly
+    once per pandas group invocation (no per-row dict building)."""
+    if not chunks:
+        return pd.DataFrame(columns=out_cols)
+    data = {}
+    for c in out_cols:
+        parts = []
+        for n, d in chunks:
+            v = d[c]
+            if isinstance(v, np.ndarray) and v.ndim == 1 and len(v) == n:
+                parts.append(v)
+            elif v is None:
+                a = np.empty(n, dtype=object)
+                a[:] = None
+                parts.append(a)
+            else:
+                parts.append(np.full(n, v))
+        data[c] = parts[0] if len(parts) == 1 else np.concatenate(parts)
+    return pd.DataFrame(data)
+
+
 def match_pattern(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -437,6 +636,7 @@ def match_pattern(
     group_buckets: int | None = 64,
     after_match: "str | tuple[str, str]" = "past_last",
     within_us: "int | None" = None,
+    all_rows: bool = False,
 ) -> DataFrame:
     """MATCH_RECOGNIZE-style pattern matching over a keyed, ordered
     event table.
@@ -471,6 +671,15 @@ def match_pattern(
     pandas calls otherwise; measured ~2x on the conversion-funnel
     query). Semantics are identical — every key is still matched in
     isolation. ``None`` restores one-group-per-key.
+
+    ``all_rows=True`` is the ``ALL ROWS PER MATCH`` emission contract:
+    ``measures`` is called as ``measures(key, segs, n_match)`` — the
+    per-key scan-order match ordinal, counted afresh for every group
+    invocation so a stage retry that re-presents a key cannot resume a
+    stale counter — and returns a per-match columnar chunk
+    ``(n_rows, {col: array|scalar})``; all chunks of a pandas group
+    assemble into ONE frame (:func:`_assemble_all_rows`), no per-row
+    Python loop anywhere on the path.
     """
     step_list = list(steps)
     from pyspark.sql import functions as F
@@ -548,7 +757,8 @@ def match_pattern(
             np.flatnonzero(masks[0]).tolist() if step_list[0].lo > 0 else None
         )
         s_ptr = 0
-        out: list[dict[str, Any]] = []
+        out: list = []
+        n_match = 0
         i = 0
         while i < n:
             if starts is not None:
@@ -572,18 +782,20 @@ def match_pattern(
             segs = {s.name: _Seg(cols, pos) for s, pos in zip(step_list, hit)}
             if alt_masks:
                 _add_alt_segs(step_list, hit, alt_masks, cols, segs)
-            res = measures(key, segs)
-            # ALL ROWS PER MATCH measures return one dict PER MATCHED
-            # ROW; the default returns the match's single output row
-            if isinstance(res, list):
-                out.extend(res)
+            # ALL ROWS PER MATCH measures return one columnar chunk
+            # per match; the default returns the match's single row
+            if all_rows:
+                n_match += 1
+                out.append(measures(key, segs, n_match))
             else:
-                out.append(res)
+                out.append(measures(key, segs))
             i = _resume(i, hit)
         return out
 
     def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         out = run_one(key, pdf)
+        if all_rows:
+            return _assemble_all_rows(out, out_cols)
         if not out:
             return pd.DataFrame(columns=out_cols)
         return pd.DataFrame(out)
@@ -592,10 +804,12 @@ def match_pattern(
         return df.groupBy(*key_cols).applyInPandas(run, schema=output_schema)
 
     def run_bucket(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        out: list[dict[str, Any]] = []
+        out: list = []
         for kv, sub in pdf.groupby(list(key_cols), sort=False):
             kt = kv if isinstance(kv, tuple) else (kv,)
             out.extend(run_one(kt, sub))
+        if all_rows:
+            return _assemble_all_rows(out, out_cols)
         if not out:
             return pd.DataFrame(columns=out_cols)
         return pd.DataFrame(out)

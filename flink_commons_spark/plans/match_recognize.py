@@ -85,6 +85,10 @@ import re
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
+import numpy as _np
+
+from flink_commons_spark.operators.cep import _VecSeg, _VecSegs
+
 _MR_RE = re.compile(r"\bMATCH_RECOGNIZE\s*\(", re.IGNORECASE)
 
 #: source identifier immediately before MATCH_RECOGNIZE
@@ -381,10 +385,23 @@ class _ExprParser:
                     return (not r) if neg else r
 
                 return _Node(isnull_s, "boolean")
-            return _Node(
-                lambda c, f=f, neg=neg: (f(c) is not None) if neg else (f(c) is None),
-                "boolean",
-            )
+            def isnull_m(c, f=f, neg=neg):
+                v = f(c)
+                if isinstance(v, _np.ndarray):  # ALL ROWS per-row array
+                    # elementwise twin of the scalar ``is None`` check
+                    # (object arrays carry NULL as None; a float NaN is
+                    # NOT null here, same as the scalar branch)
+                    r = (
+                        _np.fromiter(
+                            (x is None for x in v), bool, count=len(v)
+                        )
+                        if v.dtype == object
+                        else _np.zeros(len(v), dtype=bool)
+                    )
+                    return ~r if neg else r
+                return (v is not None) if neg else (v is None)
+
+            return _Node(isnull_m, "boolean")
         op = self._accept_op("<=", ">=", "<>", "!=", "<", ">", "=")
         if op is None:
             return lhs
@@ -419,10 +436,22 @@ class _ExprParser:
             node = _Node(f, _promote(node.typ, rhs.typ))
         return node
 
+    def _mul_op(self) -> "str | None":
+        """Multiplicative operator, accepting the bare ``*`` the lexer
+        tags as a star token (``COUNT(*)``'s argument form) — infix
+        position makes it unambiguous here."""
+        op = self._accept_op("*", "/")
+        if op is None:
+            t = self._peek()
+            if t == ("star", "*"):
+                self.i += 1
+                return "*"
+        return op
+
     def _term(self) -> _Node:
         dyn = self.mode == "define_dyn"
         node = self._factor()
-        while (op := self._accept_op("*", "/")) is not None:
+        while (op := self._mul_op()) is not None:
             rhs = self._factor()
             lf, rf = node.fn, rhs.fn
             if op == "*":
@@ -511,8 +540,11 @@ class _ExprParser:
                     c2["n_rows"] = c[f"n_rows_{which}"]
                     if not run:
                         # FINAL bare columns read the match's LAST row,
-                        # not the current one
+                        # not the current one — and FINAL CLASSIFIER()
+                        # is the last row's variable (SQL:2016), not
+                        # the current row's
                         c2["last_row"] = c["last_row_final"]
+                        c2["classifier"] = c["classifier_final"]
                     return f(c2)
 
                 return _Node(sem, inner.typ)
@@ -649,18 +681,29 @@ class _ExprParser:
             # naive sum over segs.values() would double-count
             return _Node(lambda c: c["n_rows"], "bigint")
         if count_kind == "V*":
-            return _Node(lambda c, var=var: len(c["segs"][var]), "bigint")
+            def count_v(c, var=var):
+                s = c["segs"][var]
+                if isinstance(s, _VecSeg):  # ALL ROWS running view
+                    return s.vec_count()
+                return len(s)
+            return _Node(count_v, "bigint")
         # nodes read the matcher's zero-copy segment views directly
         # (seg.scalar/seg.array) — one pandas Series per access was the
-        # measured hot path at ~20k matches per key bucket
+        # measured hot path at ~20k matches per key bucket; the ALL
+        # ROWS running view instead returns one value per output row
+        # (prefix-scan arrays, operators/cep.py:_VecSeg)
         if fname == "FIRST":
             def first(c, var=var, col=col, n=n):
                 s = c["segs"][var]
+                if isinstance(s, _VecSeg):
+                    return s.vec_first(col, n)
                 return s.scalar(col, n) if len(s) > n else None
             return _Node(first, ctype)
         if fname == "LAST":
             def last(c, var=var, col=col, n=n):
                 s = c["segs"][var]
+                if isinstance(s, _VecSeg):
+                    return s.vec_last(col, n)
                 return s.scalar(col, len(s) - 1 - n) if len(s) > n else None
             return _Node(last, ctype)
         import numpy as np
@@ -673,8 +716,10 @@ class _ExprParser:
         else:
             otype = ctype
 
-        def agg(c, var=var, col=col, red=red):
+        def agg(c, var=var, col=col, red=red, fname=fname):
             s = c["segs"][var]
+            if isinstance(s, _VecSeg):
+                return s.vec_reduce(col, fname)
             if not len(s):
                 return None  # SQL aggregate over zero rows is NULL
             arr = s.array(col)
@@ -828,6 +873,8 @@ class _ExprParser:
 
                 def vlast(c, varu=varu, col=col):
                     s = c["segs"][varu]
+                    if isinstance(s, _VecSeg):  # ALL ROWS running view
+                        return s.vec_last(col, 0)
                     return s.scalar(col, -1) if len(s) else None
 
                 return _Node(vlast, ctype)  # measures: V.col ≡ LAST(V.col)
@@ -1570,100 +1617,83 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
         # then the measures evaluated per row — CLASSIFIER(), the
         # current-row bare-column reads, and aggregate semantics per
         # SQL:2016: RUNNING (rows of the match up to the current row)
-        # is the default, FINAL forces the whole match. Match
-        # numbering is per partition key in scan order — counted
-        # task-locally for batch (each key lives in one task, matches
-        # arrive in scan order) and persisted in state for streaming
-        # (``stream_match_pattern(all_rows=True)``).
-        from flink_commons_spark.operators.cep import _Seg
-
+        # is the default, FINAL forces the whole match. Emission is
+        # COLUMNAR: the measure tree evaluates ONCE per match over a
+        # vectorized context whose per-row-varying leaves return numpy
+        # arrays (prefix scans for RUNNING aggregates — O(match_len),
+        # where the former per-row truncated-segment loop was
+        # O(match_len²)); interior arithmetic/boolean nodes are
+        # numpy-broadcast-compatible unchanged. Match numbering is per
+        # partition key in scan order — counted per group invocation
+        # for batch (``match_pattern(all_rows=True)``) and persisted
+        # in state for streaming (``stream_match_pattern``).
         src_cols = [c for c in src_df.columns]
-
-        class _RunningSegs:
-            """Lazy per-row RUNNING view of the match's segments:
-            ``[var]`` truncates the segment to positions at or before
-            the current row — built on ACCESS, so FINAL-only measure
-            lists never pay the truncation."""
-
-            __slots__ = ("_segs", "_pos")
-
-            def __init__(self, segs, pos):
-                self._segs = segs
-                self._pos = pos
-
-            def __getitem__(self, var):
-                seg = self._segs[var]
-                r = seg._rng
-                if type(r) is range:
-                    return _Seg(
-                        seg._cols, range(r.start, min(r.stop, self._pos + 1))
-                    )
-                return _Seg(seg._cols, r[r <= self._pos])
 
         def _emit_all_rows(key: tuple, segs: dict, n_match: int):
             key_map = dict(zip(key_cols, key))
-            pairs: "list[tuple[int, str]]" = []
+            cols = next(iter(segs.values()))._cols
+            pos_parts = []
+            cls_parts = []
             for name in step_names:
                 members = alt_members_of.get(name)
-                if members:
-                    for m in members:
-                        pairs.extend(
-                            (int(p), m) for p in segs[m]._rng
-                        )
-                else:
-                    pairs.extend((int(p), name) for p in segs[name]._rng)
-            pairs.sort()
-            cols = next(iter(segs.values()))._cols
-            out_rows = []
-            n_rows = len(pairs)
-            # bare-column ctx rows only when some measure reads one
-            # (the one-row path's needs_last_row gate); FINAL bare
-            # columns read the match's LAST row, built once per match
+                for m in (members if members else (name,)):
+                    r = segs[m]._rng
+                    if type(r) is range:
+                        if not len(r):
+                            continue
+                        p = _np.arange(r.start, r.stop, dtype=_np.int64)
+                    else:
+                        if not len(r):
+                            continue
+                        p = _np.asarray(r, dtype=_np.int64)
+                    pos_parts.append(p)
+                    a = _np.empty(len(p), dtype=object)
+                    a[:] = m
+                    cls_parts.append(a)
+            pos_arr = _np.concatenate(pos_parts)
+            cls_arr = _np.concatenate(cls_parts)
+            order = _np.argsort(pos_arr, kind="stable")
+            pos_arr = pos_arr[order]
+            cls_arr = cls_arr[order]
+            n = len(pos_arr)
+            vsegs = _VecSegs(segs, pos_arr)
+            run_n = _np.arange(1, n + 1, dtype=_np.int64)
+            # bare-column ctx arrays only when some measure reads one;
+            # bare columns read the CURRENT row (the standard's ALL
+            # ROWS semantics), FINAL swaps the match-last scalars in
+            last_rows = None
             last_final = None
             if needs_last_row:
-                lp = pairs[-1][0]
-                last_final = {c: cols[c][lp] for c in needed if c in cols}
-            for i, (pos, cls) in enumerate(pairs):
-                run_segs = _RunningSegs(segs, pos)
-                ctx = {
-                    "key": key_map,
-                    # default aggregate semantics = RUNNING (SQL:2016's
-                    # all-rows default); the FINAL/RUNNING prefix
-                    # wrapper swaps in segs_final / segs_run explicitly
-                    "segs": run_segs,
-                    "segs_run": run_segs,
-                    "segs_final": segs,
-                    # bare columns read the CURRENT row (the standard's
-                    # ALL ROWS semantics); FINAL swaps last_row_final in
-                    "last_row": {
-                        c: cols[c][pos] for c in needed if c in cols
-                    } if needs_last_row else None,
-                    "last_row_final": last_final,
-                    "n_rows": i + 1,
-                    "n_rows_run": i + 1,
-                    "n_rows_final": n_rows,
-                    "classifier": cls,
-                    "match_no": n_match,
+                last_rows = {
+                    c: cols[c][pos_arr] for c in needed if c in cols
                 }
-                row = {c: cols[c][pos] for c in src_cols}
-                for name, node in measure_nodes:
-                    row[name] = node.fn(ctx)
-                out_rows.append(row)
-            return out_rows
+                lp = pos_arr[-1]
+                last_final = {c: cols[c][lp] for c in needed if c in cols}
+            ctx = {
+                "key": key_map,
+                # default aggregate semantics = RUNNING (SQL:2016's
+                # all-rows default); the FINAL/RUNNING prefix wrapper
+                # swaps in segs_final / segs_run explicitly — FINAL
+                # subtrees evaluate over the plain scalar segments and
+                # broadcast at assembly
+                "segs": vsegs,
+                "segs_run": vsegs,
+                "segs_final": segs,
+                "last_row": last_rows,
+                "last_row_final": last_final,
+                "n_rows": run_n,
+                "n_rows_run": run_n,
+                "n_rows_final": n,
+                "classifier": cls_arr,
+                "classifier_final": cls_arr[-1],
+                "match_no": n_match,
+            }
+            chunk = {c: cols[c][pos_arr] for c in src_cols}
+            for name, node in measure_nodes:
+                chunk[name] = node.fn(ctx)
+            return n, chunk
 
-        # per-key scan-order match ordinal: groups arrive one at a
-        # time and their matches in scan order, so tracking only the
-        # CURRENT key keeps the counter O(1) instead of one dead dict
-        # entry per key for the task's lifetime
-        match_seq = {"key": None, "n": 0}
-
-        def measures_fn(key: tuple, segs: dict):  # noqa: F811
-            key_t = key if isinstance(key, tuple) else (key,)
-            if match_seq["key"] != key_t:
-                match_seq["key"] = key_t
-                match_seq["n"] = 0
-            match_seq["n"] += 1
-            return _emit_all_rows(key, segs, match_seq["n"])
+        measures_fn = _emit_all_rows  # noqa: F811
 
         out_schema = ", ".join(
             [f"{c} {col_types[c]}" for c in src_cols]
@@ -1726,6 +1756,16 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
             (c, types_now[c]) for c in df.columns
             if c in needed and c not in frame_renames.values()
         ] + [(src, "bigint") for src in frame_renames]
+        # opt-in durable MATCH_NUMBER: keep a counter-only tombstone
+        # when a key's buffer fully drains, so ordinals stay stable on
+        # unbounded streams (SET 'spark.flinkcommons.mr.durable-match-
+        # number'='true'; default off — a drained key restarts at 1,
+        # the documented divergence)
+        durable_no = spec.all_rows and (
+            spark.conf.get(
+                "spark.flinkcommons.mr.durable-match-number", "false"
+            ).lower() == "true"
+        )
         res = stream_match_pattern(
             df,
             key_cols,
@@ -1737,6 +1777,7 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
             after_match=spec.after_match,
             within_us=spec.within_us,
             all_rows=spec.all_rows,
+            durable_match_no=durable_no,
             # retain as many consumed context rows as the deepest PREV
             # offset needs — PREV(col, n≥2) must see its true n-th
             # predecessor after a match consumes the prefix; NEXT
@@ -1756,6 +1797,7 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
             out_schema,
             after_match=spec.after_match,
             within_us=spec.within_us,
+            all_rows=spec.all_rows,
         )
     view = f"__mr_out_{next(_view_ids)}"
     res.createOrReplaceTempView(view)

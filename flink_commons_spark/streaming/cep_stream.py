@@ -635,6 +635,7 @@ def stream_match_pattern(
     ctx_rows: int = 1,
     frame_renames: "dict[str, str] | None" = None,
     all_rows: bool = False,
+    durable_match_no: bool = False,
 ) -> DataFrame:
     """GENERIC watermark-gated streaming MATCH_RECOGNIZE — the
     streaming twin of :func:`operators.cep.match_pattern` with the
@@ -685,16 +686,24 @@ def stream_match_pattern(
     ``all_rows=True`` is the streaming ``ALL ROWS PER MATCH`` mode (a
     flagged SQL:2016 extension — Flink 1.16 rejects the row mode
     entirely): ``measures`` is then called as ``measures(key, segs,
-    match_seq)`` and must return a LIST of output-row dicts (one per
-    matched input row). ``match_seq`` is the per-key scan-order match
-    ordinal (``MATCH_NUMBER()``), persisted in state across settles by
-    an extra ``nmatch`` state field — appended ONLY in this mode, so
-    existing one-row checkpoints keep their layout. One documented
-    divergence: when a key's buffer fully drains its state (counter
-    included) is dropped, so on a genuinely unbounded stream a key
-    that re-appears after a complete drain restarts MATCH_NUMBER at 1;
-    a bounded replay (availableNow) settles every match before the
-    drain, where numbering equals the batch executor's."""
+    match_seq)`` and must return a per-match COLUMNAR chunk
+    ``(n_rows, {col: array|scalar})``; every chunk of a settle
+    assembles into one frame (``operators.cep._assemble_all_rows`` —
+    no per-row Python loop). ``match_seq`` is the per-key scan-order
+    match ordinal (``MATCH_NUMBER()``), persisted in state across
+    settles by an extra ``nmatch`` state field — appended ONLY in this
+    mode, so existing one-row checkpoints keep their layout. One
+    documented divergence: when a key's buffer fully drains its state
+    (counter included) is dropped, so on a genuinely unbounded stream
+    a key that re-appears after a complete drain restarts MATCH_NUMBER
+    at 1; a bounded replay (availableNow) settles every match before
+    the drain, where numbering equals the batch executor's.
+    ``durable_match_no=True`` opts out of that divergence: a fully
+    drained key keeps a counter-only tombstone (empty buffers + the
+    ``nmatch`` bigint — same state layout, no timer), so ordinals
+    continue across drains. The tombstone lives until the key's state
+    is externally cleared — one bigint per ever-seen key is the
+    documented cost of stable ordinals on an unbounded keyspace."""
     import numpy as np
     import pandas as pd
 
@@ -703,6 +712,7 @@ def stream_match_pattern(
         _Seg,
         _add_alt_segs,
         _alt_member_masks,
+        _assemble_all_rows,
         _step_bounds,
     )
 
@@ -757,6 +767,14 @@ def stream_match_pattern(
                     live = [t for t in cand if t > wm_ms]
                     if live:
                         state.setTimeoutTimestamp(min(live))
+                elif all_rows and durable_match_no and nmatch:
+                    # counter-only tombstone — MATCH_NUMBER ordinals
+                    # survive a full buffer drain (opt-in; no timer)
+                    state.update(tuple(
+                        [_enc_buf(pdf_all.iloc[0:0][c], t)
+                         for c, t in buffer_cols]
+                        + [0, 1, nmatch]
+                    ))
                 elif state.exists:
                     state.remove()
                 return []
@@ -797,7 +815,7 @@ def stream_match_pattern(
                     _add_alt_segs(step_list, hit, alt_masks, cols, segs)
                 if all_rows:
                     seq[0] += 1
-                    out.extend(measures(key, segs, seq[0]))
+                    out.append(measures(key, segs, seq[0]))
                 else:
                     out.append(measures(key, segs))
 
@@ -839,6 +857,14 @@ def stream_match_pattern(
                 live = [t for t in cand if t > wm_ms]
                 if live:  # Spark rejects timers at/behind the watermark
                     state.setTimeoutTimestamp(min(live))
+            elif all_rows and durable_match_no and seq[0]:
+                # counter-only tombstone — MATCH_NUMBER ordinals
+                # survive a full buffer drain (opt-in; no timer)
+                state.update(tuple(
+                    [_enc_buf(pdf_all.iloc[0:0][c], t)
+                     for c, t in buffer_cols]
+                    + [0, 1, seq[0]]
+                ))
             elif state.exists:
                 state.remove()
             return out
@@ -854,7 +880,10 @@ def stream_match_pattern(
                 int(vals[nbuf + 2]) if all_rows else 0,
             )
             if matches:
-                yield pd.DataFrame(matches, columns=out_cols)
+                yield (
+                    _assemble_all_rows(matches, out_cols) if all_rows
+                    else pd.DataFrame(matches, columns=out_cols)
+                )
             return
 
         new = pd.concat(list(batches))[[c for c, _ in buffer_cols]]
@@ -873,7 +902,10 @@ def stream_match_pattern(
                 nmatch = int(vals[nbuf + 2])
         matches = settle(new.reset_index(drop=True), nctx, presorted, nmatch)
         if matches:
-            yield pd.DataFrame(matches, columns=out_cols)
+            yield (
+                _assemble_all_rows(matches, out_cols) if all_rows
+                else pd.DataFrame(matches, columns=out_cols)
+            )
 
     return sdf.groupBy(*key_cols).applyInPandasWithState(
         fn,

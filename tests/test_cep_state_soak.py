@@ -204,7 +204,7 @@ def test_cep_checkpoint_resume_is_exactly_once(spark, tmp_path):
             within_us=WITHIN_US,
         )
 
-    def start(ckpt, emitted):
+    def start(ckpt, epochs, trigger_kwargs):
         sdf = (
             spark.readStream.schema(spark.read.parquet(str(src)).schema)
             .option("maxFilesPerTrigger", 1)
@@ -213,16 +213,23 @@ def test_cep_checkpoint_resume_is_exactly_once(spark, tmp_path):
         return (
             build(sdf)
             .writeStream.outputMode("append")
-            .foreachBatch(lambda b, _e: emitted.extend(b.collect()))
-            .trigger(processingTime="0 seconds")
+            # keyed by Spark's committed epoch id — a batch replayed
+            # after the kill OVERWRITES its pre-kill attempt, so sink
+            # replay dedups while genuine engine double-emission (two
+            # epochs emitting the same match) still survives to fail
+            # the multiset compare below
+            .foreachBatch(
+                lambda b, e: epochs.__setitem__(int(e), b.collect())
+            )
+            .trigger(**trigger_kwargs)
             .option("checkpointLocation", ckpt)
             .start()
         )
 
     # run 1: kill once >= 3 batches committed, mid-stream
-    got = []
+    got_epochs: dict = {}
     ckpt = str(tmp_path / "cep_ckpt")
-    q = start(ckpt, got)
+    q = start(ckpt, got_epochs, {"processingTime": "0 seconds"})
     deadline = time.time() + 120
     while time.time() < deadline:
         if len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 3:
@@ -230,43 +237,27 @@ def test_cep_checkpoint_resume_is_exactly_once(spark, tmp_path):
         time.sleep(0.2)
     assert q.isActive, "query drained before the kill point"
     q.stop()
-    # run 2: resume from the same checkpoint with availableNow
-    sdf = (
-        spark.readStream.schema(spark.read.parquet(str(src)).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(src))
-    )
-    q2 = (
-        build(sdf)
-        .writeStream.outputMode("append")
-        .foreachBatch(lambda b, _e: got.extend(b.collect()))
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
+    # run 2: resume from the same checkpoint with availableNow —
+    # same epochs dict, so the replayed uncommitted epoch lands on its
+    # original id
+    q2 = start(ckpt, got_epochs, {"availableNow": True})
     assert q2.awaitTermination(180)
     # reference: one clean uninterrupted run
-    ref = []
-    q3 = (
-        build(
-            spark.readStream.schema(spark.read.parquet(str(src)).schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(str(src))
-        )
-        .writeStream.outputMode("append")
-        .foreachBatch(lambda b, _e: ref.extend(b.collect()))
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fcs-cepref-"))
-        .start()
+    ref_epochs: dict = {}
+    q3 = start(
+        tempfile.mkdtemp(prefix="fcs-cepref-"), ref_epochs,
+        {"availableNow": True},
     )
     assert q3.awaitTermination(180)
+    got = [r for _, rows in sorted(got_epochs.items()) for r in rows]
+    ref = [r for _, rows in sorted(ref_epochs.items()) for r in rows]
     key = lambda r: (r.user_id, r.start_us, r.end_us, r.n_clicks)  # noqa: E731
-    # SET equality, not multiset: foreachBatch is AT-LEAST-ONCE across
-    # a restart — a batch that ran but had not committed before the
-    # kill replays on resume, so `got` may legitimately hold duplicates
-    # of individually-unique rows (exactly-once is the idempotent
-    # sink's job, and every emitted row here is key-unique)
-    assert set(map(key, got)) == set(map(key, ref))
+    # MULTISET equality: epoch-keyed collection above already folded
+    # legitimate foreachBatch replay, so any residual duplicate is the
+    # engine emitting one match twice — which must fail
+    from collections import Counter
+
+    assert Counter(map(key, got)) == Counter(map(key, ref))
     assert len(ref) == 2 * WAVE_KEYS
 
 

@@ -660,10 +660,12 @@ def test_streaming_next_kill_and_resume(spark, tmp_path):
     _file_stream_view(spark, tmp_path, files, "mds_nkr")
     out = execute_match_recognize(spark, sql.format(v="mds_nkr"))
     ckpt = str(tmp_path / "nkr_ckpt")
-    got = []
+    got_epochs: dict = {}
     q = (
         out.writeStream.outputMode("append")
-        .foreachBatch(lambda b, _e: got.extend(b.collect()))
+        .foreachBatch(
+            lambda b, e: got_epochs.__setitem__(int(e), b.collect())
+        )
         .option("checkpointLocation", ckpt)
         .start()
     )
@@ -678,7 +680,9 @@ def test_streaming_next_kill_and_resume(spark, tmp_path):
     out2 = execute_match_recognize(spark, sql.format(v="mds_nkr"))
     q2 = (
         out2.writeStream.outputMode("append")
-        .foreachBatch(lambda b, _e: got.extend(b.collect()))
+        .foreachBatch(
+            lambda b, e: got_epochs.__setitem__(int(e), b.collect())
+        )
         .trigger(availableNow=True)
         .option("checkpointLocation", ckpt)
         .start()
@@ -695,13 +699,15 @@ def test_streaming_next_kill_and_resume(spark, tmp_path):
         .start()
     )
     assert q3.awaitTermination(180)
+    got = [r for _, rows in sorted(got_epochs.items()) for r in rows]
     key = lambda r: (r.user_id, r.start_us, r.n_c)  # noqa: E731
-    # SET equality, not multiset: foreachBatch is AT-LEAST-ONCE across
-    # a restart — a batch that ran but had not committed before the
-    # kill replays on resume, so `got` may legitimately hold duplicates
-    # of individually-unique rows (exactly-once is the idempotent
-    # sink's job, and every emitted row here is key-unique)
-    assert set(map(key, got)) == set(map(key, ref))
+    # MULTISET equality over epoch-keyed collection: a batch replayed
+    # after the kill overwrites its pre-kill attempt (same epoch id),
+    # so sink replay dedups while genuine engine double-emission
+    # across epochs still fails
+    from collections import Counter
+
+    assert Counter(map(key, got)) == Counter(map(key, ref))
     assert len(ref) == nkeys  # every key's funnel emits (tail row follows)
     assert all(r.n_c == 2 for r in ref)
 
@@ -790,10 +796,12 @@ def test_streaming_all_rows_kill_and_resume(spark, tmp_path):
     _file_stream_view(spark, tmp_path, files, "mds_arkr")
     out = execute_match_recognize(spark, sql.format(v="mds_arkr"))
     ckpt = str(tmp_path / "arkr_ckpt")
-    got = []
+    got_epochs: dict = {}
     q = (
         out.writeStream.outputMode("append")
-        .foreachBatch(lambda b, _e: got.extend(b.collect()))
+        .foreachBatch(
+            lambda b, e: got_epochs.__setitem__(int(e), b.collect())
+        )
         .option("checkpointLocation", ckpt)
         .start()
     )
@@ -808,7 +816,9 @@ def test_streaming_all_rows_kill_and_resume(spark, tmp_path):
     out2 = execute_match_recognize(spark, sql.format(v="mds_arkr"))
     q2 = (
         out2.writeStream.outputMode("append")
-        .foreachBatch(lambda b, _e: got.extend(b.collect()))
+        .foreachBatch(
+            lambda b, e: got_epochs.__setitem__(int(e), b.collect())
+        )
         .trigger(availableNow=True)
         .option("checkpointLocation", ckpt)
         .start()
@@ -825,13 +835,80 @@ def test_streaming_all_rows_kill_and_resume(spark, tmp_path):
         .start()
     )
     assert q3.awaitTermination(180)
+    got = [r for _, rows in sorted(got_epochs.items()) for r in rows]
     key = lambda r: (r.user_id, r.ts_us, r.cls, r.match_no)  # noqa: E731
-    # SET equality, not multiset: foreachBatch is AT-LEAST-ONCE across
-    # a restart — a batch that ran but had not committed before the
-    # kill replays on resume, so `got` may legitimately hold duplicates
-    # of individually-unique rows (exactly-once is the idempotent
-    # sink's job, and every emitted row here is key-unique)
-    assert set(map(key, got)) == set(map(key, ref))
+    # MULTISET equality over epoch-keyed collection: a batch replayed
+    # after the kill overwrites its pre-kill attempt (same epoch id),
+    # so sink replay dedups while genuine engine double-emission
+    # across epochs still fails
+    from collections import Counter
+
+    assert Counter(map(key, got)) == Counter(map(key, ref))
     # every key emits two funnels of 3 rows each, numbered 1 then 2
     assert len(ref) == nkeys * 6
     assert {r.match_no for r in ref} == {1, 2}
+
+
+_DURABLE_MR_SQL = """
+    SELECT user_id, ts_us, match_no FROM {v}
+      MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES MATCH_NUMBER() AS match_no
+        ALL ROWS PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (v c+ p)
+        DEFINE v AS v.event_type = 'view',
+               c AS c.event_type = 'click',
+               p AS p.event_type = 'purchase'
+      )"""
+
+# key 1's first funnel settles (and its buffer FULLY drains) batches
+# before the second funnel arrives — the drain-reappear sequence the
+# durable counter exists for; the key-2 rows only move the watermark
+_DURABLE_MR_FILES = [
+    [(1, 1, "view", 0), (1, 2, "click", 0), (1, 3, "purchase", 0)],
+    [(2, 100, "x", 0)],
+    [(2, 200, "x", 0)],  # key 1 fully drained here, then idle a batch
+    [(1, 300, "view", 0), (1, 301, "click", 0), (1, 302, "purchase", 0)],
+    [(9999, 10_000_000, "x", 0)],
+]
+
+
+def test_streaming_durable_match_number(spark, tmp_path):
+    """Opt-in durable MATCH_NUMBER (SET 'spark.flinkcommons.mr.
+    durable-match-number'='true'): a key whose buffer fully drains
+    keeps a counter-only tombstone, so when the key re-appears batches
+    later its next match numbers AFTER the drained ones instead of
+    restarting at 1 (the documented default divergence —
+    ``streaming/cep_stream.py:stream_match_pattern``)."""
+    _file_stream_view(spark, tmp_path, _DURABLE_MR_FILES, "mds_durmn")
+    spark.conf.set("spark.flinkcommons.mr.durable-match-number", "true")
+    try:
+        out = execute_match_recognize(
+            spark, _DURABLE_MR_SQL.format(v="mds_durmn")
+        )
+    finally:
+        spark.conf.unset("spark.flinkcommons.mr.durable-match-number")
+    got = _drain(spark, out, "mds_durmn_out", tmp_path)
+    rows = sorted((r.user_id, r.ts_us, r.match_no) for r in got.collect())
+    sec = 1_000_000
+    assert rows == [
+        (1, 1 * sec, 1), (1, 2 * sec, 1), (1, 3 * sec, 1),
+        (1, 300 * sec, 2), (1, 301 * sec, 2), (1, 302 * sec, 2),
+    ]
+
+
+def test_streaming_match_number_drain_restart_default(spark, tmp_path):
+    """DEFAULT (flag off): a full drain drops the counter with the
+    rest of the key's state, so the re-appearing key restarts at 1 —
+    pinning the documented divergence the durable flag opts out of."""
+    _file_stream_view(spark, tmp_path, _DURABLE_MR_FILES, "mds_drainmn")
+    out = execute_match_recognize(
+        spark, _DURABLE_MR_SQL.format(v="mds_drainmn")
+    )
+    got = _drain(spark, out, "mds_drainmn_out", tmp_path)
+    rows = sorted((r.user_id, r.ts_us, r.match_no) for r in got.collect())
+    sec = 1_000_000
+    assert rows == [
+        (1, 1 * sec, 1), (1, 2 * sec, 1), (1, 3 * sec, 1),
+        (1, 300 * sec, 1), (1, 301 * sec, 1), (1, 302 * sec, 1),
+    ]

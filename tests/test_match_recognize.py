@@ -1058,6 +1058,60 @@ def test_all_rows_running_invariants_random(spark):
         assert (pd.isna(last_sum) and pd.isna(fin_sum)) or last_sum == fin_sum
 
 
+def test_all_rows_final_classifier(spark):
+    """FINAL CLASSIFIER() under ALL ROWS is the variable of the
+    match's LAST row replicated on every output row (SQL:2016);
+    the unprefixed CLASSIFIER() stays per-row — regression for the
+    sem wrapper swapping segs/last_row but not the classifier."""
+    _alt_view(spark, [
+        (1, 1, "view", 0.0), (1, 2, "click", 0.0), (1, 3, "purchase", 0.0),
+    ], "ar_ev8")
+    out = execute_match_recognize(spark, """
+        SELECT ts_us, cls, fin_cls FROM ar_ev8 MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES CLASSIFIER() AS cls, FINAL CLASSIFIER() AS fin_cls
+          ALL ROWS PER MATCH
+          PATTERN (v c+ p)
+          DEFINE v AS v.event_type = 'view', c AS c.event_type = 'click',
+                 p AS p.event_type = 'purchase'
+        )""")
+    assert sorted(map(tuple, out.collect())) == [
+        (1, "V", "P"), (2, "C", "P"), (3, "P", "P"),
+    ]
+
+
+def test_all_rows_vectorized_agg_surface(spark):
+    """The columnar RUNNING reductions (``operators.cep._VecSeg``):
+    FIRST/LAST with offsets go NULL before the (n+1)-th member and
+    track the running tail; MIN/MAX/AVG skip NULL member values (SQL
+    semantics — NaN floats never poison the prefix scan); arithmetic
+    over a running aggregate broadcasts per row."""
+    _alt_view(spark, [
+        (1, 1, "view", 9.0), (1, 2, "click", None), (1, 3, "click", 4.0),
+        (1, 4, "click", 2.0), (1, 5, "purchase", 0.0),
+    ], "ar_ev9")
+    out = execute_match_recognize(spark, """
+        SELECT ts_us, f1, l1, mn, mx, av, dbl FROM ar_ev9 MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES FIRST(c.ts_us, 1) AS f1, LAST(c.ts_us, 1) AS l1,
+                   MIN(c.price) AS mn, MAX(c.price) AS mx,
+                   AVG(c.price) AS av, COUNT(c.*) * 2 AS dbl
+          ALL ROWS PER MATCH
+          PATTERN (v c+ p)
+          DEFINE v AS v.event_type = 'view', c AS c.event_type = 'click',
+                 p AS p.event_type = 'purchase'
+        )""")
+    # rows: ts 1 (no clicks yet), 2 (1 click, NULL price), 3 (2 clicks,
+    # prices {4}), 4 (3 clicks, {4,2}), 5 (purchase, same as 4)
+    assert sorted(map(tuple, out.collect())) == [
+        (1, None, None, None, None, None, 0),
+        (2, None, None, None, None, None, 2),
+        (3, 3, 2, 4.0, 4.0, 4.0, 4),
+        (4, 3, 3, 2.0, 4.0, 3.0, 6),
+        (5, 3, 3, 2.0, 4.0, 3.0, 6),
+    ]
+
+
 def test_subquery_detection_anchored_to_from(spark):
     """A trailing ') [alias]' that is NOT a FROM-clause derived table —
     e.g. a table-function source 'FROM f(x) t' — must not take the
