@@ -949,15 +949,22 @@ FROM fp JOIN keep USING (doc_id)
 GROUP BY source
 """
 
-_SHINGLES_SQL = f"""
+def _shingles_sql(src: str = "documents") -> str:
+    """The oracle-side 3-token shingle set over ``src`` (any relation
+    with ``doc_id, text``) — parameterized so the minhash-recall
+    oracle can shingle only text-distinct representatives."""
+    return f"""
 SELECT DISTINCT doc_id, shingle FROM (
   SELECT doc_id,
          unnest(list_transform(
            generate_series(1, greatest(len(toks) - 2, 1)),
            i -> array_to_string(toks[i:i+2], ' '))) AS shingle
-  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM {src})
 )
 """
+
+
+_SHINGLES_SQL = _shingles_sql()
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9921,8 +9928,27 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_counts(truth, cand.select("a", "b"), ["a", "b"])
 
 
+# BANDED ground truth (round 11): both the signature work and the
+# exact-Jaccard self-join run over TEXT-DISTINCT representatives only,
+# then expand to member pairs — identical text means identical shingle
+# set, hence identical minhash signature, band buckets, and Jaccard,
+# so the expansion is semantics-preserving (clone pairs have J=1 and
+# share every bucket). This is the same collapse any exact algorithm
+# must apply at scale: the direct shingle self-join is quadratic in
+# duplicate density and OOM'd at sf3 (30 clones/doc — 104 GB RSS),
+# while the rep-level join shrinks its pair volume ~900x. The oracle
+# stays independent of the engine's MinHash path (exact Jaccard on
+# exact shingle sets; banding only de-duplicates identical inputs).
 _MINHASH_RECALL_ORACLE = f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH g AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep
+  FROM documents
+),
+rep_docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id IN (SELECT rep FROM g)
+),
+sh AS ({_shingles_sql("rep_docs")}),
 seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
 sig AS (
   SELECT doc_id, seed,
@@ -9930,11 +9956,15 @@ sig AS (
   FROM sh, seeds
   GROUP BY doc_id, seed
 ),
-bands AS (
+bands_rep AS (
   SELECT doc_id, seed // 2 AS band,
          string_agg(mh::varchar, '_' ORDER BY seed) AS bucket
   FROM sig
   GROUP BY doc_id, seed // 2
+),
+bands AS (
+  SELECT g.doc_id, br.band, br.bucket
+  FROM bands_rep br JOIN g ON g.rep = br.doc_id
 ),
 cand AS (
   SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
@@ -9942,17 +9972,27 @@ cand AS (
   WHERE l.doc_id < r.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-inter_all AS (
+inter_rep AS (
   SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS n_inter
   FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
   GROUP BY 1, 2
 ),
-truth AS (
+truth_rep AS (
   SELECT a, b
-  FROM inter_all
+  FROM inter_rep
   JOIN sizes za ON za.doc_id = a
   JOIN sizes zb ON zb.doc_id = b
   WHERE n_inter * 1000 >= 500 * (za.sz + zb.sz - n_inter)
+),
+truth AS (
+  SELECT least(ga.doc_id, gb.doc_id) AS a,
+         greatest(ga.doc_id, gb.doc_id) AS b
+  FROM truth_rep t
+  JOIN g ga ON ga.rep = t.a
+  JOIN g gb ON gb.rep = t.b
+  UNION ALL
+  SELECT ga.doc_id AS a, gb.doc_id AS b
+  FROM g ga JOIN g gb ON gb.rep = ga.rep AND ga.doc_id < gb.doc_id
 ),
 h AS (SELECT count(*) AS n_hits FROM cand SEMI JOIN truth USING (a, b)),
 t AS (SELECT count(*) AS n_truth FROM truth)
