@@ -239,6 +239,53 @@ def main() -> None:
     except Exception as exc:
         print(f"bench: arrow warmup failed: {exc}", file=sys.stderr)
 
+    # Fixed calibration microbench (no parquet, seeded, code-stable):
+    # one JVM shuffle/agg leg and one Arrow/pandas-UDF leg, min-of-3
+    # after a warm pass each. Round-over-round totals have swung ±18 %
+    # on IDENTICAL code (r8→r9 down, r9→r10 up) — this pins the box's
+    # session-level CPU/shuffle and Python-worker throughput so later
+    # rounds can report drift-normalized ratios (PERFORMANCE.md)
+    # alongside raw seconds.
+    calibration = {}
+    try:
+        from pyspark.sql import functions as F
+
+        def _cal_jvm():
+            return (
+                spark.range(0, 16_000_000, 1, int(cpus))
+                .withColumn("k", F.pmod(F.xxhash64("id"), F.lit(10_000)))
+                .groupBy("k")
+                .agg(F.sum("id").alias("s"), F.count("*").alias("n"))
+                .count()
+            )
+
+        def _cal_pandas():
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("double")
+            def _cal_sqrt(x):
+                return (x * 1.0000001).pow(0.5)
+
+            return (
+                spark.range(0, 2_000_000, 1, int(cpus))
+                .select(F.sum(_cal_sqrt("id")).alias("s"))
+                .collect()
+            )
+
+        for cal_name, cal_fn in (("calibration_sec", _cal_jvm),
+                                 ("calibration_pandas_sec", _cal_pandas)):
+            cal_fn()  # warm
+            cal_runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                cal_fn()
+                cal_runs.append(round(time.perf_counter() - t0, 3))
+            calibration[cal_name] = min(cal_runs)
+            calibration[cal_name + "_samples"] = cal_runs
+        print(f"bench: calibration: {calibration}", file=sys.stderr)
+    except Exception as exc:
+        print(f"bench: calibration failed: {exc}", file=sys.stderr)
+
     # Per-query timing protocol: WARM_RUNS untimed passes, then
     # TIMED_RUNS timed passes recording the MIN (raw samples land in
     # BENCH_DETAIL.json). First executions of a plan shape pay JVM JIT /
@@ -306,6 +353,10 @@ def main() -> None:
         "sf": sf,
         "warm_runs": warm_runs,
         "timed_runs": timed_runs,
+        # fixed no-parquet microbench (JVM shuffle/agg + pandas-UDF
+        # legs, min-of-3): normalizes round-over-round totals against
+        # box/session drift
+        **calibration,
         # where streaming checkpoints/WAL land for THIS run (defaults
         # to RAM-backed /dev/shm — the bench measures operator
         # throughput, not checkpoint durability); recorded so readings
@@ -328,6 +379,10 @@ def main() -> None:
         "n_failed": n_failed,
         "median_sec": round(ok[len(ok) // 2], 3) if ok else -1,
         "p90_sec": round(ok[int(len(ok) * 0.9)], 3) if ok else -1,
+        "calibration_sec": calibration.get("calibration_sec", -1),
+        "calibration_pandas_sec": calibration.get(
+            "calibration_pandas_sec", -1
+        ),
         "queries": slowest,
         "detail": detail_path.name,
     }, separators=(",", ":")))
