@@ -9628,6 +9628,202 @@ SELECT * FROM grp_matches UNION ALL SELECT * FROM zero_matches
 """
 
 
+def q_match_nested_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified SEQUENCE GROUP — one level of SQL:2016 pattern
+    nesting, ``PATTERN (v (c p)+)``: a view followed by one-or-more
+    (click purchase) PAIRS, greedy over the repetition count (flagged
+    extension; Flink 1.16 rejects all pattern grouping and
+    ``--strict-compat`` keeps that parity rejection). The group
+    compiles to a sub-NFA in the shared backtracker
+    (``operators/cep.py:_match_at_ex`` — repetition-first greedy
+    preference, full backtracking through child takes then rep count,
+    per-child measure segments via the ``gout`` side channel). The
+    oracle reconstructs the same matches relationally: click positions
+    immediately followed by a purchase form stride-2 chains (ok
+    positions are never adjacent, so parity grouping is safe); a view
+    immediately before a chain start anchors a match that greedily
+    consumes the whole chain."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_events_view(spark, sf_dir, "mr_events_src")
+    return execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, end_us, n_pairs, click_cents
+        FROM mr_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            MEASURES
+              FIRST(v.ts_us) AS start_us,
+              LAST(p.ts_us) AS end_us,
+              COUNT(p.*) AS n_pairs,
+              SUM(c.cents) AS click_cents
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v (c p)+)
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              p AS p.event_type = 'purchase'
+          )
+    """))
+
+
+# relational twin of the greedy (c p)+ sub-NFA: ok(rn) = click at rn
+# with purchase at rn+1; ok positions are never adjacent (a purchase
+# cannot also be a click), so chains of consecutive stride-2 ok
+# positions partition by (user, parity, rn - 2*rank); a view at
+# chain_start - 1 anchors the match and greedy consumes the chain
+# whole. Matches are disjoint by construction (chain rows are all
+# click/purchase, so no view — hence no other match start — can sit
+# inside one), which is exactly AFTER MATCH SKIP PAST LAST ROW.
+_MATCH_NESTED_GROUP_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+ok AS (
+  SELECT s1.user_id, s1.rn FROM seq s1 JOIN seq s2
+    ON s2.user_id = s1.user_id AND s2.rn = s1.rn + 1
+  WHERE s1.event_type = 'click' AND s2.event_type = 'purchase'
+),
+ch AS (
+  SELECT user_id, rn,
+         rn - 2*row_number() OVER (PARTITION BY user_id, rn % 2
+                                   ORDER BY rn) AS g
+  FROM ok
+),
+chains AS (
+  SELECT user_id, g, min(rn) AS c0, max(rn) AS c1, count(*)::bigint AS k
+  FROM ch GROUP BY user_id, g, rn % 2
+),
+m AS (
+  SELECT v.user_id, v.ts_us AS start_us, c.c0, c.c1 + 1 AS rn_end, c.k
+  FROM seq v JOIN chains c ON c.user_id = v.user_id AND c.c0 = v.rn + 1
+  WHERE v.event_type = 'view'
+)
+SELECT m.user_id, m.start_us, pe.ts_us AS end_us, m.k AS n_pairs,
+       sum(ck.cents)::bigint AS click_cents
+FROM m
+JOIN seq pe ON pe.user_id = m.user_id AND pe.rn = m.rn_end
+JOIN seq ck ON ck.user_id = m.user_id
+           AND ck.rn BETWEEN m.c0 AND m.rn_end
+           AND ck.event_type = 'click'
+GROUP BY m.user_id, m.start_us, pe.ts_us, m.k
+"""
+
+
+@_with_stream_shuffle(16)
+def stream_match_nested_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of :func:`q_match_nested_group`: the sequence
+    group runs inside the watermark-gated buffered NFA
+    (``streaming/cep_stream.py`` — group masks as per-child lists,
+    child segments via the scan's ``gout`` side channel). The final
+    step is an unbounded GROUP, so the executor defers a completed
+    match whose greedy continuation could still grow: a match emits
+    only once a closed row decides no further (click purchase) pair
+    can extend it — the oracle mirrors both deferral rules (match at
+    the key's closed tail; trailing click at the closed tail)."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_stream_events_view(spark, sf_dir, "mr_stream_events_src")
+    out = execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, end_us, n_pairs, click_cents
+        FROM mr_stream_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES
+              FIRST(v.ts_us) AS start_us,
+              LAST(p.ts_us) AS end_us,
+              COUNT(p.*) AS n_pairs,
+              SUM(c.cents) AS click_cents
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v (c p)+)
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              p AS p.event_type = 'purchase'
+          )
+    """))
+    name = "fcs_stream_mr_group"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-mrgrp-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(name)
+
+
+# the batch chain formulation over the watermark-CLOSED prefix, minus
+# the two tail-deferral cases the final-group executor holds open:
+# (1) a match ending on the key's last closed row (the greedy group
+# could still grow), and (2) a match whose NEXT row is a click sitting
+# on the key's last closed row (rep k+1's purchase is undecided at the
+# closed-data end, so the completed k-pair match was explored through
+# the boundary and defers)
+_STREAM_MATCH_NESTED_GROUP_ORACLE = """
+WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
+seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+  WHERE epoch_us(ts) // 1000 < (SELECT wm_ms FROM wm)
+),
+mx AS (SELECT user_id, max(rn) AS mxrn FROM seq GROUP BY user_id),
+ok AS (
+  SELECT s1.user_id, s1.rn FROM seq s1 JOIN seq s2
+    ON s2.user_id = s1.user_id AND s2.rn = s1.rn + 1
+  WHERE s1.event_type = 'click' AND s2.event_type = 'purchase'
+),
+ch AS (
+  SELECT user_id, rn,
+         rn - 2*row_number() OVER (PARTITION BY user_id, rn % 2
+                                   ORDER BY rn) AS g
+  FROM ok
+),
+chains AS (
+  SELECT user_id, g, min(rn) AS c0, max(rn) AS c1, count(*)::bigint AS k
+  FROM ch GROUP BY user_id, g, rn % 2
+),
+m AS (
+  SELECT v.user_id, v.ts_us AS start_us, c.c0, c.c1 + 1 AS rn_end, c.k
+  FROM seq v JOIN chains c ON c.user_id = v.user_id AND c.c0 = v.rn + 1
+  WHERE v.event_type = 'view'
+),
+emit AS (
+  SELECT m.* FROM m
+  JOIN mx ON mx.user_id = m.user_id
+  LEFT JOIN seq nx ON nx.user_id = m.user_id AND nx.rn = m.rn_end + 1
+  WHERE m.rn_end < mx.mxrn
+    AND NOT (m.rn_end + 1 = mx.mxrn AND nx.event_type = 'click')
+)
+SELECT e.user_id, e.start_us, pe.ts_us AS end_us, e.k AS n_pairs,
+       sum(ck.cents)::bigint AS click_cents
+FROM emit e
+JOIN seq pe ON pe.user_id = e.user_id AND pe.rn = e.rn_end
+JOIN seq ck ON ck.user_id = e.user_id
+           AND ck.rn BETWEEN e.c0 AND e.rn_end
+           AND ck.event_type = 'click'
+GROUP BY e.user_id, e.start_us, pe.ts_us, e.k
+"""
+
+
 _STREAM_MATCH_SUBQUERY_SRC_ORACLE = """
 WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms
             FROM events WHERE event_type <> 'signup'),
@@ -11980,6 +12176,8 @@ QUERIES = {
     "stream_match_subquery_src": stream_match_subquery_src,
     "q_match_alternation": q_match_alternation,
     "stream_match_alternation": stream_match_alternation,
+    "q_match_nested_group": q_match_nested_group,
+    "stream_match_nested_group": stream_match_nested_group,
     "stream_match_all_rows": stream_match_all_rows,
     "q_match_running_measures": q_match_running_measures,
     "q_match_all_rows": q_match_all_rows,
@@ -12187,6 +12385,8 @@ ORACLES = {
     "stream_match_subquery_src": _STREAM_MATCH_SUBQUERY_SRC_ORACLE,
     "q_match_alternation": _MATCH_ALTERNATION_ORACLE,
     "stream_match_alternation": _STREAM_MATCH_ALTERNATION_ORACLE,
+    "q_match_nested_group": _MATCH_NESTED_GROUP_ORACLE,
+    "stream_match_nested_group": _STREAM_MATCH_NESTED_GROUP_ORACLE,
     "stream_match_all_rows": _STREAM_MATCH_ALL_ROWS_ORACLE,
     "q_match_running_measures": _MATCH_RUNNING_MEASURES_ORACLE,
     "q_match_all_rows": _MATCH_ALL_ROWS_ORACLE,

@@ -73,10 +73,24 @@ class Step:
     Sound exactly when member choice cannot affect the continuation —
     the parser therefore only builds alternations from row-local
     (static) member predicates and rejects combining them with
-    match-state-dependent DEFINEs."""
+    match-state-dependent DEFINEs.
+
+    ``group`` marks the step as a QUANTIFIED SEQUENCE GROUP
+    ``(B C)q`` — one level of SQL:2016 pattern nesting: a list of
+    child ``Step``s (plain row-local variables with their own
+    quantifiers; no further nesting, no dyn, no alternation members).
+    The step's own ``(lo, hi)`` bounds the REPETITION count; matching
+    is the standard regex preference order — more repetitions first
+    (``reluctant`` flips to fewest), each repetition's children greedy
+    with full backtracking — and every repetition must consume at
+    least one row (a zero-width repetition cannot make progress). The
+    matcher reports the group's consumed positions as the step's hit
+    entry and each child's positions through the ``gout`` side
+    channel (:func:`_add_group_segs` registers per-child measure
+    segments)."""
 
     __slots__ = ("name", "where", "lo", "hi", "reluctant", "dyn",
-                 "next_depth", "alts")
+                 "next_depth", "alts", "group")
 
     def __init__(
         self,
@@ -90,6 +104,7 @@ class Step:
         dyn: "Callable[[_DynCtx], Any] | None" = None,
         next_depth: int = 0,
         alts: "list[tuple[str, Callable]] | None" = None,
+        group: "list[Step] | None" = None,
     ):
         self.name = name
         self.where = where
@@ -97,6 +112,7 @@ class Step:
         self.dyn = dyn
         self.next_depth = next_depth
         self.alts = alts
+        self.group = group
         if quant is not None:
             self.lo, self.hi = quant
         elif plus:
@@ -172,6 +188,36 @@ def _add_alt_segs(steps, hit, alt_masks, cols, segs) -> None:
             segs[aname] = _Seg(cols, pos_arr[ch == k])
 
 
+def _add_group_segs(steps, gout: dict, cols, segs) -> None:
+    """Register one measures segment per sequence-group CHILD from the
+    matcher's ``gout`` side channel (positions are ascending — reps
+    advance monotonically and children advance within a rep)."""
+    import numpy as np
+
+    for s in steps:
+        if not getattr(s, "group", None):
+            continue
+        for c in s.group:
+            segs[c.name] = _Seg(
+                cols, np.asarray(gout.get(c.name, []), dtype=np.int64)
+            )
+
+
+def _group_masks(steps: Sequence[Step], pdf: pd.DataFrame) -> list:
+    """Per-step boolean masks over ``pdf`` — a LIST of child masks for
+    sequence-group steps, one array otherwise (the shape
+    :func:`_run_ends` and the matcher's group branch expect)."""
+    return [
+        [
+            c.where(pdf).to_numpy(dtype=bool, na_value=False)
+            for c in s.group
+        ]
+        if getattr(s, "group", None)
+        else s.where(pdf).to_numpy(dtype=bool, na_value=False)
+        for s in steps
+    ]
+
+
 def _run_ends(masks: list, n: int) -> list:
     """Per step, ``run_end[pos]`` = first index ≥ ``pos`` where the
     step's mask is False (or ``n``) — the end of the contiguous True
@@ -181,16 +227,22 @@ def _run_ends(masks: list, n: int) -> list:
     key for wildcard steps). Plain Python lists, not ndarrays: scalar
     ndarray indexing returns np.int64, which poisons every downstream
     arithmetic op in the hot recursion. A ``[n]`` sentinel so
-    ``pos == n`` needs no bounds check."""
+    ``pos == n`` needs no bounds check. A sequence-group step's masks
+    entry is a LIST of child masks — its run-end entry is the matching
+    list of per-child tables."""
     import numpy as np
 
     idx = np.arange(n, dtype=np.int64)
-    outs = []
-    for m in masks:
+
+    def table(m):
         arr = np.where(np.asarray(m, dtype=bool), n, idx)
         arr = np.minimum.accumulate(arr[::-1])[::-1]
-        outs.append(arr.tolist() + [n])
-    return outs
+        return arr.tolist() + [n]
+
+    return [
+        [table(mm) for mm in m] if isinstance(m, list) else table(m)
+        for m in masks
+    ]
 
 
 def _match_at_ex(
@@ -203,6 +255,7 @@ def _match_at_ex(
     dctx: "_DynCtx | None" = None,
     step_bounds: "list[int] | None" = None,
     undecided_n: "int | None" = None,
+    gout: "dict | None" = None,
 ) -> "tuple[list | None, int]":
     """Greedy backtracking match of ``steps`` against positions
     ``start..`` — returns (per-step position ranges or None,
@@ -253,7 +306,18 @@ def _match_at_ex(
     the full range, so a decided match ending on another step's
     frontier still completes. A frontier cut is undecided regardless
     of ``undecided_n`` — the frontier row's mask decides when its
-    successors close, even inside a closed WITHIN window."""
+    successors close, even inside a closed WITHIN window.
+
+    ``gout`` (required when any step is a sequence GROUP, ignored
+    otherwise) receives, on a successful match, each group child's
+    consumed positions as ``{child_name: [int, ...]}`` — the side
+    channel the callers use to register per-child measure segments
+    (:func:`_add_group_segs`). Read it only after a non-None return;
+    a later failed attempt does not clear a prior success's entries.
+    Group steps carry no ``dyn`` and no NEXT navigation (the SQL
+    front door rejects those combinations), so the failure memo stays
+    sound for them: a group's match at ``(pos, step)`` is fully
+    determined by the masks."""
     touched = 0
     nsteps = len(steps)
     end_kind = 1 if undecided_n is None or n >= undecided_n else 0
@@ -283,6 +347,11 @@ def _match_at_ex(
             # variable growable rule already covers the emission-side
             # risk, so only the frontier kind flags here.)
             touched |= kind
+        if s.group is not None:
+            res = _rec_group(pos, si, sb, kind)
+            if res is None and failed is not None:
+                failed.add((pos, si))
+            return res
         # greedy: consume the longest admissible run first, backtrack
         # shorter down to the quantifier's lower bound (0 for */?);
         # reluctant flips the try order (shortest first)
@@ -345,6 +414,96 @@ def _match_at_ex(
             failed.add((pos, si))
         return None
 
+    def _rec_group(pos: int, si: int, sb: int, kind: int) -> list | None:
+        """Sequence-group step: match the child sequence ``reps``
+        times (standard regex preference — more repetitions first,
+        children greedy, full backtracking through child takes then
+        repetition count; ``reluctant`` flips the repetition order),
+        then the REST of the pattern. Each repetition must consume at
+        least one row. On overall success the group's hit entry is the
+        flat consumed-position list and ``gout`` gets each child's
+        positions."""
+        nonlocal touched
+        s = steps[si]
+        children = s.group
+        cmasks = masks[si]
+        cruns = run_ends[si] if run_ends is not None else None
+        reps: list = []  # completed repetitions: [(ci, range), ...] each
+        rep_start = [pos]
+
+        def rec_child(p2: int, ci: int, cur: list) -> list | None:
+            nonlocal touched
+            if ci == len(children):
+                if p2 == rep_start[0]:
+                    return None  # zero-width repetition: no progress
+                reps.append(cur)
+                res = rec_reps(p2)
+                if res is None:
+                    reps.pop()
+                return res
+            c = children[ci]
+            limit = sb if c.hi is None else min(sb, p2 + c.hi)
+            if cruns is not None:
+                end = min(limit, cruns[ci][p2])
+            else:
+                m = cmasks[ci]
+                end = p2
+                while end < limit and m[end]:
+                    end += 1
+            if end == sb and (c.hi is None or end - p2 < c.hi):
+                # run cut by the step boundary, not the predicate
+                touched |= kind
+            takes = (
+                range(end - p2, c.lo - 1, -1) if not c.reluctant
+                else range(c.lo, end - p2 + 1)
+            )
+            for take in takes:
+                res = rec_child(
+                    p2 + take, ci + 1, cur + [(ci, range(p2, p2 + take))]
+                )
+                if res is not None:
+                    return res
+            return None
+
+        def rec_reps(p2: int) -> list | None:
+            nonlocal touched
+            nreps = len(reps)
+            more_ok = s.hi is None or nreps < s.hi
+            if more_ok and p2 >= sb:
+                # another (greedy-preferred) repetition is allowed but
+                # no decidable row remains — cut at the boundary
+                touched |= kind
+            opts = ("rep", "done") if not s.reluctant else ("done", "rep")
+            for o in opts:
+                if o == "rep" and more_ok and p2 < sb:
+                    prev_start = rep_start[0]
+                    rep_start[0] = p2
+                    res = rec_child(p2, 0, [])
+                    rep_start[0] = prev_start
+                    if res is not None:
+                        return res
+                elif o == "done" and nreps >= s.lo:
+                    rest = rec(p2, si + 1)
+                    if rest is not None:
+                        flat = [
+                            int(q) for rep in reps for _, rng in rep
+                            for q in rng
+                        ]
+                        if gout is not None:
+                            per_child: dict[str, list] = {
+                                c.name: [] for c in children
+                            }
+                            for rep in reps:
+                                for ci, rng in rep:
+                                    per_child[children[ci].name].extend(
+                                        int(q) for q in rng
+                                    )
+                            gout.update(per_child)
+                        return [flat] + rest
+            return None
+
+        return rec_reps(pos)
+
     return rec(start, 0), touched
 
 
@@ -356,10 +515,13 @@ def _match_at(
     run_ends: "list | None" = None,
     failed: "set | None" = None,
     dctx: "_DynCtx | None" = None,
+    gout: "dict | None" = None,
 ) -> list | None:
     """Greedy backtracking match of ``steps`` against positions
     ``start..`` — returns per-step position ranges, or None."""
-    return _match_at_ex(masks, steps, start, n, run_ends, failed, dctx)[0]
+    return _match_at_ex(
+        masks, steps, start, n, run_ends, failed, dctx, gout=gout
+    )[0]
 
 
 def _step_bounds(steps: Sequence[Step], n: int) -> "list[int] | None":
@@ -733,9 +895,11 @@ def match_pattern(
                 list(order_cols), kind="mergesort"
             ).reset_index(drop=True)
         n = len(pdf)
-        masks = [s.where(pdf).to_numpy(dtype=bool, na_value=False) for s in step_list]
+        masks = _group_masks(step_list, pdf)
         run_ends = _run_ends(masks, n)
         alt_masks = _alt_member_masks(step_list, pdf)
+        has_group = any(s.group is not None for s in step_list)
+        gout: "dict | None" = {} if has_group else None
         cols = {c: pdf[c].to_numpy() for c in pdf.columns}
         ts = (
             pdf[order_cols[0]].to_numpy("int64")
@@ -753,8 +917,13 @@ def match_pattern(
         # jump between admissible starts: when the first variable is
         # required (lo > 0) a match can only begin where its mask holds,
         # so positions outside masks[0] need no NFA attempt at all
+        # (a group-first pattern skips the jump — its masks entry is
+        # the per-child list, and the group's first admissible row is
+        # rep-structure-dependent)
         starts = (
-            np.flatnonzero(masks[0]).tolist() if step_list[0].lo > 0 else None
+            np.flatnonzero(masks[0]).tolist()
+            if step_list[0].lo > 0 and step_list[0].group is None
+            else None
         )
         s_ptr = 0
         out: list = []
@@ -773,7 +942,9 @@ def match_pattern(
                 # the window edge is EXCLUSIVE (a row landing exactly on
                 # first_ts + within is outside), hence side='left'
                 n_i = int(np.searchsorted(ts, ts[i] + within_us, side="left"))
-            hit = _match_at(masks, step_list, i, n_i, run_ends, failed, dctx)
+            hit = _match_at(
+                masks, step_list, i, n_i, run_ends, failed, dctx, gout=gout
+            )
             if hit is None or not any(hit):
                 # no match, or a degenerate all-empty match (every
                 # variable took 0 rows) — either way advance one row
@@ -782,6 +953,8 @@ def match_pattern(
             segs = {s.name: _Seg(cols, pos) for s, pos in zip(step_list, hit)}
             if alt_masks:
                 _add_alt_segs(step_list, hit, alt_masks, cols, segs)
+            if gout is not None:
+                _add_group_segs(step_list, gout, cols, segs)
             # ALL ROWS PER MATCH measures return one columnar chunk
             # per match; the default returns the match's single row
             if all_rows:

@@ -114,11 +114,17 @@ _PAT_TOKEN_RE = re.compile(
     r"^(?P<name>\w+)(?P<q>\{\d+(?:,\d*)?\}|[+*?])?(?P<rel>\?)?$"
 )
 
-#: pattern scanner: an alternation group ``(A|B)q`` or a plain
-#: variable ``Vq`` — gaps between tokens must be whitespace
+#: pattern scanner: an alternation group ``(A|B)q``, a quantified
+#: sequence group ``(B C)q`` (two or more whitespace-separated
+#: variables, each with an optional quantifier — one level of
+#: SQL:2016 nesting), or a plain variable ``Vq`` — gaps between
+#: tokens must be whitespace
 _PAT_SCAN_RE = re.compile(
     r"\(\s*(?P<alts>\w+(?:\s*\|\s*\w+)+)\s*\)"
     r"(?P<gq>\{\d+(?:,\d*)?\}|[+*?])?(?P<grel>\?)?"
+    r"|\(\s*(?P<seq>\w+(?:\{\d+(?:,\d*)?\}|[+*?])?\??"
+    r"(?:\s+\w+(?:\{\d+(?:,\d*)?\}|[+*?])?\??)+)\s*\)"
+    r"(?P<sq>\{\d+(?:,\d*)?\}|[+*?])?(?P<srel>\?)?"
     r"|(?P<name>\w+)(?P<q>\{\d+(?:,\d*)?\}|[+*?])?(?P<rel>\?)?"
 )
 
@@ -1131,14 +1137,16 @@ def parse_match_recognize(
     if strict_compat and ("(" in pat_text or "|" in pat_text):
         raise ValueError("unsupported PATTERN token "
                          "(alternation/grouping not supported)")
-    steps_raw: "list[tuple[str, int, int | None, bool, list[str] | None]]" \
-        = []
+    # entries: (name, lo, hi, rel, alt_members | None, seq_children |
+    # None) — seq_children is [(name, lo, hi, rel)] for a quantified
+    # sequence group (one level of nesting)
+    steps_raw: "list[tuple]" = []
     pos = 0
     for tm in _PAT_SCAN_RE.finditer(pat_text):
         if pat_text[pos:tm.start()].strip():
             raise ValueError(
                 f"unsupported PATTERN token {pat_text[pos:tm.start()].strip()!r} "
-                "(alternation/grouping not supported)"
+                "(PERMUTE/exclusion/deeper nesting not supported)"
             )
         pos = tm.end()
         if tm.group("alts"):
@@ -1151,7 +1159,31 @@ def parse_match_recognize(
                 raise ValueError(
                     f"bare '?' without quantifier in {tm.group(0)!r}"
                 )
-            steps_raw.append(("|".join(members), lo, hi, rel, members))
+            steps_raw.append(("|".join(members), lo, hi, rel, members, None))
+        elif tm.group("seq"):
+            children = []
+            for tok in tm.group("seq").split():
+                cm = _PAT_TOKEN_RE.match(tok)
+                if not cm:
+                    raise ValueError(
+                        f"cannot parse group member {tok!r} in "
+                        f"{tm.group(0)!r}"
+                    )
+                clo, chi = _parse_quant(cm.group("q") or "")
+                crel = cm.group("rel") == "?"
+                if crel and not cm.group("q"):
+                    raise ValueError(
+                        f"bare '?' without quantifier in {tok!r}"
+                    )
+                children.append((cm.group("name").upper(), clo, chi, crel))
+            lo, hi = _parse_quant(tm.group("sq") or "")
+            rel = tm.group("srel") == "?"
+            if rel and not tm.group("sq"):
+                raise ValueError(
+                    f"bare '?' without quantifier in {tm.group(0)!r}"
+                )
+            gname = "(" + " ".join(c[0] for c in children) + ")"
+            steps_raw.append((gname, lo, hi, rel, None, children))
         else:
             lo, hi = _parse_quant(tm.group("q") or "")
             rel = tm.group("rel") == "?"
@@ -1159,25 +1191,35 @@ def parse_match_recognize(
                 raise ValueError(
                     f"bare '?' without quantifier in {tm.group(0)!r}"
                 )
-            steps_raw.append((tm.group("name").upper(), lo, hi, rel, None))
+            steps_raw.append(
+                (tm.group("name").upper(), lo, hi, rel, None, None)
+            )
     if pat_text[pos:].strip():
         raise ValueError(
             f"unsupported PATTERN token {pat_text[pos:].strip()!r} "
-            "(alternation/grouping not supported)"
+            "(PERMUTE/exclusion/deeper nesting not supported)"
         )
     if not steps_raw:
         raise ValueError("empty PATTERN")
     variables: set = set()
     n_named = 0
-    for name, _, _, _, members in steps_raw:
-        names = members if members else [name]
+    for name, _, _, _, members, children in steps_raw:
+        names = (
+            members if members
+            else [c[0] for c in children] if children
+            else [name]
+        )
         n_named += len(names)
         variables.update(names)
     if len(variables) != n_named:
         raise ValueError("repeated pattern variables are not supported "
                          "(per-variable MEASURES would be ambiguous)")
     alt_members = {
-        a for _, _, _, _, members in steps_raw if members for a in members
+        a for _, _, _, _, members, _ in steps_raw if members for a in members
+    }
+    group_children = {
+        c[0] for _, _, _, _, _, children in steps_raw if children
+        for c in children
     }
 
     used_cols: set = set()
@@ -1254,9 +1296,55 @@ def parse_match_recognize(
             "aggregates, cross-variable reads) — alternation members "
             "and all other variables must be row-local"
         )
+    if group_children and dyn_defines:
+        # same soundness rule for sequence groups: the sub-NFA's
+        # repetition backtracking assumes every predicate is a
+        # row-local mask — match-state-dependent DEFINEs could make a
+        # repetition's verdict depend on upstream assignment
+        raise ValueError(
+            "pattern sequence groups cannot be combined with match-"
+            "state-dependent DEFINE predicates (FIRST/LAST, running "
+            "aggregates, cross-variable reads) — group members and "
+            "all other variables must be row-local"
+        )
+    if group_children:
+        nav_children = sorted(
+            c for c in group_children if var_next.get(c, 0)
+        )
+        if nav_children:
+            raise ValueError(
+                f"NEXT() navigation inside sequence-group variables "
+                f"{nav_children} is not supported — the group sub-NFA "
+                "carries no per-child streaming frontier"
+            )
 
     steps = []
-    for name, lo, hi, rel, members in steps_raw:
+    for name, lo, hi, rel, members, children in steps_raw:
+        if children is not None:
+            child_steps = [
+                Step(
+                    cname,
+                    defines.get(cname, _wild),
+                    quant=(clo, chi),
+                    reluctant=crel,
+                )
+                for cname, clo, chi, crel in children
+            ]
+
+            def _gunion(pdf, fns=tuple(s.where for s in child_steps)):
+                m = fns[0](pdf)
+                for f in fns[1:]:
+                    m = m | f(pdf)
+                return m
+
+            steps.append(Step(
+                name,
+                _gunion,
+                quant=(lo, hi),
+                reluctant=rel,
+                group=child_steps,
+            ))
+            continue
         if members is None:
             steps.append(Step(
                 name,
@@ -1329,6 +1417,12 @@ def parse_match_recognize(
         raise ValueError(
             "AFTER MATCH SKIP TO an alternation member is not supported "
             "(skip targets must be plain pattern variables)"
+        )
+    if isinstance(after_match, tuple) and after_match[1] in group_children:
+        raise ValueError(
+            "AFTER MATCH SKIP TO a sequence-group member is not "
+            "supported (skip targets must be top-level pattern "
+            "variables)"
         )
 
     within_us = None
@@ -1563,9 +1657,16 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
     key_cols = spec.partition_by
     measure_nodes = spec.measures
     step_names = [s.name for s in spec.steps]
+    # composite steps whose matched rows attribute to MEMBER variables
+    # for CLASSIFIER()/per-row emission: alternation groups (leftmost
+    # member) and sequence groups (the child that consumed the row)
     alt_members_of = {
-        s.name: [a for a, _ in s.alts]
-        for s in spec.steps if getattr(s, "alts", None)
+        s.name: (
+            [a for a, _ in s.alts] if getattr(s, "alts", None)
+            else [c.name for c in s.group]
+        )
+        for s in spec.steps
+        if getattr(s, "alts", None) or getattr(s, "group", None)
     }
 
     needs_last_row = spec.needs_last_row

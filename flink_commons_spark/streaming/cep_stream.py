@@ -201,6 +201,7 @@ def _scan_closed_prefix(
     ctx_n: int = 0,
     dctx=None,
     step_bounds=None,
+    gout=None,
 ):
     """The shared sequential scan over one key's sorted closed prefix —
     the streaming twin of the batch matcher's per-key loop, with the
@@ -261,7 +262,14 @@ def _scan_closed_prefix(
             raise ValueError(f"after_match variable {skip_var!r} not in pattern")
     elif after_match not in ("past_last", "to_next_row"):
         raise ValueError(f"unknown after_match {after_match!r}")
-    final_hi = steps[-1].hi
+    # a final SEQUENCE-GROUP step is conservatively always growable at
+    # the closed-data end: its hit entry counts ROWS while its
+    # quantifier bounds REPETITIONS, so the bounded-final shortcut
+    # below would mix units — defer instead (never wrong, a later
+    # closing row decides)
+    final_hi = (
+        None if getattr(steps[-1], "group", None) else steps[-1].hi
+    )
     run_ends = _run_ends(masks, n)
     # jump between admissible starts when the first variable is
     # required: a skipped position fails its PREDICATE (permanent,
@@ -272,7 +280,7 @@ def _scan_closed_prefix(
     # verdict — those positions are UNDECIDED potential starts and
     # must defer, never be skipped (or expired) as failed.
     starts = None
-    if steps[0].lo > 0:
+    if steps[0].lo > 0 and getattr(steps[0], "group", None) is None:
         starts = [p for p in np.flatnonzero(masks[0]).tolist() if p >= ctx_n]
     undec0 = n if step_bounds is None else step_bounds[0]
     s_ptr = 0
@@ -304,7 +312,7 @@ def _scan_closed_prefix(
         # no failure memo here: the streaming scan consumes touched_end
         hit, touched_end = _match_at_ex(
             masks, steps, i, n_i, run_ends, None, dctx, step_bounds,
-            undecided_n=n,
+            undecided_n=n, gout=gout,
         )
         # bit 2 (frontier cut) always defers; bit 1 (closed-data end)
         # only while the pattern window is still open — a closed
@@ -711,8 +719,10 @@ def stream_match_pattern(
         _DynCtx,
         _Seg,
         _add_alt_segs,
+        _add_group_segs,
         _alt_member_masks,
         _assemble_all_rows,
+        _group_masks,
         _step_bounds,
     )
 
@@ -797,11 +807,11 @@ def stream_match_pattern(
             pdf_closed = pdf_all.iloc[:closed_n]
             if frame_renames:
                 pdf_closed = pdf_closed.rename(columns=frame_renames)
-            masks = [
-                s.where(pdf_closed).to_numpy(dtype=bool, na_value=False)
-                for s in step_list
-            ]
+            masks = _group_masks(step_list, pdf_closed)
             alt_masks = _alt_member_masks(step_list, pdf_closed)
+            gout: "dict | None" = (
+                {} if any(s.group is not None for s in step_list) else None
+            )
             cols = {c: pdf_closed[c].to_numpy() for c in pdf_closed.columns}
             out = []
             seq = [nmatch]  # per-key MATCH_NUMBER cursor (all_rows mode)
@@ -813,6 +823,10 @@ def stream_match_pattern(
                 }
                 if alt_masks:
                     _add_alt_segs(step_list, hit, alt_masks, cols, segs)
+                if gout is not None:
+                    # the scan calls on_match synchronously right after
+                    # the successful attempt fills gout
+                    _add_group_segs(step_list, gout, cols, segs)
                 if all_rows:
                     seq[0] += 1
                     out.append(measures(key, segs, seq[0]))
@@ -827,6 +841,7 @@ def stream_match_pattern(
                 step_bounds=(
                     _step_bounds(step_list, closed_n) if has_next else None
                 ),
+                gout=gout,
             )
             keep_from = consumed
             if within_us is not None:
