@@ -136,3 +136,24 @@ FROM events
       c AS c.event_type = 'click',
       p AS p.event_type = 'purchase'
   );
+
+-- 7) round-11 extension: QUANTIFIED SEQUENCE GROUP — one level of
+--    SQL:2016 pattern nesting: a view followed by one-or-more
+--    (click purchase) PAIRS, greedy over the repetition count
+--    (rejected under --strict-compat: Flink 1.16 has no grouping)
+SELECT user_id, n_pairs, pair_value
+FROM events
+  MATCH_RECOGNIZE (
+    PARTITION BY user_id
+    ORDER BY ts, event_id
+    MEASURES
+      COUNT(p.*)   AS n_pairs,
+      SUM(p.value) AS pair_value
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (v (c p)+)
+    DEFINE
+      v AS v.event_type = 'view',
+      c AS c.event_type = 'click',
+      p AS p.event_type = 'purchase'
+  );
