@@ -9824,6 +9824,152 @@ GROUP BY e.user_id, e.start_us, pe.ts_us, e.k
 """
 
 
+def q_match_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``PERMUTE(c, e)`` — SQL:2016 permutation block (flagged
+    extension; Flink 1.16 rejects it and ``--strict-compat`` keeps
+    the parity rejection): a view, then a click AND an error in
+    EITHER order, then a purchase. The matcher tries orderings in the
+    listed lexicographic preference (``operators/cep.py:_rec_permute``
+    — the standard's expansion order for the equivalent alternation);
+    member segments flow through the same ``gout`` side channel as
+    sequence groups. The oracle enumerates the two adjacent-row
+    orders relationally and picks each member's timestamp by its
+    event type."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_events_view(spark, sf_dir, "mr_events_src")
+    return execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, click_us, error_us, end_us
+        FROM mr_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            MEASURES
+              FIRST(v.ts_us) AS start_us,
+              LAST(c.ts_us) AS click_us,
+              LAST(e.ts_us) AS error_us,
+              LAST(p.ts_us) AS end_us
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v PERMUTE(c, e) p)
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              e AS e.event_type = 'error',
+              p AS p.event_type = 'purchase'
+          )
+    """))
+
+
+# relational twin: view at rn, {click, error} at rn+1/rn+2 in either
+# order, purchase at rn+3 — each member's timestamp selected by type.
+# Matches are disjoint (consumed rows are click/error/purchase, so no
+# view — hence no other start — sits inside one), which is AFTER
+# MATCH SKIP PAST LAST ROW exactly.
+_MATCH_PERMUTE_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+)
+SELECT v.user_id, v.ts_us AS start_us,
+       CASE WHEN m1.event_type = 'click' THEN m1.ts_us
+            ELSE m2.ts_us END AS click_us,
+       CASE WHEN m1.event_type = 'error' THEN m1.ts_us
+            ELSE m2.ts_us END AS error_us,
+       p.ts_us AS end_us
+FROM seq v
+JOIN seq m1 ON m1.user_id = v.user_id AND m1.rn = v.rn + 1
+JOIN seq m2 ON m2.user_id = v.user_id AND m2.rn = v.rn + 2
+JOIN seq p ON p.user_id = v.user_id AND p.rn = v.rn + 3
+WHERE v.event_type = 'view'
+  AND p.event_type = 'purchase'
+  AND ((m1.event_type = 'click' AND m2.event_type = 'error')
+    OR (m1.event_type = 'error' AND m2.event_type = 'click'))
+"""
+
+
+@_with_stream_shuffle(16)
+def stream_match_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of :func:`q_match_permute`: the PERMUTE block
+    runs inside the watermark-gated buffered NFA; members are bounded
+    exactly-one variables and the final step is an exactly-one
+    purchase, so a completed match at the closed-prefix tail is
+    DECIDED and the availableNow run converges to the batch
+    formulation over the watermark-closed prefix."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_stream_events_view(spark, sf_dir, "mr_stream_events_src")
+    out = execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, click_us, error_us, end_us
+        FROM mr_stream_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES
+              FIRST(v.ts_us) AS start_us,
+              LAST(c.ts_us) AS click_us,
+              LAST(e.ts_us) AS error_us,
+              LAST(p.ts_us) AS end_us
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v PERMUTE(c, e) p)
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              e AS e.event_type = 'error',
+              p AS p.event_type = 'purchase'
+          )
+    """))
+    name = "fcs_stream_mr_perm"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-mrperm-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(name)
+
+
+# the batch formulation over the watermark-CLOSED prefix (every
+# pattern element is bounded and the final purchase is exactly-one,
+# so matches at the closed tail are decided — no deferral terms)
+_STREAM_MATCH_PERMUTE_ORACLE = """
+WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
+seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+  WHERE epoch_us(ts) // 1000 < (SELECT wm_ms FROM wm)
+)
+SELECT v.user_id, v.ts_us AS start_us,
+       CASE WHEN m1.event_type = 'click' THEN m1.ts_us
+            ELSE m2.ts_us END AS click_us,
+       CASE WHEN m1.event_type = 'error' THEN m1.ts_us
+            ELSE m2.ts_us END AS error_us,
+       p.ts_us AS end_us
+FROM seq v
+JOIN seq m1 ON m1.user_id = v.user_id AND m1.rn = v.rn + 1
+JOIN seq m2 ON m2.user_id = v.user_id AND m2.rn = v.rn + 2
+JOIN seq p ON p.user_id = v.user_id AND p.rn = v.rn + 3
+WHERE v.event_type = 'view'
+  AND p.event_type = 'purchase'
+  AND ((m1.event_type = 'click' AND m2.event_type = 'error')
+    OR (m1.event_type = 'error' AND m2.event_type = 'click'))
+"""
+
+
 _STREAM_MATCH_SUBQUERY_SRC_ORACLE = """
 WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms
             FROM events WHERE event_type <> 'signup'),
@@ -12178,6 +12324,8 @@ QUERIES = {
     "stream_match_alternation": stream_match_alternation,
     "q_match_nested_group": q_match_nested_group,
     "stream_match_nested_group": stream_match_nested_group,
+    "q_match_permute": q_match_permute,
+    "stream_match_permute": stream_match_permute,
     "stream_match_all_rows": stream_match_all_rows,
     "q_match_running_measures": q_match_running_measures,
     "q_match_all_rows": q_match_all_rows,
@@ -12387,6 +12535,8 @@ ORACLES = {
     "stream_match_alternation": _STREAM_MATCH_ALTERNATION_ORACLE,
     "q_match_nested_group": _MATCH_NESTED_GROUP_ORACLE,
     "stream_match_nested_group": _STREAM_MATCH_NESTED_GROUP_ORACLE,
+    "q_match_permute": _MATCH_PERMUTE_ORACLE,
+    "stream_match_permute": _STREAM_MATCH_PERMUTE_ORACLE,
     "stream_match_all_rows": _STREAM_MATCH_ALL_ROWS_ORACLE,
     "q_match_running_measures": _MATCH_RUNNING_MEASURES_ORACLE,
     "q_match_all_rows": _MATCH_ALL_ROWS_ORACLE,

@@ -87,10 +87,17 @@ class Step:
     matcher reports the group's consumed positions as the step's hit
     entry and each child's positions through the ``gout`` side
     channel (:func:`_add_group_segs` registers per-child measure
-    segments)."""
+    segments).
+
+    ``perm=True`` (with ``group`` set) makes the step a SQL:2016
+    ``PERMUTE(A, B, ...)`` block instead: the children match exactly
+    once each, in SOME order, tried in lexicographic preference of
+    the listed order (the standard's expansion order for the
+    equivalent alternation); child quantifiers still apply within an
+    ordering. The block itself is unquantified (``lo = hi = 1``)."""
 
     __slots__ = ("name", "where", "lo", "hi", "reluctant", "dyn",
-                 "next_depth", "alts", "group")
+                 "next_depth", "alts", "group", "perm")
 
     def __init__(
         self,
@@ -105,6 +112,7 @@ class Step:
         next_depth: int = 0,
         alts: "list[tuple[str, Callable]] | None" = None,
         group: "list[Step] | None" = None,
+        perm: bool = False,
     ):
         self.name = name
         self.where = where
@@ -113,6 +121,7 @@ class Step:
         self.next_depth = next_depth
         self.alts = alts
         self.group = group
+        self.perm = perm
         if quant is not None:
             self.lo, self.hi = quant
         elif plus:
@@ -348,7 +357,10 @@ def _match_at_ex(
             # risk, so only the frontier kind flags here.)
             touched |= kind
         if s.group is not None:
-            res = _rec_group(pos, si, sb, kind)
+            res = (
+                _rec_permute(pos, si, sb, kind) if s.perm
+                else _rec_group(pos, si, sb, kind)
+            )
             if res is None and failed is not None:
                 failed.add((pos, si))
             return res
@@ -503,6 +515,68 @@ def _match_at_ex(
             return None
 
         return rec_reps(pos)
+
+    def _rec_permute(pos: int, si: int, sb: int, kind: int) -> list | None:
+        """``PERMUTE(A, B, ...)`` step: the children match exactly
+        once each in SOME order, orderings tried in lexicographic
+        preference of the listed order (SQL:2016's expansion order
+        for the equivalent alternation), children greedy with full
+        backtracking within an ordering, then the REST of the
+        pattern."""
+        nonlocal touched
+        import itertools as _it
+
+        s = steps[si]
+        children = s.group
+        cmasks = masks[si]
+        cruns = run_ends[si] if run_ends is not None else None
+
+        def match_seq(p2: int, order_, oi: int, acc: list) -> list | None:
+            nonlocal touched
+            if oi == len(order_):
+                rest = rec(p2, si + 1)
+                if rest is not None:
+                    flat = [int(q) for _, rng in acc for q in rng]
+                    flat.sort()
+                    if gout is not None:
+                        for c in children:
+                            gout[c.name] = []
+                        for ci, rng in acc:
+                            gout[children[ci].name].extend(
+                                int(q) for q in rng
+                            )
+                    return [flat] + rest
+                return None
+            ci = order_[oi]
+            c = children[ci]
+            limit = sb if c.hi is None else min(sb, p2 + c.hi)
+            if cruns is not None:
+                end = min(limit, cruns[ci][p2])
+            else:
+                m = cmasks[ci]
+                end = p2
+                while end < limit and m[end]:
+                    end += 1
+            if end == sb and (c.hi is None or end - p2 < c.hi):
+                touched |= kind
+            takes = (
+                range(end - p2, c.lo - 1, -1) if not c.reluctant
+                else range(c.lo, end - p2 + 1)
+            )
+            for take in takes:
+                res = match_seq(
+                    p2 + take, order_, oi + 1,
+                    acc + [(ci, range(p2, p2 + take))],
+                )
+                if res is not None:
+                    return res
+            return None
+
+        for order_ in _it.permutations(range(len(children))):
+            res = match_seq(pos, order_, 0, [])
+            if res is not None:
+                return res
+        return None
 
     return rec(start, 0), touched
 

@@ -114,13 +114,16 @@ _PAT_TOKEN_RE = re.compile(
     r"^(?P<name>\w+)(?P<q>\{\d+(?:,\d*)?\}|[+*?])?(?P<rel>\?)?$"
 )
 
-#: pattern scanner: an alternation group ``(A|B)q``, a quantified
-#: sequence group ``(B C)q`` (two or more whitespace-separated
-#: variables, each with an optional quantifier — one level of
-#: SQL:2016 nesting), or a plain variable ``Vq`` — gaps between
-#: tokens must be whitespace
+#: pattern scanner: a ``PERMUTE(A, B, ...)`` block, an alternation
+#: group ``(A|B)q``, a quantified sequence group ``(B C)q`` (two or
+#: more whitespace-separated variables, each with an optional
+#: quantifier — one level of SQL:2016 nesting), or a plain variable
+#: ``Vq`` — gaps between tokens must be whitespace
 _PAT_SCAN_RE = re.compile(
-    r"\(\s*(?P<alts>\w+(?:\s*\|\s*\w+)+)\s*\)"
+    r"(?i:PERMUTE)\s*\(\s*(?P<perm>\w+(?:\{\d+(?:,\d*)?\}|[+*?])?\??"
+    r"(?:\s*,\s*\w+(?:\{\d+(?:,\d*)?\}|[+*?])?\??)+)\s*\)"
+    r"(?P<pq>\{\d+(?:,\d*)?\}|[+*?])?"
+    r"|\(\s*(?P<alts>\w+(?:\s*\|\s*\w+)+)\s*\)"
     r"(?P<gq>\{\d+(?:,\d*)?\}|[+*?])?(?P<grel>\?)?"
     r"|\(\s*(?P<seq>\w+(?:\{\d+(?:,\d*)?\}|[+*?])?\??"
     r"(?:\s+\w+(?:\{\d+(?:,\d*)?\}|[+*?])?\??)+)\s*\)"
@@ -1138,18 +1141,42 @@ def parse_match_recognize(
         raise ValueError("unsupported PATTERN token "
                          "(alternation/grouping not supported)")
     # entries: (name, lo, hi, rel, alt_members | None, seq_children |
-    # None) — seq_children is [(name, lo, hi, rel)] for a quantified
-    # sequence group (one level of nesting)
+    # None, is_perm) — seq_children is [(name, lo, hi, rel)] for a
+    # quantified sequence group (one level of nesting) or a PERMUTE
+    # block (is_perm=True)
     steps_raw: "list[tuple]" = []
     pos = 0
     for tm in _PAT_SCAN_RE.finditer(pat_text):
         if pat_text[pos:tm.start()].strip():
             raise ValueError(
                 f"unsupported PATTERN token {pat_text[pos:tm.start()].strip()!r} "
-                "(PERMUTE/exclusion/deeper nesting not supported)"
+                "(exclusion/deeper nesting not supported)"
             )
         pos = tm.end()
-        if tm.group("alts"):
+        if tm.group("perm"):
+            if tm.group("pq"):
+                raise ValueError(
+                    f"quantified PERMUTE {tm.group(0)!r} is not supported "
+                    "— wrap repetition around plain variables instead"
+                )
+            children = []
+            for tok in tm.group("perm").split(","):
+                cm = _PAT_TOKEN_RE.match(tok.strip())
+                if not cm:
+                    raise ValueError(
+                        f"cannot parse PERMUTE member {tok.strip()!r} in "
+                        f"{tm.group(0)!r}"
+                    )
+                clo, chi = _parse_quant(cm.group("q") or "")
+                crel = cm.group("rel") == "?"
+                if crel and not cm.group("q"):
+                    raise ValueError(
+                        f"bare '?' without quantifier in {tok.strip()!r}"
+                    )
+                children.append((cm.group("name").upper(), clo, chi, crel))
+            gname = "PERMUTE(" + ", ".join(c[0] for c in children) + ")"
+            steps_raw.append((gname, 1, 1, False, None, children, True))
+        elif tm.group("alts"):
             members = [
                 a.strip().upper() for a in tm.group("alts").split("|")
             ]
@@ -1159,7 +1186,9 @@ def parse_match_recognize(
                 raise ValueError(
                     f"bare '?' without quantifier in {tm.group(0)!r}"
                 )
-            steps_raw.append(("|".join(members), lo, hi, rel, members, None))
+            steps_raw.append(
+                ("|".join(members), lo, hi, rel, members, None, False)
+            )
         elif tm.group("seq"):
             children = []
             for tok in tm.group("seq").split():
@@ -1183,7 +1212,7 @@ def parse_match_recognize(
                     f"bare '?' without quantifier in {tm.group(0)!r}"
                 )
             gname = "(" + " ".join(c[0] for c in children) + ")"
-            steps_raw.append((gname, lo, hi, rel, None, children))
+            steps_raw.append((gname, lo, hi, rel, None, children, False))
         else:
             lo, hi = _parse_quant(tm.group("q") or "")
             rel = tm.group("rel") == "?"
@@ -1192,7 +1221,7 @@ def parse_match_recognize(
                     f"bare '?' without quantifier in {tm.group(0)!r}"
                 )
             steps_raw.append(
-                (tm.group("name").upper(), lo, hi, rel, None, None)
+                (tm.group("name").upper(), lo, hi, rel, None, None, False)
             )
     if pat_text[pos:].strip():
         raise ValueError(
@@ -1203,7 +1232,7 @@ def parse_match_recognize(
         raise ValueError("empty PATTERN")
     variables: set = set()
     n_named = 0
-    for name, _, _, _, members, children in steps_raw:
+    for name, _, _, _, members, children, _ in steps_raw:
         names = (
             members if members
             else [c[0] for c in children] if children
@@ -1215,10 +1244,10 @@ def parse_match_recognize(
         raise ValueError("repeated pattern variables are not supported "
                          "(per-variable MEASURES would be ambiguous)")
     alt_members = {
-        a for _, _, _, _, members, _ in steps_raw if members for a in members
+        a for _, _, _, _, members, _, _ in steps_raw if members for a in members
     }
     group_children = {
-        c[0] for _, _, _, _, _, children in steps_raw if children
+        c[0] for _, _, _, _, _, children, _ in steps_raw if children
         for c in children
     }
 
@@ -1319,7 +1348,7 @@ def parse_match_recognize(
             )
 
     steps = []
-    for name, lo, hi, rel, members, children in steps_raw:
+    for name, lo, hi, rel, members, children, is_perm in steps_raw:
         if children is not None:
             child_steps = [
                 Step(
@@ -1343,6 +1372,7 @@ def parse_match_recognize(
                 quant=(lo, hi),
                 reluctant=rel,
                 group=child_steps,
+                perm=is_perm,
             ))
             continue
         if members is None:

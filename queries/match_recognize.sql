@@ -157,3 +157,25 @@ FROM events
       c AS c.event_type = 'click',
       p AS p.event_type = 'purchase'
   );
+
+-- 8) round-11 extension: PERMUTE — click and error in EITHER order
+--    between the view and the purchase (orderings tried in the
+--    listed lexicographic preference, SQL:2016's expansion order;
+--    rejected under --strict-compat: Flink 1.16 has no PERMUTE)
+SELECT user_id, click_value, error_value
+FROM events
+  MATCH_RECOGNIZE (
+    PARTITION BY user_id
+    ORDER BY ts, event_id
+    MEASURES
+      LAST(c.value) AS click_value,
+      LAST(e.value) AS error_value
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (v PERMUTE(c, e) p)
+    DEFINE
+      v AS v.event_type = 'view',
+      c AS c.event_type = 'click',
+      e AS e.event_type = 'error',
+      p AS p.event_type = 'purchase'
+  );

@@ -357,3 +357,92 @@ def test_group_streaming_matches_batch(spark, tmp_path):
     # u2's purchase is not the key's last closed row? it IS -> u2
     # defers forever and does NOT emit
     assert got == [(1, 2, 6)]
+
+
+# ----------------------------------------------------------- PERMUTE
+
+
+def test_permute_both_orders_batch(spark):
+    """``v PERMUTE(c, e) p``: click and error in EITHER order between
+    the view and the purchase; a missing member fails the block."""
+    _view(spark, [
+        (1, 1, "view", 0.0), (1, 2, "click", 1.0), (1, 3, "error", 2.0),
+        (1, 4, "purchase", 3.0),
+        (2, 1, "view", 0.0), (2, 2, "error", 5.0), (2, 3, "click", 6.0),
+        (2, 4, "purchase", 7.0),
+        (3, 1, "view", 0.0), (3, 2, "click", 1.0), (3, 3, "purchase", 2.0),
+    ], "mp_ev1")
+    out = execute_match_recognize(spark, """
+        SELECT user_id, c_us, e_us, p_us FROM mp_ev1 MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES LAST(c.ts_us) AS c_us, LAST(e.ts_us) AS e_us,
+                   LAST(p.ts_us) AS p_us
+          ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (v PERMUTE(c, e) p)
+          DEFINE v AS v.event_type = 'view', c AS c.event_type = 'click',
+                 e AS e.event_type = 'error', p AS p.event_type = 'purchase'
+        )""")
+    assert sorted(map(tuple, out.collect())) == [
+        (1, 2, 3, 4), (2, 3, 2, 4),
+    ]
+
+
+def test_permute_preference_order(spark):
+    """Overlapping member predicates: orderings are tried in the
+    LISTED lexicographic order (SQL:2016's expansion order), so the
+    first listed member claims the first row."""
+    _view(spark, [
+        (1, 1, "x", 0.0), (1, 2, "x", 0.0),
+    ], "mp_ev2")
+    out = execute_match_recognize(spark, """
+        SELECT ts_us, cls FROM mp_ev2 MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES CLASSIFIER() AS cls
+          ALL ROWS PER MATCH
+          PATTERN (PERMUTE(a, b))
+          DEFINE a AS a.event_type = 'x', b AS b.event_type = 'x'
+        )""")
+    assert sorted(map(tuple, out.collect())) == [(1, "A"), (2, "B")]
+
+
+def test_permute_quantified_member(spark):
+    """A quantified member (``c+``) keeps its greedy run inside
+    whichever ordering admits a match."""
+    _view(spark, [
+        (1, 1, "error", 0.0), (1, 2, "click", 1.0), (1, 3, "click", 2.0),
+        (1, 4, "purchase", 0.0),
+    ], "mp_ev3")
+    out = execute_match_recognize(spark, """
+        SELECT user_id, n_c, e_us FROM mp_ev3 MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES COUNT(c.*) AS n_c, LAST(e.ts_us) AS e_us
+          ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (PERMUTE(c+, e) p)
+          DEFINE c AS c.event_type = 'click', e AS e.event_type = 'error',
+                 p AS p.event_type = 'purchase'
+        )""")
+    assert sorted(map(tuple, out.collect())) == [(1, 2, 1)]
+
+
+def test_permute_rejections(spark):
+    base = """SELECT * FROM t MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts_us
+      MEASURES COUNT(b.*) AS n ONE ROW PER MATCH
+      PATTERN ({pat})
+      DEFINE {defs})"""
+    with pytest.raises(ValueError, match="quantified PERMUTE"):
+        parse_match_recognize(
+            base.format(pat="a PERMUTE(b, c)+", defs="a AS a.price > 0"),
+            COLS)
+    with pytest.raises(ValueError, match="alternation/grouping"):
+        parse_match_recognize(
+            base.format(pat="a PERMUTE(b, c)", defs="a AS a.price > 0"),
+            COLS, strict_compat=True)
+    with pytest.raises(ValueError, match="sequence groups cannot"):
+        parse_match_recognize(
+            base.format(pat="a PERMUTE(b, c)",
+                        defs="b AS b.price > AVG(a.price)"), COLS)
+    with pytest.raises(ValueError, match="repeated pattern variables"):
+        parse_match_recognize(
+            base.format(pat="b PERMUTE(b, c)", defs="b AS b.price > 0"),
+            COLS)
