@@ -9824,6 +9824,176 @@ GROUP BY e.user_id, e.start_us, pe.ts_us, e.k
 """
 
 
+def q_match_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern EXCLUSION ``{- c+ -}`` (SQL:2016 §9.27, flagged
+    extension; Flink 1.16 rejects the syntax and ``--strict-compat``
+    keeps the parity rejection): the click leg MATCHES — DEFINE,
+    RUNNING COUNT(*), and FINAL COUNT(c.*) all see its rows — but the
+    ALL ROWS output omits them, emitting only the view and purchase
+    rows of each funnel match. Exclusion is OUTPUT-ONLY: the emitter
+    computes every per-row measure over the full match, then drops
+    the excluded rows (``plans/match_recognize.py:_emit_all_rows``).
+    The oracle is the all-rows islands expansion filtered to the
+    non-excluded classifiers."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_events_view(spark, sf_dir, "mr_events_src")
+    return execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, event_id, ts_us, cls, match_no, run_rows, n_clicks
+        FROM mr_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            MEASURES
+              CLASSIFIER() AS cls,
+              MATCH_NUMBER() AS match_no,
+              RUNNING COUNT(*) AS run_rows,
+              FINAL COUNT(c.*) AS n_clicks
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v {- c+ -} p)
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              p AS p.event_type = 'purchase'
+          )
+    """))
+
+
+# the all-rows islands expansion restricted to the NON-excluded rows:
+# the view (run_rows = 1) and the purchase (run_rows = whole-match row
+# count = n_clicks + 2); n_clicks still counts the excluded clicks
+_MATCH_EXCLUSION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+isl AS (
+  SELECT user_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type = 'click'
+),
+runs AS (
+  SELECT user_id, min(rn) AS srn, max(rn) AS ern, count(*)::bigint AS n_clicks
+  FROM isl GROUP BY user_id, grp
+),
+matches AS (
+  SELECT r.user_id, r.srn, r.ern, r.n_clicks,
+         row_number() OVER (PARTITION BY r.user_id
+                            ORDER BY r.srn)::bigint AS match_no
+  FROM runs r
+  JOIN seq v ON v.user_id = r.user_id AND v.rn = r.srn - 1
+            AND v.event_type = 'view'
+  JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
+            AND p.event_type = 'purchase'
+)
+SELECT s.user_id, s.event_id, s.ts_us,
+       CASE WHEN s.rn = m.srn - 1 THEN 'V' ELSE 'P' END AS cls,
+       m.match_no,
+       CASE WHEN s.rn = m.srn - 1 THEN 1
+            ELSE m.n_clicks + 2 END::bigint AS run_rows,
+       m.n_clicks
+FROM matches m
+JOIN seq s ON s.user_id = m.user_id
+          AND s.rn IN (m.srn - 1, m.ern + 1)
+"""
+
+
+@_with_stream_shuffle(16)
+def stream_match_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of :func:`q_match_exclusion`: the exclusion
+    filter runs in the same columnar all-rows emitter inside the
+    watermark-gated buffered NFA; the funnel ends in an exactly-one
+    purchase, so tail matches are decided and the availableNow run
+    converges to the filtered expansion over the watermark-closed
+    prefix."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_stream_events_view(spark, sf_dir, "mr_stream_events_src")
+    out = execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, event_id, ts_us, cls, match_no, run_rows, n_clicks
+        FROM mr_stream_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES
+              CLASSIFIER() AS cls,
+              MATCH_NUMBER() AS match_no,
+              RUNNING COUNT(*) AS run_rows,
+              FINAL COUNT(c.*) AS n_clicks
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v {- c+ -} p)
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              p AS p.event_type = 'purchase'
+          )
+    """))
+    name = "fcs_stream_mr_excl"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-mrexc-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(name)
+
+
+# the filtered expansion over the watermark-CLOSED prefix (keys whose
+# newest event sits on the final watermark never close, exactly like
+# the other stream_match_* oracles)
+_STREAM_MATCH_EXCLUSION_ORACLE = """
+WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
+seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+  WHERE epoch_us(ts) // 1000 < (SELECT wm_ms FROM wm)
+),
+isl AS (
+  SELECT user_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type = 'click'
+),
+runs AS (
+  SELECT user_id, min(rn) AS srn, max(rn) AS ern, count(*)::bigint AS n_clicks
+  FROM isl GROUP BY user_id, grp
+),
+matches AS (
+  SELECT r.user_id, r.srn, r.ern, r.n_clicks,
+         row_number() OVER (PARTITION BY r.user_id
+                            ORDER BY r.srn)::bigint AS match_no
+  FROM runs r
+  JOIN seq v ON v.user_id = r.user_id AND v.rn = r.srn - 1
+            AND v.event_type = 'view'
+  JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
+            AND p.event_type = 'purchase'
+)
+SELECT s.user_id, s.event_id, s.ts_us,
+       CASE WHEN s.rn = m.srn - 1 THEN 'V' ELSE 'P' END AS cls,
+       m.match_no,
+       CASE WHEN s.rn = m.srn - 1 THEN 1
+            ELSE m.n_clicks + 2 END::bigint AS run_rows,
+       m.n_clicks
+FROM matches m
+JOIN seq s ON s.user_id = m.user_id
+          AND s.rn IN (m.srn - 1, m.ern + 1)
+"""
+
+
 def q_match_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``PERMUTE(c, e)`` — SQL:2016 permutation block (flagged
     extension; Flink 1.16 rejects it and ``--strict-compat`` keeps
@@ -12326,6 +12496,8 @@ QUERIES = {
     "stream_match_nested_group": stream_match_nested_group,
     "q_match_permute": q_match_permute,
     "stream_match_permute": stream_match_permute,
+    "q_match_exclusion": q_match_exclusion,
+    "stream_match_exclusion": stream_match_exclusion,
     "stream_match_all_rows": stream_match_all_rows,
     "q_match_running_measures": q_match_running_measures,
     "q_match_all_rows": q_match_all_rows,
@@ -12537,6 +12709,8 @@ ORACLES = {
     "stream_match_nested_group": _STREAM_MATCH_NESTED_GROUP_ORACLE,
     "q_match_permute": _MATCH_PERMUTE_ORACLE,
     "stream_match_permute": _STREAM_MATCH_PERMUTE_ORACLE,
+    "q_match_exclusion": _MATCH_EXCLUSION_ORACLE,
+    "stream_match_exclusion": _STREAM_MATCH_EXCLUSION_ORACLE,
     "stream_match_all_rows": _STREAM_MATCH_ALL_ROWS_ORACLE,
     "q_match_running_measures": _MATCH_RUNNING_MEASURES_ORACLE,
     "q_match_all_rows": _MATCH_ALL_ROWS_ORACLE,

@@ -114,13 +114,15 @@ _PAT_TOKEN_RE = re.compile(
     r"^(?P<name>\w+)(?P<q>\{\d+(?:,\d*)?\}|[+*?])?(?P<rel>\?)?$"
 )
 
-#: pattern scanner: a ``PERMUTE(A, B, ...)`` block, an alternation
-#: group ``(A|B)q``, a quantified sequence group ``(B C)q`` (two or
-#: more whitespace-separated variables, each with an optional
-#: quantifier — one level of SQL:2016 nesting), or a plain variable
-#: ``Vq`` — gaps between tokens must be whitespace
+#: pattern scanner: an exclusion ``{- Vq -}`` (output-only, SQL:2016
+#: §9.27), a ``PERMUTE(A, B, ...)`` block, an alternation group
+#: ``(A|B)q``, a quantified sequence group ``(B C)q`` (two or more
+#: whitespace-separated variables, each with an optional quantifier —
+#: one level of SQL:2016 nesting), or a plain variable ``Vq`` — gaps
+#: between tokens must be whitespace
 _PAT_SCAN_RE = re.compile(
-    r"(?i:PERMUTE)\s*\(\s*(?P<perm>\w+(?:\{\d+(?:,\d*)?\}|[+*?])?\??"
+    r"\{-\s*(?P<exc>\w+)(?P<xq>\{\d+(?:,\d*)?\}|[+*?])?(?P<xrel>\?)?\s*-\}"
+    r"|(?i:PERMUTE)\s*\(\s*(?P<perm>\w+(?:\{\d+(?:,\d*)?\}|[+*?])?\??"
     r"(?:\s*,\s*\w+(?:\{\d+(?:,\d*)?\}|[+*?])?\??)+)\s*\)"
     r"(?P<pq>\{\d+(?:,\d*)?\}|[+*?])?"
     r"|\(\s*(?P<alts>\w+(?:\s*\|\s*\w+)+)\s*\)"
@@ -924,6 +926,10 @@ class MatchRecognizeSpec:
     needs_last_row: bool = False  # some measure reads the match's last row
     max_prev: int = 0  # deepest PREV offset → streaming context rows
     all_rows: bool = False  # ALL ROWS PER MATCH (batch + streaming extension)
+    #: variables wrapped in ``{- ... -}`` exclusion syntax: their rows
+    #: match normally (DEFINE/measures see them) but are OMITTED from
+    #: the ALL ROWS PER MATCH output (SQL:2016 output-only exclusion)
+    excluded: set = field(default_factory=set)
 
 
 def _skip_span(sql: str, i: int) -> int:
@@ -1137,7 +1143,9 @@ def parse_match_recognize(
     # pattern variables + quantifiers; an entry's last element is the
     # alternation member list (None for a plain variable)
     pat_text = bm.group("pat")
-    if strict_compat and ("(" in pat_text or "|" in pat_text):
+    if strict_compat and (
+        "(" in pat_text or "|" in pat_text or "{-" in pat_text
+    ):
         raise ValueError("unsupported PATTERN token "
                          "(alternation/grouping not supported)")
     # entries: (name, lo, hi, rel, alt_members | None, seq_children |
@@ -1145,15 +1153,33 @@ def parse_match_recognize(
     # quantified sequence group (one level of nesting) or a PERMUTE
     # block (is_perm=True)
     steps_raw: "list[tuple]" = []
+    excluded: set = set()
     pos = 0
     for tm in _PAT_SCAN_RE.finditer(pat_text):
         if pat_text[pos:tm.start()].strip():
             raise ValueError(
                 f"unsupported PATTERN token {pat_text[pos:tm.start()].strip()!r} "
-                "(exclusion/deeper nesting not supported)"
+                "(deeper nesting not supported)"
             )
         pos = tm.end()
-        if tm.group("perm"):
+        if tm.group("exc"):
+            # {- Vq -}: the variable matches normally; its rows are
+            # omitted from ALL ROWS output only (SQL:2016 §9.27)
+            if not all_rows:
+                raise ValueError(
+                    "pattern exclusion {- ... -} requires ALL ROWS PER "
+                    "MATCH (it only affects the per-row output)"
+                )
+            lo, hi = _parse_quant(tm.group("xq") or "")
+            rel = tm.group("xrel") == "?"
+            if rel and not tm.group("xq"):
+                raise ValueError(
+                    f"bare '?' without quantifier in {tm.group(0)!r}"
+                )
+            vname = tm.group("exc").upper()
+            excluded.add(vname)
+            steps_raw.append((vname, lo, hi, rel, None, None, False))
+        elif tm.group("perm"):
             if tm.group("pq"):
                 raise ValueError(
                     f"quantified PERMUTE {tm.group(0)!r} is not supported "
@@ -1226,7 +1252,7 @@ def parse_match_recognize(
     if pat_text[pos:].strip():
         raise ValueError(
             f"unsupported PATTERN token {pat_text[pos:].strip()!r} "
-            "(PERMUTE/exclusion/deeper nesting not supported)"
+            "(deeper nesting not supported)"
         )
     if not steps_raw:
         raise ValueError("empty PATTERN")
@@ -1475,6 +1501,7 @@ def parse_match_recognize(
         needs_last_row=needs_last_row,
         max_prev=max_prev,
         all_rows=all_rows,
+        excluded=excluded,
     )
 
 
@@ -1822,8 +1849,27 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
             chunk = {c: cols[c][pos_arr] for c in src_cols}
             for name, node in measure_nodes:
                 chunk[name] = node.fn(ctx)
+            if excluded_names:
+                # {- V -} exclusion is OUTPUT-ONLY (SQL:2016 §9.27):
+                # every RUNNING/FINAL value above was computed over the
+                # full match — excluded rows included — and only the
+                # emission drops their rows here
+                keep = ~_np.isin(cls_arr, excluded_names)
+                if not bool(keep.all()):
+                    n_keep = int(keep.sum())
+                    chunk = {
+                        c: (
+                            v[keep]
+                            if isinstance(v, _np.ndarray)
+                            and v.ndim == 1 and len(v) == n
+                            else v
+                        )
+                        for c, v in chunk.items()
+                    }
+                    return n_keep, chunk
             return n, chunk
 
+        excluded_names = sorted(spec.excluded)
         measures_fn = _emit_all_rows  # noqa: F811
 
         out_schema = ", ".join(

@@ -179,3 +179,24 @@ FROM events
       e AS e.event_type = 'error',
       p AS p.event_type = 'purchase'
   );
+
+-- 9) round-11 extension: pattern EXCLUSION {- c+ -} — the click leg
+--    matches (FINAL COUNT still sees it) but its rows are omitted
+--    from the ALL ROWS output: only the funnel's endpoints emit
+--    (rejected under --strict-compat: Flink 1.16 has no exclusion)
+SELECT user_id, event_id, cls, n_clicks
+FROM events
+  MATCH_RECOGNIZE (
+    PARTITION BY user_id
+    ORDER BY ts, event_id
+    MEASURES
+      CLASSIFIER()     AS cls,
+      FINAL COUNT(c.*) AS n_clicks
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (v {- c+ -} p)
+    DEFINE
+      v AS v.event_type = 'view',
+      c AS c.event_type = 'click',
+      p AS p.event_type = 'purchase'
+  );

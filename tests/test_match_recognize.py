@@ -1080,6 +1080,44 @@ def test_all_rows_final_classifier(spark):
     ]
 
 
+def test_all_rows_exclusion(spark):
+    """``{- c+ -}`` exclusion (SQL:2016 §9.27, flagged extension):
+    the clicks MATCH (RUNNING COUNT(*) and FINAL COUNT(c.*) see them)
+    but their rows are omitted from the ALL ROWS output."""
+    _alt_view(spark, [
+        (1, 1, "view", 0.0), (1, 2, "click", 0.0), (1, 3, "click", 0.0),
+        (1, 4, "purchase", 0.0),
+    ], "ar_exc1")
+    out = execute_match_recognize(spark, """
+        SELECT ts_us, cls, rn, nc FROM ar_exc1 MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES CLASSIFIER() AS cls, RUNNING COUNT(*) AS rn,
+                   FINAL COUNT(c.*) AS nc
+          ALL ROWS PER MATCH
+          PATTERN (v {- c+ -} p)
+          DEFINE v AS v.event_type = 'view', c AS c.event_type = 'click',
+                 p AS p.event_type = 'purchase'
+        )""")
+    assert sorted(map(tuple, out.collect())) == [
+        (1, "V", 1, 2), (4, "P", 4, 2),
+    ]
+
+
+def test_exclusion_rejections(spark):
+    one_row = """
+        SELECT user_id FROM t MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES COUNT(c.*) AS n ONE ROW PER MATCH
+          PATTERN (v {- c+ -} p)
+          DEFINE v AS v.event_type = 'view')"""
+    with pytest.raises(ValueError, match="requires ALL ROWS"):
+        parse_match_recognize(one_row, COLS)
+    # strict compat rejects the {- -} token itself (checked before the
+    # row-mode gate when the statement is ONE ROW)
+    with pytest.raises(ValueError, match="unsupported PATTERN token"):
+        parse_match_recognize(one_row, COLS, strict_compat=True)
+
+
 def test_all_rows_vectorized_agg_surface(spark):
     """The columnar RUNNING reductions (``operators.cep._VecSeg``):
     FIRST/LAST with offsets go NULL before the (n+1)-th member and
