@@ -10140,6 +10140,168 @@ WHERE v.event_type = 'view'
 """
 
 
+def q_match_permute_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``PERMUTE(c, e){1,2}`` — QUANTIFIED permutation block (round-12
+    extension of the flagged SQL:2016 PERMUTE surface; Flink 1.16
+    rejects all grouping and ``--strict-compat`` keeps that parity
+    rejection): a view, then ONE or TWO adjacent {click, error} pairs
+    — each repetition picking its order independently — then a
+    purchase. Greedy repetition preference (``operators/cep.py:
+    _rec_permute`` — the block's own quantifier bounds repetitions
+    exactly like a sequence group's) means two pairs win whenever the
+    longer form completes; the relational oracle replicates that with
+    a two-pair-first CASE. Match spans contain no view, so SKIP PAST
+    LAST ROW suppresses nothing and the oracle's full enumeration is
+    exact."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_events_view(spark, sf_dir, "mr_events_src")
+    return execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, n_c, last_c_us, end_us
+        FROM mr_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            MEASURES
+              FIRST(v.ts_us) AS start_us,
+              COUNT(c.*) AS n_c,
+              LAST(c.ts_us) AS last_c_us,
+              LAST(p.ts_us) AS end_us
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v PERMUTE(c, e){1,2} p)
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              e AS e.event_type = 'error',
+              p AS p.event_type = 'purchase'
+          )
+    """))
+
+
+# relational twin of the greedy {1,2} repetition: the two-pair form
+# (rows rn+1..rn+4 two {click,error} pairs, purchase at rn+5) is
+# preferred; else one pair + purchase at rn+3. The legs are mutually
+# exclusive (the row at rn+3 cannot be both a pair member and the
+# purchase), so one CASE selects. two_ok repeats verbatim — plain SQL
+# has no WHERE-visible alias for it.
+_PQ_TWO_OK = """(((m3.event_type = 'click' AND m4.event_type = 'error')
+     OR (m3.event_type = 'error' AND m4.event_type = 'click'))
+    AND p2.event_type = 'purchase')"""
+
+_MATCH_PERMUTE_QUANT_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+)
+SELECT v.user_id, v.ts_us AS start_us,
+       (CASE WHEN {_PQ_TWO_OK} THEN 2 ELSE 1 END)::bigint AS n_c,
+       CASE WHEN {_PQ_TWO_OK}
+            THEN (CASE WHEN m3.event_type = 'click' THEN m3.ts_us
+                       ELSE m4.ts_us END)
+            ELSE (CASE WHEN m1.event_type = 'click' THEN m1.ts_us
+                       ELSE m2.ts_us END) END AS last_c_us,
+       CASE WHEN {_PQ_TWO_OK} THEN p2.ts_us ELSE m3.ts_us END AS end_us
+FROM seq v
+JOIN seq m1 ON m1.user_id = v.user_id AND m1.rn = v.rn + 1
+JOIN seq m2 ON m2.user_id = v.user_id AND m2.rn = v.rn + 2
+JOIN seq m3 ON m3.user_id = v.user_id AND m3.rn = v.rn + 3
+LEFT JOIN seq m4 ON m4.user_id = v.user_id AND m4.rn = v.rn + 4
+LEFT JOIN seq p2 ON p2.user_id = v.user_id AND p2.rn = v.rn + 5
+WHERE v.event_type = 'view'
+  AND ((m1.event_type = 'click' AND m2.event_type = 'error')
+    OR (m1.event_type = 'error' AND m2.event_type = 'click'))
+  AND ({_PQ_TWO_OK} OR m3.event_type = 'purchase')
+"""
+
+
+@_with_stream_shuffle(16)
+def stream_match_permute_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of :func:`q_match_permute_quant`: the quantified
+    PERMUTE repetition loop runs inside the watermark-gated buffered
+    NFA. Deferral soundness: a one-pair candidate whose two-pair
+    extension is cut by the closed-prefix edge defers (the
+    greedy-preferred longer form could still complete), and the oracle
+    over the closed prefix agrees — its two-pair leg needs rows the
+    prefix doesn't have, and its one-pair leg needs the purchase at
+    rn+3 which, if present IN the prefix, makes the repetition attempt
+    a DECIDED mask failure (the purchase row satisfies neither member
+    predicate), so the match emits."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_stream_events_view(spark, sf_dir, "mr_stream_events_src")
+    out = execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, n_c, last_c_us, end_us
+        FROM mr_stream_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES
+              FIRST(v.ts_us) AS start_us,
+              COUNT(c.*) AS n_c,
+              LAST(c.ts_us) AS last_c_us,
+              LAST(p.ts_us) AS end_us
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v PERMUTE(c, e){1,2} p)
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              e AS e.event_type = 'error',
+              p AS p.event_type = 'purchase'
+          )
+    """))
+    name = "fcs_stream_mr_permq"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-mrpermq-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(name)
+
+
+_STREAM_MATCH_PERMUTE_QUANT_ORACLE = f"""
+WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
+seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+  WHERE epoch_us(ts) // 1000 < (SELECT wm_ms FROM wm)
+)
+SELECT v.user_id, v.ts_us AS start_us,
+       (CASE WHEN {_PQ_TWO_OK} THEN 2 ELSE 1 END)::bigint AS n_c,
+       CASE WHEN {_PQ_TWO_OK}
+            THEN (CASE WHEN m3.event_type = 'click' THEN m3.ts_us
+                       ELSE m4.ts_us END)
+            ELSE (CASE WHEN m1.event_type = 'click' THEN m1.ts_us
+                       ELSE m2.ts_us END) END AS last_c_us,
+       CASE WHEN {_PQ_TWO_OK} THEN p2.ts_us ELSE m3.ts_us END AS end_us
+FROM seq v
+JOIN seq m1 ON m1.user_id = v.user_id AND m1.rn = v.rn + 1
+JOIN seq m2 ON m2.user_id = v.user_id AND m2.rn = v.rn + 2
+JOIN seq m3 ON m3.user_id = v.user_id AND m3.rn = v.rn + 3
+LEFT JOIN seq m4 ON m4.user_id = v.user_id AND m4.rn = v.rn + 4
+LEFT JOIN seq p2 ON p2.user_id = v.user_id AND p2.rn = v.rn + 5
+WHERE v.event_type = 'view'
+  AND ((m1.event_type = 'click' AND m2.event_type = 'error')
+    OR (m1.event_type = 'error' AND m2.event_type = 'click'))
+  AND ({_PQ_TWO_OK} OR m3.event_type = 'purchase')
+"""
+
+
 _STREAM_MATCH_SUBQUERY_SRC_ORACLE = """
 WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms
             FROM events WHERE event_type <> 'signup'),
@@ -12496,6 +12658,8 @@ QUERIES = {
     "stream_match_nested_group": stream_match_nested_group,
     "q_match_permute": q_match_permute,
     "stream_match_permute": stream_match_permute,
+    "q_match_permute_quant": q_match_permute_quant,
+    "stream_match_permute_quant": stream_match_permute_quant,
     "q_match_exclusion": q_match_exclusion,
     "stream_match_exclusion": stream_match_exclusion,
     "stream_match_all_rows": stream_match_all_rows,
@@ -12709,6 +12873,8 @@ ORACLES = {
     "stream_match_nested_group": _STREAM_MATCH_NESTED_GROUP_ORACLE,
     "q_match_permute": _MATCH_PERMUTE_ORACLE,
     "stream_match_permute": _STREAM_MATCH_PERMUTE_ORACLE,
+    "q_match_permute_quant": _MATCH_PERMUTE_QUANT_ORACLE,
+    "stream_match_permute_quant": _STREAM_MATCH_PERMUTE_QUANT_ORACLE,
     "q_match_exclusion": _MATCH_EXCLUSION_ORACLE,
     "stream_match_exclusion": _STREAM_MATCH_EXCLUSION_ORACLE,
     "stream_match_all_rows": _STREAM_MATCH_ALL_ROWS_ORACLE,

@@ -90,11 +90,14 @@ class Step:
     segments).
 
     ``perm=True`` (with ``group`` set) makes the step a SQL:2016
-    ``PERMUTE(A, B, ...)`` block instead: the children match exactly
-    once each, in SOME order, tried in lexicographic preference of
-    the listed order (the standard's expansion order for the
-    equivalent alternation); child quantifiers still apply within an
-    ordering. The block itself is unquantified (``lo = hi = 1``)."""
+    ``PERMUTE(A, B, ...)`` block instead: per repetition the children
+    match exactly once each, in SOME order, orderings tried in
+    lexicographic preference of the listed order (the standard's
+    expansion order for the equivalent alternation); child quantifiers
+    still apply within an ordering. The block's own ``(lo, hi)``
+    bounds the REPETITION count like a sequence group's — each
+    repetition picks its order independently and must consume at
+    least one row."""
 
     __slots__ = ("name", "where", "lo", "hi", "reluctant", "dyn",
                  "next_depth", "alts", "group", "perm")
@@ -227,6 +230,27 @@ def _group_masks(steps: Sequence[Step], pdf: pd.DataFrame) -> list:
     ]
 
 
+#: default per-attempt backtracking budget — far above any contract
+#: pattern (the heaviest contract query measures <2k steps per attempt;
+#: see tests/test_match_budget.py) yet small enough that an adversarial
+#: pattern with the classic exponential worst case (overlapping
+#: quantifiers, e.g. ``(A+ B+)+ C`` with C never true on a long
+#: uniform key) dies in well under a second with a diagnostic instead
+#: of hanging an executor. Configurable per session via
+#: ``SET 'spark.flinkcommons.mr.max-steps' = '<n>'``.
+DEFAULT_MAX_STEPS = 1_000_000
+
+
+class MatchStepBudgetExceeded(RuntimeError):
+    """One MATCH_RECOGNIZE match attempt exceeded its backtracking
+    step budget — the pattern almost certainly has an exponential
+    worst case (overlapping quantifiers such as ``(A+ B+)+`` over rows
+    where both predicates hold). Raised instead of silently pinning an
+    executor core; rewrite the pattern so adjacent quantified
+    variables have disjoint predicates, or raise the budget with
+    ``SET 'spark.flinkcommons.mr.max-steps'``."""
+
+
 def _run_ends(masks: list, n: int) -> list:
     """Per step, ``run_end[pos]`` = first index ≥ ``pos`` where the
     step's mask is False (or ``n``) — the end of the contiguous True
@@ -265,6 +289,8 @@ def _match_at_ex(
     step_bounds: "list[int] | None" = None,
     undecided_n: "int | None" = None,
     gout: "dict | None" = None,
+    max_steps: "int | None" = None,
+    pattern_desc: "str | None" = None,
 ) -> "tuple[list | None, int]":
     """Greedy backtracking match of ``steps`` against positions
     ``start..`` — returns (per-step position ranges or None,
@@ -326,9 +352,39 @@ def _match_at_ex(
     Group steps carry no ``dyn`` and no NEXT navigation (the SQL
     front door rejects those combinations), so the failure memo stays
     sound for them: a group's match at ``(pos, step)`` is fully
-    determined by the masks."""
+    determined by the masks.
+
+    ``max_steps`` bounds the recursion-step count of THIS attempt
+    (``None`` → :data:`DEFAULT_MAX_STEPS`): group/PERMUTE sub-NFAs
+    have the standard regex-backtracking exponential worst case, and
+    without a budget an adversarial pattern pins an executor core
+    with no diagnostic. Exceeding it raises
+    :class:`MatchStepBudgetExceeded` naming ``pattern_desc`` (the
+    PATTERN text when the SQL front door is the caller)."""
     touched = 0
     nsteps = len(steps)
+    steps_left = max_steps if max_steps is not None else DEFAULT_MAX_STEPS
+
+    def _budget() -> None:
+        # one tick per recursion step across all four recursions; the
+        # per-row run scans inside a step are linear and not counted —
+        # the exponential axis is the call count
+        nonlocal steps_left
+        steps_left -= 1
+        if steps_left < 0:
+            desc = pattern_desc or "(" + " ".join(
+                s.name for s in steps
+            ) + ")"
+            raise MatchStepBudgetExceeded(
+                f"MATCH_RECOGNIZE backtracking exceeded "
+                f"{max_steps if max_steps is not None else DEFAULT_MAX_STEPS:,}"
+                f" steps in one match attempt for pattern {desc} — the "
+                "pattern likely has overlapping quantifiers with an "
+                "exponential worst case (e.g. (A+ B+)+ where both "
+                "predicates hold on the same rows). Rewrite the pattern "
+                "with disjoint adjacent predicates, or raise the budget "
+                "via SET 'spark.flinkcommons.mr.max-steps'."
+            )
     end_kind = 1 if undecided_n is None or n >= undecided_n else 0
     if dctx is not None:
         dctx.asg.clear()  # stale entries from a prior attempt must
@@ -336,6 +392,7 @@ def _match_at_ex(
 
     def rec(pos: int, si: int) -> list | None:
         nonlocal touched
+        _budget()
         if si == nsteps:
             return []
         if failed is not None and (pos, si) in failed:
@@ -445,6 +502,7 @@ def _match_at_ex(
 
         def rec_child(p2: int, ci: int, cur: list) -> list | None:
             nonlocal touched
+            _budget()
             if ci == len(children):
                 if p2 == rep_start[0]:
                     return None  # zero-width repetition: no progress
@@ -479,6 +537,7 @@ def _match_at_ex(
 
         def rec_reps(p2: int) -> list | None:
             nonlocal touched
+            _budget()
             nreps = len(reps)
             more_ok = s.hi is None or nreps < s.hi
             if more_ok and p2 >= sb:
@@ -517,12 +576,16 @@ def _match_at_ex(
         return rec_reps(pos)
 
     def _rec_permute(pos: int, si: int, sb: int, kind: int) -> list | None:
-        """``PERMUTE(A, B, ...)`` step: the children match exactly
-        once each in SOME order, orderings tried in lexicographic
-        preference of the listed order (SQL:2016's expansion order
-        for the equivalent alternation), children greedy with full
-        backtracking within an ordering, then the REST of the
-        pattern."""
+        """``PERMUTE(A, B, ...)q`` step: each REPETITION matches every
+        child exactly once in SOME order — orderings tried per
+        repetition in lexicographic preference of the listed order
+        (SQL:2016's expansion order for the equivalent alternation
+        ``(A B | B A)q``), children greedy with full backtracking
+        within an ordering — and the step's own ``(lo, hi)`` bounds
+        the repetition count with the standard preference (more
+        repetitions first; ``reluctant`` flips it), exactly like
+        :func:`_rec_group`. Each repetition picks its order
+        independently and must consume at least one row."""
         nonlocal touched
         import itertools as _it
 
@@ -530,23 +593,21 @@ def _match_at_ex(
         children = s.group
         cmasks = masks[si]
         cruns = run_ends[si] if run_ends is not None else None
+        orders = list(_it.permutations(range(len(children))))
+        reps: list = []  # completed repetitions: [(ci, range), ...] each
+        rep_start = [pos]
 
         def match_seq(p2: int, order_, oi: int, acc: list) -> list | None:
             nonlocal touched
+            _budget()
             if oi == len(order_):
-                rest = rec(p2, si + 1)
-                if rest is not None:
-                    flat = [int(q) for _, rng in acc for q in rng]
-                    flat.sort()
-                    if gout is not None:
-                        for c in children:
-                            gout[c.name] = []
-                        for ci, rng in acc:
-                            gout[children[ci].name].extend(
-                                int(q) for q in rng
-                            )
-                    return [flat] + rest
-                return None
+                if p2 == rep_start[0]:
+                    return None  # zero-width repetition: no progress
+                reps.append(acc)
+                res = rec_reps(p2)
+                if res is None:
+                    reps.pop()
+                return res
             ci = order_[oi]
             c = children[ci]
             limit = sb if c.hi is None else min(sb, p2 + c.hi)
@@ -572,11 +633,47 @@ def _match_at_ex(
                     return res
             return None
 
-        for order_ in _it.permutations(range(len(children))):
-            res = match_seq(pos, order_, 0, [])
-            if res is not None:
-                return res
-        return None
+        def rec_reps(p2: int) -> list | None:
+            nonlocal touched
+            _budget()
+            nreps = len(reps)
+            more_ok = s.hi is None or nreps < s.hi
+            if more_ok and p2 >= sb:
+                # another (greedy-preferred) repetition is allowed but
+                # no decidable row remains — cut at the boundary
+                touched |= kind
+            opts = ("rep", "done") if not s.reluctant else ("done", "rep")
+            for o in opts:
+                if o == "rep" and more_ok and p2 < sb:
+                    prev_start = rep_start[0]
+                    rep_start[0] = p2
+                    for order_ in orders:
+                        res = match_seq(p2, order_, 0, [])
+                        if res is not None:
+                            rep_start[0] = prev_start
+                            return res
+                    rep_start[0] = prev_start
+                elif o == "done" and nreps >= s.lo:
+                    rest = rec(p2, si + 1)
+                    if rest is not None:
+                        flat = sorted(
+                            int(q) for rep in reps for _, rng in rep
+                            for q in rng
+                        )
+                        if gout is not None:
+                            per_child: dict[str, list] = {
+                                c.name: [] for c in children
+                            }
+                            for rep in reps:
+                                for ci, rng in rep:
+                                    per_child[children[ci].name].extend(
+                                        int(q) for q in rng
+                                    )
+                            gout.update(per_child)
+                        return [flat] + rest
+            return None
+
+        return rec_reps(pos)
 
     return rec(start, 0), touched
 
@@ -590,11 +687,14 @@ def _match_at(
     failed: "set | None" = None,
     dctx: "_DynCtx | None" = None,
     gout: "dict | None" = None,
+    max_steps: "int | None" = None,
+    pattern_desc: "str | None" = None,
 ) -> list | None:
     """Greedy backtracking match of ``steps`` against positions
     ``start..`` — returns per-step position ranges, or None."""
     return _match_at_ex(
-        masks, steps, start, n, run_ends, failed, dctx, gout=gout
+        masks, steps, start, n, run_ends, failed, dctx, gout=gout,
+        max_steps=max_steps, pattern_desc=pattern_desc,
     )[0]
 
 
@@ -735,7 +835,15 @@ class _VecSeg:
 
     def vec_reduce(self, col: str, fname: str):
         """RUNNING SUM/MIN/MAX/AVG over the members at/before each
-        row, SQL NULL-skip semantics, via one prefix scan."""
+        row, SQL NULL-skip semantics, via one prefix scan.
+
+        Integer SUM/AVG use ``np.cumsum`` on the source dtype, which
+        WRAPS silently on int64 overflow — the same wrap the per-row
+        scalar reduction's ``np.sum`` had, so engine parity holds, but
+        note the prefix scan carries the running total of the WHOLE
+        match (the widest intermediate). A column whose per-match
+        total can approach 2^63 needs a cast to double (or decimal)
+        in the source view."""
         mv = self._member_vals(col)
         k = self._cnt
         none_rows = k == 0
@@ -873,6 +981,8 @@ def match_pattern(
     after_match: "str | tuple[str, str]" = "past_last",
     within_us: "int | None" = None,
     all_rows: bool = False,
+    max_steps: "int | None" = None,
+    pattern_desc: "str | None" = None,
 ) -> DataFrame:
     """MATCH_RECOGNIZE-style pattern matching over a keyed, ordered
     event table.
@@ -1017,7 +1127,8 @@ def match_pattern(
                 # first_ts + within is outside), hence side='left'
                 n_i = int(np.searchsorted(ts, ts[i] + within_us, side="left"))
             hit = _match_at(
-                masks, step_list, i, n_i, run_ends, failed, dctx, gout=gout
+                masks, step_list, i, n_i, run_ends, failed, dctx, gout=gout,
+                max_steps=max_steps, pattern_desc=pattern_desc,
             )
             if hit is None or not any(hit):
                 # no match, or a degenerate all-empty match (every

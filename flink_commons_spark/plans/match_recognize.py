@@ -34,12 +34,26 @@ Supported surface (the reference demo's dialect of the standard):
 - ``AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | TO [FIRST|LAST] V``;
 - ``PATTERN`` with the NFA's quantifiers: ``V``, ``V+``, ``V*``,
   ``V?``, ``V{l,u}``, ``V{l,}``, and the reluctant ``+? *? ??``
-  variants; plus — as a flagged SQL:2016 EXTENSION beyond Flink 1.16,
-  which rejects ``|`` inside PATTERN — single-level alternation
-  groups ``(A|B)`` of plain variables, quantifiable as a group
-  (``(A|B)+`` etc.), with row-local member predicates; each matched
-  row is attributed to the leftmost member whose predicate holds.
-  ``--strict-compat`` keeps Flink's rejection;
+  variants; plus — flagged SQL:2016 EXTENSIONS beyond Flink 1.16,
+  which rejects all grouping inside PATTERN (``--strict-compat``
+  keeps Flink's rejection for each):
+
+  - single-level alternation groups ``(A|B)`` of plain variables,
+    quantifiable as a group (``(A|B)+`` etc.), with row-local member
+    predicates; each matched row is attributed to the leftmost member
+    whose predicate holds;
+  - quantified sequence groups ``(B C+){2,}`` — one level of nesting,
+    row-local members, standard repetition preference;
+  - ``PERMUTE(A, B, ...)`` blocks (≤6 members — factorial ordering
+    cost), quantifiable (``PERMUTE(A, B){2}`` — each repetition picks
+    its order independently);
+  - ``{- V -}`` output exclusion under ``ALL ROWS PER MATCH``.
+
+  Backtracking is budgeted: an adversarial pattern (overlapping
+  quantifiers, e.g. ``(A+ B+)+`` over rows where both predicates
+  hold) raises ``MatchStepBudgetExceeded`` naming the pattern instead
+  of pinning an executor — ``SET 'spark.flinkcommons.mr.max-steps'``
+  adjusts the per-attempt budget (default 1,000,000);
 - ``WITHIN INTERVAL 'n' UNIT``;
 - ``DEFINE V AS <predicate>`` with comparisons, arithmetic, AND/OR/
   NOT, ``IS [NOT] NULL``, and row-navigation ``PREV(expr [, n])`` /
@@ -65,10 +79,12 @@ to :mod:`flink_commons_spark.streaming.cep_stream`'s watermark-gated
 buffered NFA (state-dependent DEFINE included: such predicates only
 read rows at or before the candidate, all watermark-closed).
 
-Not supported (raises with a clear message): pattern permutation,
-alternation combined with match-state-dependent DEFINEs, and — under
-``--strict-compat`` (Flink parity) — alternation and ``ALL ROWS PER
-MATCH`` entirely. ``ALL ROWS PER MATCH`` works on BOTH batch and
+Not supported (raises with a clear message): group nesting deeper
+than one level, alternation/groups combined with match-state-dependent
+DEFINEs, ``NEXT()`` inside group members, ``PERMUTE`` beyond 6
+members, and — under ``--strict-compat`` (Flink parity) — every
+grouping extension and ``ALL ROWS PER MATCH`` entirely.
+``ALL ROWS PER MATCH`` works on BOTH batch and
 streaming sources (streaming persists the per-key ``MATCH_NUMBER()``
 ordinal in state — see ``streaming/cep_stream.py``).
 Derived-table sources ``FROM (SELECT ...)`` ARE supported (inlined as
@@ -123,12 +139,12 @@ _PAT_TOKEN_RE = re.compile(
 _PAT_SCAN_RE = re.compile(
     r"\{-\s*(?P<exc>\w+)(?P<xq>\{\d+(?:,\d*)?\}|[+*?])?(?P<xrel>\?)?\s*-\}"
     r"|(?i:PERMUTE)\s*\(\s*(?P<perm>\w+(?:\{\d+(?:,\d*)?\}|[+*?])?\??"
-    r"(?:\s*,\s*\w+(?:\{\d+(?:,\d*)?\}|[+*?])?\??)+)\s*\)"
-    r"(?P<pq>\{\d+(?:,\d*)?\}|[+*?])?"
+    r"(?:\s*,\s*\w+(?:\{\d+(?:,\d*)?\}|[+*?])?\??)*)\s*\)"
+    r"(?P<pq>\{\d+(?:,\d*)?\}|[+*?])?(?P<prel>\?)?"
     r"|\(\s*(?P<alts>\w+(?:\s*\|\s*\w+)+)\s*\)"
     r"(?P<gq>\{\d+(?:,\d*)?\}|[+*?])?(?P<grel>\?)?"
     r"|\(\s*(?P<seq>\w+(?:\{\d+(?:,\d*)?\}|[+*?])?\??"
-    r"(?:\s+\w+(?:\{\d+(?:,\d*)?\}|[+*?])?\??)+)\s*\)"
+    r"(?:\s+\w+(?:\{\d+(?:,\d*)?\}|[+*?])?\??)*)\s*\)"
     r"(?P<sq>\{\d+(?:,\d*)?\}|[+*?])?(?P<srel>\?)?"
     r"|(?P<name>\w+)(?P<q>\{\d+(?:,\d*)?\}|[+*?])?(?P<rel>\?)?"
 )
@@ -930,6 +946,9 @@ class MatchRecognizeSpec:
     #: match normally (DEFINE/measures see them) but are OMITTED from
     #: the ALL ROWS PER MATCH output (SQL:2016 output-only exclusion)
     excluded: set = field(default_factory=set)
+    #: raw PATTERN clause text — named in the step-budget diagnostic
+    #: (``operators.cep.MatchStepBudgetExceeded``)
+    pattern_text: str = ""
 
 
 def _skip_span(sql: str, i: int) -> int:
@@ -1180,10 +1199,11 @@ def parse_match_recognize(
             excluded.add(vname)
             steps_raw.append((vname, lo, hi, rel, None, None, False))
         elif tm.group("perm"):
-            if tm.group("pq"):
+            lo, hi = _parse_quant(tm.group("pq") or "")
+            rel = tm.group("prel") == "?"
+            if rel and not tm.group("pq"):
                 raise ValueError(
-                    f"quantified PERMUTE {tm.group(0)!r} is not supported "
-                    "— wrap repetition around plain variables instead"
+                    f"bare '?' without quantifier in {tm.group(0)!r}"
                 )
             children = []
             for tok in tm.group("perm").split(","):
@@ -1200,8 +1220,19 @@ def parse_match_recognize(
                         f"bare '?' without quantifier in {tok.strip()!r}"
                     )
                 children.append((cm.group("name").upper(), clo, chi, crel))
+            if len(children) > 6:
+                # k members expand to k! orderings, each with full
+                # backtracking — 7! = 5040 orderings per repetition is
+                # past any sane pattern; refuse at parse time instead
+                # of letting the runtime step budget kill the query
+                raise ValueError(
+                    f"PERMUTE with {len(children)} members expands to "
+                    f"{len(children)}! orderings — the factorial "
+                    "backtracking cost caps membership at 6; split the "
+                    "pattern or use explicit alternation"
+                )
             gname = "PERMUTE(" + ", ".join(c[0] for c in children) + ")"
-            steps_raw.append((gname, 1, 1, False, None, children, True))
+            steps_raw.append((gname, lo, hi, rel, None, children, True))
         elif tm.group("alts"):
             members = [
                 a.strip().upper() for a in tm.group("alts").split("|")
@@ -1502,6 +1533,7 @@ def parse_match_recognize(
         max_prev=max_prev,
         all_rows=all_rows,
         excluded=excluded,
+        pattern_text=pat_text,
     )
 
 
@@ -1591,6 +1623,32 @@ def _inline_subquery_source(spark, sql: str) -> "tuple[str, str | None]":
     view = f"__mr_src_{next(_view_ids)}"
     spark.sql(inner).createOrReplaceTempView(view)
     return sql[:o] + view + " " + sql[span_end + 1 :], view
+
+
+def _conf_max_steps(spark) -> int:
+    """Per-attempt backtracking budget for the NFA — ``SET
+    'spark.flinkcommons.mr.max-steps' = '<n>'`` (default
+    :data:`operators.cep.DEFAULT_MAX_STEPS`). Guards the standard
+    regex-backtracking exponential worst case: an adversarial pattern
+    (e.g. ``(A+ B+)+ C`` with overlapping predicates) raises a clear
+    :class:`operators.cep.MatchStepBudgetExceeded` naming the pattern
+    instead of pinning an executor core."""
+    from flink_commons_spark.operators.cep import DEFAULT_MAX_STEPS
+
+    raw = spark.conf.get(
+        "spark.flinkcommons.mr.max-steps", str(DEFAULT_MAX_STEPS)
+    )
+    try:
+        v = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"spark.flinkcommons.mr.max-steps must be an integer, got {raw!r}"
+        )
+    if v <= 0:
+        raise ValueError(
+            f"spark.flinkcommons.mr.max-steps must be positive, got {v}"
+        )
+    return v
 
 
 def _has_watermark(df) -> bool:
@@ -1961,6 +2019,8 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
             # frontiers travel per-step via Step.next_depth
             ctx_rows=max(1, spec.max_prev),
             frame_renames=frame_renames or None,
+            max_steps=_conf_max_steps(spark),
+            pattern_desc=f"({spec.pattern_text})",
         )
         for c in dec_out:
             res = res.withColumn(c, F.timestamp_micros(F.col(c)))
@@ -1975,6 +2035,8 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
             after_match=spec.after_match,
             within_us=spec.within_us,
             all_rows=spec.all_rows,
+            max_steps=_conf_max_steps(spark),
+            pattern_desc=f"({spec.pattern_text})",
         )
     view = f"__mr_out_{next(_view_ids)}"
     res.createOrReplaceTempView(view)

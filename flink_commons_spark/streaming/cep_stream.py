@@ -202,6 +202,8 @@ def _scan_closed_prefix(
     dctx=None,
     step_bounds=None,
     gout=None,
+    max_steps: "int | None" = None,
+    pattern_desc: "str | None" = None,
 ):
     """The shared sequential scan over one key's sorted closed prefix —
     the streaming twin of the batch matcher's per-key loop, with the
@@ -313,6 +315,7 @@ def _scan_closed_prefix(
         hit, touched_end = _match_at_ex(
             masks, steps, i, n_i, run_ends, None, dctx, step_bounds,
             undecided_n=n, gout=gout,
+            max_steps=max_steps, pattern_desc=pattern_desc,
         )
         # bit 2 (frontier cut) always defers; bit 1 (closed-data end)
         # only while the pattern window is still open — a closed
@@ -644,6 +647,8 @@ def stream_match_pattern(
     frame_renames: "dict[str, str] | None" = None,
     all_rows: bool = False,
     durable_match_no: bool = False,
+    max_steps: "int | None" = None,
+    pattern_desc: "str | None" = None,
 ) -> DataFrame:
     """GENERIC watermark-gated streaming MATCH_RECOGNIZE — the
     streaming twin of :func:`operators.cep.match_pattern` with the
@@ -709,9 +714,15 @@ def stream_match_pattern(
     ``durable_match_no=True`` opts out of that divergence: a fully
     drained key keeps a counter-only tombstone (empty buffers + the
     ``nmatch`` bigint — same state layout, no timer), so ordinals
-    continue across drains. The tombstone lives until the key's state
-    is externally cleared — one bigint per ever-seen key is the
-    documented cost of stable ordinals on an unbounded keyspace."""
+    continue across drains. Because the tombstone sets NO timeout
+    timer and ``applyInPandasWithState`` only evicts keys whose own
+    timer fires, no idle period — however long — can drop it: the
+    ordinal survives arbitrary idleness (pinned by
+    ``test_streaming_durable_match_number_survives_long_idle``) and
+    restarts only when the state itself is externally cleared (a new
+    checkpoint). One bigint per ever-seen key for the checkpoint's
+    lifetime is the documented cost of stable ordinals on an
+    unbounded keyspace."""
     import numpy as np
     import pandas as pd
 
@@ -842,6 +853,7 @@ def stream_match_pattern(
                     _step_bounds(step_list, closed_n) if has_next else None
                 ),
                 gout=gout,
+                max_steps=max_steps, pattern_desc=pattern_desc,
             )
             keep_from = consumed
             if within_us is not None:

@@ -109,7 +109,12 @@ def _regex(spec):
                         + _q(children[i][1], children[i][2], children[i][3])
                         for i in order
                     ))
-                parts.append("(?:" + "|".join(alts) + ")")
+                # the block's own quantifier bounds repetitions — each
+                # regex iteration (like each sub-NFA repetition) picks
+                # its ordering independently
+                parts.append(
+                    "(?:" + "|".join(alts) + ")" + _q(lo, hi, rel)
+                )
             else:
                 parts.append("(?:" + inner + ")" + _q(lo, hi, rel))
         else:
@@ -148,6 +153,23 @@ TEMPLATES = [
      ("GRP", 1, 1, False, [("a", 1, None, False), ("b", 1, 1, False)],
       True),
      ("d", 1, 1, False)],
+    # PERMUTE(a, b){1,2} c — QUANTIFIED permute block (round 12):
+    # each repetition picks its order independently
+    [("GRP", 1, 2, False, [("a", 1, 1, False), ("b", 1, 1, False)],
+      True),
+     ("c", 1, 1, False)],
+    # v PERMUTE(a, b)+ — unbounded permute repetition at the tail
+    [("v", 1, 1, False),
+     ("GRP", 1, None, False, [("a", 1, 1, False), ("b", 1, 1, False)],
+      True)],
+    # PERMUTE(a+, b){2} d — quantified members AND quantified block
+    [("GRP", 2, 2, False, [("a", 1, None, False), ("b", 1, 1, False)],
+      True),
+     ("d", 1, 1, False)],
+    # PERMUTE(a, b){0,2}? c — reluctant optional permute block
+    [("GRP", 0, 2, True, [("a", 1, 1, False), ("b", 1, 1, False)],
+      True),
+     ("c", 1, 1, False)],
 ]
 
 

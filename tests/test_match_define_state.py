@@ -912,3 +912,43 @@ def test_streaming_match_number_drain_restart_default(spark, tmp_path):
         (1, 1 * sec, 1), (1, 2 * sec, 1), (1, 3 * sec, 1),
         (1, 300 * sec, 1), (1, 301 * sec, 1), (1, 302 * sec, 1),
     ]
+
+
+def test_streaming_durable_match_number_survives_long_idle(spark, tmp_path):
+    """Round-12 verdict item #6 — the tombstone × idle-eviction
+    interaction, pinned: the counter-only tombstone sets NO timeout
+    timer (``streaming/cep_stream.py`` settle tail), and
+    ``applyInPandasWithState`` only evicts keys whose own timer fires,
+    so there is NO idle-TTL path that can drop a tombstoned key — the
+    ordinal survives an arbitrarily long idle gap (here the watermark
+    advances ~11 days past the key's last event across several
+    batches) and the re-appearing key numbers AFTER the drained
+    matches. The documented cost is exactly one bigint per ever-seen
+    key for the lifetime of the checkpoint; ordinal restart happens
+    only on a NEW checkpoint (external state clearing), never from
+    idleness."""
+    files = [
+        [(1, 1, "view", 0), (1, 2, "click", 0), (1, 3, "purchase", 0)],
+        [(2, 100, "x", 0)],          # key 1 settles via its timer here
+        [(2, 10_000, "x", 0)],       # tombstoned and idle...
+        [(2, 1_000_000, "x", 0)],    # ...watermark now ~11 days past
+        [(1, 2_000_000, "view", 0), (1, 2_000_001, "click", 0),
+         (1, 2_000_002, "purchase", 0)],
+        [(9999, 4_000_000, "x", 0)],
+    ]
+    _file_stream_view(spark, tmp_path, files, "mds_durmn_idle")
+    spark.conf.set("spark.flinkcommons.mr.durable-match-number", "true")
+    try:
+        out = execute_match_recognize(
+            spark, _DURABLE_MR_SQL.format(v="mds_durmn_idle")
+        )
+    finally:
+        spark.conf.unset("spark.flinkcommons.mr.durable-match-number")
+    got = _drain(spark, out, "mds_durmn_idle_out", tmp_path)
+    rows = sorted((r.user_id, r.ts_us, r.match_no) for r in got.collect())
+    sec = 1_000_000
+    assert rows == [
+        (1, 1 * sec, 1), (1, 2 * sec, 1), (1, 3 * sec, 1),
+        (1, 2_000_000 * sec, 2), (1, 2_000_001 * sec, 2),
+        (1, 2_000_002 * sec, 2),
+    ]

@@ -430,10 +430,17 @@ def test_permute_rejections(spark):
       MEASURES COUNT(b.*) AS n ONE ROW PER MATCH
       PATTERN ({pat})
       DEFINE {defs})"""
-    with pytest.raises(ValueError, match="quantified PERMUTE"):
+    # round 12: quantified PERMUTE is now a supported extension — the
+    # quantifier parses onto the block's repetition bounds
+    spec = parse_match_recognize(
+        base.format(pat="a PERMUTE(b, c)+", defs="a AS a.price > 0"), COLS)
+    pstep = spec.steps[1]
+    assert pstep.perm and (pstep.lo, pstep.hi) == (1, None)
+    # factorial-cost guard: >6 PERMUTE members refuse at parse time
+    with pytest.raises(ValueError, match="factorial"):
         parse_match_recognize(
-            base.format(pat="a PERMUTE(b, c)+", defs="a AS a.price > 0"),
-            COLS)
+            base.format(pat="PERMUTE(b, c, d, e, f, g, h)",
+                        defs="b AS b.price > 0"), COLS)
     with pytest.raises(ValueError, match="alternation/grouping"):
         parse_match_recognize(
             base.format(pat="a PERMUTE(b, c)", defs="a AS a.price > 0"),
@@ -446,3 +453,88 @@ def test_permute_rejections(spark):
         parse_match_recognize(
             base.format(pat="b PERMUTE(b, c)", defs="b AS b.price > 0"),
             COLS)
+
+# ------------------------------------------- quantified PERMUTE (r12)
+
+
+def test_permute_quantified_greedy_preference(spark):
+    """``v PERMUTE(c, e){1,2} p``: greedy prefers TWO {click,error}
+    pairs — each repetition picking its order independently — and
+    falls back to one pair when the longer form cannot complete."""
+    _view(spark, [
+        # user 1: two pairs in different orders -> one 2-rep match
+        (1, 1, "view", 0.0), (1, 2, "click", 1.0), (1, 3, "error", 2.0),
+        (1, 4, "error", 3.0), (1, 5, "click", 4.0), (1, 6, "purchase", 5.0),
+        # user 2: one pair then purchase -> 1-rep match
+        (2, 1, "view", 0.0), (2, 2, "error", 1.0), (2, 3, "click", 2.0),
+        (2, 4, "purchase", 3.0),
+        # user 3: two pairs but NO purchase after either form -> no match
+        (3, 1, "view", 0.0), (3, 2, "click", 1.0), (3, 3, "error", 2.0),
+        (3, 4, "click", 3.0), (3, 5, "error", 4.0), (3, 6, "view", 5.0),
+    ], "mpq_ev1")
+    out = execute_match_recognize(spark, """
+        SELECT user_id, n_c, last_c_us, p_us FROM mpq_ev1 MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES COUNT(c.*) AS n_c, LAST(c.ts_us) AS last_c_us,
+                   LAST(p.ts_us) AS p_us
+          ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (v PERMUTE(c, e){1,2} p)
+          DEFINE v AS v.event_type = 'view', c AS c.event_type = 'click',
+                 e AS e.event_type = 'error', p AS p.event_type = 'purchase'
+        )""")
+    assert sorted(map(tuple, out.collect())) == [
+        (1, 2, 5, 6),  # greedy: both pairs, last click at ts 5
+        (2, 1, 3, 4),
+    ]
+
+
+def test_permute_quantified_rep_backtracking(spark):
+    """Greedy tries two repetitions first; when the suffix fails it
+    backtracks to one repetition AND the purchase consumes the row the
+    second repetition would have started at."""
+    _view(spark, [
+        # pair, then {click, purchase}: rep2 = PERMUTE needs c AND e,
+        # only c present -> backtrack to 1 rep, p at ts 4? no: row 4 is
+        # click, not purchase -> p must match at rn+3 = ts 4 -> fails;
+        # NFA advances: no match for this view
+        (1, 1, "view", 0.0), (1, 2, "click", 1.0), (1, 3, "error", 2.0),
+        (1, 4, "click", 3.0), (1, 5, "purchase", 4.0),
+    ], "mpq_ev2")
+    out = execute_match_recognize(spark, """
+        SELECT user_id, n_c FROM mpq_ev2 MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES COUNT(c.*) AS n_c
+          ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (v PERMUTE(c, e){1,2} p)
+          DEFINE v AS v.event_type = 'view', c AS c.event_type = 'click',
+                 e AS e.event_type = 'error', p AS p.event_type = 'purchase'
+        )""")
+    # contiguity: the stray click between pair1 and the purchase breaks
+    # both the 2-rep and the 1-rep form
+    assert out.collect() == []
+
+
+def test_single_member_group_and_permute(spark):
+    """Degenerate single-member forms ``(A+)`` and ``PERMUTE(A)`` are
+    accepted as the plain variable (round-12 ADVICE fix: they used to
+    surface the generic "unsupported PATTERN token '('" error)."""
+    _view(spark, [
+        (1, 1, "click", 0.0), (1, 2, "click", 1.0), (1, 3, "view", 2.0),
+    ], "msg_ev1")
+    out = execute_match_recognize(spark, """
+        SELECT user_id, n_c FROM msg_ev1 MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES COUNT(c.*) AS n_c ONE ROW PER MATCH
+          PATTERN ((c+))
+          DEFINE c AS c.event_type = 'click'
+        )""")
+    assert sorted(map(tuple, out.collect())) == [(1, 2)]
+    out2 = execute_match_recognize(spark, """
+        SELECT user_id, n_c FROM msg_ev1 MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES COUNT(c.*) AS n_c ONE ROW PER MATCH
+          PATTERN (PERMUTE(c))
+          DEFINE c AS c.event_type = 'click'
+        )""")
+    # PERMUTE member default quantifier is exactly-one -> two matches
+    assert sorted(map(tuple, out2.collect())) == [(1, 1), (1, 1)]
