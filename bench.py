@@ -324,13 +324,17 @@ def main() -> None:
     # SPARK_GRAFT_TIMED_RUNS=1 for the old one-sample protocol.
     warm_runs = int(os.environ.get("SPARK_GRAFT_WARM_RUNS", "1"))
     timed_runs = max(1, int(os.environ.get("SPARK_GRAFT_TIMED_RUNS", "2")))
-    # the streaming family samples at min-of-3 (unless the env asks for
-    # more): each sample is only ~2-4 s (availableNow floor) but the
+    # the streaming family samples at min-of-3 under the DEFAULT
+    # protocol: each sample is only ~2-4 s (availableNow floor) but the
     # family is the one the round-11 contention window hit hardest —
     # a third sample costs ~2 min total and makes a 9x phantom
     # (stream_exact_uv, r11 driver bench) statistically impossible to
-    # record as the min
-    stream_timed_runs = max(timed_runs, 3)
+    # record as the min. An EXPLICIT SPARK_GRAFT_TIMED_RUNS (e.g. the
+    # sf1 single-sample closing protocol) is respected as-is.
+    stream_timed_runs = (
+        timed_runs if "SPARK_GRAFT_TIMED_RUNS" in os.environ
+        else max(timed_runs, 3)
+    )
 
     # committed same-tree reference mins (written by the builder's
     # closing run via SPARK_GRAFT_WRITE_CLOSING=1): any query whose min
@@ -340,11 +344,12 @@ def main() -> None:
     closing_path = Path(__file__).resolve().parent / "BENCH_CLOSING.json"
     closing_ref: dict[str, float] = {}
     try:
-        closing_ref = {
-            k: float(v)
-            for k, v in json.loads(closing_path.read_text())["queries"].items()
-            if float(v) > 0
-        }
+        _closing = json.loads(closing_path.read_text())
+        if float(_closing.get("sf", -1)) == sf:  # same-scale runs only
+            closing_ref = {
+                k: float(v) for k, v in _closing["queries"].items()
+                if float(v) > 0
+            }
     except Exception:
         pass
 

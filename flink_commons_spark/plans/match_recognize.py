@@ -1231,8 +1231,14 @@ def parse_match_recognize(
                     "backtracking cost caps membership at 6; split the "
                     "pattern or use explicit alternation"
                 )
-            gname = "PERMUTE(" + ", ".join(c[0] for c in children) + ")"
-            steps_raw.append((gname, lo, hi, rel, None, children, True))
+            if len(children) == 1 and (lo, hi) == (1, 1):
+                # degenerate PERMUTE(A) IS the variable (1 ordering,
+                # 1 repetition) — collapse to a plain step so dyn
+                # DEFINEs / NEXT keep working on it
+                steps_raw.append(children[0] + (None, None, False))
+            else:
+                gname = "PERMUTE(" + ", ".join(c[0] for c in children) + ")"
+                steps_raw.append((gname, lo, hi, rel, None, children, True))
         elif tm.group("alts"):
             members = [
                 a.strip().upper() for a in tm.group("alts").split("|")
@@ -1268,8 +1274,14 @@ def parse_match_recognize(
                 raise ValueError(
                     f"bare '?' without quantifier in {tm.group(0)!r}"
                 )
-            gname = "(" + " ".join(c[0] for c in children) + ")"
-            steps_raw.append((gname, lo, hi, rel, None, children, False))
+            if len(children) == 1 and (lo, hi) == (1, 1):
+                # degenerate single-member group (A)/(A+) IS the
+                # variable — collapse to a plain step so dyn DEFINEs /
+                # NEXT keep working on it
+                steps_raw.append(children[0] + (None, None, False))
+            else:
+                gname = "(" + " ".join(c[0] for c in children) + ")"
+                steps_raw.append((gname, lo, hi, rel, None, children, False))
         else:
             lo, hi = _parse_quant(tm.group("q") or "")
             rel = tm.group("rel") == "?"

@@ -538,3 +538,32 @@ def test_single_member_group_and_permute(spark):
         )""")
     # PERMUTE member default quantifier is exactly-one -> two matches
     assert sorted(map(tuple, out2.collect())) == [(1, 1), (1, 1)]
+
+
+def test_single_member_group_collapses_to_plain_variable(spark):
+    """The degenerate forms collapse at PARSE time to the plain
+    variable (not a 1-child sub-NFA), so match-state-dependent
+    DEFINEs — rejected for real groups — still work on them."""
+    spec = parse_match_recognize(
+        """SELECT * FROM t MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES COUNT(b.*) AS n ONE ROW PER MATCH
+          PATTERN (a (b+))
+          DEFINE a AS a.price > 0, b AS b.price > LAST(a.price))""",
+        COLS)
+    bstep = spec.steps[1]
+    assert bstep.group is None and (bstep.lo, bstep.hi) == (1, None)
+    assert bstep.dyn is not None  # dyn DEFINE survived the collapse
+    _view(spark, [
+        (1, 1, "view", 1.0), (1, 2, "click", 2.0), (1, 3, "click", 3.0),
+        (1, 4, "click", 0.5),
+    ], "msg_ev2")
+    out = execute_match_recognize(spark, """
+        SELECT user_id, n_b FROM msg_ev2 MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES COUNT(b.*) AS n_b ONE ROW PER MATCH
+          PATTERN (a (b+))
+          DEFINE a AS a.event_type = 'view', b AS b.price > LAST(a.price)
+        )""")
+    # b extends while price > the view's 1.0: rows at ts 2,3 only
+    assert sorted(map(tuple, out.collect())) == [(1, 2)]
