@@ -345,7 +345,28 @@ def main() -> None:
     closing_ref: dict[str, float] = {}
     try:
         _closing = json.loads(closing_path.read_text())
-        if float(_closing.get("sf", -1)) == sf:  # same-scale runs only
+        # comparable only when BOTH the scale AND the sampling protocol
+        # match: a SPARK_GRAFT_TIMED_RUNS=1 cold single-sample run
+        # compared against a min-of-3 closing reference produces
+        # spurious >2x flags that are protocol, not contention. A
+        # closing file without recorded protocol fields predates this
+        # check and is assumed to use the defaults it was written with
+        # (warm 1 / timed 2 / stream 3).
+        _proto_now = (warm_runs, timed_runs, stream_timed_runs)
+        _proto_ref = (
+            int(_closing.get("warm_runs", 1)),
+            int(_closing.get("timed_runs", 2)),
+            int(_closing.get("stream_timed_runs", 3)),
+        )
+        if float(_closing.get("sf", -1)) != sf:
+            pass  # different scale — no reference
+        elif _proto_ref != _proto_now:
+            print(
+                "bench: closing reference uses protocol "
+                f"(warm,timed,stream)={_proto_ref} but this run uses "
+                f"{_proto_now} — drift flagging skipped", file=sys.stderr,
+            )
+        else:
             closing_ref = {
                 k: float(v) for k, v in _closing["queries"].items()
                 if float(v) > 0
@@ -481,6 +502,11 @@ def main() -> None:
             "queries": {k: v for k, v in timings.items() if v > 0},
             "total": round(total, 3),
             "sf": sf,
+            # sampling protocol — drift flags only compare runs that
+            # used the same one (see the closing_ref load above)
+            "warm_runs": warm_runs,
+            "timed_runs": timed_runs,
+            "stream_timed_runs": stream_timed_runs,
             **calibration,
         }, indent=1))
         print(f"bench: wrote {closing_path.name}", file=sys.stderr)

@@ -82,8 +82,12 @@ class Step:
     The step's own ``(lo, hi)`` bounds the REPETITION count; matching
     is the standard regex preference order — more repetitions first
     (``reluctant`` flips to fewest), each repetition's children greedy
-    with full backtracking — and every repetition must consume at
-    least one row (a zero-width repetition cannot make progress). The
+    with full backtracking. A repetition of a REPEATING block must
+    consume at least one row (a zero-width repetition cannot make
+    progress); an UNQUANTIFIED block (``lo == hi == 1``) of
+    all-optional members may match EMPTY, as its SQL:2016 alternation
+    expansion admits — the least-preferred (greedy) / most-preferred
+    (reluctant) outcome. The
     matcher reports the group's consumed positions as the step's hit
     entry and each child's positions through the ``gout`` side
     channel (:func:`_add_group_segs` registers per-child measure
@@ -96,8 +100,10 @@ class Step:
     expansion order for the equivalent alternation); child quantifiers
     still apply within an ordering. The block's own ``(lo, hi)``
     bounds the REPETITION count like a sequence group's — each
-    repetition picks its order independently and must consume at
-    least one row."""
+    repetition picks its order independently, with the same
+    zero-width rule as sequence groups (repeating blocks must
+    consume a row per repetition; an unquantified all-optional
+    PERMUTE may match empty)."""
 
     __slots__ = ("name", "where", "lo", "hi", "reluctant", "dyn",
                  "next_depth", "alts", "group", "perm")
@@ -354,36 +360,70 @@ def _match_at_ex(
     sound for them: a group's match at ``(pos, step)`` is fully
     determined by the masks.
 
-    ``max_steps`` bounds the recursion-step count of THIS attempt
-    (``None`` → :data:`DEFAULT_MAX_STEPS`): group/PERMUTE sub-NFAs
-    have the standard regex-backtracking exponential worst case, and
+    ``max_steps`` bounds the GROUP/PERMUTE sub-NFA recursion count of
+    THIS attempt (``None`` → :data:`DEFAULT_MAX_STEPS`) — the axis
+    with the standard regex-backtracking exponential worst case;
     without a budget an adversarial pattern pins an executor core
-    with no diagnostic. Exceeding it raises
-    :class:`MatchStepBudgetExceeded` naming ``pattern_desc`` (the
-    PATTERN text when the SQL front door is the caller)."""
+    with no diagnostic. Top-level plain-step recursion is bounded
+    separately at ``max(max_steps, 64·(n+1)·nsteps)`` — proportional
+    to the scan, so a linear pattern over an arbitrarily long skewed
+    key never trips it, while a polynomial plain-step blowup
+    (O(n²)+ takes per attempt) still dies. Exceeding either raises
+    :class:`MatchStepBudgetExceeded` naming the axis and
+    ``pattern_desc`` (the PATTERN text when the SQL front door is the
+    caller)."""
     touched = 0
     nsteps = len(steps)
-    steps_left = max_steps if max_steps is not None else DEFAULT_MAX_STEPS
+    budget = max_steps if max_steps is not None else DEFAULT_MAX_STEPS
+    # Two budget axes (advisor r12): the EXPONENTIAL axis is the
+    # group/PERMUTE sub-NFA recursion count — that is what the conf
+    # knob bounds, and the only way a pattern's work can explode
+    # combinatorially. Top-level plain-step recursion is at worst
+    # polynomial in the scan length (a take loop per quantified step),
+    # and a perfectly legitimate linear pattern — ``A+ B`` with B never
+    # true over a single key whose contiguous run exceeds ~budget rows
+    # — does O(run) rec() calls in ONE attempt; ticking it against the
+    # 1M default turned a skewed-but-linear key into a false
+    # MatchStepBudgetExceeded. The plain axis therefore gets
+    # max(budget, 64·(n+1)·nsteps): never stricter than the conf value
+    # (so no r12 behavior tightens) and proportional to the scan, so
+    # any truly linear pattern completes at any key size while a
+    # polynomial plain-step blowup (O(n²)+ per attempt — a genuine
+    # scale-killer on big keys) still dies with the diagnostic.
+    group_left = budget
+    plain_left = max(budget, 64 * (n + 1) * max(1, nsteps))
+
+    def _raise_budget(axis: str, bound: int) -> None:
+        desc = pattern_desc or "(" + " ".join(
+            s.name for s in steps
+        ) + ")"
+        raise MatchStepBudgetExceeded(
+            f"MATCH_RECOGNIZE backtracking exceeded {bound:,} "
+            f"{axis} steps in one match attempt for pattern {desc} — "
+            "the pattern likely has overlapping quantifiers with an "
+            "exponential worst case (e.g. (A+ B+)+ where both "
+            "predicates hold on the same rows). Rewrite the pattern "
+            "with disjoint adjacent predicates, or raise the budget "
+            "via SET 'spark.flinkcommons.mr.max-steps'."
+        )
 
     def _budget() -> None:
-        # one tick per recursion step across all four recursions; the
-        # per-row run scans inside a step are linear and not counted —
-        # the exponential axis is the call count
-        nonlocal steps_left
-        steps_left -= 1
-        if steps_left < 0:
-            desc = pattern_desc or "(" + " ".join(
-                s.name for s in steps
-            ) + ")"
-            raise MatchStepBudgetExceeded(
-                f"MATCH_RECOGNIZE backtracking exceeded "
-                f"{max_steps if max_steps is not None else DEFAULT_MAX_STEPS:,}"
-                f" steps in one match attempt for pattern {desc} — the "
-                "pattern likely has overlapping quantifiers with an "
-                "exponential worst case (e.g. (A+ B+)+ where both "
-                "predicates hold on the same rows). Rewrite the pattern "
-                "with disjoint adjacent predicates, or raise the budget "
-                "via SET 'spark.flinkcommons.mr.max-steps'."
+        # one tick per group/PERMUTE sub-NFA recursion step — the
+        # exponential axis; per-row run scans inside a step are linear
+        # and not counted
+        nonlocal group_left
+        group_left -= 1
+        if group_left < 0:
+            _raise_budget("sub-NFA", budget)
+
+    def _budget_plain() -> None:
+        # top-level recursion tick — bounded by the scan-proportional
+        # plain axis (see above), never stricter than the conf budget
+        nonlocal plain_left
+        plain_left -= 1
+        if plain_left < 0:
+            _raise_budget(
+                "plain-step", max(budget, 64 * (n + 1) * max(1, nsteps))
             )
     end_kind = 1 if undecided_n is None or n >= undecided_n else 0
     if dctx is not None:
@@ -392,7 +432,7 @@ def _match_at_ex(
 
     def rec(pos: int, si: int) -> list | None:
         nonlocal touched
-        _budget()
+        _budget_plain()
         if si == nsteps:
             return []
         if failed is not None and (pos, si) in failed:
@@ -497,6 +537,15 @@ def _match_at_ex(
         children = s.group
         cmasks = masks[si]
         cruns = run_ends[si] if run_ends is not None else None
+        # an UNQUANTIFIED block (exactly one repetition) whose members
+        # are all optional may match EMPTY — the SQL:2016 alternation
+        # expansion of e.g. (A? B?) / PERMUTE(A?, B?) admits the empty
+        # word. A REPEATING block keeps the zero-width bar (a
+        # no-progress repetition cannot loop); that divergence for
+        # {n,m}-quantified all-optional blocks is deliberate and
+        # documented (COVERAGE.md).
+        empty_ok = s.lo == 1 and s.hi == 1
+
         reps: list = []  # completed repetitions: [(ci, range), ...] each
         rep_start = [pos]
 
@@ -504,7 +553,7 @@ def _match_at_ex(
             nonlocal touched
             _budget()
             if ci == len(children):
-                if p2 == rep_start[0]:
+                if p2 == rep_start[0] and not (empty_ok and not reps):
                     return None  # zero-width repetition: no progress
                 reps.append(cur)
                 res = rec_reps(p2)
@@ -553,7 +602,15 @@ def _match_at_ex(
                     rep_start[0] = prev_start
                     if res is not None:
                         return res
-                elif o == "done" and nreps >= s.lo:
+                elif o == "done" and (
+                    nreps >= s.lo
+                    # unquantified all-optional block at/after the
+                    # scan boundary: no row to try, but the block
+                    # matches empty (p2 < sb explores the empty body
+                    # through the rep branch's all-zero takes instead)
+                    or (empty_ok and nreps == 0 and p2 >= sb
+                        and all(c.lo == 0 for c in children))
+                ):
                     rest = rec(p2, si + 1)
                     if rest is not None:
                         flat = [
@@ -594,6 +651,12 @@ def _match_at_ex(
         cmasks = masks[si]
         cruns = run_ends[si] if run_ends is not None else None
         orders = list(_it.permutations(range(len(children))))
+        # same empty-body rule as _rec_group: an unquantified PERMUTE
+        # of all-optional members may match empty (its SQL:2016
+        # alternation expansion admits the empty word); repeating
+        # blocks keep the zero-width bar
+        empty_ok = s.lo == 1 and s.hi == 1
+
         reps: list = []  # completed repetitions: [(ci, range), ...] each
         rep_start = [pos]
 
@@ -601,7 +664,7 @@ def _match_at_ex(
             nonlocal touched
             _budget()
             if oi == len(order_):
-                if p2 == rep_start[0]:
+                if p2 == rep_start[0] and not (empty_ok and not reps):
                     return None  # zero-width repetition: no progress
                 reps.append(acc)
                 res = rec_reps(p2)
@@ -653,7 +716,15 @@ def _match_at_ex(
                             rep_start[0] = prev_start
                             return res
                     rep_start[0] = prev_start
-                elif o == "done" and nreps >= s.lo:
+                elif o == "done" and (
+                    nreps >= s.lo
+                    # unquantified all-optional block at/after the
+                    # scan boundary: no row to try, but the block
+                    # matches empty (p2 < sb explores the empty body
+                    # through the rep branch's all-zero takes instead)
+                    or (empty_ok and nreps == 0 and p2 >= sb
+                        and all(c.lo == 0 for c in children))
+                ):
                     rest = rec(p2, si + 1)
                     if rest is not None:
                         flat = sorted(

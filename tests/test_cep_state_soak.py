@@ -443,3 +443,74 @@ def test_enc_buf_rejects_null_in_integer_buffer():
     s = _dec_buf(_enc_buf(pd.Series(["a", None], name="et"), "string"),
                  "string")
     assert s[0] == "a" and pd.isna(s[1])
+
+
+def test_stream_budget_exceeded_terminates_query(spark, tmp_path):
+    """A :class:`MatchStepBudgetExceeded` raised mid-stream TERMINATES
+    the streaming query with the named diagnostic (r12 verdict #6):
+    the executor task fails, the microbatch job fails, and the query
+    dies carrying the budget error — it does NOT retry the same
+    microbatch forever. The failure mode of an adversarial pattern in
+    a long-running pipeline is therefore a diagnosed dead query, never
+    a silently pinned executor."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flink_commons_spark.operators.cep import Step
+    from flink_commons_spark.streaming.cep_stream import (
+        stream_match_pattern,
+    )
+
+    src = tmp_path / "budget_src"
+    src.mkdir()
+    rows = [(i, 10 + i, 1, 1.0) for i in range(48)]
+    rows.append((999, SENTINEL_SEC, 9999, 1.0))  # closes key 1's rows
+    schema = "event_id long, sec long, user_id long, price double"
+    spark.createDataFrame(rows, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    def _true(p):
+        return pd.Series(True, index=p.index)
+
+    children = [Step("A", _true, plus=True), Step("B", _true, plus=True)]
+    steps = [
+        Step("(A B)", _true, quant=(1, None), group=children),
+        Step("C", lambda p: pd.Series(False, index=p.index)),
+    ]
+
+    def measures(key, segs):  # unreachable — the budget fires first
+        return {"user_id": int(key[0])}
+
+    sdf = spark.readStream.schema(
+        spark.read.parquet(str(src)).schema
+    ).parquet(str(src))
+    prepared = (
+        sdf.select(
+            "event_id", "user_id",
+            F.timestamp_micros(F.col("sec") * 1_000_000).alias("ts"),
+        )
+        .withWatermark("ts", DELAY)
+        .withColumn("ts_us", F.unix_micros("ts"))
+    )
+    out = stream_match_pattern(
+        prepared, ["user_id"], ["ts_us", "event_id"], steps, measures,
+        "user_id bigint",
+        buffer_cols=[("ts_us", "bigint"), ("event_id", "bigint")],
+        max_steps=5_000, pattern_desc="((A+ B+)+ C)",
+    )
+    got = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: got.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "budget_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception) as ei:
+        q.awaitTermination(180)
+    msg = str(ei.value) + "\n" + str(q.exception() or "")
+    assert "max-steps" in msg and "(A+ B+)+ C" in msg
+    assert not q.isActive  # terminated, not stuck retrying
+    assert got == []       # nothing was emitted before the failure

@@ -11,10 +11,15 @@ MATCH SKIP PAST LAST ROW. Each template below is run on seeded random
 tapes through ``operators.cep._match_at_ex`` (no Spark session) and
 the match SPANS must coincide with the regex's.
 
-Templates avoid groups whose every child is optional: the sub-NFA
-enforces that a repetition consumes at least one row (no zero-width
-iterations), which is where regex engines' empty-repeat heuristics
-would legitimately differ."""
+Templates avoid REPEATING blocks whose every child is optional: for
+those the sub-NFA enforces that each repetition consumes at least one
+row (no zero-width iterations), a deliberate divergence from regex
+engines' empty-repeat heuristics (documented in COVERAGE.md). An
+UNQUANTIFIED all-optional block may match EMPTY — the SQL:2016
+alternation-expansion semantics — and the lo=0-child templates below
+pin that case differentially (r12 advisor finding #2). Every template
+keeps at least one required plain step so no OVERALL match is empty
+(``re.finditer`` emits zero-width matches; the scan loop skips them)."""
 
 from __future__ import annotations
 
@@ -170,6 +175,26 @@ TEMPLATES = [
     [("GRP", 0, 2, True, [("a", 1, 1, False), ("b", 1, 1, False)],
       True),
      ("c", 1, 1, False)],
+    # PERMUTE(a?, b?) c — ALL-OPTIONAL unquantified block: may match
+    # EMPTY per the SQL:2016 expansion (a? b? | b? a?) — the r12
+    # advisor's untested case
+    [("GRP", 1, 1, False, [("a", 0, 1, False), ("b", 0, 1, False)],
+      True),
+     ("c", 1, 1, False)],
+    # (a? b?) c — sequence-group twin of the empty-block rule
+    [("GRP", 1, 1, False, [("a", 0, 1, False), ("b", 0, 1, False)],
+      False),
+     ("c", 1, 1, False)],
+    # d PERMUTE(a?, b) — lo=0 member alongside a required member
+    [("d", 1, 1, False),
+     ("GRP", 1, 1, False, [("a", 0, 1, False), ("b", 1, 1, False)],
+      True)],
+    # v (a? b){1,2} — lo=0 child inside a REPEATING block (each rep
+    # still consumes >=1 row via the required child, so regex parity
+    # holds)
+    [("v", 1, 1, False),
+     ("GRP", 1, 2, False, [("a", 0, 1, False), ("b", 1, 1, False)],
+      False)],
 ]
 
 

@@ -103,6 +103,50 @@ def test_contract_style_patterns_have_budget_headroom():
             _match_at_ex(masks, steps, start, n, runs, max_steps=2_000)
 
 
+def test_linear_pattern_on_long_skewed_key_completes():
+    """r12 advisor finding #1: a legitimate LINEAR pattern (``A+ B``
+    with B never true) over one key whose contiguous run exceeds the
+    conf budget must COMPLETE, not raise — its per-attempt work is
+    O(run), polynomial, not the exponential axis the budget guards.
+    The plain-step axis is bounded at max(budget, 64·(n+1)·nsteps),
+    so even budget=1000 over a 5000-row run finishes (pre-fix: ~5000
+    top-level ticks against the 1000 budget raised falsely)."""
+    n = 5_000
+    pdf = pd.DataFrame({"x": range(n)})
+    steps = [Step("A", _true, plus=True), Step("B", _false)]
+    masks = _group_masks(steps, pdf)
+    runs = _run_ends(masks, n)
+    hit, _ = _match_at_ex(masks, steps, 0, n, runs, max_steps=1_000)
+    assert hit is None  # B never matches — no match, and no raise
+
+
+def test_polynomial_plain_blowup_still_raises():
+    """The plain axis still guards genuine scale-killers: ``A+ B+ C``
+    with A and B always true and C never does O(n²) top-level takes
+    per attempt (no memo — streaming passes failed=None), which at
+    n=2000 exceeds 64·(n+1)·3 and raises naming the plain-step axis."""
+    n = 2_000
+    pdf = pd.DataFrame({"x": range(n)})
+    steps = [Step("A", _true, plus=True), Step("B", _true, plus=True),
+             Step("C", _false)]
+    masks = _group_masks(steps, pdf)
+    runs = _run_ends(masks, n)
+    with pytest.raises(MatchStepBudgetExceeded, match="plain-step"):
+        _match_at_ex(masks, steps, 0, n, runs, max_steps=1_000)
+
+
+def test_group_axis_budget_unchanged_by_plain_scaling():
+    """The group/PERMUTE sub-NFA budget stays exactly the conf value —
+    the plain-axis scaling must not loosen the exponential guard."""
+    n = 40
+    pdf = pd.DataFrame({"x": range(n)})
+    steps = _adversarial_steps()
+    masks = _group_masks(steps, pdf)
+    runs = _run_ends(masks, n)
+    with pytest.raises(MatchStepBudgetExceeded, match="sub-NFA"):
+        _match_at_ex(masks, steps, 0, n, runs, max_steps=5_000)
+
+
 def test_budget_conf_key_threads_through_sql(spark):  # noqa: F811
     """SET 'spark.flinkcommons.mr.max-steps' reaches the executor-side
     NFA through the SQL front door, and the task error carries the
