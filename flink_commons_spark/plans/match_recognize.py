@@ -180,7 +180,7 @@ def contains_match_recognize(sql: str) -> bool:
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
-      (?P<num>\d+(?:\.\d+)?)
+      (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
     | (?P<str>'(?:[^'\\]|\\.|'')*')
     | (?P<star>\w+\.\*|\*)
     | (?P<id>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)
@@ -516,7 +516,7 @@ class _ExprParser:
             return node
         kind, val = self._next()
         if kind == "num":
-            if "." in val:
+            if "." in val or "e" in val or "E" in val:
                 v = float(val)
                 return _Node(lambda c, v=v: v, "double")
             v = int(val)
@@ -597,7 +597,7 @@ class _ExprParser:
             n = 1
             if self._accept_op(","):
                 k, v = self._next()
-                if k != "num" or "." in v:
+                if k != "num" or not v.isdigit():
                     raise ValueError(f"{fname} offset must be an integer literal")
                 n = int(v)
             self._expect_op(")")
@@ -693,7 +693,7 @@ class _ExprParser:
         n = 0
         if fname in ("FIRST", "LAST") and self._accept_op(","):
             k, v = self._next()
-            if k != "num" or "." in v:
+            if k != "num" or not v.isdigit():
                 raise ValueError(f"{fname} offset must be an integer literal")
             n = int(v)
         self._expect_op(")")
@@ -1354,7 +1354,7 @@ def parse_match_recognize(
             var_next[var] = max(var_next.get(var, 0), dparser.max_next)
         if static_fns:
             if len(static_fns) == 1:
-                defines[var] = static_fns[0]
+                base_fn = static_fns[0]
             else:
                 def _mask_and(pdf, fns=tuple(static_fns)):
                     m = fns[0](pdf)
@@ -1362,7 +1362,21 @@ def parse_match_recognize(
                         m = m & f(pdf)
                     return m
 
-                defines[var] = _mask_and
+                base_fn = _mask_and
+
+            def _broadcast_mask(pdf, fn=base_fn):
+                # a CONSTANT predicate (DEFINE C AS FALSE / TRUE) folds
+                # to a scalar — broadcast it to a per-row mask; SQL
+                # UNKNOWN (NULL) rejects the row
+                m = fn(pdf)
+                if not hasattr(m, "index"):
+                    return pd.Series(
+                        bool(m) if m is not None else False,
+                        index=pdf.index,
+                    )
+                return m
+
+            defines[var] = _broadcast_mask
         if dyn_fns:
             if len(dyn_fns) == 1:
                 dyn_defines[var] = dyn_fns[0]

@@ -1175,3 +1175,42 @@ def test_subquery_detection_anchored_to_from(spark):
            "MEASURES FIRST(a.ts_us) AS s ONE ROW PER MATCH "
            "PATTERN (a) DEFINE a AS a.price >= 0)")
     assert _inline_subquery_source(spark, sql) == (sql, None)
+
+
+def test_scientific_notation_literals():
+    """Numeric literals with exponents (1e3, 1.5E-2) lex and compile —
+    round-13 dialect gap found by the verify drive: '1e18' previously
+    tokenized as num('1') + id('e18') and raised 'trailing tokens'."""
+    node = _parse_expr("A.price < 1.5e3")
+    pdf = pd.DataFrame({"price": [1499.0, 1500.0, 2000.0]})
+    assert node.fn(pdf).tolist() == [True, False, False]
+    node = _parse_expr("A.price >= -2E-1")
+    pdf = pd.DataFrame({"price": [0.0, -0.3]})
+    assert node.fn(pdf).tolist() == [True, False]
+    # exponent literal folds to DOUBLE (type promotion like '1.0')
+    assert _parse_expr("1e2", mode="measures").typ == "double"
+    # PREV/FIRST offsets stay integer-literal-only
+    with pytest.raises(ValueError, match="integer literal"):
+        _parse_expr("PREV(A.price, 1e1)")
+
+
+def test_constant_boolean_define(spark):
+    """DEFINE C AS FALSE / TRUE — a constant predicate folds to a
+    scalar; the mask builder broadcasts it per-row (round-13 fix:
+    previously crashed with 'bool' has no attribute 'to_numpy'). An
+    always-false optional variable never claims a row; an
+    always-true one matches unconditionally."""
+    pdf = pd.DataFrame({
+        "user_id": [1] * 4, "ts_us": [1, 2, 3, 4],
+        "event_type": ["view", "click", "click", "purchase"],
+        "price": [1.0, 2.0, 3.0, 4.0],
+    })
+    spark.createDataFrame(pdf).createOrReplaceTempView("mr_constbool")
+    out = execute_match_recognize(spark, """
+        SELECT * FROM mr_constbool MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES COUNT(v.*) AS n_v, COUNT(z.*) AS n_z
+          PATTERN (v z? t)
+          DEFINE v AS v.event_type = 'view', z AS FALSE, t AS TRUE
+        )""").collect()
+    assert [(r.n_v, r.n_z) for r in out] == [(1, 0)]
