@@ -4483,28 +4483,35 @@ def pq_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = S.l2_topk(probes_s, emb_s, k=5).select("query_id", "neighbor_id")
 
     perm = S.group_dims_by_correlation(emb_s, m=8, dims=64)
-    emb_o = S.permute_dims(emb_s, perm).localCheckpoint(eager=False)
+    # emb_o is a pure JVM reindex projection over the CHECKPOINTED
+    # emb_s — cheap to recompute per use, so it carries no checkpoint
+    # of its own (round 13: dropping it removed a materialization job)
+    emb_o = S.permute_dims(emb_s, perm)
     probes_o = emb_o.where("vec_id < 10")
     # one seed collect serves BOTH corpora (emb_o is emb_s with
     # permuted elements — same 16 lowest-id rows), and the two Lloyd
-    # refinements run as ONE tagged union job: 2 driver actions for
-    # training instead of 4, bit-identical codebooks (profiled A/B in
-    # PERFORMANCE.md; the oracle replays both trainings unchanged)
+    # refinements run as ONE fused single-scan job over the SHARED
+    # corpus (round 13, r12 verdict #2 — the views trainer permutes
+    # per Arrow batch in numpy): 2 driver actions for training
+    # instead of 4 and ONE corpus pass instead of two, bit-identical
+    # codebooks (A/B-asserted in tests/test_operators.py; the oracle
+    # replays both trainings unchanged)
     seed_vecs = [
         list(r[0])
         for r in emb_s.orderBy("vec_id").limit(16).select("embedding").collect()
     ]
-    trained = S.train_pq_codebooks_joint(
+    trained = S.train_pq_codebook_views(
+        emb_s,
         {
             "o": (
-                emb_o,
+                perm,
                 S.seed_codebooks_from_vectors(
                     [[v[p] for p in perm] for v in seed_vecs],
                     m=8, ksub=16, dims=64,
                 ),
             ),
             "r": (
-                emb_s,
+                None,
                 S.seed_codebooks_from_vectors(seed_vecs, m=8, ksub=16, dims=64),
             ),
         },

@@ -778,6 +778,43 @@ def test_train_pq_codebooks_reduces_reconstruction_error(spark):
     assert total_err(trained) <= total_err(seeded) + 1e-6
 
 
+def test_views_trainer_bit_identical_to_joint(spark):
+    """The fused single-scan views trainer (round 13 — one Arrow pass
+    over a SHARED corpus, per-view permutation applied in numpy) must
+    produce codebooks BIT-IDENTICAL to the joint trainer run over the
+    materialized permuted corpora, for 1 and 2 Lloyd iterations — the
+    property that lets pq_opq_recall swap trainers with its DuckDB
+    oracle unchanged."""
+    from flink_commons_spark.operators.similarity import (
+        permute_dims, seed_codebooks_from_vectors,
+        train_pq_codebook_views, train_pq_codebooks_joint,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).localCheckpoint(eager=False)
+    perm = list(range(63, -1, -1))  # a fixed nontrivial permutation
+    seed_vecs = [
+        list(r[0])
+        for r in emb.orderBy("vec_id").limit(16).select("embedding").collect()
+    ]
+    seeds_r = seed_codebooks_from_vectors(seed_vecs, m=8, ksub=16, dims=64)
+    seeds_o = seed_codebooks_from_vectors(
+        [[v[p] for p in perm] for v in seed_vecs], m=8, ksub=16, dims=64
+    )
+    emb_o = permute_dims(emb, perm)
+    for iters in (1, 2):
+        joint = train_pq_codebooks_joint(
+            {"o": (emb_o, seeds_o), "r": (emb, seeds_r)},
+            m=8, ksub=16, dims=64, iterations=iters,
+        )
+        views = train_pq_codebook_views(
+            emb, {"o": (perm, seeds_o), "r": (None, seeds_r)},
+            m=8, ksub=16, dims=64, iterations=iters,
+        )
+        assert joint == views
+
+
 def test_pq_rerank_recovers_exact_neighbors(spark):
     """The shortlist + exact-re-rank pass must return the TRUE nearest
     neighbors whenever they survive the ADC shortlist: with shortlist
