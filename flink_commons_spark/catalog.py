@@ -10309,6 +10309,174 @@ WHERE v.event_type = 'view'
 """
 
 
+def q_match_permute_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``PERMUTE(c?, e?)`` — ALL-OPTIONAL permutation block (round-13
+    extension closing the r12 advisor's untested case): a view, then
+    optionally a click and/or an error in either order, then a
+    purchase. An UNQUANTIFIED all-optional block may match EMPTY —
+    the SQL:2016 alternation expansion ``(c? e? | e? c?)`` admits the
+    empty word — so ``view purchase`` with nothing between matches
+    too (the least-preferred greedy outcome;
+    ``operators/cep.py:_rec_permute``). The oracle replays the greedy
+    exploration order as a priority CASE over the three successor
+    rows; unmatched member timestamps coalesce to -1 on both engines
+    (NULL bigints float-ify in the compare path). Match spans contain
+    no view, so SKIP PAST LAST ROW suppresses nothing and the full
+    per-view enumeration is exact."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_events_view(spark, sf_dir, "mr_events_src")
+    out = execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, click_us, error_us, end_us
+        FROM mr_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            MEASURES
+              FIRST(v.ts_us) AS start_us,
+              LAST(c.ts_us) AS click_us,
+              LAST(e.ts_us) AS error_us,
+              LAST(p.ts_us) AS end_us
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v PERMUTE(c?, e?) p)
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              e AS e.event_type = 'error',
+              p AS p.event_type = 'purchase'
+          )
+    """))
+    return out.select(
+        "user_id", "start_us",
+        F.coalesce("click_us", F.lit(-1)).alias("click_us"),
+        F.coalesce("error_us", F.lit(-1)).alias("error_us"),
+        "end_us",
+    )
+
+
+# the greedy exploration order as a priority CASE on the successor
+# types t1..t3: order (c,e) first — c=1,e=1 (click error purchase),
+# then c=1,e=0 (click purchase), then c=0,e=1 (error purchase), then
+# the EMPTY body (purchase immediately); order (e,c) adds only
+# (error click purchase). The five legs are mutually exclusive on
+# (t1, t2), so a single CASE selects.
+_MATCH_PERMUTE_EMPTY_BODY = """
+SELECT v.user_id, v.ts_us AS start_us,
+       (CASE
+          WHEN m1.event_type = 'click' THEN m1.ts_us
+          WHEN m1.event_type = 'error' AND m2.event_type = 'click'
+               AND m3.event_type = 'purchase' THEN m2.ts_us
+          ELSE -1 END)::bigint AS click_us,
+       (CASE
+          WHEN m1.event_type = 'error' THEN m1.ts_us
+          WHEN m1.event_type = 'click' AND m2.event_type = 'error'
+               AND m3.event_type = 'purchase' THEN m2.ts_us
+          ELSE -1 END)::bigint AS error_us,
+       (CASE
+          WHEN m1.event_type = 'purchase' THEN m1.ts_us
+          WHEN m2.event_type = 'purchase' THEN m2.ts_us
+          ELSE m3.ts_us END)::bigint AS end_us
+FROM seq v
+JOIN seq m1 ON m1.user_id = v.user_id AND m1.rn = v.rn + 1
+LEFT JOIN seq m2 ON m2.user_id = v.user_id AND m2.rn = v.rn + 2
+LEFT JOIN seq m3 ON m3.user_id = v.user_id AND m3.rn = v.rn + 3
+WHERE v.event_type = 'view'
+  AND (   (m1.event_type = 'click' AND m2.event_type = 'error'
+           AND m3.event_type = 'purchase')
+       OR (m1.event_type = 'click' AND m2.event_type = 'purchase')
+       OR (m1.event_type = 'error' AND m2.event_type = 'purchase')
+       OR (m1.event_type = 'error' AND m2.event_type = 'click'
+           AND m3.event_type = 'purchase')
+       OR m1.event_type = 'purchase')
+"""
+
+_MATCH_PERMUTE_EMPTY_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+)
+{_MATCH_PERMUTE_EMPTY_BODY}
+"""
+
+
+@_with_stream_shuffle(16)
+def stream_match_permute_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of :func:`q_match_permute_empty`: the
+    all-optional PERMUTE runs inside the watermark-gated buffered NFA.
+    Deferral soundness: every leg's SHORTER alternative is preferred
+    only after a longer take fails on a DECIDED mask (the successor
+    row's type is in the closed prefix), and a candidate whose
+    greedy-longer exploration is cut by the closed-prefix edge defers
+    — e.g. ``view click`` at the tail waits (the next row decides
+    between the click-error-purchase and click-purchase legs), and
+    ``view`` directly at the tail waits for its successor. The
+    closed-prefix oracle agrees leg by leg: each emitted row's
+    deciding successors are all inside the prefix."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_stream_events_view(spark, sf_dir, "mr_stream_events_src")
+    out = execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, click_us, error_us, end_us
+        FROM mr_stream_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES
+              FIRST(v.ts_us) AS start_us,
+              LAST(c.ts_us) AS click_us,
+              LAST(e.ts_us) AS error_us,
+              LAST(p.ts_us) AS end_us
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v PERMUTE(c?, e?) p)
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              e AS e.event_type = 'error',
+              p AS p.event_type = 'purchase'
+          )
+    """))
+    out = out.select(
+        "user_id", "start_us",
+        F.coalesce("click_us", F.lit(-1)).alias("click_us"),
+        F.coalesce("error_us", F.lit(-1)).alias("error_us"),
+        "end_us",
+    )
+    name = "fcs_stream_mr_perme"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-mrperme-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(name)
+
+
+_STREAM_MATCH_PERMUTE_EMPTY_ORACLE = f"""
+WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
+seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+  WHERE epoch_us(ts) // 1000 < (SELECT wm_ms FROM wm)
+)
+{_MATCH_PERMUTE_EMPTY_BODY}
+"""
+
+
 _STREAM_MATCH_SUBQUERY_SRC_ORACLE = """
 WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms
             FROM events WHERE event_type <> 'signup'),
@@ -12667,6 +12835,8 @@ QUERIES = {
     "stream_match_permute": stream_match_permute,
     "q_match_permute_quant": q_match_permute_quant,
     "stream_match_permute_quant": stream_match_permute_quant,
+    "q_match_permute_empty": q_match_permute_empty,
+    "stream_match_permute_empty": stream_match_permute_empty,
     "q_match_exclusion": q_match_exclusion,
     "stream_match_exclusion": stream_match_exclusion,
     "stream_match_all_rows": stream_match_all_rows,
@@ -12882,6 +13052,8 @@ ORACLES = {
     "stream_match_permute": _STREAM_MATCH_PERMUTE_ORACLE,
     "q_match_permute_quant": _MATCH_PERMUTE_QUANT_ORACLE,
     "stream_match_permute_quant": _STREAM_MATCH_PERMUTE_QUANT_ORACLE,
+    "q_match_permute_empty": _MATCH_PERMUTE_EMPTY_ORACLE,
+    "stream_match_permute_empty": _STREAM_MATCH_PERMUTE_EMPTY_ORACLE,
     "q_match_exclusion": _MATCH_EXCLUSION_ORACLE,
     "stream_match_exclusion": _STREAM_MATCH_EXCLUSION_ORACLE,
     "stream_match_all_rows": _STREAM_MATCH_ALL_ROWS_ORACLE,
