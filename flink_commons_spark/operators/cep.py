@@ -397,14 +397,22 @@ def _match_at_ex(
         desc = pattern_desc or "(" + " ".join(
             s.name for s in steps
         ) + ")"
+        hint = (
+            "the pattern likely has overlapping quantifiers with an "
+            "exponential worst case (e.g. (A+ B+)+ where both "
+            "predicates hold on the same rows)"
+            if axis == "sub-NFA" else
+            "adjacent quantified variables with overlapping predicates "
+            "are exploring a super-linear number of take combinations "
+            "on a long key (e.g. A+ B+ C with A and B both true and C "
+            "never)"
+        )
         raise MatchStepBudgetExceeded(
             f"MATCH_RECOGNIZE backtracking exceeded {bound:,} "
             f"{axis} steps in one match attempt for pattern {desc} — "
-            "the pattern likely has overlapping quantifiers with an "
-            "exponential worst case (e.g. (A+ B+)+ where both "
-            "predicates hold on the same rows). Rewrite the pattern "
-            "with disjoint adjacent predicates, or raise the budget "
-            "via SET 'spark.flinkcommons.mr.max-steps'."
+            f"{hint}. Rewrite the pattern with disjoint adjacent "
+            "predicates, or raise the budget via "
+            "SET 'spark.flinkcommons.mr.max-steps'."
         )
 
     def _budget() -> None:
