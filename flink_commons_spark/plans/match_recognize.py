@@ -56,7 +56,12 @@ Supported surface (the reference demo's dialect of the standard):
   adjusts the per-attempt budget (default 1,000,000);
 - ``WITHIN INTERVAL 'n' UNIT``;
 - ``DEFINE V AS <predicate>`` with comparisons, arithmetic, AND/OR/
-  NOT, ``IS [NOT] NULL``, and row-navigation ``PREV(expr [, n])`` /
+  NOT, ``IS [NOT] NULL``, ``[NOT] BETWEEN``/``IN (literals)``/
+  ``LIKE`` (exact three-valued null semantics, round 13), searched
+  ``CASE WHEN``, scalar ``UPPER/LOWER/CHAR_LENGTH/LENGTH/MOD/ABS``,
+  numeric ``CAST`` (truncating toward zero, Spark semantics),
+  numeric literals with exponents (``1.5e3``), constant ``TRUE``/
+  ``FALSE`` predicates, and row-navigation ``PREV(expr [, n])`` /
   ``NEXT(expr [, n])`` over the ordered partition (Flink's default
   1-row offset semantics; ``V.col`` inside V's own DEFINE is the
   current row, as in the standard). DEFINE predicates may also be
@@ -254,6 +259,32 @@ def _sarith(a, b, fn):
     return fn(a, b)
 
 
+def _unquote(raw: str) -> str:
+    """Unescape a lexed string literal span (both quote forms Spark
+    accepts: backslash-escape and ``''`` doubling, plus common
+    backslash escapes)."""
+    return re.sub(
+        r"''|\\(.)",
+        lambda m: "'" if m.group(0) == "''" else {
+            "n": "\n", "t": "\t", "r": "\r",
+        }.get(m.group(1), m.group(1)),
+        raw[1:-1],
+    )
+
+
+def _kleene_and(a: "bool | None", b: "bool | None") -> "bool | None":
+    """Three-valued AND: FALSE dominates, else UNKNOWN taints."""
+    if a is False or b is False:
+        return False
+    if a is None or b is None:
+        return None
+    return True
+
+
+def _kleene_not(v: "bool | None") -> "bool | None":
+    return None if v is None else (not v)
+
+
 @dataclass
 class _Node:
     """A compiled (sub)expression: ``fn(ctx)`` → value, plus the Spark
@@ -429,6 +460,25 @@ class _ExprParser:
                 return (v is not None) if neg else (v is None)
 
             return _Node(isnull_m, "boolean")
+        # postfix predicate keywords: [NOT] BETWEEN / IN / LIKE
+        # (round 13 — the prefix NOT at _not level is unchanged)
+        neg_kw = False
+        save_i = self.i
+        if self._accept_kw("NOT"):
+            nxt = self._peek()
+            if nxt and nxt[0] == "id" and nxt[1].upper() in (
+                "IN", "BETWEEN", "LIKE",
+            ):
+                neg_kw = True
+            else:  # not ours — restore for any other grammar
+                self.i = save_i
+        kw = self._accept_kw("BETWEEN", "IN", "LIKE")
+        if kw == "BETWEEN":
+            return self._between(lhs, neg_kw)
+        if kw == "IN":
+            return self._in_list(lhs, neg_kw)
+        if kw == "LIKE":
+            return self._like(lhs, neg_kw)
         op = self._accept_op("<=", ">=", "<>", "!=", "<", ">", "=")
         if op is None:
             return lhs
@@ -446,6 +496,161 @@ class _ExprParser:
                 "boolean",
             )
         return _Node(lambda c, lf=lf, rf=rf, fn=fn: fn(lf(c), rf(c)), "boolean")
+
+    # -- postfix predicates (round 13): [NOT] BETWEEN / IN / LIKE.
+    # Null semantics are EXACT three-valued logic in every mode (the
+    # static define masks encode UNKNOWN as reject, matching the
+    # engine's row-filter stance): e.g. ``x NOT BETWEEN 7 AND NULL``
+    # still matches when ``x < 7`` (the >= leg is definite FALSE, so
+    # the conjunction is FALSE and its negation TRUE), while a NULL
+    # ``x`` never matches either polarity.
+
+    def _between(self, lhs: _Node, neg: bool) -> _Node:
+        import operator as _op
+
+        lo = self._additive()
+        if not self._accept_kw("AND"):
+            raise ValueError(f"expected AND in BETWEEN of {self.text!r}")
+        hi = self._additive()
+        xf, lf, hf = lhs.fn, lo.fn, hi.fn
+        if self.mode == "define_dyn":
+            def bt_s(c, xf=xf, lf=lf, hf=hf, neg=neg):
+                v = _kleene_and(
+                    _scmp(xf(c), lf(c), _op.ge),
+                    _scmp(xf(c), hf(c), _op.le),
+                )
+                return _kleene_not(v) if neg else v
+
+            return _Node(bt_s, "boolean")
+
+        def bt(c, xf=xf, lf=lf, hf=hf, neg=neg):
+            import numpy as np
+            import pandas as pd
+
+            x, a, b = xf(c), lf(c), hf(c)
+            if not any(
+                isinstance(v, (pd.Series, np.ndarray)) for v in (x, a, b)
+            ):  # scalar context (measures under ONE ROW PER MATCH)
+                r = _kleene_and(_scmp(x, a, _op.ge), _scmp(x, b, _op.le))
+                return _kleene_not(r) if neg else r
+            def leg(bound, op):
+                # a NULL literal bound: the leg is UNKNOWN everywhere
+                # (pandas would raise comparing a Series to None)
+                if not isinstance(bound, (pd.Series, np.ndarray)) and (
+                    bound is None or bound != bound
+                ):
+                    nrow = len(x)
+                    return np.zeros(nrow, bool), np.ones(nrow, bool)
+                t = np.asarray(op(x, bound), dtype=bool)  # NaN → False
+                u = np.asarray(pd.isna(x) | pd.isna(bound), dtype=bool)
+                return t, u
+
+            t_ge, u_ge = leg(a, _op.ge)
+            t_le, u_le = leg(b, _op.le)
+            if not neg:
+                r = t_ge & t_le
+            else:
+                # NOT BETWEEN is TRUE only where a leg is DEFINITE false
+                r = (~t_ge & ~u_ge) | (~t_le & ~u_le)
+            return pd.Series(r, index=c.index) if hasattr(c, "index") else r
+
+        return _Node(bt, "boolean")
+
+    def _in_list(self, lhs: _Node, neg: bool) -> _Node:
+        """``x [NOT] IN (lit, ...)`` — literal members only (column or
+        subquery members stay unsupported with a targeted error)."""
+        self._expect_op("(")
+        vals: list = []
+        while True:
+            k, v = self._next()
+            if k == "num":
+                vals.append(
+                    float(v) if ("." in v or "e" in v or "E" in v)
+                    else int(v)
+                )
+            elif k == "str":
+                vals.append(_unquote(v))
+            elif k == "id" and v.upper() in ("TRUE", "FALSE"):
+                vals.append(v.upper() == "TRUE")
+            else:
+                raise ValueError(
+                    f"IN list supports literals only, got {v!r} in "
+                    f"{self.text!r}"
+                )
+            if self._accept_op(")"):
+                break
+            self._expect_op(",")
+        xf = lhs.fn
+        if self.mode == "define_dyn":
+            def in_s(c, xf=xf, vals=tuple(vals), neg=neg):
+                v = xf(c)
+                if v is None or v != v:
+                    return None  # NULL member test is UNKNOWN
+                r = v in vals
+                return (not r) if neg else r
+
+            return _Node(in_s, "boolean")
+
+        def inm(c, xf=xf, vals=list(vals), neg=neg):
+            import numpy as np
+            import pandas as pd
+
+            x = xf(c)
+            if isinstance(x, pd.Series):
+                m = x.isin(vals)
+                return (~m & x.notna()) if neg else m
+            if isinstance(x, np.ndarray):
+                m = pd.Series(x).isin(vals).to_numpy()
+                return (~m & ~pd.isna(x)) if neg else m
+            if x is None or x != x:
+                return None
+            r = x in vals
+            return (not r) if neg else r
+
+        return _Node(inm, "boolean")
+
+    def _like(self, lhs: _Node, neg: bool) -> _Node:
+        """``x [NOT] LIKE 'pattern'`` — ``%`` any run, ``_`` any one
+        char; the pattern must be a string literal."""
+        k, v = self._next()
+        if k != "str":
+            raise ValueError(
+                f"LIKE pattern must be a string literal in {self.text!r}"
+            )
+        pat = _unquote(v)
+        rx = re.compile("".join(
+            ".*" if ch == "%" else "." if ch == "_" else re.escape(ch)
+            for ch in pat
+        ), re.DOTALL)
+        xf = lhs.fn
+        if self.mode == "define_dyn":
+            def lk_s(c, xf=xf, rx=rx, neg=neg):
+                v = xf(c)
+                if v is None or v != v:
+                    return None
+                r = rx.fullmatch(v) is not None
+                return (not r) if neg else r
+
+            return _Node(lk_s, "boolean")
+
+        def lk(c, xf=xf, rx=rx, neg=neg):
+            import numpy as np
+            import pandas as pd
+
+            x = xf(c)
+            if isinstance(x, pd.Series):
+                m = x.str.fullmatch(rx) == True  # noqa: E712 — None→False
+                return (~m & x.notna()) if neg else m
+            if isinstance(x, np.ndarray):
+                s = pd.Series(x)
+                m = (s.str.fullmatch(rx) == True).to_numpy()  # noqa: E712
+                return (~m & ~pd.isna(x)) if neg else m
+            if x is None or x != x:
+                return None
+            r = rx.fullmatch(x) is not None
+            return (not r) if neg else r
+
+        return _Node(lk, "boolean")
 
     def _additive(self) -> _Node:
         import operator as _op
@@ -522,16 +727,7 @@ class _ExprParser:
             v = int(val)
             return _Node(lambda c, v=v: v, "bigint")
         if kind == "str":
-            # unescape the two literal quote forms Spark accepts
-            # (backslash-escape and '' doubling) plus common backslash
-            # escapes — the lexer kept the raw span
-            v = re.sub(
-                r"''|\\(.)",
-                lambda m: "'" if m.group(0) == "''" else {
-                    "n": "\n", "t": "\t", "r": "\r",
-                }.get(m.group(1), m.group(1)),
-                val[1:-1],
-            )
+            v = _unquote(val)
             return _Node(lambda c, v=v: v, "string")
         if kind == "id":
             up = val.upper()
@@ -541,6 +737,8 @@ class _ExprParser:
                 return _Node(lambda c: False, "boolean")
             if up == "NULL":
                 return _Node(lambda c: None, "void")
+            if up == "CASE":
+                return self._case()
             if (
                 up in ("FINAL", "RUNNING")
                 and self.mode == "measures"
@@ -580,6 +778,89 @@ class _ExprParser:
                 return self._func(up)
             return self._column(val)
         raise ValueError(f"unexpected token {val!r} in {self.text!r}")
+
+    def _case(self) -> _Node:
+        """Searched ``CASE WHEN cond THEN val [WHEN ...]* [ELSE val]
+        END`` (round 13). An UNKNOWN condition falls through to the
+        next branch (SQL three-valued CASE); no matching branch and no
+        ELSE yields NULL. Simple CASE (``CASE x WHEN v``) stays
+        unsupported with this targeted error."""
+        if not self._accept_kw("WHEN"):
+            raise ValueError(
+                f"only searched CASE WHEN ... THEN ... END is supported "
+                f"in {self.text!r}"
+            )
+        whens: list = []
+        while True:
+            cond = self._or()
+            if not self._accept_kw("THEN"):
+                raise ValueError(f"expected THEN in CASE of {self.text!r}")
+            val = self._or()
+            whens.append((cond.fn, val.fn, val.typ))
+            if self._accept_kw("WHEN"):
+                continue
+            break
+        ef = None
+        etyp = "void"
+        if self._accept_kw("ELSE"):
+            e = self._or()
+            ef, etyp = e.fn, e.typ
+        if not self._accept_kw("END"):
+            raise ValueError(f"expected END in CASE of {self.text!r}")
+        typs = [t for _, _, t in whens if t != "void"]
+        if etyp != "void":
+            typs.append(etyp)
+        if not typs:
+            typ = "void"
+        elif all(t == typs[0] for t in typs):
+            typ = typs[0]
+        else:
+            typ = typs[0]
+            for t in typs[1:]:
+                typ = _promote(typ, t)
+        if self.mode == "define_dyn":
+            def case_s(c, whens=tuple(whens), ef=ef):
+                for cf, vf, _ in whens:
+                    if _tri(cf(c)) is True:
+                        return vf(c)
+                return ef(c) if ef is not None else None
+
+            return _Node(case_s, typ)
+
+        def case_v(c, whens=tuple(whens), ef=ef):
+            import numpy as np
+            import pandas as pd
+
+            conds = [cf(c) for cf, _, _ in whens]
+            vector = any(
+                isinstance(m, (pd.Series, np.ndarray)) for m in conds
+            )
+            if not vector:  # scalar context (measures, ONE ROW)
+                for m, (_, vf, _) in zip(conds, whens):
+                    if m is True or m is np.True_:
+                        return vf(c)
+                return ef(c) if ef is not None else None
+            n = next(
+                len(m) for m in conds
+                if isinstance(m, (pd.Series, np.ndarray))
+            )
+
+            def as_mask(m):
+                if isinstance(m, pd.Series):
+                    return m.to_numpy(dtype=bool, na_value=False)
+                if isinstance(m, np.ndarray):
+                    return m.astype(bool)
+                ok = m is not None and m == m and bool(m)
+                return np.full(n, ok, dtype=bool)
+
+            condlist = [as_mask(m) for m in conds]
+            choices = [vf(c) for _, vf, _ in whens]
+            default = ef(c) if ef is not None else None
+            out = np.select(condlist, choices, default=default)
+            return pd.Series(out, index=c.index) \
+                if hasattr(c, "index") else out
+
+        return _Node(case_v, typ)
 
     # -- functions
     def _func(self, fname: str) -> _Node:
@@ -657,6 +938,114 @@ class _ExprParser:
                 )
             self._expect_op(")")
             return _Node(lambda c: c["match_no"], "bigint")
+        if fname in ("UPPER", "LOWER"):
+            inner = self._or()
+            self._expect_op(")")
+            f, meth = inner.fn, fname.lower()
+            if self.mode == "define_dyn":
+                return _Node(
+                    lambda c, f=f, m=meth:
+                        None if f(c) is None else getattr(f(c), m)(),
+                    "string",
+                )
+
+            def strcase(c, f=f, m=meth):
+                import numpy as np
+                import pandas as pd
+
+                v = f(c)
+                if isinstance(v, pd.Series):
+                    return getattr(v.str, m)()
+                if isinstance(v, np.ndarray):
+                    return getattr(pd.Series(v).str, m)().to_numpy()
+                return None if v is None else getattr(v, m)()
+
+            return _Node(strcase, "string")
+        if fname in ("CHAR_LENGTH", "CHARACTER_LENGTH", "LENGTH"):
+            inner = self._or()
+            self._expect_op(")")
+            f = inner.fn
+            if self.mode == "define_dyn":
+                return _Node(
+                    lambda c, f=f: None if f(c) is None else len(f(c)),
+                    "bigint",
+                )
+
+            def strlen(c, f=f):
+                import numpy as np
+                import pandas as pd
+
+                v = f(c)
+                if isinstance(v, pd.Series):
+                    return v.str.len()
+                if isinstance(v, np.ndarray):
+                    return pd.Series(v).str.len().to_numpy()
+                return None if v is None else len(v)
+
+            return _Node(strlen, "bigint")
+        if fname == "MOD":
+            a = self._or()
+            self._expect_op(",")
+            b = self._or()
+            self._expect_op(")")
+            af, bf = a.fn, b.fn
+            if self.mode == "define_dyn":
+                def _mod(x, y):
+                    return None if y == 0 else x % y
+
+                return _Node(
+                    lambda c, af=af, bf=bf: _sarith(af(c), bf(c), _mod),
+                    _promote(a.typ, b.typ),
+                )
+            return _Node(
+                lambda c, af=af, bf=bf: af(c) % bf(c),
+                _promote(a.typ, b.typ),
+            )
+        if fname == "CAST":
+            inner = self._or()
+            if not self._accept_kw("AS"):
+                raise ValueError(f"expected AS in CAST of {self.text!r}")
+            k, tname = self._next()
+            tname = tname.upper()
+            self._expect_op(")")
+            if k != "id" or tname not in (
+                "INT", "INTEGER", "SMALLINT", "TINYINT", "BIGINT",
+                "DOUBLE", "FLOAT", "REAL",
+            ):
+                raise ValueError(
+                    f"CAST target {tname!r} unsupported (numeric targets "
+                    f"only) in {self.text!r}"
+                )
+            to_int = tname in ("INT", "INTEGER", "SMALLINT", "TINYINT",
+                               "BIGINT")
+            f = inner.fn
+            if self.mode == "define_dyn":
+                def cast_s(c, f=f, to_int=to_int):
+                    v = f(c)
+                    if v is None or v != v:
+                        return None
+                    # int cast truncates toward zero (Spark CAST)
+                    return int(v) if to_int else float(v)
+
+                return _Node(cast_s, "bigint" if to_int else "double")
+
+            def cast_v(c, f=f, to_int=to_int):
+                import numpy as np
+                import pandas as pd
+
+                v = f(c)
+                if isinstance(v, (pd.Series, np.ndarray)):
+                    arr = (
+                        v.astype("float64") if isinstance(v, pd.Series)
+                        else np.asarray(v, dtype=np.float64)
+                    )
+                    # trunc-toward-zero, NaN preserved (NULL)
+                    return np.trunc(arr) if to_int else arr
+                if v is None or v != v:
+                    return None
+                return int(v) if to_int else float(v)
+
+            return _Node(cast_v, "bigint" if to_int else "double")
         if fname in _AGG_FNS:
             if self.mode == "define":
                 # navigation/aggregates over the rows mapped so far —
@@ -1049,6 +1438,7 @@ def _split_top_and(text: str) -> list[str]:
             after.isalnum() or after == "_"
         )
 
+    pending_between = 0  # top-level BETWEENs awaiting their own AND
     while i < len(text):
         j = _skip_span(text, i)
         if j != i:
@@ -1062,8 +1452,17 @@ def _split_top_and(text: str) -> list[str]:
         elif depth == 0:
             if _word_at("OR", i):
                 return [text]
+            if _word_at("BETWEEN", i):
+                # the next top-level AND belongs to this BETWEEN's
+                # lo/hi pair, not to the conjunction
+                pending_between += 1
+                i += 7
+                continue
             if _word_at("AND", i):
-                bounds.append(i)
+                if pending_between:
+                    pending_between -= 1
+                else:
+                    bounds.append(i)
                 i += 3
                 continue
         i += 1

@@ -1214,3 +1214,140 @@ def test_constant_boolean_define(spark):
           DEFINE v AS v.event_type = 'view', z AS FALSE, t AS TRUE
         )""").collect()
     assert [(r.n_v, r.n_z) for r in out] == [(1, 0)]
+
+
+def test_predicate_keywords_between_in_like():
+    """Round-13 dialect expansion: [NOT] BETWEEN / IN / LIKE with
+    exact three-valued null semantics in the static define mode —
+    UNKNOWN rejects for BOTH polarities, but a definite-FALSE leg
+    makes NOT BETWEEN true even with a NULL bound on the other leg."""
+    pdf = pd.DataFrame({
+        "price": [1.0, 3.0, 7.0, None],
+        "event_type": ["view", "click", None, "verify"],
+        "user_id": [1, 2, 3, 4],
+    })
+
+    def run(expr):
+        return _parse_expr(expr).fn(pdf).tolist()
+
+    assert run("A.price BETWEEN 2 AND 5") == [False, True, False, False]
+    assert run("A.price NOT BETWEEN 2 AND 5") == [True, False, True, False]
+    # NULL hi bound: x < lo is a DEFINITE false leg -> NOT BETWEEN true;
+    # x inside/above is UNKNOWN -> reject; NULL x -> reject
+    assert run("A.price NOT BETWEEN 2 AND NULL") == [
+        True, False, False, False]
+    assert run("A.event_type IN ('view', 'click')") == [
+        True, True, False, False]
+    # NOT IN: NULL member test is UNKNOWN -> reject
+    assert run("A.event_type NOT IN ('view', 'click')") == [
+        False, False, False, True]
+    assert run("A.event_type LIKE 'v%'") == [True, False, False, True]
+    assert run("A.event_type NOT LIKE 'v%'") == [False, True, False, False]
+    assert run("A.event_type LIKE 'v_ew'") == [True, False, False, False]
+    # regex metacharacters in the pattern are literal
+    assert _parse_expr("A.event_type LIKE 'v.ew'").fn(pdf).tolist() == [
+        False, False, False, False]
+    with pytest.raises(ValueError, match="literals only"):
+        _parse_expr("A.event_type IN (A.user_id)")
+    with pytest.raises(ValueError, match="string literal"):
+        _parse_expr("A.event_type LIKE A.event_type")
+
+
+def test_predicate_keywords_dyn_kleene():
+    """The scalar (define_dyn) twins use true Kleene logic: UNKNOWN
+    propagates as None (reject), a definite-false leg decides."""
+    def run(expr):
+        return _parse_expr(expr, mode="define_dyn").fn(None)
+
+    assert run("3 BETWEEN 2 AND 5") is True
+    assert run("3 NOT BETWEEN 7 AND NULL") is True   # definite-false leg
+    assert run("7 NOT BETWEEN 2 AND NULL") is None   # UNKNOWN le leg
+    assert run("NULL BETWEEN 2 AND 5") is None
+    assert run("'view' IN ('view', 'x')") is True
+    assert run("'y' NOT IN ('view', 'x')") is True
+    assert run("NULL IN ('view')") is None
+    assert run("'view' LIKE 'v%'") is True
+    assert run("'view' NOT LIKE 'v%'") is False
+    assert run("NULL LIKE 'v%'") is None
+
+
+def test_scalar_functions_and_cast():
+    """UPPER / LOWER / CHAR_LENGTH / LENGTH / MOD / CAST across the
+    vectorized and scalar modes; CAST to int truncates toward zero
+    (Spark CAST semantics) and preserves NULL."""
+    pdf = pd.DataFrame({
+        "event_type": ["view", "Click", None],
+        "price": [1.9, -2.7, None],
+        "user_id": [10, 3, 4],
+    })
+    assert _parse_expr("UPPER(A.event_type) = 'VIEW'").fn(pdf).tolist() \
+        == [True, False, False]
+    assert _parse_expr("LOWER(A.event_type) = 'click'").fn(pdf).tolist() \
+        == [False, True, False]
+    assert _parse_expr("CHAR_LENGTH(A.event_type) = 5").fn(pdf).tolist() \
+        == [False, True, False]
+    assert _parse_expr("MOD(A.user_id, 2) = 0").fn(pdf).tolist() \
+        == [True, False, True]
+    got = _parse_expr("CAST(A.price AS INT)").fn(pdf)
+    assert got.tolist()[:2] == [1.0, -2.0] and pd.isna(got.tolist()[2])
+    assert _parse_expr("CAST(A.user_id AS DOUBLE) / 4 = 2.5").fn(
+        pdf).tolist() == [True, False, False]
+    # scalar mode twins
+    assert _parse_expr("UPPER('ab')", mode="define_dyn").fn(None) == "AB"
+    assert _parse_expr("CAST(NULL AS INT)", mode="define_dyn").fn(None) is None
+    assert _parse_expr("CAST(2.9 AS BIGINT)", mode="define_dyn").fn(None) == 2
+    assert _parse_expr("MOD(7, 0)", mode="define_dyn").fn(None) is None
+    with pytest.raises(ValueError, match="numeric targets only"):
+        _parse_expr("CAST(A.price AS VARCHAR)")
+
+
+def test_case_when_expression():
+    """Searched CASE WHEN with SQL three-valued fall-through: an
+    UNKNOWN condition skips to the next branch; no ELSE yields NULL."""
+    pdf = pd.DataFrame({"price": [1.0, 3.0, 7.0, None]})
+    n = _parse_expr(
+        "CASE WHEN A.price > 5 THEN 'hi' WHEN A.price > 2 THEN 'mid' "
+        "ELSE 'lo' END"
+    )
+    assert n.typ == "string"
+    assert n.fn(pdf).tolist() == ["lo", "mid", "hi", "lo"]
+    # NULL price: both conditions UNKNOWN -> ELSE
+    n = _parse_expr(
+        "CASE WHEN A.price > 2 THEN 1 ELSE 0 END = 1"
+    )
+    assert n.fn(pdf).tolist() == [False, True, True, False]
+    # no ELSE -> NULL when no branch matches
+    n = _parse_expr("CASE WHEN 1 > 5 THEN 1 END", mode="define_dyn")
+    assert n.fn(None) is None
+    with pytest.raises(ValueError, match="searched CASE"):
+        _parse_expr("CASE A.price WHEN 1 THEN 2 END")
+
+
+def test_new_predicates_through_mr_sql(spark):
+    """The round-13 predicate surface end-to-end through
+    MATCH_RECOGNIZE SQL: DEFINE with BETWEEN / IN / LIKE / CASE and a
+    MEASURES CASE expression."""
+    pdf = pd.DataFrame({
+        "user_id": [1] * 5,
+        "ts_us": [1, 2, 3, 4, 5],
+        "event_type": ["view", "click", "click", "purchase", "view"],
+        "price": [0.5, 2.0, 4.0, 9.0, 0.1],
+    })
+    spark.createDataFrame(pdf).createOrReplaceTempView("mr_newpred")
+    out = execute_match_recognize(spark, """
+        SELECT * FROM mr_newpred MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES
+            COUNT(c.*) AS n_c,
+            CASE WHEN LAST(p.price) BETWEEN 5 AND 10 THEN 'big'
+                 ELSE 'small' END AS size_cls
+          PATTERN (v c+ p)
+          DEFINE
+            v AS v.event_type LIKE 'vi%',
+            c AS c.event_type IN ('click', 'tap')
+                 AND c.price BETWEEN 1 AND 5,
+            p AS CASE WHEN p.event_type = 'purchase' THEN TRUE
+                      ELSE FALSE END
+        )""").collect()
+    assert len(out) == 1
+    assert out[0].n_c == 2 and out[0].size_cls == "big"
