@@ -264,19 +264,23 @@ def main() -> None:
         print(f"bench: arrow warmup failed: {exc}", file=sys.stderr)
 
     # Fixed calibration microbench (no parquet, seeded, code-stable):
-    # one JVM shuffle/agg leg and one Arrow/pandas-UDF leg, min-of-3
+    # one JVM shuffle/agg leg and one Arrow/pandas-UDF leg, min-of-5
     # after a warm pass each. Round-over-round totals have swung ±18 %
     # on IDENTICAL code (r8→r9 down, r9→r10 up) — this pins the box's
     # session-level CPU/shuffle and Python-worker throughput so later
     # rounds can report drift-normalized ratios (PERFORMANCE.md)
-    # alongside raw seconds.
+    # alongside raw seconds. r14: the JVM leg was 16M rows (~0.4 s) and
+    # the min-of-3 quotient still swung 1.46× on flat query times
+    # (r12→r13 verdict); the leg is now sized to ~2-3 s (96M rows) with
+    # 5 samples so scheduler jitter is amortized — done-criterion: the
+    # quotient moves <15 % when the shared-query sum moves <5 %.
     calibration = {}
     try:
         from pyspark.sql import functions as F
 
         def _cal_jvm():
             return (
-                spark.range(0, 16_000_000, 1, int(cpus))
+                spark.range(0, 96_000_000, 1, int(cpus))
                 .withColumn("k", F.pmod(F.xxhash64("id"), F.lit(10_000)))
                 .groupBy("k")
                 .agg(F.sum("id").alias("s"), F.count("*").alias("n"))
@@ -300,7 +304,7 @@ def main() -> None:
                                  ("calibration_pandas_sec", _cal_pandas)):
             cal_fn()  # warm
             cal_runs = []
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 cal_fn()
                 cal_runs.append(round(time.perf_counter() - t0, 3))

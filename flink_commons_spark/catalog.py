@@ -13194,18 +13194,22 @@ _DRIVER_GREEN_PRIOR = frozenset({
 })
 
 
-def _driver_green() -> "frozenset[str]":
-    """Union of all fully-green rows across every CORRECTNESS_r*.json
-    in the repo root — so the rotation updates itself each round
-    without editing the hardcoded prior set (kept as the floor in
-    case the artifacts move)."""
+def _driver_green_rounds() -> "dict[str, int]":
+    """Map query name -> LATEST round with a fully-green driver row,
+    scanned from every CORRECTNESS_r*.json in the repo root — so the
+    rotation updates itself each round without editing the hardcoded
+    prior set (kept as the floor, pinned to round 3, in case the
+    artifacts move: those names were green in the r02/r03 windows)."""
     import glob
     import json
     import os
+    import re
 
-    green = set(_DRIVER_GREEN_PRIOR)
+    rounds = {n: 3 for n in _DRIVER_GREEN_PRIOR}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             data = json.load(open(path))
         except Exception:
@@ -13217,8 +13221,12 @@ def _driver_green() -> "frozenset[str]":
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
-                green.add(name)
-    return frozenset(green)
+                rounds[name] = max(rounds.get(name, 0), rnd)
+    return rounds
+
+
+def _driver_green() -> "frozenset[str]":
+    return frozenset(_driver_green_rounds())
 
 
 #: queries registered AFTER this round's driver window was already
@@ -13235,15 +13243,29 @@ _DEFER_NEW = frozenset({
 def _driver_order(names: "list[str]") -> "list[str]":
     # the defer set goes FIRST: these queries have never had a driver
     # CORRECTNESS row, so nothing registered later (which would land in
-    # `head`) may displace them from the capture window again
-    green_set = _driver_green()
-    defer = [n for n in names if n in _DEFER_NEW and n not in green_set]
+    # `head`) may displace them from the capture window again.
+    #
+    # Green entries are churn-aware since r14: ordered OLDEST green row
+    # first, so the driver's ~50-row window continuously re-validates
+    # queries whose last hard signal is stalest (the r13 verdict flagged
+    # that rounds 12-13 rewrote the MATCH_RECOGNIZE engine while most MR
+    # queries' driver rows still dated to r03-r11 — a never-checked-only
+    # rotation leaves rewritten code without fresh driver evidence).
+    green_rounds = _driver_green_rounds()
+    defer = [n for n in names if n in _DEFER_NEW and n not in green_rounds]
     head = [n for n in names
-            if n not in green_set and n not in _DEFER_NEW]
-    green = [n for n in names
-             if n in green_set and not (n in _DEFER_NEW and n in defer)]
+            if n not in green_rounds and n not in _DEFER_NEW]
+    pos = {n: i for i, n in enumerate(names)}
+    green = sorted(
+        (n for n in names
+         if n in green_rounds and not (n in _DEFER_NEW and n in defer)),
+        key=lambda n: (green_rounds[n], pos[n]),
+    )
     return defer + head + green
 
 
 QUERIES = {n: _restore_session_conf(QUERIES[n]) for n in _driver_order(list(QUERIES))}
-ORACLES = {n: ORACLES[n] for n in _driver_order(list(ORACLES))}
+# keep ORACLES in the exact same relative order as QUERIES (the two dicts
+# may have different original insertion orders, which would otherwise skew
+# the staleness tiebreak between them)
+ORACLES = {n: ORACLES[n] for n in QUERIES if n in ORACLES}

@@ -297,6 +297,7 @@ def _match_at_ex(
     gout: "dict | None" = None,
     max_steps: "int | None" = None,
     pattern_desc: "str | None" = None,
+    strict_budget: bool = False,
 ) -> "tuple[list | None, int]":
     """Greedy backtracking match of ``steps`` against positions
     ``start..`` — returns (per-step position ranges or None,
@@ -368,7 +369,13 @@ def _match_at_ex(
     separately at ``max(max_steps, 64·(n+1)·nsteps)`` — proportional
     to the scan, so a linear pattern over an arbitrarily long skewed
     key never trips it, while a polynomial plain-step blowup
-    (O(n²)+ takes per attempt) still dies. Exceeding either raises
+    (O(n²)+ takes per attempt) still dies. ``strict_budget=True``
+    removes that scan-proportional floor and bounds BOTH axes at
+    ``max_steps`` verbatim — the hard per-attempt latency bound a
+    caller gets by opting in via ``SET
+    'spark.flinkcommons.mr.strict-steps' = 'true'`` (ADVICE r13: with
+    the floor, the conf knob alone cannot tighten plain recursion
+    below ~64·n ticks on a long key). Exceeding either raises
     :class:`MatchStepBudgetExceeded` naming the axis and
     ``pattern_desc`` (the PATTERN text when the SQL front door is the
     caller)."""
@@ -391,7 +398,10 @@ def _match_at_ex(
     # polynomial plain-step blowup (O(n²)+ per attempt — a genuine
     # scale-killer on big keys) still dies with the diagnostic.
     group_left = budget
-    plain_left = max(budget, 64 * (n + 1) * max(1, nsteps))
+    plain_left = (
+        budget if strict_budget
+        else max(budget, 64 * (n + 1) * max(1, nsteps))
+    )
 
     def _raise_budget(axis: str, bound: int) -> None:
         desc = pattern_desc or "(" + " ".join(
@@ -768,12 +778,14 @@ def _match_at(
     gout: "dict | None" = None,
     max_steps: "int | None" = None,
     pattern_desc: "str | None" = None,
+    strict_budget: bool = False,
 ) -> list | None:
     """Greedy backtracking match of ``steps`` against positions
     ``start..`` — returns per-step position ranges, or None."""
     return _match_at_ex(
         masks, steps, start, n, run_ends, failed, dctx, gout=gout,
         max_steps=max_steps, pattern_desc=pattern_desc,
+        strict_budget=strict_budget,
     )[0]
 
 
@@ -1062,6 +1074,7 @@ def match_pattern(
     all_rows: bool = False,
     max_steps: "int | None" = None,
     pattern_desc: "str | None" = None,
+    strict_budget: bool = False,
 ) -> DataFrame:
     """MATCH_RECOGNIZE-style pattern matching over a keyed, ordered
     event table.
@@ -1208,6 +1221,7 @@ def match_pattern(
             hit = _match_at(
                 masks, step_list, i, n_i, run_ends, failed, dctx, gout=gout,
                 max_steps=max_steps, pattern_desc=pattern_desc,
+                strict_budget=strict_budget,
             )
             if hit is None or not any(hit):
                 # no match, or a degenerate all-empty match (every

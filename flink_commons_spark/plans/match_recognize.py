@@ -259,6 +259,58 @@ def _sarith(a, b, fn):
     return fn(a, b)
 
 
+def _mod_scalar(x, y):
+    """SQL MOD(x, y): TRUNCATED remainder taking the DIVIDEND's sign
+    (Java / Flink / Spark semantics) — NOT Python's floor mod, which
+    takes the divisor's sign: ``MOD(-7, 2)`` is ``-1`` here, where
+    Python's ``-7 % 2`` is ``1``. Divisor 0 → NULL in every mode,
+    matching this dialect's non-ANSI ``/ 0`` → NULL."""
+    if y == 0:
+        return None
+    if isinstance(x, float) or isinstance(y, float):
+        import math
+
+        return math.fmod(x, y)
+    # exact for arbitrary-precision ints (no float round-trip)
+    r = abs(x) % abs(y)
+    return -r if x < 0 else r
+
+
+def _mod_vec(a, b):
+    """Vectorized SQL MOD twin of :func:`_mod_scalar` for the
+    per-partition DEFINE/MEASURES path: truncated remainder (dividend's
+    sign), divisor 0 or NULL → NaN. Pure-int inputs stay exact int64
+    unless a zero divisor forces the float64 NaN carrier."""
+    import numpy as np
+    import pandas as pd
+
+    if not isinstance(a, (pd.Series, np.ndarray)) and not isinstance(
+        b, (pd.Series, np.ndarray)
+    ):
+        if a is None or b is None or a != a or b != b:
+            return None
+        return _mod_scalar(a, b)
+    idx = a.index if isinstance(a, pd.Series) else (
+        b.index if isinstance(b, pd.Series) else None
+    )
+    aa = np.asarray(a.to_numpy() if isinstance(a, pd.Series) else a)
+    bb = np.asarray(b.to_numpy() if isinstance(b, pd.Series) else b)
+    if aa.dtype.kind in "iu" and bb.dtype.kind in "iu":
+        bz = bb == 0
+        safe = np.where(bz, 1, bb)
+        r = np.abs(aa) % np.abs(safe)
+        r = np.where(aa < 0, -r, r)
+        out = np.where(bz, np.nan, r.astype(np.float64)) if bz.any() else r
+    else:
+        # object/float inputs: pandas astype maps None → NaN
+        aa = pd.Series(aa.ravel()).astype("float64").to_numpy().reshape(aa.shape)
+        bb = pd.Series(bb.ravel()).astype("float64").to_numpy().reshape(bb.shape)
+        bz = bb == 0
+        with np.errstate(invalid="ignore"):
+            out = np.where(bz, np.nan, np.fmod(aa, np.where(bz, 1.0, bb)))
+    return pd.Series(out, index=idx) if idx is not None else out
+
+
 def _unquote(raw: str) -> str:
     """Unescape a lexed string literal span (both quote forms Spark
     accepts: backslash-escape and ``''`` doubling, plus common
@@ -989,16 +1041,17 @@ class _ExprParser:
             b = self._or()
             self._expect_op(")")
             af, bf = a.fn, b.fn
+            # truncated remainder (Java/Flink/Spark MOD) with divisor-0
+            # → NULL, uniform across the scalar and vectorized modes —
+            # Python's % is floor mod and disagrees on negative
+            # dividends (ADVICE r13)
             if self.mode == "define_dyn":
-                def _mod(x, y):
-                    return None if y == 0 else x % y
-
                 return _Node(
-                    lambda c, af=af, bf=bf: _sarith(af(c), bf(c), _mod),
+                    lambda c, af=af, bf=bf: _sarith(af(c), bf(c), _mod_scalar),
                     _promote(a.typ, b.typ),
                 )
             return _Node(
-                lambda c, af=af, bf=bf: af(c) % bf(c),
+                lambda c, af=af, bf=bf: _mod_vec(af(c), bf(c)),
                 _promote(a.typ, b.typ),
             )
         if fname == "CAST":
@@ -1016,34 +1069,74 @@ class _ExprParser:
                     f"CAST target {tname!r} unsupported (numeric targets "
                     f"only) in {self.text!r}"
                 )
-            to_int = tname in ("INT", "INTEGER", "SMALLINT", "TINYINT",
-                               "BIGINT")
+            int_bits = {"TINYINT": 8, "SMALLINT": 16, "INT": 32,
+                        "INTEGER": 32, "BIGINT": 64}.get(tname)
+            to_int = int_bits is not None
             f = inner.fn
             if self.mode == "define_dyn":
-                def cast_s(c, f=f, to_int=to_int):
+                def cast_s(c, f=f, bits=int_bits):
                     v = f(c)
                     if v is None or v != v:
                         return None
-                    # int cast truncates toward zero (Spark CAST)
-                    return int(v) if to_int else float(v)
+                    if bits is None:
+                        return float(v)
+                    # trunc toward zero + two's-complement wrap to the
+                    # target width (Spark non-ANSI CAST)
+                    m = 1 << bits
+                    w = int(v) & (m - 1)
+                    return w - m if w >= (m >> 1) else w
 
                 return _Node(cast_s, "bigint" if to_int else "double")
 
-            def cast_v(c, f=f, to_int=to_int):
+            def cast_v(c, f=f, bits=int_bits):
                 import numpy as np
                 import pandas as pd
 
                 v = f(c)
                 if isinstance(v, (pd.Series, np.ndarray)):
-                    arr = (
-                        v.astype("float64") if isinstance(v, pd.Series)
-                        else np.asarray(v, dtype=np.float64)
+                    idx = v.index if isinstance(v, pd.Series) else None
+                    arr = np.asarray(
+                        v.to_numpy() if isinstance(v, pd.Series) else v
                     )
-                    # trunc-toward-zero, NaN preserved (NULL)
-                    return np.trunc(arr) if to_int else arr
+                    if bits is None:
+                        out = (
+                            arr.astype(np.float64)
+                            if arr.dtype.kind != "O"
+                            else pd.Series(arr).astype("float64").to_numpy()
+                        )
+                    elif arr.dtype.kind in "iu":
+                        # NaN-free int input: stay exact int64 (no
+                        # float64 round-trip — values >2^53 keep every
+                        # bit, ADVICE r13), wrapping to narrow targets
+                        out = arr.astype(np.int64)
+                        if bits < 64:
+                            out = out.astype(f"int{bits}").astype(np.int64)
+                    else:
+                        farr = (
+                            arr.astype(np.float64)
+                            if arr.dtype.kind != "O"
+                            else pd.Series(arr).astype("float64").to_numpy()
+                        )
+                        nulls = np.isnan(farr)
+                        if nulls.any():
+                            # float64 is the NULL carrier; trunc toward
+                            # zero so integral values flow into the
+                            # declared bigint schema losslessly
+                            out = np.trunc(farr)
+                        else:
+                            out = np.trunc(farr).astype(np.int64)
+                            if bits < 64:
+                                out = out.astype(f"int{bits}").astype(
+                                    np.int64)
+                    return pd.Series(out, index=idx) if idx is not None \
+                        else out
                 if v is None or v != v:
                     return None
-                return int(v) if to_int else float(v)
+                if bits is None:
+                    return float(v)
+                m = 1 << bits
+                w = int(v) & (m - 1)
+                return w - m if w >= (m >> 1) else w
 
             return _Node(cast_v, "bigint" if to_int else "double")
         if fname in _AGG_FNS:
@@ -2076,6 +2169,32 @@ def _conf_max_steps(spark) -> int:
     return v
 
 
+def _conf_strict_steps(spark) -> bool:
+    """``SET 'spark.flinkcommons.mr.strict-steps' = 'true'`` makes
+    ``mr.max-steps`` a HARD per-attempt bound on BOTH budget axes.
+
+    By default the conf value bounds only the group/PERMUTE sub-NFA
+    axis (the exponential one); top-level plain-step recursion gets a
+    scan-proportional floor ``max(budget, 64·(n+1)·nsteps)`` so a
+    legitimate linear pattern over a long skewed key never falsely
+    raises. The floor means the knob alone cannot tighten plain
+    recursion below ~64·n ticks (ADVICE r13) — a caller that wants a
+    deliberate hard latency bound (e.g. an SLA on adversarial input)
+    opts into strict mode, accepting that linear patterns over keys
+    longer than the budget will then raise
+    :class:`operators.cep.MatchStepBudgetExceeded` too."""
+    raw = str(
+        spark.conf.get("spark.flinkcommons.mr.strict-steps", "false")
+    ).strip().lower()
+    if raw in ("true", "1", "yes"):
+        return True
+    if raw in ("false", "0", "no"):
+        return False
+    raise ValueError(
+        f"spark.flinkcommons.mr.strict-steps must be a boolean, got {raw!r}"
+    )
+
+
 def _has_watermark(df) -> bool:
     """Whether the (streaming) frame already carries an event-time
     watermark — redefining one is a Spark error, and a connector table
@@ -2446,6 +2565,7 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
             frame_renames=frame_renames or None,
             max_steps=_conf_max_steps(spark),
             pattern_desc=f"({spec.pattern_text})",
+            strict_budget=_conf_strict_steps(spark),
         )
         for c in dec_out:
             res = res.withColumn(c, F.timestamp_micros(F.col(c)))
@@ -2462,6 +2582,7 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
             all_rows=spec.all_rows,
             max_steps=_conf_max_steps(spark),
             pattern_desc=f"({spec.pattern_text})",
+            strict_budget=_conf_strict_steps(spark),
         )
     view = f"__mr_out_{next(_view_ids)}"
     res.createOrReplaceTempView(view)

@@ -204,6 +204,7 @@ def _scan_closed_prefix(
     gout=None,
     max_steps: "int | None" = None,
     pattern_desc: "str | None" = None,
+    strict_budget: bool = False,
 ):
     """The shared sequential scan over one key's sorted closed prefix —
     the streaming twin of the batch matcher's per-key loop, with the
@@ -316,6 +317,7 @@ def _scan_closed_prefix(
             masks, steps, i, n_i, run_ends, None, dctx, step_bounds,
             undecided_n=n, gout=gout,
             max_steps=max_steps, pattern_desc=pattern_desc,
+            strict_budget=strict_budget,
         )
         # bit 2 (frontier cut) always defers; bit 1 (closed-data end)
         # only while the pattern window is still open — a closed
@@ -649,6 +651,7 @@ def stream_match_pattern(
     durable_match_no: bool = False,
     max_steps: "int | None" = None,
     pattern_desc: "str | None" = None,
+    strict_budget: bool = False,
 ) -> DataFrame:
     """GENERIC watermark-gated streaming MATCH_RECOGNIZE — the
     streaming twin of :func:`operators.cep.match_pattern` with the
@@ -854,6 +857,7 @@ def stream_match_pattern(
                 ),
                 gout=gout,
                 max_steps=max_steps, pattern_desc=pattern_desc,
+                strict_budget=strict_budget,
             )
             keep_from = consumed
             if within_us is not None:

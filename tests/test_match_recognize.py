@@ -1301,6 +1301,81 @@ def test_scalar_functions_and_cast():
         _parse_expr("CAST(A.price AS VARCHAR)")
 
 
+def _parse_expr_cols(text, col_types, mode="define"):
+    from flink_commons_spark.plans.match_recognize import _ExprParser
+
+    return _ExprParser(text, mode, col_types, set(), {"A", "B"}).parse()
+
+
+def test_mod_truncated_remainder_semantics():
+    """MOD follows Java/Flink/Spark truncated-remainder semantics (the
+    result takes the DIVIDEND's sign — MOD(-7, 2) = -1, where Python's
+    floor mod gives 1) and divisor 0 yields NULL uniformly across the
+    scalar (define_dyn) and vectorized modes (ADVICE r13)."""
+    VD = {"v": "bigint", "d": "bigint"}
+    VF = {"v": "double", "d": "double"}
+    # scalar mode: negative dividend / divisor / both, and floats
+    s = lambda e: _parse_expr(e, mode="define_dyn").fn(None)  # noqa: E731
+    assert s("MOD(-7, 2)") == -1
+    assert s("MOD(7, -2)") == 1
+    assert s("MOD(-7, -2)") == -1
+    assert s("MOD(7, 2)") == 1
+    assert s("MOD(-7.5, 2)") == -1.5
+    assert s("MOD(0 - 7, 0)") is None
+    assert s("MOD(NULL, 2)") is None
+    # vectorized int mode: exact int dtype preserved when no zero divisor
+    pdf = pd.DataFrame({"v": [-7, 7, -7, 0], "d": [2, -2, -2, 3]})
+    got = _parse_expr_cols("MOD(A.v, A.d)", VD).fn(pdf)
+    assert got.tolist() == [-1, 1, -1, 0]
+    assert got.dtype.kind == "i"
+    # zero divisor in the batch -> that row NULL, others still exact
+    pdf0 = pd.DataFrame({"v": [-7, 9], "d": [0, 4]})
+    g0 = _parse_expr_cols("MOD(A.v, A.d)", VD).fn(pdf0)
+    assert pd.isna(g0.iloc[0]) and g0.iloc[1] == 1
+    # vectorized float mode (NULL carrier): dividend-sign + NULL rows
+    pdff = pd.DataFrame({"v": [-7.5, 7.5, None], "d": [2.0, 2.0, 2.0]})
+    gf = _parse_expr_cols("MOD(A.v, A.d)", VF).fn(pdff)
+    assert gf.tolist()[:2] == [-1.5, 1.5] and pd.isna(gf.iloc[2])
+    # vectorized column-by-literal (the common DEFINE shape)
+    assert _parse_expr_cols("MOD(A.v, 2) = -1", VD).fn(
+        pd.DataFrame({"v": [-7, -6, 7]})).tolist() == [True, False, False]
+    # exactness above 2^53: no float64 round-trip on the int path
+    big = (1 << 60) + 3
+    pdfb = pd.DataFrame({"v": [big, -big]})
+    assert _parse_expr_cols("MOD(A.v, 7)", VD).fn(pdfb).tolist() == [
+        big % 7, -(big % 7)]
+
+
+def test_cast_int_exactness_and_wrap():
+    """Vectorized CAST to int targets returns exact int64 when the
+    input is NaN-free (no 2^53 float64 precision cliff — ADVICE r13);
+    float64 stays only as the NULL carrier. Narrow targets wrap
+    two's-complement like Spark's non-ANSI CAST."""
+    VD = {"v": "bigint"}
+    VF = {"v": "double"}
+    big = (1 << 60) + 7  # not representable in float64
+    pdf = pd.DataFrame({"v": [big, -big, 5]})
+    got = _parse_expr_cols("CAST(A.v AS BIGINT)", VD).fn(pdf)
+    assert got.dtype.kind == "i"
+    assert got.tolist() == [big, -big, 5]
+    # NaN-free float input -> int64 out (trunc toward zero)
+    pdff = pd.DataFrame({"v": [1.9, -2.7, 3.0]})
+    gf = _parse_expr_cols("CAST(A.v AS INT)", VF).fn(pdff)
+    assert gf.dtype.kind == "i" and gf.tolist() == [1, -2, 3]
+    # NULL present -> float64 carrier, integral values, NaN preserved
+    pdfn = pd.DataFrame({"v": [1.9, None]})
+    gn = _parse_expr_cols("CAST(A.v AS INT)", VF).fn(pdfn)
+    assert gn.tolist()[0] == 1.0 and pd.isna(gn.iloc[1])
+    # two's-complement wrap to the target width, scalar + vector modes
+    assert _parse_expr("CAST(300 AS TINYINT)", mode="define_dyn").fn(
+        None) == 44
+    pdfw = pd.DataFrame({"v": [300, -300, 70000]})
+    assert _parse_expr_cols("CAST(A.v AS TINYINT)", VD).fn(pdfw).tolist() == [
+        44, -44, 112]
+    assert _parse_expr_cols("CAST(A.v AS SMALLINT)", VD).fn(pdfw).tolist() == [
+        300, -300, 4464]
+
+
 def test_case_when_expression():
     """Searched CASE WHEN with SQL three-valued fall-through: an
     UNKNOWN condition skips to the next branch; no ELSE yields NULL."""
