@@ -10477,6 +10477,154 @@ seq AS (
 """
 
 
+def q_match_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 §9.27 ``SUBSET`` union variables — a flagged EXTENSION
+    (Flink 1.16's CEP SQL rejects the clause; ``--strict-compat``
+    rejects it here too, pinned in tests/test_match_recognize.py).
+    ``SUBSET vp = (v, p)`` makes ``vp`` readable wherever a pattern
+    variable is: the MEASURES take FIRST/LAST/SUM/MIN/COUNT(vp.*)
+    over the union of the view and purchase rows, and ``p``'s DEFINE
+    reads a RUNNING aggregate over the union (``SUM(vp.cents)`` with
+    the candidate row tentatively mapped — the standard's running
+    semantics lifted to the union). With the funnel's mutually
+    exclusive predicates the union is exactly {first row, last row}
+    of each match, so DuckDB replays every measure and the DEFINE
+    threshold exactly (``v.cents + p.cents > 9000`` — splits the 93
+    sf0.01 funnel matches roughly in half)."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_events_view(spark, sf_dir, "mr_events_src")
+    return execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, end_us, ends_cents, n_ends,
+               min_end_cents, n_clicks
+        FROM mr_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            MEASURES
+              FIRST(vp.ts_us) AS start_us,
+              LAST(vp.ts_us) AS end_us,
+              SUM(vp.cents) AS ends_cents,
+              COUNT(vp.*) AS n_ends,
+              MIN(vp.cents) AS min_end_cents,
+              COUNT(c.*) AS n_clicks
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v c+ p)
+            SUBSET vp = (v, p)
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              p AS p.event_type = 'purchase' AND SUM(vp.cents) > 9000
+          )
+    """))
+
+
+_MATCH_SUBSET_BODY = """
+isl AS (
+  SELECT user_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type = 'click'
+),
+runs AS (
+  SELECT user_id, min(rn) AS srn, max(rn) AS ern, count(*)::bigint AS n_clicks
+  FROM isl GROUP BY user_id, grp
+)
+SELECT r.user_id, v.ts_us AS start_us, p.ts_us AS end_us,
+       v.cents + p.cents AS ends_cents,
+       CAST(2 AS BIGINT) AS n_ends,
+       least(v.cents, p.cents) AS min_end_cents,
+       r.n_clicks
+FROM runs r
+JOIN seq v ON v.user_id = r.user_id AND v.rn = r.srn - 1
+          AND v.event_type = 'view'
+JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
+          AND p.event_type = 'purchase'
+WHERE v.cents + p.cents > 9000
+"""
+
+_MATCH_SUBSET_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+{_MATCH_SUBSET_BODY}
+"""
+
+
+@_with_stream_shuffle(16)
+def stream_match_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of :func:`q_match_subset`: SUBSET union reads —
+    MEASURES aggregates over the union AND a DEFINE-side running
+    ``SUM(vp.cents)`` — inside the watermark-gated buffered NFA
+    (``streaming/cep_stream.py``). The union segments are built by
+    the same shared measures callable the batch matcher uses, and the
+    DEFINE reads resolve through the per-attempt Step.dyn protocol,
+    so the closed-prefix oracle is the batch oracle filtered to rows
+    below the final watermark."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_stream_events_view(spark, sf_dir, "mr_stream_events_src")
+    out = execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, start_us, end_us, ends_cents, n_ends,
+               min_end_cents, n_clicks
+        FROM mr_stream_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES
+              FIRST(vp.ts_us) AS start_us,
+              LAST(vp.ts_us) AS end_us,
+              SUM(vp.cents) AS ends_cents,
+              COUNT(vp.*) AS n_ends,
+              MIN(vp.cents) AS min_end_cents,
+              COUNT(c.*) AS n_clicks
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v c+ p)
+            SUBSET vp = (v, p)
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              p AS p.event_type = 'purchase' AND SUM(vp.cents) > 9000
+          )
+    """))
+    name = "fcs_stream_mr_subset"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-mrsub-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(name)
+
+
+_STREAM_MATCH_SUBSET_ORACLE = f"""
+WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
+seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+  WHERE epoch_us(ts) // 1000 < (SELECT wm_ms FROM wm)
+),
+{_MATCH_SUBSET_BODY}
+"""
+
+
 _STREAM_MATCH_SUBQUERY_SRC_ORACLE = """
 WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms
             FROM events WHERE event_type <> 'signup'),
@@ -12837,6 +12985,8 @@ QUERIES = {
     "stream_match_permute_quant": stream_match_permute_quant,
     "q_match_permute_empty": q_match_permute_empty,
     "stream_match_permute_empty": stream_match_permute_empty,
+    "q_match_subset": q_match_subset,
+    "stream_match_subset": stream_match_subset,
     "q_match_exclusion": q_match_exclusion,
     "stream_match_exclusion": stream_match_exclusion,
     "stream_match_all_rows": stream_match_all_rows,
@@ -13054,6 +13204,8 @@ ORACLES = {
     "stream_match_permute_quant": _STREAM_MATCH_PERMUTE_QUANT_ORACLE,
     "q_match_permute_empty": _MATCH_PERMUTE_EMPTY_ORACLE,
     "stream_match_permute_empty": _STREAM_MATCH_PERMUTE_EMPTY_ORACLE,
+    "q_match_subset": _MATCH_SUBSET_ORACLE,
+    "stream_match_subset": _STREAM_MATCH_SUBSET_ORACLE,
     "q_match_exclusion": _MATCH_EXCLUSION_ORACLE,
     "stream_match_exclusion": _STREAM_MATCH_EXCLUSION_ORACLE,
     "stream_match_all_rows": _STREAM_MATCH_ALL_ROWS_ORACLE,

@@ -108,7 +108,7 @@ from typing import Any, Callable
 
 import numpy as _np
 
-from flink_commons_spark.operators.cep import _VecSeg, _VecSegs
+from flink_commons_spark.operators.cep import _Seg, _VecSeg, _VecSegs
 
 _MR_RE = re.compile(r"\bMATCH_RECOGNIZE\s*\(", re.IGNORECASE)
 
@@ -127,6 +127,8 @@ _BODY_RE = re.compile(
     r"|TO\s+(?:FIRST\s+|LAST\s+)?\w+))\s+)?"
     r"PATTERN\s*\(\s*(?P<pat>(?:[^()]|\([^()]*\))*?)\s*\)\s*"
     r"(?:WITHIN\s+INTERVAL\s+'(?P<wn>\d+)'\s+(?P<wu>SECOND|MINUTE|HOUR|DAY)S?\s*)?"
+    r"(?:SUBSET\s+(?P<subset>\w+\s*=\s*\([^)]*\)"
+    r"(?:\s*,\s*\w+\s*=\s*\([^)]*\))*)\s+)?"
     r"DEFINE\s+(?P<def>.*?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -337,6 +339,192 @@ def _kleene_not(v: "bool | None") -> "bool | None":
     return None if v is None else (not v)
 
 
+# -- vectorized three-valued machinery (round 14). The per-partition
+# ("define"/"measures") compile paths used to collapse UNKNOWN to False
+# inside every boolean node, which is correct at the mask CONSUMER
+# (a row matches iff the predicate is definitely TRUE) but wrong one
+# level up: ``NOT (A.x = 3)`` with NULL x collapsed to NOT False = True
+# where SQL says NOT UNKNOWN = UNKNOWN (reject). Boolean nodes over
+# pandas inputs therefore now carry a NULLABLE boolean Series
+# (``dtype="boolean"``), whose ``& | ~`` operators implement Kleene
+# logic natively; every existing consumer already coerces with
+# ``.to_numpy(dtype=bool, na_value=False)``. Plain ndarray inputs (the
+# ALL ROWS measures arrays) keep the 2-valued fast path.
+
+def _is_vec(v) -> bool:
+    import numpy as np
+    import pandas as pd
+
+    return isinstance(v, (pd.Series, np.ndarray))
+
+
+def _null_scalar(v) -> bool:
+    return not _is_vec(v) and (v is None or v != v)
+
+
+def _kmask(t, u, index):
+    """Nullable-boolean mask from definite-truth ``t`` and unknown
+    ``u`` (bool ndarrays); plain 2-valued ndarray when no pandas index
+    is in play (the ALL ROWS measures path keeps its old contract)."""
+    import pandas as pd
+
+    if index is None:
+        return t
+    if not u.any():
+        return pd.Series(t, index=index)
+    arr = pd.array(t, dtype="boolean")
+    arr[u] = pd.NA
+    return pd.Series(arr, index=index)
+
+
+def _vcmp(a, b, fn):
+    """Vectorized SQL comparison: elementwise ``fn`` with NULL (None /
+    NaN, either side, scalar or element) → UNKNOWN (pd.NA)."""
+    import numpy as np
+    import pandas as pd
+
+    a_vec, b_vec = _is_vec(a), _is_vec(b)
+    if not a_vec and not b_vec:
+        return _scmp(a, b, fn)
+    idx = a.index if isinstance(a, pd.Series) else (
+        b.index if isinstance(b, pd.Series) else None
+    )
+    av = np.asarray(a.to_numpy() if isinstance(a, pd.Series) else a) \
+        if a_vec else a
+    bv = np.asarray(b.to_numpy() if isinstance(b, pd.Series) else b) \
+        if b_vec else b
+    nrow = len(av) if a_vec else len(bv)
+    if _null_scalar(a) or _null_scalar(b):
+        return _kmask(np.zeros(nrow, bool), np.ones(nrow, bool), idx)
+    ua = np.asarray(pd.isna(av), bool) if a_vec else np.zeros(nrow, bool)
+    ub = np.asarray(pd.isna(bv), bool) if b_vec else np.zeros(nrow, bool)
+    u = ua | ub
+    # ordering comparisons raise on object arrays holding None — fill
+    # nulls with a sentinel matching the non-null value type (the
+    # result there is overwritten to NA anyway)
+    def fill(arr, mask):
+        nn = arr[~mask]
+        sent = "" if (len(nn) and isinstance(nn[0], str)) else 0
+        out = arr.copy()
+        out[mask] = sent
+        return out
+
+    if a_vec and av.dtype == object and ua.any():
+        av = fill(av, ua)
+    if b_vec and bv.dtype == object and ub.any():
+        bv = fill(bv, ub)
+    with np.errstate(invalid="ignore"):  # NaN comparisons warn, not us
+        t = np.asarray(fn(av, bv), dtype=bool) & ~u
+    return _kmask(t, u, idx)
+
+
+def _tri_nan(v) -> "bool | None":
+    """Scalar to three-valued: None/NaN → UNKNOWN."""
+    return None if (v is None or v != v) else bool(v)
+
+
+def _as_kleene(v):
+    """Normalize a vector operand for Kleene ``& | ~`` against pd.NA."""
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, pd.Series):
+        return v if v.dtype == "boolean" else v.astype("boolean")
+    if isinstance(v, np.ndarray):
+        return pd.array(v, dtype="boolean")
+    return v
+
+
+def _kand_vec(a, b):
+    import pandas as pd
+
+    if not _is_vec(a) and not _is_vec(b):
+        return _kleene_and(_tri_nan(a), _tri_nan(b))
+    if _null_scalar(a) or _null_scalar(b):
+        vec = b if _is_vec(b) else a
+        return _as_kleene(vec) & pd.NA
+    return a & b
+
+
+def _kor_vec(a, b):
+    import pandas as pd
+
+    if not _is_vec(a) and not _is_vec(b):
+        a, b = _tri_nan(a), _tri_nan(b)
+        if a is True or b is True:
+            return True
+        return None if (a is None or b is None) else False
+    if _null_scalar(a) or _null_scalar(b):
+        vec = b if _is_vec(b) else a
+        return _as_kleene(vec) | pd.NA
+    return a | b
+
+
+def _knot_vec(v):
+    if not _is_vec(v):
+        return _kleene_not(_tri_nan(v))
+    return ~v  # Kleene for nullable boolean, 2-valued for plain bool
+
+
+_ARITH_OPS = {}
+
+
+def _varith(a, b, kind):
+    """Vectorized SQL arithmetic (+ - * /): NULL (None/NaN, scalar or
+    element) propagates; ``/ 0`` → NULL (non-ANSI, DuckDB parity —
+    scalar twin :func:`_sarith`). Non-division integer inputs keep
+    their exact dtype (NaN-free int64 stays int64)."""
+    import operator as _op
+
+    import numpy as np
+    import pandas as pd
+
+    a_vec, b_vec = _is_vec(a), _is_vec(b)
+    if not a_vec and not b_vec:
+        if a is None or b is None or a != a or b != b:
+            return None
+        if kind == "/":
+            return None if b == 0 else a / b
+        return {"+": _op.add, "-": _op.sub, "*": _op.mul}[kind](a, b)
+    idx = a.index if isinstance(a, pd.Series) else (
+        b.index if isinstance(b, pd.Series) else None
+    )
+    nrow = len(a) if a_vec else len(b)
+    if _null_scalar(a) or _null_scalar(b):
+        out = np.full(nrow, np.nan)
+        return pd.Series(out, index=idx) if idx is not None else out
+
+    def flt(v):
+        if isinstance(v, pd.Series):
+            return v.astype("float64").to_numpy()
+        if isinstance(v, np.ndarray):
+            return (
+                pd.Series(v).astype("float64").to_numpy()
+                if v.dtype == object else v.astype(np.float64)
+            )
+        return float(v)
+
+    if kind == "/":
+        aa, bb = flt(a), flt(b)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.true_divide(aa, np.where(bb == 0, np.nan, bb))
+        return pd.Series(out, index=idx) if idx is not None else out
+    # object carriers (e.g. a CASE with no ELSE) need the float path;
+    # native numeric dtypes keep numpy semantics (int exactness, NaN
+    # propagation)
+    obj = (a_vec and np.asarray(
+        a.to_numpy() if isinstance(a, pd.Series) else a
+    ).dtype == object) or (b_vec and np.asarray(
+        b.to_numpy() if isinstance(b, pd.Series) else b
+    ).dtype == object)
+    if obj:
+        out = {"+": _op.add, "-": _op.sub, "*": _op.mul}[kind](
+            flt(a), flt(b)
+        )
+        return pd.Series(out, index=idx) if idx is not None else out
+    return {"+": _op.add, "-": _op.sub, "*": _op.mul}[kind](a, b)
+
+
 @dataclass
 class _Node:
     """A compiled (sub)expression: ``fn(ctx)`` → value, plus the Spark
@@ -362,7 +550,8 @@ class _ExprParser:
                  used_cols: set, variables: set,
                  part_cols: "frozenset | set" = frozenset(),
                  def_var: "str | None" = None,
-                 all_rows: bool = False):
+                 all_rows: bool = False,
+                 subsets: "dict[str, tuple] | None" = None):
         self.toks = _tokenize(text)
         self.i = 0
         self.mode = mode
@@ -377,6 +566,10 @@ class _ExprParser:
         self.max_prev = 0  # deepest PREV offset (streaming ctx_rows)
         self.max_next = 0  # deepest NEXT offset
         self._nav_depth = 0  # >0 while parsing a PREV/NEXT argument
+        #: SQL:2016 SUBSET union variables (name → member tuple); the
+        #: names are already in ``variables`` — this map tells the
+        #: aggregate/column compilers to read the members' UNION
+        self.subsets = subsets or {}
         self.text = text
 
     # -- token helpers
@@ -435,7 +628,10 @@ class _ExprParser:
 
                 node = _Node(kor, "boolean")
             else:
-                node = _Node(lambda c, lf=lf, rf=rf: lf(c) | rf(c), "boolean")
+                node = _Node(
+                    lambda c, lf=lf, rf=rf: _kor_vec(lf(c), rf(c)),
+                    "boolean",
+                )
         return node
 
     def _and(self) -> _Node:
@@ -456,7 +652,10 @@ class _ExprParser:
 
                 node = _Node(kand, "boolean")
             else:
-                node = _Node(lambda c, lf=lf, rf=rf: lf(c) & rf(c), "boolean")
+                node = _Node(
+                    lambda c, lf=lf, rf=rf: _kand_vec(lf(c), rf(c)),
+                    "boolean",
+                )
         return node
 
     def _not(self) -> _Node:
@@ -469,7 +668,7 @@ class _ExprParser:
                     return None if v is None else (not v)
 
                 return _Node(knot, "boolean")
-            return _Node(lambda c, f=f: ~f(c), "boolean")
+            return _Node(lambda c, f=f: _knot_vec(f(c)), "boolean")
         return self._predicate()
 
     def _predicate(self) -> _Node:
@@ -547,7 +746,10 @@ class _ExprParser:
                 lambda c, lf=lf, rf=rf, fn=fn: _scmp(lf(c), rf(c), fn),
                 "boolean",
             )
-        return _Node(lambda c, lf=lf, rf=rf, fn=fn: fn(lf(c), rf(c)), "boolean")
+        return _Node(
+            lambda c, lf=lf, rf=rf, fn=fn: _vcmp(lf(c), rf(c), fn),
+            "boolean",
+        )
 
     # -- postfix predicates (round 13): [NOT] BETWEEN / IN / LIKE.
     # Null semantics are EXACT three-valued logic in every mode (the
@@ -585,26 +787,43 @@ class _ExprParser:
             ):  # scalar context (measures under ONE ROW PER MATCH)
                 r = _kleene_and(_scmp(x, a, _op.ge), _scmp(x, b, _op.le))
                 return _kleene_not(r) if neg else r
+            # the row count comes from WHICHEVER operand is vectorized —
+            # the test value may itself be a scalar (literal) while a
+            # bound is the column, e.g. ``3 BETWEEN A.x AND 5``
+            nrow = len(next(
+                v for v in (x, a, b)
+                if isinstance(v, (pd.Series, np.ndarray))
+            ))
+
+            def _null_scalar(v):
+                return not isinstance(v, (pd.Series, np.ndarray)) and (
+                    v is None or v != v
+                )
+
             def leg(bound, op):
-                # a NULL literal bound: the leg is UNKNOWN everywhere
-                # (pandas would raise comparing a Series to None)
-                if not isinstance(bound, (pd.Series, np.ndarray)) and (
-                    bound is None or bound != bound
-                ):
-                    nrow = len(x)
+                # a NULL scalar on either side: the leg is UNKNOWN
+                # everywhere (pandas would raise comparing to None)
+                if _null_scalar(bound) or _null_scalar(x):
                     return np.zeros(nrow, bool), np.ones(nrow, bool)
                 t = np.asarray(op(x, bound), dtype=bool)  # NaN → False
                 u = np.asarray(pd.isna(x) | pd.isna(bound), dtype=bool)
+                if t.ndim == 0:  # scalar-scalar leg beside a vector leg
+                    t = np.full(nrow, bool(t))
+                    u = np.full(nrow, bool(u))
                 return t, u
 
             t_ge, u_ge = leg(a, _op.ge)
             t_le, u_le = leg(b, _op.le)
+            both_true = t_ge & t_le
+            # a leg DEFINITELY false decides FALSE regardless of the
+            # other leg's UNKNOWN (Kleene AND)
+            def_false = (~t_ge & ~u_ge) | (~t_le & ~u_le)
             if not neg:
-                r = t_ge & t_le
+                t, f = both_true, def_false
             else:
-                # NOT BETWEEN is TRUE only where a leg is DEFINITE false
-                r = (~t_ge & ~u_ge) | (~t_le & ~u_le)
-            return pd.Series(r, index=c.index) if hasattr(c, "index") else r
+                t, f = def_false, both_true
+            idx = c.index if hasattr(c, "index") else None
+            return _kmask(t, ~t & ~f, idx)
 
         return _Node(bt, "boolean")
 
@@ -615,10 +834,20 @@ class _ExprParser:
         vals: list = []
         while True:
             k, v = self._next()
+            # signed numeric literal (IN (-7, 2) — Flink/Spark accept)
+            sign = 1
+            if (k, v) == ("op", "-"):
+                sign = -1
+                k, v = self._next()
             if k == "num":
-                vals.append(
+                vals.append(sign * (
                     float(v) if ("." in v or "e" in v or "E" in v)
                     else int(v)
+                ))
+            elif sign == -1:
+                raise ValueError(
+                    f"IN list supports literals only, got '-{v}' in "
+                    f"{self.text!r}"
                 )
             elif k == "str":
                 vals.append(_unquote(v))
@@ -649,8 +878,10 @@ class _ExprParser:
 
             x = xf(c)
             if isinstance(x, pd.Series):
-                m = x.isin(vals)
-                return (~m & x.notna()) if neg else m
+                m = x.isin(vals).to_numpy()
+                u = x.isna().to_numpy()
+                t = (~m & ~u) if neg else (m & ~u)
+                return _kmask(t, u, x.index)  # NULL test value → UNKNOWN
             if isinstance(x, np.ndarray):
                 m = pd.Series(x).isin(vals).to_numpy()
                 return (~m & ~pd.isna(x)) if neg else m
@@ -691,8 +922,10 @@ class _ExprParser:
 
             x = xf(c)
             if isinstance(x, pd.Series):
-                m = x.str.fullmatch(rx) == True  # noqa: E712 — None→False
-                return (~m & x.notna()) if neg else m
+                m = (x.str.fullmatch(rx) == True).to_numpy()  # noqa: E712
+                u = x.isna().to_numpy()
+                t = (~m & ~u) if neg else (m & ~u)
+                return _kmask(t, u, x.index)  # NULL test value → UNKNOWN
             if isinstance(x, np.ndarray):
                 s = pd.Series(x)
                 m = (s.str.fullmatch(rx) == True).to_numpy()  # noqa: E712
@@ -716,7 +949,7 @@ class _ExprParser:
             if dyn:
                 f = lambda c, lf=lf, rf=rf, b=base: _sarith(lf(c), rf(c), b)  # noqa: E731
             else:
-                f = lambda c, lf=lf, rf=rf, b=base: b(lf(c), rf(c))  # noqa: E731
+                f = lambda c, lf=lf, rf=rf, o=op: _varith(lf(c), rf(c), o)  # noqa: E731
             node = _Node(f, _promote(node.typ, rhs.typ))
         return node
 
@@ -744,7 +977,7 @@ class _ExprParser:
 
                     f = lambda c, lf=lf, rf=rf: _sarith(lf(c), rf(c), _op.mul)  # noqa: E731
                 else:
-                    f = lambda c, lf=lf, rf=rf: lf(c) * rf(c)  # noqa: E731
+                    f = lambda c, lf=lf, rf=rf: _varith(lf(c), rf(c), "*")  # noqa: E731
                 t = _promote(node.typ, rhs.typ)
             else:  # SQL '/' on any numeric input is double division
                 if dyn:
@@ -753,7 +986,7 @@ class _ExprParser:
 
                     f = lambda c, lf=lf, rf=rf, d=_div: _sarith(lf(c), rf(c), d)  # noqa: E731
                 else:
-                    f = lambda c, lf=lf, rf=rf: lf(c) / rf(c)  # noqa: E731
+                    f = lambda c, lf=lf, rf=rf: _varith(lf(c), rf(c), "/")  # noqa: E731
                 t = "double"
             node = _Node(f, t)
         return node
@@ -766,7 +999,9 @@ class _ExprParser:
                 return _Node(
                     lambda c, f=f: None if f(c) is None else -f(c), inner.typ
                 )
-            return _Node(lambda c, f=f: -f(c), inner.typ)
+            return _Node(
+                lambda c, f=f: None if f(c) is None else -f(c), inner.typ
+            )
         if self._accept_op("("):
             node = self._or()
             self._expect_op(")")
@@ -1264,15 +1499,17 @@ class _ExprParser:
                 lambda d: sum(len(a) for a in d.asg.values()), "bigint"
             )
         if count_kind == "V*":
+            getter = self._dyn_pos(var)
             return _Node(
-                lambda d, var=var: len(d.asg.get(var) or ()), "bigint"
+                lambda d, g=getter: len(g(d) or ()), "bigint"
             )
+        getter = self._dyn_pos(var)
         # FIRST/LAST resolve to one physical row; an enclosing PREV/
         # NEXT then shifts that row by d.off (bounds → NULL), matching
         # the standard's nested-navigation semantics
         if fname == "FIRST":
-            def first(d, var=var, col=col, n=n):
-                a = d.asg.get(var)
+            def first(d, g=getter, col=col, n=n):
+                a = g(d)
                 if not a or len(a) <= n:
                     return None
                 i = a[n] - d.off
@@ -1281,8 +1518,8 @@ class _ExprParser:
 
             return _Node(first, ctype)
         if fname == "LAST":
-            def last(d, var=var, col=col, n=n):
-                a = d.asg.get(var)
+            def last(d, g=getter, col=col, n=n):
+                a = g(d)
                 if not a or len(a) <= n:
                     return None
                 i = a[-1 - n] - d.off
@@ -1291,8 +1528,8 @@ class _ExprParser:
 
             return _Node(last, ctype)
 
-        def _vals(d, var=var, col=col):
-            a = d.asg.get(var)
+        def _vals(d, g=getter, col=col):
+            a = g(d)
             if not a:
                 return None
             # .tolist() → plain Python scalars (np.int64 results would
@@ -1327,6 +1564,32 @@ class _ExprParser:
     def _check_var(self, var: str) -> None:
         if var not in self.variables:
             raise ValueError(f"unknown pattern variable {var!r}")
+
+    def _dyn_pos(self, var: str):
+        """define_dyn position-list resolver. A plain variable reads
+        ``d.asg`` directly; a SUBSET union variable merges its
+        members' mapped rows ascending (members are disjoint — each
+        row maps to exactly one pattern variable) with RUNNING
+        semantics: the union of the rows mapped SO FAR in the current
+        attempt, exactly the per-member semantics SQL:2016 §9.27
+        prescribes lifted to the union."""
+        members = self.subsets.get(var)
+        if members is None:
+            return lambda d, v=var: d.asg.get(v)
+
+        def merged(d, ms=members):
+            parts = [a for m in ms if (a := d.asg.get(m))]
+            if not parts:
+                return None
+            if len(parts) == 1:
+                return parts[0]
+            out: list = []
+            for a in parts:
+                out.extend(a)
+            out.sort()
+            return out
+
+        return merged
 
     def _col_type(self, col: str) -> str:
         if col not in self.col_types:
@@ -1368,8 +1631,10 @@ class _ExprParser:
                     if self.def_var is None or varu == self.def_var:
                         return self._dyn_cur(col, ctype)
 
-                    def vlast_d(d, var=varu, col=col):
-                        a = d.asg.get(var)
+                    _getter = self._dyn_pos(varu)
+
+                    def vlast_d(d, g=_getter, col=col):
+                        a = g(d)
                         if not a:
                             return None
                         # ≡ LAST(V.col, 0); an enclosing PREV/NEXT
@@ -1431,6 +1696,11 @@ class MatchRecognizeSpec:
     #: raw PATTERN clause text — named in the step-budget diagnostic
     #: (``operators.cep.MatchStepBudgetExceeded``)
     pattern_text: str = ""
+    #: SQL:2016 §9.27 SUBSET union variables: name → member pattern
+    #: variables. A flagged EXTENSION (Flink 1.16 rejects SUBSET);
+    #: measures/DEFINE aggregates over a subset read the positional
+    #: UNION of its members' matched rows.
+    subsets: "dict[str, tuple]" = field(default_factory=dict)
 
 
 def _skip_span(sql: str, i: int) -> int:
@@ -1812,6 +2082,55 @@ def parse_match_recognize(
         for c in children
     }
 
+    # SUBSET union variables (SQL:2016 §9.27) — a flagged EXTENSION:
+    # Flink 1.16's CEP SQL rejects the clause, so --strict-compat does
+    # too. Members must be declared pattern variables (alternation/
+    # group members included — their per-member segments exist); the
+    # union name must be fresh.
+    subsets: "dict[str, tuple]" = {}
+    if bm.group("subset"):
+        if strict_compat:
+            raise ValueError(
+                "SUBSET is disabled under --strict-compat (Flink CEP "
+                "SQL rejects union variables); drop the flag to use "
+                "the SQL:2016 extension"
+            )
+        spos = 0
+        sub_text = bm.group("subset")
+        for sdef in re.finditer(
+            r"(?P<n>\w+)\s*=\s*\(\s*(?P<ms>\w+(?:\s*,\s*\w+)*)\s*\)"
+            r"\s*,?\s*",
+            sub_text,
+        ):
+            if sub_text[spos:sdef.start()].strip():
+                raise ValueError(
+                    f"cannot parse SUBSET clause near "
+                    f"{sub_text[spos:sdef.start()].strip()!r}"
+                )
+            spos = sdef.end()
+            sname = sdef.group("n").upper()
+            if sname in variables or sname in subsets:
+                raise ValueError(
+                    f"SUBSET name {sname!r} collides with a pattern "
+                    "variable or another subset"
+                )
+            members_s = tuple(
+                x.strip().upper() for x in sdef.group("ms").split(",")
+            )
+            unknown = [x for x in members_s if x not in variables]
+            if unknown:
+                raise ValueError(
+                    f"SUBSET {sname!r} references unknown pattern "
+                    f"variables {unknown}"
+                )
+            subsets[sname] = members_s
+        if sub_text[spos:].strip():
+            raise ValueError(
+                f"cannot parse SUBSET clause near "
+                f"{sub_text[spos:].strip()!r}"
+            )
+    expr_vars = variables | set(subsets)
+
     used_cols: set = set()
     max_prev = 0
     var_next: dict[str, int] = {}  # per-variable deepest NEXT offset
@@ -1834,13 +2153,15 @@ def parse_match_recognize(
         for conj in _split_top_and(dm.group("cond")):
             try:
                 dparser = _ExprParser(conj, "define", col_types,
-                                      used_cols, variables, def_var=var)
+                                      used_cols, expr_vars, def_var=var,
+                                      subsets=subsets)
                 static_fns.append(dparser.parse().fn)
             except _NeedsMatchState:
                 # reads match state (cross-variable columns, FIRST/
                 # LAST, running aggregates) — Step.dyn protocol
                 dparser = _ExprParser(conj, "define_dyn", col_types,
-                                      used_cols, variables, def_var=var)
+                                      used_cols, expr_vars, def_var=var,
+                                      subsets=subsets)
                 dyn_fns.append(dparser.parse().fn)
             max_prev = max(max_prev, dparser.max_prev)
             var_next[var] = max(var_next.get(var, 0), dparser.max_next)
@@ -1851,7 +2172,7 @@ def parse_match_recognize(
                 def _mask_and(pdf, fns=tuple(static_fns)):
                     m = fns[0](pdf)
                     for f in fns[1:]:
-                        m = m & f(pdf)
+                        m = _kand_vec(m, f(pdf))  # scalar-safe Kleene
                     return m
 
                 base_fn = _mask_and
@@ -1987,8 +2308,8 @@ def parse_match_recognize(
         if not mm:
             raise ValueError(f"MEASURES entry needs 'expr AS name': {clause!r}")
         parser = _ExprParser(mm.group("expr"), "measures", col_types,
-                             used_cols, variables, part_set,
-                             all_rows=all_rows)
+                             used_cols, expr_vars, part_set,
+                             all_rows=all_rows, subsets=subsets)
         node = parser.parse()
         needs_last_row = needs_last_row or parser.needs_last_row
         mname = mm.group("name").strip("`")
@@ -2052,6 +2373,7 @@ def parse_match_recognize(
         all_rows=all_rows,
         excluded=excluded,
         pattern_text=pat_text,
+        subsets=subsets,
     )
 
 
@@ -2329,6 +2651,38 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
     }
 
     needs_last_row = spec.needs_last_row
+    subset_items = tuple(spec.subsets.items())
+
+    def _add_subset_segs(segs: dict) -> None:
+        """Register one union segment per SUBSET variable (SQL:2016
+        §9.27): the members' matched positions merged ascending —
+        members map DISJOINT row sets, so a sorted concat IS the
+        union. Runs per match only when the query declares SUBSET;
+        both the batch matcher and the streaming scan hand the same
+        ``_Seg`` segments here, so one hook covers both engines, and
+        ``_VecSegs`` (ALL ROWS) wraps the union lazily like any
+        plain variable."""
+        for sname, members in subset_items:
+            parts = []
+            cols = None
+            for m in members:
+                seg = segs[m]
+                cols = seg._cols
+                r = seg._rng
+                if not len(r):
+                    continue
+                parts.append(
+                    _np.arange(r.start, r.stop, dtype=_np.int64)
+                    if type(r) is range
+                    else _np.asarray(r, dtype=_np.int64)
+                )
+            if not parts:
+                pos = _np.empty(0, dtype=_np.int64)
+            elif len(parts) == 1:
+                pos = parts[0]
+            else:
+                pos = _np.sort(_np.concatenate(parts))
+            segs[sname] = _Seg(cols, pos)
 
     def _last_classifier(segs: dict) -> "str | None":
         """Variable name of the match's LAST row (pattern order; an
@@ -2349,6 +2703,8 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
         return None
 
     def measures_fn(key: tuple, segs: dict) -> dict:
+        if subset_items:
+            _add_subset_segs(segs)
         key_map = dict(zip(key_cols, key))
         last_row = None
         if needs_last_row:
@@ -2390,6 +2746,8 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
         src_cols = [c for c in src_df.columns]
 
         def _emit_all_rows(key: tuple, segs: dict, n_match: int):
+            if subset_items:
+                _add_subset_segs(segs)
             key_map = dict(zip(key_cols, key))
             cols = next(iter(segs.values()))._cols
             pos_parts = []

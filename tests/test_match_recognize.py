@@ -1228,7 +1228,10 @@ def test_predicate_keywords_between_in_like():
     })
 
     def run(expr):
-        return _parse_expr(expr).fn(pdf).tolist()
+        # coerce like the engine's mask consumers: UNKNOWN (pd.NA on
+        # the nullable-boolean Kleene mask) rejects
+        return pd.Series(_parse_expr(expr).fn(pdf)).to_numpy(
+            dtype=bool, na_value=False).tolist()
 
     assert run("A.price BETWEEN 2 AND 5") == [False, True, False, False]
     assert run("A.price NOT BETWEEN 2 AND 5") == [True, False, True, False]
@@ -1245,7 +1248,7 @@ def test_predicate_keywords_between_in_like():
     assert run("A.event_type NOT LIKE 'v%'") == [False, True, False, False]
     assert run("A.event_type LIKE 'v_ew'") == [True, False, False, False]
     # regex metacharacters in the pattern are literal
-    assert _parse_expr("A.event_type LIKE 'v.ew'").fn(pdf).tolist() == [
+    assert run("A.event_type LIKE 'v.ew'") == [
         False, False, False, False]
     with pytest.raises(ValueError, match="literals only"):
         _parse_expr("A.event_type IN (A.user_id)")
@@ -1280,18 +1283,19 @@ def test_scalar_functions_and_cast():
         "price": [1.9, -2.7, None],
         "user_id": [10, 3, 4],
     })
-    assert _parse_expr("UPPER(A.event_type) = 'VIEW'").fn(pdf).tolist() \
-        == [True, False, False]
-    assert _parse_expr("LOWER(A.event_type) = 'click'").fn(pdf).tolist() \
-        == [False, True, False]
-    assert _parse_expr("CHAR_LENGTH(A.event_type) = 5").fn(pdf).tolist() \
-        == [False, True, False]
-    assert _parse_expr("MOD(A.user_id, 2) = 0").fn(pdf).tolist() \
-        == [True, False, True]
+    def mask(expr):
+        # UNKNOWN (pd.NA) rejects, the engine's consumer stance
+        return pd.Series(_parse_expr(expr).fn(pdf)).to_numpy(
+            dtype=bool, na_value=False).tolist()
+
+    assert mask("UPPER(A.event_type) = 'VIEW'") == [True, False, False]
+    assert mask("LOWER(A.event_type) = 'click'") == [False, True, False]
+    assert mask("CHAR_LENGTH(A.event_type) = 5") == [False, True, False]
+    assert mask("MOD(A.user_id, 2) = 0") == [True, False, True]
     got = _parse_expr("CAST(A.price AS INT)").fn(pdf)
     assert got.tolist()[:2] == [1.0, -2.0] and pd.isna(got.tolist()[2])
-    assert _parse_expr("CAST(A.user_id AS DOUBLE) / 4 = 2.5").fn(
-        pdf).tolist() == [True, False, False]
+    assert mask("CAST(A.user_id AS DOUBLE) / 4 = 2.5") == [
+        True, False, False]
     # scalar mode twins
     assert _parse_expr("UPPER('ab')", mode="define_dyn").fn(None) == "AB"
     assert _parse_expr("CAST(NULL AS INT)", mode="define_dyn").fn(None) is None
@@ -1426,3 +1430,121 @@ def test_new_predicates_through_mr_sql(spark):
         )""").collect()
     assert len(out) == 1
     assert out[0].n_c == 2 and out[0].size_cls == "big"
+
+
+# ---------------------------------------------------------------------
+# SUBSET union variables (SQL:2016 §9.27) — round 14 flagged extension
+# ---------------------------------------------------------------------
+
+
+def _subset_frame(spark):
+    pdf = pd.DataFrame({
+        "k": ["a"] * 8,
+        "ts": list(range(8)),
+        "v": [10, 1, 2, 20, 3, 30, 4, 40],
+    })
+    spark.createDataFrame(pdf).createOrReplaceTempView("mr_subset_t")
+
+
+def test_subset_measures_union(spark):
+    """MEASURES over a SUBSET read the positional UNION of the member
+    rows: FIRST/LAST span members, SUM/AVG/COUNT aggregate both."""
+    _subset_frame(spark)
+    out = execute_match_recognize(spark, """
+        SELECT * FROM mr_subset_t MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY ts
+          MEASURES FIRST(u.v) AS u_first, LAST(u.v) AS u_last,
+                   SUM(u.v) AS u_sum, COUNT(u.*) AS u_n,
+                   AVG(u.v) AS u_avg, u.v AS u_col
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+ C)
+          SUBSET u = (A, C)
+          DEFINE A AS A.v >= 10, B AS B.v < 10, C AS C.v >= 10
+        )""").orderBy("u_first").collect()
+    assert [tuple(r)[1:] for r in out] == [
+        (10, 20, 30, 2, 15.0, 20),
+        (30, 40, 70, 2, 35.0, 40),
+    ]
+
+
+def test_subset_define_running_aggregate(spark):
+    """A DEFINE reading ``SUM(subset.col)`` sees the RUNNING union —
+    members mapped so far plus the candidate row for its own member
+    variable. Threshold 35 fails the first attempt (10+20=30), and
+    the scan then finds the overlapping (20, 3, 30) match starting at
+    the failed attempt's C row — 20+30=50 passes; the tail (4, 40)
+    has no B+ run, so exactly one match survives."""
+    _subset_frame(spark)
+    out = execute_match_recognize(spark, """
+        SELECT * FROM mr_subset_t MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY ts
+          MEASURES LAST(u.v) AS ulast
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+ C)
+          SUBSET u = (A, C)
+          DEFINE A AS A.v >= 10, B AS B.v < 10,
+                 C AS C.v >= 10 AND SUM(u.v) > 35
+        )""").collect()
+    assert [r.ulast for r in out] == [30]
+    # and the union's LAST inside DEFINE: the last row mapped to any
+    # member so far (A's row while C evaluates its candidate)
+    out = execute_match_recognize(spark, """
+        SELECT * FROM mr_subset_t MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY ts
+          MEASURES FIRST(u.v) AS ufirst
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+ C)
+          SUBSET u = (A, C)
+          DEFINE A AS A.v >= 10, B AS B.v < 10,
+                 C AS C.v > LAST(u.v, 1)
+        )""").collect()
+    # LAST(u.v, 1): candidate C included -> offset 1 is A's row;
+    # 20 > 10 and 40 > 30 -> both matches survive
+    assert sorted(r.ufirst for r in out) == [10, 30]
+
+
+def test_subset_all_rows_running_final(spark):
+    """ALL ROWS PER MATCH: subset aggregates get the vectorized
+    RUNNING prefix view and FINAL spans the whole match."""
+    _subset_frame(spark)
+    out = execute_match_recognize(spark, """
+        SELECT * FROM mr_subset_t MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY ts
+          MEASURES SUM(u.v) AS run_sum, FINAL SUM(u.v) AS fin_sum,
+                   COUNT(u.*) AS run_n
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+ C)
+          SUBSET u = (A, C)
+          DEFINE A AS A.v >= 10, B AS B.v < 10, C AS C.v >= 10
+        )""").orderBy("ts").collect()
+    assert [(r.run_sum, r.fin_sum, r.run_n) for r in out] == [
+        (10, 30, 1), (10, 30, 1), (10, 30, 1), (30, 30, 2),
+        (30, 70, 1), (30, 70, 1), (70, 70, 2),
+    ]
+
+
+def test_subset_parse_errors(spark):
+    _subset_frame(spark)
+    base = """
+        SELECT * FROM mr_subset_t MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY ts
+          MEASURES COUNT(*) AS n
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+)
+          SUBSET {subset}
+          DEFINE A AS A.v >= 10, B AS B.v < 10
+        )"""
+    with pytest.raises(ValueError, match="unknown pattern variables"):
+        execute_match_recognize(spark, base.format(subset="u = (A, Z)"))
+    with pytest.raises(ValueError, match="collides"):
+        execute_match_recognize(spark, base.format(subset="A = (B)"))
+    with pytest.raises(ValueError, match="collides"):
+        execute_match_recognize(
+            spark, base.format(subset="u = (A), u = (B)")
+        )
+    # strict-compat parity: Flink CEP SQL rejects SUBSET entirely
+    with pytest.raises(ValueError, match="strict-compat"):
+        execute_match_recognize(
+            spark, base.format(subset="u = (A, B)"), strict_compat=True
+        )

@@ -684,3 +684,77 @@ SELECT * FROM budget_script_ev MATCH_RECOGNIZE (
         assert "max-steps" in msg and "(A+ B+)+ C" in msg
     finally:
         spark.conf.unset("spark.flinkcommons.mr.max-steps")
+
+
+def test_match_predicates_script_duckdb_exact(spark, tmp_path):
+    """queries/match_predicates.sql — the r13-widened DEFINE/MEASURES
+    predicate surface (NOT BETWEEN + LIKE + searched CASE WHEN) through
+    the RUNNER (r13 verdict #4; reference route: any MATCH_RECOGNIZE
+    enters via the generic executor, SQLSubmitAction.java:74-76). The
+    single-variable pattern with SKIP PAST LAST ROW makes every
+    qualifying row its own match, so DuckDB replays the exact expected
+    output in plain SQL. The same script must also run UNMODIFIED under
+    --strict-compat: BETWEEN/LIKE/CASE are ordinary Calcite expressions
+    Flink 1.16 accepts inside DEFINE — only PATTERN grouping (asserted
+    last) is a parity rejection."""
+    import duckdb
+    import pandas as pd
+
+    expected = duckdb.sql("""
+        SELECT user_id, event_type AS ev, value AS amt,
+               CASE WHEN value > 250 THEN 'hi'
+                    WHEN value > 100 THEN 'mid'
+                    ELSE 'lo' END AS band
+        FROM '/root/testdata/sf0.001/events.parquet'
+        WHERE event_type LIKE '%r%'
+          AND value NOT BETWEEN 50 AND 200
+          AND CASE WHEN event_type = 'error' THEN 1
+                   WHEN value > 250 THEN 2 ELSE 0 END >= 1
+        ORDER BY user_id, ev, amt, band
+    """).df()
+    assert len(expected) > 50  # the predicate actually selects rows
+
+    def run(strict):
+        out = tmp_path / ("strict" if strict else "default")
+        SqlSubmitAction(
+            str(QUERIES_DIR / "match_predicates.sql"),
+            {"data": "/root/testdata/sf0.001", "out": str(out)},
+            spark=spark,
+            strict_compat=strict,
+        ).run()
+        got = (
+            spark.read.parquet(str(out / "pred_matches"))
+            .toPandas()
+            .sort_values(["user_id", "ev", "amt", "band"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            expected.reset_index(drop=True), got, check_dtype=False
+        )
+
+    run(strict=False)
+    run(strict=True)  # Flink-parity: plain-expression DEFINEs accepted
+
+    # the rejection leg: PATTERN grouping IS a strict-compat parity
+    # rejection (Flink 1.16 rejects all grouping inside PATTERN)
+    grouped = """
+SELECT * FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id ORDER BY ts, event_id
+  MEASURES COUNT(*) AS n
+  PATTERN ((a b)+)
+  DEFINE a AS a.event_type LIKE 'v%',
+         b AS b.value NOT BETWEEN 0 AND 100
+);
+"""
+    spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).createOrReplaceTempView("events")
+    with pytest.raises(RuntimeError, match="Error to execute sql") as ei:
+        SqlSubmitAction(
+            sql_text=grouped, spark=spark, strict_compat=True
+        ).run()
+    chain, exc = [], ei.value
+    while exc is not None:
+        chain.append(str(exc))
+        exc = exc.__cause__
+    assert "unsupported PATTERN token" in "\n".join(chain)
