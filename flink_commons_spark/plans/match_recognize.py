@@ -107,6 +107,7 @@ from dataclasses import dataclass, field
 from typing import Any, Callable
 
 import numpy as _np
+import pandas as _pd
 
 from flink_commons_spark.operators.cep import _Seg, _VecSeg, _VecSegs
 
@@ -364,13 +365,21 @@ def _null_scalar(v) -> bool:
 
 def _kmask(t, u, index):
     """Nullable-boolean mask from definite-truth ``t`` and unknown
-    ``u`` (bool ndarrays); plain 2-valued ndarray when no pandas index
-    is in play (the ALL ROWS measures path keeps its old contract)."""
+    ``u`` (bool ndarrays). No UNKNOWNs → the 2-valued fast path (a
+    plain ndarray when no pandas index is in play — the ALL ROWS
+    measures arrays — else a plain-bool Series). Any UNKNOWN → a
+    nullable-boolean Series even in the index-free ALL ROWS context:
+    an interior ``NOT``/CASE over a collapsed-to-False UNKNOWN would
+    otherwise yield True where SQL says UNKNOWN (default RangeIndex —
+    all ALL ROWS arithmetic is positional, and the measure emitter
+    coerces Series results back to numpy)."""
     import pandas as pd
 
     if index is None:
-        return t
-    if not u.any():
+        if not u.any():
+            return t
+        index = None  # default RangeIndex below
+    elif not u.any():
         return pd.Series(t, index=index)
     arr = pd.array(t, dtype="boolean")
     arr[u] = pd.NA
@@ -884,7 +893,9 @@ class _ExprParser:
                 return _kmask(t, u, x.index)  # NULL test value → UNKNOWN
             if isinstance(x, np.ndarray):
                 m = pd.Series(x).isin(vals).to_numpy()
-                return (~m & ~pd.isna(x)) if neg else m
+                u = np.asarray(pd.isna(x), bool)
+                t = (~m & ~u) if neg else (m & ~u)
+                return _kmask(t, u, None)  # NULL → UNKNOWN, even here
             if x is None or x != x:
                 return None
             r = x in vals
@@ -929,7 +940,9 @@ class _ExprParser:
             if isinstance(x, np.ndarray):
                 s = pd.Series(x)
                 m = (s.str.fullmatch(rx) == True).to_numpy()  # noqa: E712
-                return (~m & ~pd.isna(x)) if neg else m
+                u = np.asarray(pd.isna(x), bool)
+                t = (~m & ~u) if neg else (m & ~u)
+                return _kmask(t, u, None)  # NULL → UNKNOWN, even here
             if x is None or x != x:
                 return None
             r = rx.fullmatch(x) is not None
@@ -2808,7 +2821,18 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
             }
             chunk = {c: cols[c][pos_arr] for c in src_cols}
             for name, node in measure_nodes:
-                chunk[name] = node.fn(ctx)
+                val = node.fn(ctx)
+                if isinstance(val, _pd.Series):
+                    # a nullable-boolean Kleene mask (or an arith chain
+                    # over one) surfacing as a measure value: back to
+                    # numpy for the columnar assembly — NA → None so
+                    # Arrow emits SQL NULL
+                    val = (
+                        val.to_numpy(dtype=object, na_value=None)
+                        if val.dtype == "boolean"
+                        else val.to_numpy()
+                    )
+                chunk[name] = val
             if excluded_names:
                 # {- V -} exclusion is OUTPUT-ONLY (SQL:2016 §9.27):
                 # every RUNNING/FINAL value above was computed over the

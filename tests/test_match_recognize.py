@@ -1548,3 +1548,35 @@ def test_subset_parse_errors(spark):
         execute_match_recognize(
             spark, base.format(subset="u = (A, B)"), strict_compat=True
         )
+
+
+def test_all_rows_not_over_unknown(spark):
+    """ALL ROWS measures: an interior NOT over an UNKNOWN comparison
+    must stay UNKNOWN (CASE falls through to ELSE), not flip to TRUE.
+    ``LAST(p.ts_us)`` is NULL on every row before ``p`` maps (the
+    RUNNING view), so ``NOT (LAST(p.ts_us) > 0)`` is UNKNOWN there —
+    the pre-r14 pure-ndarray path collapsed the comparison to False
+    and NOT made it True, selecting the wrong CASE branch."""
+    pdf = pd.DataFrame({
+        "user_id": [1] * 3,
+        "ts_us": [1, 2, 3],
+        "event_type": ["view", "click", "purchase"],
+    })
+    spark.createDataFrame(pdf).createOrReplaceTempView("mr_notunk")
+    out = execute_match_recognize(spark, """
+        SELECT ts_us, flag, in_flag FROM mr_notunk MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES
+            CASE WHEN NOT (LAST(p.ts_us) > 0) THEN 0 ELSE 1 END AS flag,
+            CASE WHEN NOT (LAST(p.event_type) IN ('purchase'))
+                 THEN 0 ELSE 1 END AS in_flag
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (v c p)
+          DEFINE v AS v.event_type = 'view',
+                 c AS c.event_type = 'click',
+                 p AS p.event_type = 'purchase'
+        )""").orderBy("ts_us").collect()
+    # rows 1,2: LAST(p.*) is NULL -> both CASEs take ELSE (1);
+    # row 3: p mapped -> comparison TRUE -> NOT -> FALSE -> ELSE (1)
+    assert [(r.flag, r.in_flag) for r in out] == [(1, 1), (1, 1), (1, 1)]
