@@ -1043,8 +1043,12 @@ class _ExprParser:
                 up in ("FINAL", "RUNNING")
                 and self.mode == "measures"
                 and self._peek() is not None
-                and self._peek() != ("op", "(")
             ):
+                # ``FINAL SUM(x)`` / ``RUNNING COUNT(*)`` (SQL:2016)
+                # and the parenthesized general form ``FINAL (expr)``
+                # — there is no function named FINAL/RUNNING, so a
+                # following ``(`` is the prefix's operand, parsed by
+                # _factor's parenthesized branch
                 # SQL-standard per-row semantics prefixes. Under ONE
                 # ROW PER MATCH the emitted row is the match's last,
                 # where RUNNING ≡ FINAL — both are no-ops there (the
@@ -2362,6 +2366,12 @@ def parse_match_recognize(
             "AFTER MATCH SKIP TO a sequence-group member is not "
             "supported (skip targets must be top-level pattern "
             "variables)"
+        )
+    if isinstance(after_match, tuple) and after_match[1] in subsets:
+        raise ValueError(
+            f"AFTER MATCH SKIP TO the SUBSET union variable "
+            f"{after_match[1]!r} is not supported — skip targets must "
+            "be plain pattern variables (use a member instead)"
         )
 
     within_us = None

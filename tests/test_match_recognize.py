@@ -1548,6 +1548,17 @@ def test_subset_parse_errors(spark):
         execute_match_recognize(
             spark, base.format(subset="u = (A, B)"), strict_compat=True
         )
+    # SKIP TO a union variable: targeted parse-time rejection
+    with pytest.raises(ValueError, match="SUBSET union variable"):
+        execute_match_recognize(spark, """
+            SELECT * FROM mr_subset_t MATCH_RECOGNIZE (
+              PARTITION BY k ORDER BY ts
+              MEASURES COUNT(*) AS n
+              AFTER MATCH SKIP TO LAST u
+              PATTERN (A B+)
+              SUBSET u = (A, B)
+              DEFINE A AS A.v >= 10, B AS B.v < 10
+            )""")
 
 
 def test_all_rows_not_over_unknown(spark):
