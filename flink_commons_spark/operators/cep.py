@@ -398,10 +398,11 @@ def _match_at_ex(
     # polynomial plain-step blowup (O(n²)+ per attempt — a genuine
     # scale-killer on big keys) still dies with the diagnostic.
     group_left = budget
-    plain_left = (
+    plain_bound = (
         budget if strict_budget
         else max(budget, 64 * (n + 1) * max(1, nsteps))
     )
+    plain_left = plain_bound
 
     def _raise_budget(axis: str, bound: int) -> None:
         desc = pattern_desc or "(" + " ".join(
@@ -440,9 +441,9 @@ def _match_at_ex(
         nonlocal plain_left
         plain_left -= 1
         if plain_left < 0:
-            _raise_budget(
-                "plain-step", max(budget, 64 * (n + 1) * max(1, nsteps))
-            )
+            # report the bound actually enforced — under strict-steps
+            # that is the conf value verbatim, not the scan floor
+            _raise_budget("plain-step", plain_bound)
     end_kind = 1 if undecided_n is None or n >= undecided_n else 0
     if dctx is not None:
         dctx.asg.clear()  # stale entries from a prior attempt must

@@ -409,11 +409,26 @@ def _vcmp(a, b, fn):
     ub = np.asarray(pd.isna(bv), bool) if b_vec else np.zeros(nrow, bool)
     u = ua | ub
     # ordering comparisons raise on object arrays holding None — fill
-    # nulls with a sentinel matching the non-null value type (the
-    # result there is overwritten to NA anyway)
+    # nulls with a sentinel matching the comparison's value type,
+    # derived from EITHER side (an all-NULL chunk of a string column
+    # compared to a string literal must fill "" — a 0 sentinel would
+    # raise int-vs-str; the filled rows' results are overwritten to
+    # NA anyway)
+    def _is_str_side(scalar, vec, arr, mask):
+        if not vec:
+            return isinstance(scalar, str)
+        if arr.dtype == object:
+            nn = arr[~mask]
+            return len(nn) > 0 and isinstance(nn[0], str)
+        return arr.dtype.kind in "US"
+
+    str_cmp = (
+        _is_str_side(a, a_vec, av if a_vec else None, ua)
+        or _is_str_side(b, b_vec, bv if b_vec else None, ub)
+    )
+    sent = "" if str_cmp else 0
+
     def fill(arr, mask):
-        nn = arr[~mask]
-        sent = "" if (len(nn) and isinstance(nn[0], str)) else 0
         out = arr.copy()
         out[mask] = sent
         return out
@@ -433,14 +448,17 @@ def _tri_nan(v) -> "bool | None":
 
 
 def _as_kleene(v):
-    """Normalize a vector operand for Kleene ``& | ~`` against pd.NA."""
+    """Normalize a vector operand for Kleene ``& | ~`` against pd.NA —
+    ALWAYS a Series (a raw BooleanArray is invisible to every
+    downstream Series/ndarray isinstance check: case_v, the ALL ROWS
+    emitter, the exclusion filter)."""
     import numpy as np
     import pandas as pd
 
     if isinstance(v, pd.Series):
         return v if v.dtype == "boolean" else v.astype("boolean")
     if isinstance(v, np.ndarray):
-        return pd.array(v, dtype="boolean")
+        return pd.Series(pd.array(v, dtype="boolean"))
     return v
 
 
@@ -804,11 +822,6 @@ class _ExprParser:
                 if isinstance(v, (pd.Series, np.ndarray))
             ))
 
-            def _null_scalar(v):
-                return not isinstance(v, (pd.Series, np.ndarray)) and (
-                    v is None or v != v
-                )
-
             def leg(bound, op):
                 # a NULL scalar on either side: the leg is UNKNOWN
                 # everywhere (pandas would raise comparing to None)
@@ -1012,8 +1025,11 @@ class _ExprParser:
                 return _Node(
                     lambda c, f=f: None if f(c) is None else -f(c), inner.typ
                 )
+            # vector path: 0 - x through the null-aware arithmetic —
+            # a bare ``-f(c)`` raises on object vectors carrying None
+            # (e.g. negating a CASE with no ELSE)
             return _Node(
-                lambda c, f=f: None if f(c) is None else -f(c), inner.typ
+                lambda c, f=f: _varith(0, f(c), "-"), inner.typ
             )
         if self._accept_op("("):
             node = self._or()
@@ -1373,8 +1389,21 @@ class _ExprParser:
                         if nulls.any():
                             # float64 is the NULL carrier; trunc toward
                             # zero so integral values flow into the
-                            # declared bigint schema losslessly
+                            # declared bigint schema losslessly — and
+                            # narrow targets STILL two's-complement
+                            # wrap the non-null values (the result for
+                            # a row must not depend on whether some
+                            # OTHER row in the chunk is NULL)
                             out = np.trunc(farr)
+                            if bits < 64:
+                                w = (
+                                    out[~nulls]
+                                    .astype(np.int64)
+                                    .astype(f"int{bits}")
+                                    .astype(np.float64)
+                                )
+                                out = out.copy()
+                                out[~nulls] = w
                         else:
                             out = np.trunc(farr).astype(np.int64)
                             if bits < 64:

@@ -205,8 +205,12 @@ def test_strict_budget_bounds_plain_axis_verbatim():
     # default: completes (scan-proportional floor)
     hit, _ = _match_at_ex(masks, steps, 0, n, runs, max_steps=1_000)
     assert hit is None
-    # strict: the 1,000 budget is a hard bound on BOTH axes
-    with pytest.raises(MatchStepBudgetExceeded, match="plain-step"):
+    # strict: the 1,000 budget is a hard bound on BOTH axes, and the
+    # diagnostic names the ENFORCED bound (the conf value verbatim),
+    # not the scan-proportional floor it replaced
+    with pytest.raises(
+        MatchStepBudgetExceeded, match=r"exceeded 1,000 plain-step"
+    ):
         _match_at_ex(masks, steps, 0, n, runs, max_steps=1_000,
                      strict_budget=True)
 

@@ -1591,3 +1591,95 @@ def test_all_rows_not_over_unknown(spark):
     # rows 1,2: LAST(p.*) is NULL -> both CASEs take ELSE (1);
     # row 3: p mapped -> comparison TRUE -> NOT -> FALSE -> ELSE (1)
     assert [(r.flag, r.in_flag) for r in out] == [(1, 1), (1, 1), (1, 1)]
+
+
+# ---------------------------------------------------------------------
+# round-14 self-review fixes (vector-path edges)
+# ---------------------------------------------------------------------
+
+
+def test_kleene_combiner_returns_series_not_boolean_array():
+    """OR/AND between a plain bool ndarray and a scalar NULL must come
+    back as a pandas Series — a raw BooleanArray is invisible to every
+    downstream Series/ndarray isinstance check (case_v, the ALL ROWS
+    emitter) and bool(BooleanArray) is len-truthiness."""
+    import numpy as np
+
+    from flink_commons_spark.plans.match_recognize import (
+        _kand_vec,
+        _kor_vec,
+    )
+
+    arr = np.array([True, False, True])
+    for out in (_kand_vec(arr, None), _kor_vec(arr, None),
+                _kand_vec(None, arr), _kor_vec(None, arr)):
+        assert isinstance(out, pd.Series), type(out)
+    # Kleene values: True|NA=True, False|NA=NA; True&NA=NA, False&NA=F
+    o = _kor_vec(arr, None)
+    assert o.tolist()[0] is True and pd.isna(o.tolist()[1])
+    a = _kand_vec(arr, None)
+    assert pd.isna(a.tolist()[0]) and a.tolist()[1] is False
+
+
+def test_vcmp_all_null_string_chunk_vs_literal():
+    """An all-NULL object chunk of a string column compared to a
+    string literal must yield UNKNOWN everywhere, not raise the
+    int-sentinel-vs-str TypeError."""
+    import operator as op
+
+    from flink_commons_spark.plans.match_recognize import _vcmp
+
+    s = pd.Series([None, None], dtype=object)
+    out = _vcmp(s, "x", op.gt)
+    assert pd.isna(out).all()
+    # and through SQL: one user's note column is entirely NULL
+    # (exercised end-to-end in test_all_rows_not_over_unknown's file)
+
+
+def test_cast_narrow_wrap_independent_of_neighbor_nulls(spark):
+    """CAST(v AS TINYINT) of 300 must be 44 (two's-complement wrap)
+    whether or not another row in the chunk is NULL — the NULL-carrier
+    float path used to skip the wrap entirely."""
+    pdf = pd.DataFrame({
+        "k": [1, 1, 2, 2],
+        "ts": [1, 2, 1, 2],
+        "v": [300.0, None, 300.0, 1.0],
+    })
+    spark.createDataFrame(pdf).createOrReplaceTempView("mr_castwrap")
+    out = execute_match_recognize(spark, """
+        SELECT k, ts, w FROM mr_castwrap MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY ts
+          MEASURES CAST(a.v AS TINYINT) AS w
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (a)
+          DEFINE a AS TRUE
+        )""").orderBy("k", "ts").collect()
+    by_row = {(r.k, r.ts): r.w for r in out}
+    assert by_row[(1, 1)] == 44  # NULL neighbor in chunk
+    assert by_row[(2, 1)] == 44  # no NULL neighbor
+    assert by_row[(1, 2)] is None
+    assert by_row[(2, 2)] == 1
+
+
+def test_unary_minus_over_nullable_vector(spark):
+    """Negating a CASE with no ELSE (object vector carrying None) must
+    propagate NULL instead of raising on the None element."""
+    pdf = pd.DataFrame({
+        "k": [1, 1, 1],
+        "ts": [1, 2, 3],
+        "x": [1, -2, 3],
+    })
+    spark.createDataFrame(pdf).createOrReplaceTempView("mr_negnull")
+    out = execute_match_recognize(spark, """
+        SELECT ts, neg FROM mr_negnull MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY ts
+          MEASURES -(CASE WHEN a.x > 0 THEN a.x END) AS neg
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (a)
+          DEFINE a AS TRUE
+        )""").orderBy("ts").collect()
+    vals = [r.neg for r in out]
+    assert vals[0] == -1 and vals[2] == -3
+    assert vals[1] is None
