@@ -10625,6 +10625,140 @@ seq AS (
 """
 
 
+def q_match_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``MATCH_NUMBER()`` under ONE ROW PER MATCH (round 14; SQL:2016
+    — a flagged extension, rejected under ``--strict-compat`` like the
+    repo's other match-ordinal surfaces): the per-key scan-order match
+    ordinal, threaded through the batch matcher's ``number_matches``
+    path (``operators/cep.py:match_pattern``). Oracle: the funnel
+    islands formulation with ``row_number()`` over match start
+    positions per user — scan order IS start order for disjoint
+    SKIP PAST LAST ROW matches."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_events_view(spark, sf_dir, "mr_events_src")
+    return execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, mno, start_us, end_us, n_clicks
+        FROM mr_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts_us, event_id
+            MEASURES
+              MATCH_NUMBER() AS mno,
+              FIRST(v.ts_us) AS start_us,
+              LAST(p.ts_us) AS end_us,
+              COUNT(c.*) AS n_clicks
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v c+ p)
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              p AS p.event_type = 'purchase'
+          )
+    """))
+
+
+_MATCH_NUMBER_BODY = """
+isl AS (
+  SELECT user_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type = 'click'
+),
+runs AS (
+  SELECT user_id, min(rn) AS srn, max(rn) AS ern, count(*)::bigint AS n_clicks
+  FROM isl GROUP BY user_id, grp
+),
+m AS (
+  SELECT r.user_id, r.srn, v.ts_us AS start_us, p.ts_us AS end_us,
+         r.n_clicks
+  FROM runs r
+  JOIN seq v ON v.user_id = r.user_id AND v.rn = r.srn - 1
+            AND v.event_type = 'view'
+  JOIN seq p ON p.user_id = r.user_id AND p.rn = r.ern + 1
+            AND p.event_type = 'purchase'
+)
+SELECT user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY srn) AS mno,
+       start_us, end_us, n_clicks
+FROM m
+"""
+
+_MATCH_NUMBER_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+{_MATCH_NUMBER_BODY}
+"""
+
+
+@_with_stream_shuffle(16)
+def stream_match_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ``MATCH_NUMBER()`` under ONE ROW PER MATCH: the
+    ordinal persists across settles in the keyed state's ``nmatch``
+    field (``streaming/cep_stream.py`` ``track_no`` layout — appended
+    only when the measures read the ordinal, so plain one-row
+    checkpoints keep their layout). Matches settle in scan order per
+    key, so ordinals equal the batch executor's; the oracle is the
+    batch formulation over the watermark-closed prefix."""
+    from flink_commons_spark.plans.dialect import adapt_sql
+    from flink_commons_spark.plans.match_recognize import (
+        execute_match_recognize,
+    )
+
+    _mr_stream_events_view(spark, sf_dir, "mr_stream_events_src")
+    out = execute_match_recognize(spark, adapt_sql("""
+        SELECT user_id, mno, start_us, end_us, n_clicks
+        FROM mr_stream_events_src
+          MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES
+              MATCH_NUMBER() AS mno,
+              FIRST(v.ts_us) AS start_us,
+              LAST(p.ts_us) AS end_us,
+              COUNT(c.*) AS n_clicks
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (v c+ p)
+            DEFINE
+              v AS v.event_type = 'view',
+              c AS c.event_type = 'click',
+              p AS p.event_type = 'purchase'
+          )
+    """))
+    name = "fcs_stream_mr_matchno"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch_dir(prefix="fcs-ckpt-mrmno-"))
+        .start()
+    )
+    _await_stream(query)
+    return spark.table(name)
+
+
+_STREAM_MATCH_NUMBER_ORACLE = f"""
+WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM events),
+seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+  WHERE epoch_us(ts) // 1000 < (SELECT wm_ms FROM wm)
+),
+{_MATCH_NUMBER_BODY}
+"""
+
+
 _STREAM_MATCH_SUBQUERY_SRC_ORACLE = """
 WITH wm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms
             FROM events WHERE event_type <> 'signup'),
@@ -12987,6 +13121,8 @@ QUERIES = {
     "stream_match_permute_empty": stream_match_permute_empty,
     "q_match_subset": q_match_subset,
     "stream_match_subset": stream_match_subset,
+    "q_match_number": q_match_number,
+    "stream_match_number": stream_match_number,
     "q_match_exclusion": q_match_exclusion,
     "stream_match_exclusion": stream_match_exclusion,
     "stream_match_all_rows": stream_match_all_rows,
@@ -13206,6 +13342,8 @@ ORACLES = {
     "stream_match_permute_empty": _STREAM_MATCH_PERMUTE_EMPTY_ORACLE,
     "q_match_subset": _MATCH_SUBSET_ORACLE,
     "stream_match_subset": _STREAM_MATCH_SUBSET_ORACLE,
+    "q_match_number": _MATCH_NUMBER_ORACLE,
+    "stream_match_number": _STREAM_MATCH_NUMBER_ORACLE,
     "q_match_exclusion": _MATCH_EXCLUSION_ORACLE,
     "stream_match_exclusion": _STREAM_MATCH_EXCLUSION_ORACLE,
     "stream_match_all_rows": _STREAM_MATCH_ALL_ROWS_ORACLE,

@@ -1073,12 +1073,18 @@ def match_pattern(
     after_match: "str | tuple[str, str]" = "past_last",
     within_us: "int | None" = None,
     all_rows: bool = False,
+    number_matches: bool = False,
     max_steps: "int | None" = None,
     pattern_desc: "str | None" = None,
     strict_budget: bool = False,
 ) -> DataFrame:
     """MATCH_RECOGNIZE-style pattern matching over a keyed, ordered
     event table.
+
+    ``number_matches=True`` (ONE ROW mode only; ``all_rows`` implies
+    it) calls ``measures(key, segs, n_match)`` with the per-key
+    scan-order match ordinal — ``MATCH_NUMBER()`` under ONE ROW PER
+    MATCH.
 
     Matches are contiguous (every row between the first and last row of
     a match belongs to some step), quantifiers are greedy with
@@ -1236,7 +1242,7 @@ def match_pattern(
                 _add_group_segs(step_list, gout, cols, segs)
             # ALL ROWS PER MATCH measures return one columnar chunk
             # per match; the default returns the match's single row
-            if all_rows:
+            if all_rows or number_matches:
                 n_match += 1
                 out.append(measures(key, segs, n_match))
             else:

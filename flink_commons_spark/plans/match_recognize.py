@@ -593,6 +593,7 @@ class _ExprParser:
         self.max_prev = 0  # deepest PREV offset (streaming ctx_rows)
         self.max_next = 0  # deepest NEXT offset
         self._nav_depth = 0  # >0 while parsing a PREV/NEXT argument
+        self.uses_match_number = False  # MATCH_NUMBER() appeared
         #: SQL:2016 SUBSET union variables (name → member tuple); the
         #: names are already in ``variables`` — this map tells the
         #: aggregate/column compilers to read the members' UNION
@@ -1251,12 +1252,16 @@ class _ExprParser:
             # classify as the member name)
             return _Node(lambda c: c["classifier"], "string")
         if fname == "MATCH_NUMBER":
-            if self.mode != "measures" or not self.all_rows:
+            if self.mode != "measures":
                 raise ValueError(
-                    "MATCH_NUMBER() is only supported in MEASURES with "
-                    "ALL ROWS PER MATCH"
+                    "MATCH_NUMBER() is only valid in MEASURES"
                 )
             self._expect_op(")")
+            # per-key scan-order match ordinal (SQL:2016) — under ONE
+            # ROW PER MATCH the executor threads the counter through
+            # ``number_matches`` (round 14); a flagged extension like
+            # the ALL ROWS mode itself
+            self.uses_match_number = True
             return _Node(lambda c: c["match_no"], "bigint")
         if fname in ("UPPER", "LOWER"):
             inner = self._or()
@@ -1747,6 +1752,10 @@ class MatchRecognizeSpec:
     #: measures/DEFINE aggregates over a subset read the positional
     #: UNION of its members' matched rows.
     subsets: "dict[str, tuple]" = field(default_factory=dict)
+    #: some measure reads MATCH_NUMBER() — under ONE ROW PER MATCH the
+    #: executor threads the per-key ordinal via ``number_matches``
+    #: (ALL ROWS always carries it)
+    uses_match_number: bool = False
 
 
 def _skip_span(sql: str, i: int) -> int:
@@ -2347,6 +2356,7 @@ def parse_match_recognize(
 
     measures: list[tuple[str, _Node]] = []
     needs_last_row = False
+    uses_match_number = False
     part_set = frozenset(part)
     for clause in _split_top(bm.group("meas")):
         mm = re.match(r"^(?P<expr>.+?)\s+AS\s+(?P<name>`?\w+`?)\s*$", clause,
@@ -2358,6 +2368,7 @@ def parse_match_recognize(
                              all_rows=all_rows, subsets=subsets)
         node = parser.parse()
         needs_last_row = needs_last_row or parser.needs_last_row
+        uses_match_number = uses_match_number or parser.uses_match_number
         mname = mm.group("name").strip("`")
         if all_rows and mname in col_types:
             # ALL ROWS emits every source column ALONGSIDE the
@@ -2372,6 +2383,12 @@ def parse_match_recognize(
         measures.append((mname, node))
     if not measures:
         raise ValueError("MATCH_RECOGNIZE requires at least one measure")
+    if uses_match_number and strict_compat:
+        raise ValueError(
+            "MATCH_NUMBER() is disabled under --strict-compat (Flink "
+            "CEP SQL does not expose match ordinals); drop the flag to "
+            "use the SQL:2016 extension"
+        )
 
     skip = (bm.group("skip") or "SKIP PAST LAST ROW").upper().split()
     after_match: "str | tuple[str, str]"
@@ -2426,6 +2443,7 @@ def parse_match_recognize(
         excluded=excluded,
         pattern_text=pat_text,
         subsets=subsets,
+        uses_match_number=uses_match_number,
     )
 
 
@@ -2754,7 +2772,10 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
             return name  # unreachable: some member owns every row
         return None
 
-    def measures_fn(key: tuple, segs: dict) -> dict:
+    def measures_fn(key: tuple, segs: dict, n_match: "int | None" = None
+                    ) -> dict:
+        # ``n_match`` arrives only when the spec reads MATCH_NUMBER()
+        # (``number_matches`` threading, batch and streaming alike)
         if subset_items:
             _add_subset_segs(segs)
         key_map = dict(zip(key_cols, key))
@@ -2774,6 +2795,7 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
             "last_row": last_row,
             "n_rows": sum(len(segs[name]) for name in step_names),
             "classifier": _last_classifier(segs),
+            "match_no": n_match,
         }
         row = dict(key_map)
         for name, node in measure_nodes:
@@ -2961,7 +2983,7 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
         # unbounded streams (SET 'spark.flinkcommons.mr.durable-match-
         # number'='true'; default off — a drained key restarts at 1,
         # the documented divergence)
-        durable_no = spec.all_rows and (
+        durable_no = (spec.all_rows or spec.uses_match_number) and (
             spark.conf.get(
                 "spark.flinkcommons.mr.durable-match-number", "false"
             ).lower() == "true"
@@ -2977,6 +2999,7 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
             after_match=spec.after_match,
             within_us=spec.within_us,
             all_rows=spec.all_rows,
+            number_matches=spec.uses_match_number and not spec.all_rows,
             durable_match_no=durable_no,
             # retain as many consumed context rows as the deepest PREV
             # offset needs — PREV(col, n≥2) must see its true n-th
@@ -3001,6 +3024,7 @@ def _execute_mr_resolved(spark, sql: str, strict_compat: bool = False):
             after_match=spec.after_match,
             within_us=spec.within_us,
             all_rows=spec.all_rows,
+            number_matches=spec.uses_match_number and not spec.all_rows,
             max_steps=_conf_max_steps(spark),
             pattern_desc=f"({spec.pattern_text})",
             strict_budget=_conf_strict_steps(spark),

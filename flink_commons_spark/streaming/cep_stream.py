@@ -648,6 +648,7 @@ def stream_match_pattern(
     ctx_rows: int = 1,
     frame_renames: "dict[str, str] | None" = None,
     all_rows: bool = False,
+    number_matches: bool = False,
     durable_match_no: bool = False,
     max_steps: "int | None" = None,
     pattern_desc: "str | None" = None,
@@ -742,6 +743,11 @@ def stream_match_pattern(
 
     has_dyn = any(getattr(s, "dyn", None) is not None for s in steps)
     has_next = any(getattr(s, "next_depth", 0) for s in steps)
+    # MATCH_NUMBER tracking: ALL ROWS always; ONE ROW when the
+    # measures read the ordinal (``number_matches``) — the ``nmatch``
+    # state field is appended ONLY in these modes, so numbered and
+    # plain checkpoints each keep a stable layout
+    track_no = all_rows or number_matches
     ts_col = order_cols[0]
     for c, t in buffer_cols:
         if t not in _BUF_TYPES:
@@ -753,7 +759,7 @@ def stream_match_pattern(
     state_schema = ", ".join(
         [f"{c} {_BUF_TYPES[t][0]}" for c, t in buffer_cols]
         + ["nctx int", "presorted int"]
-        + (["nmatch bigint"] if all_rows else [])
+        + (["nmatch bigint"] if track_no else [])
     )
     out_cols = [f.strip().split()[0] for f in output_schema.split(",")]
     step_list = list(steps)
@@ -781,7 +787,7 @@ def stream_match_pattern(
                     state.update(tuple(
                         [_enc_buf(pdf_all[c], t) for c, t in buffer_cols]
                         + [nctx, int(presorted)]
-                        + ([nmatch] if all_rows else [])
+                        + ([nmatch] if track_no else [])
                     ))
                     lo = int(ts_raw.min())
                     cand = [int(ts_raw.max()) // 1000 + 1,
@@ -791,7 +797,7 @@ def stream_match_pattern(
                     live = [t for t in cand if t > wm_ms]
                     if live:
                         state.setTimeoutTimestamp(min(live))
-                elif all_rows and durable_match_no and nmatch:
+                elif track_no and durable_match_no and nmatch:
                     # counter-only tombstone — MATCH_NUMBER ordinals
                     # survive a full buffer drain (opt-in; no timer)
                     state.update(tuple(
@@ -828,7 +834,7 @@ def stream_match_pattern(
             )
             cols = {c: pdf_closed[c].to_numpy() for c in pdf_closed.columns}
             out = []
-            seq = [nmatch]  # per-key MATCH_NUMBER cursor (all_rows mode)
+            seq = [nmatch]  # per-key MATCH_NUMBER cursor (track_no modes)
 
             def on_match(hit, first, last):
                 segs = {
@@ -841,7 +847,7 @@ def stream_match_pattern(
                     # the scan calls on_match synchronously right after
                     # the successful attempt fills gout
                     _add_group_segs(step_list, gout, cols, segs)
-                if all_rows:
+                if all_rows or number_matches:
                     seq[0] += 1
                     out.append(measures(key, segs, seq[0]))
                 else:
@@ -878,7 +884,7 @@ def stream_match_pattern(
                 state.update(tuple(
                     [_enc_buf(rest[c], t) for c, t in buffer_cols]
                     + [keep_from - ctx_start, 1]  # suffix stays sorted
-                    + ([seq[0]] if all_rows else [])
+                    + ([seq[0]] if track_no else [])
                 ))
                 cand = [int(ts[total - 1]) // 1000 + 1]
                 if closed_n < total:
@@ -888,7 +894,7 @@ def stream_match_pattern(
                 live = [t for t in cand if t > wm_ms]
                 if live:  # Spark rejects timers at/behind the watermark
                     state.setTimeoutTimestamp(min(live))
-            elif all_rows and durable_match_no and seq[0]:
+            elif track_no and durable_match_no and seq[0]:
                 # counter-only tombstone — MATCH_NUMBER ordinals
                 # survive a full buffer drain (opt-in; no timer)
                 state.update(tuple(
@@ -908,7 +914,7 @@ def stream_match_pattern(
             })
             matches = settle(
                 pdf_all, int(vals[nbuf]), bool(vals[nbuf + 1]),
-                int(vals[nbuf + 2]) if all_rows else 0,
+                int(vals[nbuf + 2]) if track_no else 0,
             )
             if matches:
                 yield (
@@ -929,7 +935,7 @@ def stream_match_pattern(
             })
             new = pd.concat([prev, new], ignore_index=True)
             nctx = int(vals[nbuf])
-            if all_rows:
+            if track_no:
                 nmatch = int(vals[nbuf + 2])
         matches = settle(new.reset_index(drop=True), nctx, presorted, nmatch)
         if matches:

@@ -930,8 +930,9 @@ def test_one_row_classifier_is_last_step_not_member(spark):
 
 def test_all_rows_rejections(spark):
     """--strict-compat keeps the Flink parity rejection; MATCH_NUMBER
-    requires ALL ROWS (streaming sources run the mode too — see
-    test_match_define_state's streaming all-rows tests)."""
+    under ONE ROW PER MATCH is supported since round 14 (the
+    number_matches threading — and strict-compat rejects it as a
+    flagged extension, pinned in test_match_number_one_row)."""
     _alt_view(spark, [(1, 1, "view", 0.0)], "ar_ev4")
     stmt = """
         SELECT user_id FROM ar_ev4 MATCH_RECOGNIZE (
@@ -941,13 +942,13 @@ def test_all_rows_rejections(spark):
           PATTERN (a) DEFINE a AS a.event_type = 'view')"""
     with pytest.raises(ValueError, match="ALL ROWS PER MATCH is disabled"):
         execute_match_recognize(spark, stmt, strict_compat=True)
-    with pytest.raises(ValueError, match="MATCH_NUMBER"):
-        execute_match_recognize(spark, """
-            SELECT mno FROM ar_ev4 MATCH_RECOGNIZE (
-              PARTITION BY user_id ORDER BY ts_us
-              MEASURES MATCH_NUMBER() AS mno
-              ONE ROW PER MATCH
-              PATTERN (a) DEFINE a AS a.event_type = 'view')""")
+    out = execute_match_recognize(spark, """
+        SELECT mno FROM ar_ev4 MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts_us
+          MEASURES MATCH_NUMBER() AS mno
+          ONE ROW PER MATCH
+          PATTERN (a) DEFINE a AS a.event_type = 'view')""").collect()
+    assert [r.mno for r in out] == [1]
 
 
 def test_all_rows_running_vs_final(spark):
@@ -1683,3 +1684,35 @@ def test_unary_minus_over_nullable_vector(spark):
     vals = [r.neg for r in out]
     assert vals[0] == -1 and vals[2] == -3
     assert vals[1] is None
+
+
+def test_match_number_one_row(spark):
+    """MATCH_NUMBER() under ONE ROW PER MATCH (round 14): per-key
+    scan-order ordinals via the number_matches threading."""
+    pdf = pd.DataFrame({
+        "k": ["a"] * 8 + ["b"] * 4,
+        "ts": list(range(8)) + list(range(4)),
+        "v": [10, 1, 2, 20, 30, 3, 4, 40, 11, 5, 21, 6],
+    })
+    spark.createDataFrame(pdf).createOrReplaceTempView("mr_mno_t")
+    out = execute_match_recognize(spark, """
+        SELECT * FROM mr_mno_t MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY ts
+          MEASURES MATCH_NUMBER() AS mno, FIRST(A.v) AS av
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+)
+          DEFINE A AS A.v >= 10, B AS B.v < 10
+        )""").orderBy("k", "mno").collect()
+    assert [(r.k, r.mno, r.av) for r in out] == [
+        ("a", 1, 10), ("a", 2, 30), ("b", 1, 11), ("b", 2, 21),
+    ]
+    # strict-compat: MATCH_NUMBER is a flagged extension
+    with pytest.raises(ValueError, match="MATCH_NUMBER"):
+        execute_match_recognize(spark, """
+            SELECT * FROM mr_mno_t MATCH_RECOGNIZE (
+              PARTITION BY k ORDER BY ts
+              MEASURES MATCH_NUMBER() AS mno
+              PATTERN (A B+)
+              DEFINE A AS A.v >= 10, B AS B.v < 10
+            )""", strict_compat=True)
