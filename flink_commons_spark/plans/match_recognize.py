@@ -552,6 +552,87 @@ def _varith(a, b, kind):
     return {"+": _op.add, "-": _op.sub, "*": _op.mul}[kind](a, b)
 
 
+def _vcoalesce(vals):
+    """Vectorized SQL COALESCE: per element, the first non-NULL
+    argument (None/NaN are NULL). All-scalar inputs resolve scalar;
+    any vector input broadcasts scalars across its length."""
+    import numpy as np
+    import pandas as pd
+
+    if not any(_is_vec(v) for v in vals):
+        for v in vals:
+            if v is not None and v == v:
+                return v
+        return None
+    ref = next(v for v in vals if _is_vec(v))
+    idx = ref.index if isinstance(ref, pd.Series) else None
+    n = len(ref)
+    out = np.empty(n, dtype=object)
+    out[:] = None
+    filled = np.zeros(n, dtype=bool)
+    for v in vals:
+        if filled.all():
+            break
+        if _is_vec(v):
+            arr = np.asarray(
+                v.to_numpy() if isinstance(v, pd.Series) else v
+            )
+            ok = ~np.asarray(pd.isna(arr), bool) & ~filled
+            out[ok] = arr[ok]
+        else:
+            if v is None or v != v:
+                continue
+            ok = ~filled
+            out[ok] = v
+        filled |= ok
+    # collapse back to a native dtype when no NULL survived (keeps
+    # int exactness and downstream numpy arithmetic fast)
+    if filled.all():
+        try:
+            out = np.asarray(out.tolist())
+            if out.dtype == object:
+                raise ValueError
+        except ValueError:
+            out = np.array(list(out), dtype=object)
+    return pd.Series(out, index=idx) if idx is not None else out
+
+
+def _vnullif(a, b):
+    """Vectorized SQL NULLIF(a, b): NULL where ``a = b`` is definitely
+    TRUE, else ``a`` (NULL a stays NULL)."""
+    import operator as _op
+
+    import numpy as np
+    import pandas as pd
+
+    if not _is_vec(a) and not _is_vec(b):
+        if a is None or a != a:
+            return None
+        if b is None or b != b:
+            return a
+        return None if a == b else a
+    eq = _vcmp(a, b, _op.eq)
+    eqm = (
+        eq.to_numpy(dtype=bool, na_value=False)
+        if isinstance(eq, pd.Series)
+        else np.asarray(eq, bool)
+    )
+    if _is_vec(a):
+        idx = a.index if isinstance(a, pd.Series) else None
+        arr = np.asarray(a.to_numpy() if isinstance(a, pd.Series) else a)
+    else:
+        idx = b.index if isinstance(b, pd.Series) else None
+        arr = np.full(len(eqm), a, dtype=object)
+    if not eqm.any():
+        out = arr
+    elif arr.dtype.kind == "f":
+        out = np.where(eqm, np.nan, arr)
+    else:
+        out = arr.astype(object)
+        out[eqm] = None
+    return pd.Series(out, index=idx) if idx is not None else out
+
+
 @dataclass
 class _Node:
     """A compiled (sub)expression: ``fn(ctx)`` → value, plus the Spark
@@ -815,38 +896,31 @@ class _ExprParser:
             ):  # scalar context (measures under ONE ROW PER MATCH)
                 r = _kleene_and(_scmp(x, a, _op.ge), _scmp(x, b, _op.le))
                 return _kleene_not(r) if neg else r
-            # the row count comes from WHICHEVER operand is vectorized —
-            # the test value may itself be a scalar (literal) while a
-            # bound is the column, e.g. ``3 BETWEEN A.x AND 5``
-            nrow = len(next(
-                v for v in (x, a, b)
-                if isinstance(v, (pd.Series, np.ndarray))
-            ))
-
-            def leg(bound, op):
-                # a NULL scalar on either side: the leg is UNKNOWN
-                # everywhere (pandas would raise comparing to None)
-                if _null_scalar(bound) or _null_scalar(x):
-                    return np.zeros(nrow, bool), np.ones(nrow, bool)
-                t = np.asarray(op(x, bound), dtype=bool)  # NaN → False
-                u = np.asarray(pd.isna(x) | pd.isna(bound), dtype=bool)
-                if t.ndim == 0:  # scalar-scalar leg beside a vector leg
-                    t = np.full(nrow, bool(t))
-                    u = np.full(nrow, bool(u))
-                return t, u
-
-            t_ge, u_ge = leg(a, _op.ge)
-            t_le, u_le = leg(b, _op.le)
-            both_true = t_ge & t_le
-            # a leg DEFINITELY false decides FALSE regardless of the
-            # other leg's UNKNOWN (Kleene AND)
-            def_false = (~t_ge & ~u_ge) | (~t_le & ~u_le)
-            if not neg:
-                t, f = both_true, def_false
-            else:
-                t, f = def_false, both_true
-            idx = c.index if hasattr(c, "index") else None
-            return _kmask(t, ~t & ~f, idx)
+            # compose from the shared Kleene vector primitives —
+            # ``x BETWEEN a AND b`` ≡ ``x >= a AND x <= b`` with exact
+            # three-valued legs; _vcmp handles every operand mix
+            # (object vectors carrying None, NULL scalars, a
+            # scalar-test-vector-bound ``3 BETWEEN A.x AND 5``, a
+            # scalar leg beside a vector leg)
+            ge = _vcmp(x, a, _op.ge)
+            le = _vcmp(x, b, _op.le)
+            nrow = max(
+                len(v) for v in (ge, le) if _is_vec(v)
+            ) if any(_is_vec(v) for v in (ge, le)) else None
+            if nrow is not None:
+                # broadcast a scalar-scalar leg beside a vector leg
+                if not _is_vec(ge):
+                    ge = _kmask(
+                        np.full(nrow, ge is True),
+                        np.full(nrow, ge is None), None,
+                    )
+                if not _is_vec(le):
+                    le = _kmask(
+                        np.full(nrow, le is True),
+                        np.full(nrow, le is None), None,
+                    )
+            r = _kand_vec(ge, le)
+            return _knot_vec(r) if neg else r
 
         return _Node(bt, "boolean")
 
@@ -1326,6 +1400,37 @@ class _ExprParser:
             return _Node(
                 lambda c, af=af, bf=bf: _mod_vec(af(c), bf(c)),
                 _promote(a.typ, b.typ),
+            )
+        if fname == "COALESCE":
+            args = [self._or()]
+            while self._accept_op(","):
+                args.append(self._or())
+            self._expect_op(")")
+            fns = tuple(a.fn for a in args)
+            typ = args[0].typ
+            for a in args[1:]:
+                if a.typ != "void":
+                    typ = a.typ if typ == "void" else _promote(typ, a.typ)
+            if self.mode == "define_dyn":
+                def coal_s(c, fns=fns):
+                    for f in fns:
+                        v = f(c)
+                        if v is not None and v == v:
+                            return v
+                    return None
+
+                return _Node(coal_s, typ)
+            return _Node(
+                lambda c, fns=fns: _vcoalesce([f(c) for f in fns]), typ
+            )
+        if fname == "NULLIF":
+            a = self._or()
+            self._expect_op(",")
+            b = self._or()
+            self._expect_op(")")
+            af, bf = a.fn, b.fn
+            return _Node(
+                lambda c, af=af, bf=bf: _vnullif(af(c), bf(c)), a.typ
             )
         if fname == "CAST":
             inner = self._or()

@@ -65,6 +65,11 @@ def _gen_num(rng: random.Random, depth: int) -> str:
             "LAST(b.qty, 1)", str(rng.randint(-9, 9)),
         ])
     a, b = _gen_num(rng, depth + 1), _gen_num(rng, depth + 1)
+    r2 = rng.random()
+    if r2 < 0.12:
+        return f"COALESCE({a}, {b})"
+    if r2 < 0.2:
+        return f"NULLIF({a}, {b})"
     op = rng.choice(["+", "-", "*", "/"])
     return f"({a} {op} {b})"
 

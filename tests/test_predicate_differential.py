@@ -67,11 +67,18 @@ def _num(rng, depth):
         return "NULL"
     if depth > 2:
         return rng.choice(["A.x", "A.y", "3"])
-    if r < 0.70:
+    if r < 0.66:
         return f"MOD({_num(rng, depth + 1)}, {_num(rng, depth + 1)})"
-    if r < 0.78:
+    if r < 0.72:
         return f"CAST({_num(rng, depth + 1)} AS " \
                f"{rng.choice(['INT', 'BIGINT', 'DOUBLE'])})"
+    if r < 0.76:
+        k = rng.randint(2, 3)
+        return "COALESCE(" + ", ".join(
+            _num(rng, depth + 1) for _ in range(k)
+        ) + ")"
+    if r < 0.80:
+        return f"NULLIF({_num(rng, depth + 1)}, {_num(rng, depth + 1)})"
     if r < 0.90:
         op = rng.choice(["+", "-", "*"])
         return f"({_num(rng, depth + 1)} {op} {_num(rng, depth + 1)})"
