@@ -6903,16 +6903,16 @@ def q_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
     )
     steps = [
-        Step("v", lambda p: p["event_type"] == "view"),
-        Step("c", lambda p: p["event_type"] == "click", plus=True),
-        Step("p", lambda p: p["event_type"] == "purchase"),
+        Step("v", lambda p: p["event_type"] == "view", local=True),
+        Step("c", lambda p: p["event_type"] == "click", plus=True, local=True),
+        Step("p", lambda p: p["event_type"] == "purchase", local=True),
     ]
 
     def measures(key, segs):
         return {
             "user_id": int(key[0]),
-            "start_us": int(segs["v"]["ts_us"].iloc[0]),
-            "end_us": int(segs["p"]["ts_us"].iloc[0]),
+            "start_us": int(segs["v"].scalar("ts_us", 0)),
+            "end_us": int(segs["p"].scalar("ts_us", 0)),
             "n_clicks": int(len(segs["c"])),
         }
 
@@ -6972,16 +6972,16 @@ def q_match_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
     )
     steps = [
-        Step("v", lambda p: p["event_type"] == "view"),
-        Step("c", lambda p: p["event_type"] == "click", star=True),
-        Step("p", lambda p: p["event_type"] == "purchase"),
+        Step("v", lambda p: p["event_type"] == "view", local=True),
+        Step("c", lambda p: p["event_type"] == "click", star=True, local=True),
+        Step("p", lambda p: p["event_type"] == "purchase", local=True),
     ]
 
     def measures(key, segs):
         return {
             "user_id": int(key[0]),
-            "start_us": int(segs["v"]["ts_us"].iloc[0]),
-            "end_us": int(segs["p"]["ts_us"].iloc[0]),
+            "start_us": int(segs["v"].scalar("ts_us", 0)),
+            "end_us": int(segs["p"].scalar("ts_us", 0)),
             "n_clicks": int(len(segs["c"])),
         }
 
@@ -7048,14 +7048,14 @@ def q_match_skip_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
     )
     steps = [
-        Step("c", lambda p: p["event_type"] == "click", quant=(2, None)),
+        Step("c", lambda p: p["event_type"] == "click", quant=(2, None), local=True),
     ]
 
     def measures(key, segs):
         return {
             "user_id": int(key[0]),
-            "start_us": int(segs["c"]["ts_us"].iloc[0]),
-            "end_us": int(segs["c"]["ts_us"].iloc[-1]),
+            "start_us": int(segs["c"].scalar("ts_us", 0)),
+            "end_us": int(segs["c"].scalar("ts_us", -1)),
             "n_clicks": int(len(segs["c"])),
         }
 
@@ -7114,16 +7114,16 @@ def q_match_reluctant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     steps = [
         Step("a", lambda p: p["event_type"].notna(), star=True,
-             reluctant=True),
-        Step("p", lambda p: p["event_type"] == "purchase"),
+             reluctant=True, local=True),
+        Step("p", lambda p: p["event_type"] == "purchase", local=True),
     ]
 
     def measures(key, segs):
         a, p = segs["a"], segs["p"]
         return {
             "user_id": int(key[0]),
-            "start_us": int(a["ts_us"].iloc[0] if len(a) else p["ts_us"].iloc[0]),
-            "end_us": int(p["ts_us"].iloc[0]),
+            "start_us": int(a.scalar("ts_us", 0) if len(a) else p.scalar("ts_us", 0)),
+            "end_us": int(p.scalar("ts_us", 0)),
             "n_events": int(len(a)) + 1,
         }
 
@@ -7176,16 +7176,16 @@ def q_match_within(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
     )
     steps = [
-        Step("v", lambda p: p["event_type"] == "view"),
-        Step("c", lambda p: p["event_type"] == "click", plus=True),
-        Step("p", lambda p: p["event_type"] == "purchase"),
+        Step("v", lambda p: p["event_type"] == "view", local=True),
+        Step("c", lambda p: p["event_type"] == "click", plus=True, local=True),
+        Step("p", lambda p: p["event_type"] == "purchase", local=True),
     ]
 
     def measures(key, segs):
         return {
             "user_id": int(key[0]),
-            "start_us": int(segs["v"]["ts_us"].iloc[0]),
-            "end_us": int(segs["p"]["ts_us"].iloc[0]),
+            "start_us": int(segs["v"].scalar("ts_us", 0)),
+            "end_us": int(segs["p"].scalar("ts_us", 0)),
             "n_clicks": int(len(segs["c"])),
         }
 
@@ -7248,16 +7248,16 @@ def q_match_skip_to_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
     )
     steps = [
-        Step("v", lambda p: p["event_type"] == "view"),
-        Step("e", lambda p: pd.Series(True, index=p.index), quant=(2, 2)),
+        Step("v", lambda p: p["event_type"] == "view", local=True),
+        Step("e", lambda p: pd.Series(True, index=p.index), quant=(2, 2), local=True),
     ]
 
     def measures(key, segs):
         return {
             "user_id": int(key[0]),
-            "start_us": int(segs["v"]["ts_us"].iloc[0]),
-            "end_us": int(segs["e"]["ts_us"].iloc[-1]),
-            "end_type": str(segs["e"]["event_type"].iloc[-1]),
+            "start_us": int(segs["v"].scalar("ts_us", 0)),
+            "end_us": int(segs["e"].scalar("ts_us", -1)),
+            "end_type": str(segs["e"].scalar("event_type", -1)),
         }
 
     return match_pattern(
@@ -7293,16 +7293,16 @@ def q_match_skip_to_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wild = lambda p: pd.Series(True, index=p.index)  # noqa: E731
     steps = [
-        Step("e1", wild),
-        Step("e2", wild),
-        Step("v", lambda p: p["event_type"] == "view"),
+        Step("e1", wild, local=True),
+        Step("e2", wild, local=True),
+        Step("v", lambda p: p["event_type"] == "view", local=True),
     ]
 
     def measures(key, segs):
         return {
             "user_id": int(key[0]),
-            "start_us": int(segs["e1"]["ts_us"].iloc[0]),
-            "end_us": int(segs["v"]["ts_us"].iloc[0]),
+            "start_us": int(segs["e1"].scalar("ts_us", 0)),
+            "end_us": int(segs["v"].scalar("ts_us", 0)),
         }
 
     return match_pattern(

@@ -103,10 +103,21 @@ class Step:
     repetition picks its order independently, with the same
     zero-width rule as sequence groups (repeating blocks must
     consume a row per repetition; an unquantified all-optional
-    PERMUTE may match empty)."""
+    PERMUTE may match empty).
+
+    ``local=True`` declares the static ``where`` (and every
+    alternation member's / sequence-group child's predicate)
+    ROW-LOCAL: its mask at a row depends only on that row's columns —
+    no ``Series.shift`` (PREV/NEXT), no cross-row reads. When every
+    step of a pattern is local, the bucketed executor evaluates all
+    masks ONCE over the whole sorted bucket and slices per key
+    instead of paying a pandas mask pass per key (r14: the per-key
+    mask/frame overhead was ~40 % of matcher wall time at sf0.1 with
+    ~1.5k keys per bucket). Default False — per-key evaluation, which
+    is always sound."""
 
     __slots__ = ("name", "where", "lo", "hi", "reluctant", "dyn",
-                 "next_depth", "alts", "group", "perm")
+                 "next_depth", "alts", "group", "perm", "local")
 
     def __init__(
         self,
@@ -122,6 +133,7 @@ class Step:
         alts: "list[tuple[str, Callable]] | None" = None,
         group: "list[Step] | None" = None,
         perm: bool = False,
+        local: bool = False,
     ):
         self.name = name
         self.where = where
@@ -131,6 +143,7 @@ class Step:
         self.alts = alts
         self.group = group
         self.perm = perm
+        self.local = local
         if quant is not None:
             self.lo, self.hi = quant
         elif plus:
@@ -1162,33 +1175,26 @@ def match_pattern(
             )
         return nxt
 
-    def run_one(key: tuple, pdf: pd.DataFrame) -> list[dict[str, Any]]:
-        import numpy as np
+    has_group = any(s.group is not None for s in step_list)
+    has_dyn = any(s.dyn is not None for s in step_list)
+    # bucket-level mask evaluation (run_bucket fast path) is sound only
+    # when every step's static mask is row-local (Step.local): a
+    # shift-based PREV/NEXT mask evaluated over a concatenated
+    # multi-key frame would leak values across key boundaries
+    bucket_local = all(s.local for s in step_list)
 
-        try:
-            # stable multi-key sort straight on the numpy arrays —
-            # DataFrame.sort_values factorizes every key column per
-            # key group, a measured ~25 % of matcher wall time
-            order = np.lexsort(
-                tuple(pdf[c].to_numpy() for c in reversed(list(order_cols)))
-            )
-            pdf = pdf.take(order).reset_index(drop=True)
-        except TypeError:  # non-lexsortable dtype — pandas fallback
-            pdf = pdf.sort_values(
-                list(order_cols), kind="mergesort"
-            ).reset_index(drop=True)
-        n = len(pdf)
-        masks = _group_masks(step_list, pdf)
+    def scan_core(
+        key: tuple,
+        n: int,
+        masks: list,
+        alt_masks: dict,
+        cols: dict,
+        ts,
+    ) -> list:
+        """Per-key NFA scan over precomputed masks/columns — the loop
+        both the per-key and the bucket-sliced paths share."""
         run_ends = _run_ends(masks, n)
-        alt_masks = _alt_member_masks(step_list, pdf)
-        has_group = any(s.group is not None for s in step_list)
         gout: "dict | None" = {} if has_group else None
-        cols = {c: pdf[c].to_numpy() for c in pdf.columns}
-        ts = (
-            pdf[order_cols[0]].to_numpy("int64")
-            if within_us is not None else None
-        )
-        has_dyn = any(s.dyn is not None for s in step_list)
         dctx = _DynCtx(cols) if has_dyn else None
         # cross-start failure memo — sound here because every start
         # shares masks/steps and the batch scan ignores touched_end;
@@ -1250,6 +1256,29 @@ def match_pattern(
             i = _resume(i, hit)
         return out
 
+    def run_one(key: tuple, pdf: pd.DataFrame) -> list[dict[str, Any]]:
+        try:
+            # stable multi-key sort straight on the numpy arrays —
+            # DataFrame.sort_values factorizes every key column per
+            # key group, a measured ~25 % of matcher wall time
+            order = np.lexsort(
+                tuple(pdf[c].to_numpy() for c in reversed(list(order_cols)))
+            )
+            pdf = pdf.take(order).reset_index(drop=True)
+        except TypeError:  # non-lexsortable dtype — pandas fallback
+            pdf = pdf.sort_values(
+                list(order_cols), kind="mergesort"
+            ).reset_index(drop=True)
+        n = len(pdf)
+        masks = _group_masks(step_list, pdf)
+        alt_masks = _alt_member_masks(step_list, pdf)
+        cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+        ts = (
+            pdf[order_cols[0]].to_numpy("int64")
+            if within_us is not None else None
+        )
+        return scan_core(key, n, masks, alt_masks, cols, ts)
+
     def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         out = run_one(key, pdf)
         if all_rows:
@@ -1261,11 +1290,74 @@ def match_pattern(
     if group_buckets is None:
         return df.groupBy(*key_cols).applyInPandas(run, schema=output_schema)
 
+    kcols = list(key_cols)
+    ocols = list(order_cols)
+
     def run_bucket(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # One stable lexsort of the WHOLE bucket by (key, order), one
+        # take, one column→ndarray conversion — the per-key
+        # DataFrame.take / groupby sub-frame construction was the
+        # dominant constant factor with ~1.5k keys per bucket (r14
+        # profile: ~40 % of matcher wall time). With every step
+        # row-local (bucket_local) the static masks are additionally
+        # evaluated once over the sorted bucket and SLICED per key.
         out: list = []
-        for kv, sub in pdf.groupby(list(key_cols), sort=False):
-            kt = kv if isinstance(kv, tuple) else (kv,)
-            out.extend(run_one(kt, sub))
+        n_all = len(pdf)
+        fast = n_all > 0
+        if fast:
+            try:
+                sort_arrs = [pdf[c].to_numpy() for c in kcols + ocols]
+                order = np.lexsort(tuple(reversed(sort_arrs)))
+            except TypeError:  # non-lexsortable dtype
+                fast = False
+            else:
+                # pandas groupby drops null keys (dropna=True); the
+                # sliced path would keep them — fall back to the
+                # per-key path so semantics stay identical
+                if any(pd.isna(a).any() for a in sort_arrs[: len(kcols)]):
+                    fast = False
+        if fast:
+            pdf_s = pdf.take(order).reset_index(drop=True)
+            cols_all = {c: pdf_s[c].to_numpy() for c in pdf_s.columns}
+            karrs = [cols_all[c] for c in kcols]
+            chg = np.zeros(n_all, dtype=bool)
+            chg[0] = True
+            for a in karrs:
+                chg[1:] |= a[1:] != a[:-1]
+            bounds = np.flatnonzero(chg).tolist()
+            bounds.append(n_all)
+            masks_all = _group_masks(step_list, pdf_s) if bucket_local else None
+            alt_all = (
+                _alt_member_masks(step_list, pdf_s) if bucket_local else None
+            )
+            ts_all = (
+                pdf_s[ocols[0]].to_numpy("int64")
+                if within_us is not None else None
+            )
+            for gi in range(len(bounds) - 1):
+                a, b = bounds[gi], bounds[gi + 1]
+                key = tuple(arr[a] for arr in karrs)
+                cols = {c: v[a:b] for c, v in cols_all.items()}
+                if masks_all is not None:
+                    masks = [
+                        [mm[a:b] for mm in m] if isinstance(m, list)
+                        else m[a:b]
+                        for m in masks_all
+                    ]
+                    alt_masks = {
+                        nm: (names, choice[a:b])
+                        for nm, (names, choice) in alt_all.items()
+                    }
+                else:
+                    sub = pdf_s.iloc[a:b]
+                    masks = _group_masks(step_list, sub)
+                    alt_masks = _alt_member_masks(step_list, sub)
+                ts = ts_all[a:b] if ts_all is not None else None
+                out.extend(scan_core(key, b - a, masks, alt_masks, cols, ts))
+        else:
+            for kv, sub in pdf.groupby(kcols, sort=False):
+                kt = kv if isinstance(kv, tuple) else (kv,)
+                out.extend(run_one(kt, sub))
         if all_rows:
             return _assemble_all_rows(out, out_cols)
         if not out:

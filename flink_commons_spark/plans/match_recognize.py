@@ -2294,6 +2294,10 @@ def parse_match_recognize(
     used_cols: set = set()
     max_prev = 0
     var_next: dict[str, int] = {}  # per-variable deepest NEXT offset
+    # variables whose STATIC (vectorized) mask navigates with PREV/NEXT
+    # (Series.shift) — their masks are not row-local, so the bucketed
+    # batch executor must evaluate them per key (Step.local=False)
+    var_statnav: set[str] = set()
     defines: dict[str, Callable] = {}
     dyn_defines: dict[str, Callable] = {}
     for clause in _split_top(bm.group("def")):
@@ -2316,6 +2320,8 @@ def parse_match_recognize(
                                       used_cols, expr_vars, def_var=var,
                                       subsets=subsets)
                 static_fns.append(dparser.parse().fn)
+                if dparser.max_prev or dparser.max_next:
+                    var_statnav.add(var)
             except _NeedsMatchState:
                 # reads match state (cross-variable columns, FIRST/
                 # LAST, running aggregates) — Step.dyn protocol
@@ -2412,6 +2418,7 @@ def parse_match_recognize(
                     defines.get(cname, _wild),
                     quant=(clo, chi),
                     reluctant=crel,
+                    local=cname not in var_statnav,
                 )
                 for cname, clo, chi, crel in children
             ]
@@ -2429,6 +2436,7 @@ def parse_match_recognize(
                 reluctant=rel,
                 group=child_steps,
                 perm=is_perm,
+                local=all(s.local for s in child_steps),
             ))
             continue
         if members is None:
@@ -2439,6 +2447,7 @@ def parse_match_recognize(
                 reluctant=rel,
                 dyn=dyn_defines.get(name),
                 next_depth=var_next.get(name, 0),
+                local=name not in var_statnav,
             ))
             continue
         member_fns = [(a, defines.get(a, _wild)) for a in members]
@@ -2457,6 +2466,7 @@ def parse_match_recognize(
             next_depth=max((var_next.get(a, 0) for a in members),
                            default=0),
             alts=member_fns,
+            local=all(a not in var_statnav for a in members),
         ))
 
     measures: list[tuple[str, _Node]] = []
