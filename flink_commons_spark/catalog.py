@@ -11998,6 +11998,7 @@ GROUP BY event_type
 """
 
 
+@_with_stream_shuffle(16)
 def stream_over_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming OVER aggregation — Flink SQL's event-time ``ROWS
     BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW`` window, which Spark
@@ -12053,6 +12054,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+@_with_stream_shuffle(16)
 def stream_over_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming event-time ``RANGE BETWEEN INTERVAL '10' MINUTE
     PRECEDING AND CURRENT ROW`` OVER aggregation — the time-window

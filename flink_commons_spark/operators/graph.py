@@ -29,6 +29,7 @@ def connected_components(
     src: str = "a",
     dst: str = "b",
     max_iter: int = 20,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components of an undirected edge list.
 
@@ -37,6 +38,17 @@ def connected_components(
     Converges in O(component diameter) iterations; raises if
     ``max_iter`` passes don't reach a fixpoint (pathological chain —
     raise the bound or pre-contract).
+
+    Edge sets at or below ``local_threshold`` rows (no-null ids)
+    short-circuit to :func:`_cc_local` — the same single-task
+    union-find cutoff :func:`connected_components_star` documents:
+    below that size the per-hop keyed join + min-aggregate rounds are
+    pure per-round plan/scheduler cost, not data cost (r14 bench: the
+    sf0.1 dedup-cluster graph is ~5k edges and the propagation loop's
+    ~12 jobs were >2/3 of the query's wall time). Identical labels by
+    construction — component minimum either way (the star path's
+    A/B-pinned parity applies verbatim). ``local_threshold=0`` forces
+    the distributed loop (tests pin the loop semantics through it).
     """
     spark = edges.sparkSession
     # constraint propagation off while the iterative plans are
@@ -53,6 +65,27 @@ def connected_components(
         edges = edges.select(
             F.col(src).alias("u"), F.col(dst).alias("v")
         ).localCheckpoint(eager=False)
+        if local_threshold:
+            from pyspark.sql import types as T
+
+            # width-aware gate as in connected_components_star: string
+            # ids are an order of magnitude wider per row
+            numeric_ids = isinstance(edges.schema["u"].dataType, T.NumericType)
+            cap = local_threshold if numeric_ids else max(
+                1, local_threshold // 8
+            )
+            probe = edges.limit(cap + 1).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    (F.col("u").isNull() | F.col("v").isNull()).cast("int")
+                ).alias("nn"),
+            ).first()
+            # null endpoints take the distributed path (the min-
+            # aggregates' null handling is the defined behavior there;
+            # pair-mining ids are never null, so this probe is the
+            # checkpoint materializer and nothing else)
+            if int(probe["n"]) <= cap and not int(probe["nn"] or 0):
+                return _cc_local(edges)
         nodes = (
             edges.select(F.col("u").alias("node"))
             .union(edges.select(F.col("v").alias("node")))

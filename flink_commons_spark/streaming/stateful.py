@@ -233,21 +233,36 @@ OVER_OUTPUT_SCHEMA = (
 )
 #: state layout: finalized totals, the newest emitted row's event-time
 #: ms (-1 before any emission — anchors the idle-TTL deadline across
-#: batches), and the watermark-gated row buffer
+#: batches), and the watermark-gated row buffer. Buffers are PACKED
+#: int64 ``binary`` blobs (``ndarray.tobytes()`` on store, zero-copy
+#: ``np.frombuffer`` on load) — the same state repacking
+#: ``streaming/cep_stream.py:_BUF_TYPES`` documents: an ``array<long>``
+#: state value costs per-element boxing on the Python side plus
+#: per-element catalyst array encoding in the state-store commit,
+#: which the r14 micro-batch profile showed dominating these
+#: operators' addBatch (store commit 9.6-13 s summed vs 1-2 s for the
+#: binary-packed CEP state over the same row volume). NOTE: a state-
+#: SCHEMA change — checkpoints from earlier builds do not restore.
 OVER_STATE_SCHEMA = (
-    "n bigint, cents bigint, last_ms bigint, buf_eid array<bigint>, "
-    "buf_ord array<bigint>, buf_cents array<bigint>"
+    "n bigint, cents bigint, last_ms bigint, buf_eid binary, "
+    "buf_ord binary, buf_cents binary"
 )
+
+
+def _unpack_i64(val) -> np.ndarray:
+    """Zero-copy (read-only) int64 view of a packed state blob."""
+    return np.frombuffer(val if val is not None else b"", dtype=np.int64)
 
 
 #: output schema of :func:`running_over_range`
 OVER_RANGE_OUTPUT_SCHEMA = (
     "event_id bigint, user_id bigint, range_n bigint, range_cents bigint"
 )
-#: state layout: the in-horizon history + the watermark-gated buffer
+#: state layout: the in-horizon history + the watermark-gated buffer,
+#: every array a packed int64 ``binary`` blob (see OVER_STATE_SCHEMA)
 OVER_RANGE_STATE_SCHEMA = (
-    "h_ord array<bigint>, h_cents array<bigint>, buf_eid array<bigint>, "
-    "buf_ord array<bigint>, buf_cents array<bigint>"
+    "h_ord binary, h_cents binary, buf_eid binary, "
+    "buf_ord binary, buf_cents binary"
 )
 
 
@@ -281,11 +296,19 @@ def running_over_range(
     ) -> Iterator[pd.DataFrame]:
         wm_ms = state.getCurrentWatermarkMs()
         if state.exists:
-            h_ord, h_cents, b_eid, b_ord, b_cents = (
-                list(x) for x in state.get
-            )
+            r_ho, r_hc, r_be, r_bo, r_bc = state.get
+            # history stays a Python list: the release loop below cuts
+            # and extends it incrementally, and it is bounded by the
+            # range horizon (not the batch) — the packed blobs carry
+            # the bulk buffer
+            h_ord = _unpack_i64(r_ho).tolist()
+            h_cents = _unpack_i64(r_hc).tolist()
+            b_eid = _unpack_i64(r_be)
+            b_ord = _unpack_i64(r_bo)
+            b_cents = _unpack_i64(r_bc)
         else:
-            h_ord, h_cents, b_eid, b_ord, b_cents = [], [], [], [], []
+            h_ord, h_cents = [], []
+            b_eid = b_ord = b_cents = _unpack_i64(None)
         if not state.hasTimedOut:
             chunks = list(batches)
             if chunks:
@@ -296,15 +319,12 @@ def running_over_range(
                 if wm_ms > 0:
                     fresh = (ords // 1000) > wm_ms  # late-row drop
                     eids, ords, cts = eids[fresh], ords[fresh], cts[fresh]
-                b_eid.extend(eids.tolist())
-                b_ord.extend(ords.tolist())
-                b_cents.extend(cts.tolist())
-        if wm_ms > 0 and b_ord:
-            eids = np.asarray(b_eid, dtype="int64")
-            ords = np.asarray(b_ord, dtype="int64")
-            cts = np.asarray(b_cents, dtype="int64")
-            order = np.lexsort((eids, ords))
-            eids, ords, cts = eids[order], ords[order], cts[order]
+                b_eid = np.concatenate([b_eid, eids])
+                b_ord = np.concatenate([b_ord, ords])
+                b_cents = np.concatenate([b_cents, cts])
+        if wm_ms > 0 and len(b_ord):
+            order = np.lexsort((b_eid, b_ord))
+            eids, ords, cts = b_eid[order], b_ord[order], b_cents[order]
             k = int(((ords // 1000) <= wm_ms).sum())  # ripe prefix
             if k:
                 out_eid: list[int] = []
@@ -347,10 +367,8 @@ def running_over_range(
                         "range_cents": np.asarray(out_sum, dtype="int64"),
                     }
                 )
-            b_eid = eids[k:].tolist()
-            b_ord = ords[k:].tolist()
-            b_cents = cts[k:].tolist()
-        if not b_ord and (
+            b_eid, b_ord, b_cents = eids[k:], ords[k:], cts[k:]
+        if not len(b_ord) and (
             not h_ord or wm_ms * 1000 >= h_ord[-1] + range_us
         ):
             # buffer drained AND the horizon has fully passed: any
@@ -361,9 +379,15 @@ def running_over_range(
             # IN-HORIZON keys, not lifetime-distinct keys.
             state.remove()
         else:
-            state.update((h_ord, h_cents, b_eid, b_ord, b_cents))
-            if b_ord:
-                state.setTimeoutTimestamp(max(min(b_ord) // 1000, wm_ms + 1))
+            state.update((
+                np.asarray(h_ord, dtype=np.int64).tobytes(),
+                np.asarray(h_cents, dtype=np.int64).tobytes(),
+                b_eid.tobytes(), b_ord.tobytes(), b_cents.tobytes(),
+            ))
+            if len(b_ord):
+                state.setTimeoutTimestamp(
+                    max(int(b_ord.min()) // 1000, wm_ms + 1)
+                )
             else:
                 # re-invoke once the horizon expires so the dead
                 # history is reclaimed even if the key never sees
@@ -435,14 +459,17 @@ def running_over_rows(
     ) -> Iterator[pd.DataFrame]:
         wm_ms = state.getCurrentWatermarkMs()
         if state.exists:
-            n, cents, last_ms, b_eid, b_ord, b_cents = state.get
-            b_eid, b_ord, b_cents = list(b_eid), list(b_ord), list(b_cents)
+            n, cents, last_ms, r_eid, r_ord, r_cents = state.get
+            b_eid = _unpack_i64(r_eid)
+            b_ord = _unpack_i64(r_ord)
+            b_cents = _unpack_i64(r_cents)
         else:
-            n, cents, last_ms, b_eid, b_ord, b_cents = 0, 0, -1, [], [], []
+            n, cents, last_ms = 0, 0, -1
+            b_eid = b_ord = b_cents = _unpack_i64(None)
         # a timeout that fires with an EMPTY buffer can only be the
         # idle-TTL expiry timer (drain timers are armed only while rows
         # are buffered; draining re-arms the expiry timer in its place)
-        ttl_fired = bool(idle_ttl_ms) and state.hasTimedOut and not b_ord
+        ttl_fired = bool(idle_ttl_ms) and state.hasTimedOut and not len(b_ord)
         released_last_ms = None
         if not state.hasTimedOut:
             chunks = list(batches)
@@ -454,15 +481,12 @@ def running_over_rows(
                 if wm_ms > 0:
                     fresh = (ords // 1000) > wm_ms  # late-row drop (Flink)
                     eids, ords, cts = eids[fresh], ords[fresh], cts[fresh]
-                b_eid.extend(eids.tolist())
-                b_ord.extend(ords.tolist())
-                b_cents.extend(cts.tolist())
-        if wm_ms > 0 and b_ord:
-            eids = np.asarray(b_eid, dtype="int64")
-            ords = np.asarray(b_ord, dtype="int64")
-            cts = np.asarray(b_cents, dtype="int64")
-            order = np.lexsort((eids, ords))
-            eids, ords, cts = eids[order], ords[order], cts[order]
+                b_eid = np.concatenate([b_eid, eids])
+                b_ord = np.concatenate([b_ord, ords])
+                b_cents = np.concatenate([b_cents, cts])
+        if wm_ms > 0 and len(b_ord):
+            order = np.lexsort((b_eid, b_ord))
+            eids, ords, cts = b_eid[order], b_ord[order], b_cents[order]
             k = int(((ords // 1000) <= wm_ms).sum())  # ripe = sorted prefix
             if k:
                 run_cents = cts[:k].cumsum() + cents
@@ -478,10 +502,8 @@ def running_over_rows(
                 cents = int(run_cents[-1])
                 released_last_ms = int(ords[k - 1] // 1000)
                 last_ms = released_last_ms
-            b_eid = eids[k:].tolist()
-            b_ord = ords[k:].tolist()
-            b_cents = cts[k:].tolist()
-        if idle_ttl_ms and not b_ord:
+            b_eid, b_ord, b_cents = eids[k:], ords[k:], cts[k:]
+        if idle_ttl_ms and not len(b_ord):
             if ttl_fired:
                 state.remove()
                 return
@@ -502,12 +524,18 @@ def running_over_rows(
             if wm_ms >= expiry:
                 state.remove()
                 return
-            state.update((n, cents, last_ms, b_eid, b_ord, b_cents))
+            state.update((
+                n, cents, last_ms,
+                b_eid.tobytes(), b_ord.tobytes(), b_cents.tobytes(),
+            ))
             state.setTimeoutTimestamp(expiry)
             return
-        state.update((n, cents, last_ms, b_eid, b_ord, b_cents))
-        if b_ord:
-            state.setTimeoutTimestamp(max(min(b_ord) // 1000, wm_ms + 1))
+        state.update((
+            n, cents, last_ms,
+            b_eid.tobytes(), b_ord.tobytes(), b_cents.tobytes(),
+        ))
+        if len(b_ord):
+            state.setTimeoutTimestamp(max(int(b_ord.min()) // 1000, wm_ms + 1))
 
     return (
         sdf.select("event_id", "user_id", "ord_us", "cents")

@@ -378,8 +378,10 @@ def test_connected_components_non_convergence_raises(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["a", "b"])
     import pytest as _pytest
 
+    # local_threshold=0 forces the distributed propagation loop — the
+    # r14 size gate would otherwise solve this 3-edge graph in one task
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=1)
+        connected_components(edges, max_iter=1, local_threshold=0)
 
 
 # ----------------------------------------------------- split & packing
@@ -570,13 +572,20 @@ def test_star_contraction_matches_propagation(spark):
     edges = [(rng.randrange(48), rng.randrange(48)) for _ in range(60)]
     edges = [(a, b) for a, b in edges if a != b]
     df = spark.createDataFrame(edges, ["a", "b"])
-    prop = {r.node: r.label for r in connected_components(df).collect()}
+    # local_threshold=0 keeps the distributed min-propagation loop
+    # covered now that the default size-gates to the union-find task
+    prop = {r.node: r.label for r in connected_components(
+        df, local_threshold=0).collect()}
     star = {r.node: r.label for r in connected_components_star(
         df, local_threshold=0).collect()}
     assert star == prop
     # the size-gated single-task union-find fallback shares the contract
     local = {r.node: r.label for r in connected_components_star(df).collect()}
     assert local == prop
+    # r14: connected_components carries the same size gate — its
+    # defaulted (local) route must agree with its distributed loop
+    gated = {r.node: r.label for r in connected_components(df).collect()}
+    assert gated == prop
 
 
 def test_star_contraction_string_ids_label_parity(spark):
