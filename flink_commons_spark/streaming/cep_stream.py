@@ -44,11 +44,35 @@ MATCH_SCHEMA = "user_id bigint, start_us bigint, end_us bigint, n_clicks bigint"
 #: state: the key's buffered (ts, event_type, event_id, value) columns
 #: plus the count of leading CONTEXT rows — already-consumed rows kept
 #: only so row-navigating DEFINE predicates (PREV) see their true
-#: predecessor after a match consumes the prefix; never matched again
+#: predecessor after a match consumes the prefix; never matched again.
+#: Numeric buffers are PACKED binary blobs (``tobytes``/``frombuffer``,
+#: the same repacking ``_BUF_TYPES`` documents for the generic
+#: harness): an ``array<long>`` state value pays per-element boxing on
+#: the Python side plus per-element catalyst array encoding in the
+#: state-store commit. Strings stay ``array<string>``. NOTE: a state-
+#: SCHEMA change — checkpoints from earlier builds do not restore.
 BUFFER_STATE_SCHEMA = (
-    "ts array<long>, et array<string>, eid array<long>, "
-    "val array<double>, nctx int, presorted int"
+    "ts binary, et array<string>, eid binary, "
+    "val binary, nctx int, presorted int"
 )
+
+
+def _pack_i64(vals) -> bytes:
+    import numpy as np
+
+    return np.asarray(vals, dtype=np.int64).tobytes()
+
+
+def _pack_f64(vals) -> bytes:
+    import numpy as np
+
+    return np.asarray(vals, dtype=np.float64).tobytes()
+
+
+def _unpack(val, dtype: str) -> list:
+    import numpy as np
+
+    return np.frombuffer(val if val is not None else b"", dtype=dtype).tolist()
 _COLS = ["user_id", "start_us", "end_us", "n_clicks"]
 
 
@@ -478,10 +502,12 @@ def stream_match_conversions(
             if not any(r[0] // 1000 < wm_ms for r in rows):
                 if rows:
                     state.update((
-                        [r[0] for r in rows],
+                        _pack_i64([r[0] for r in rows]),
                         [r[1] for r in rows],
-                        [r[2] for r in rows],
-                        [float(r[3]) if len(r) > 3 else 0.0 for r in rows],
+                        _pack_i64([r[2] for r in rows]),
+                        _pack_f64(
+                            [r[3] if len(r) > 3 else 0.0 for r in rows]
+                        ),
                         nctx,
                         int(presorted),
                     ))
@@ -522,10 +548,10 @@ def stream_match_conversions(
                 ctx = rows[max(0, j - ctx_rows) : j] if ctx_rows else []
                 rest = ctx + kept
                 state.update((
-                    [r[0] for r in rest],
+                    _pack_i64([r[0] for r in rest]),
                     [r[1] for r in rest],
-                    [r[2] for r in rest],
-                    [float(r[3]) if len(r) > 3 else 0.0 for r in rest],
+                    _pack_i64([r[2] for r in rest]),
+                    _pack_f64([r[3] if len(r) > 3 else 0.0 for r in rest]),
                     len(ctx),
                     1,  # the kept suffix stays sorted
                 ))
@@ -546,7 +572,11 @@ def stream_match_conversions(
         if state.hasTimedOut:
             ts, et, eid, val, nctx, srt = state.get
             matches = settle(
-                list(zip(ts, et, eid, val)), int(nctx), bool(srt)
+                list(zip(
+                    _unpack(ts, "int64"), et,
+                    _unpack(eid, "int64"), _unpack(val, "float64"),
+                )),
+                int(nctx), bool(srt),
             )
             if matches:
                 yield pd.DataFrame(matches, columns=out_cols)
@@ -563,8 +593,10 @@ def stream_match_conversions(
         nctx = 0
         if state.exists:
             pts, pet, peid, pval, pnctx, _srt = state.get
-            ts, et = list(pts) + ts, list(pet) + et
-            eid, val = list(peid) + eid, list(pval) + val
+            ts = _unpack(pts, "int64") + ts
+            et = list(pet) + et
+            eid = _unpack(peid, "int64") + eid
+            val = _unpack(pval, "float64") + val
             nctx = int(pnctx)
         matches = settle(list(zip(ts, et, eid, val)), nctx)
         if matches:
