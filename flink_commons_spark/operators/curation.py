@@ -528,50 +528,57 @@ def repetition_stats(
     For n in {1, 2, 3}: the count of the most frequent word n-gram and
     the total n-gram count. A document dominated by one repeated
     phrase has a high ``top2_frac``/``top3_frac``; boilerplate has a
-    high ``top1_frac``. One exploded pass per n unioned into a single
-    aggregation chain: shuffle keys are (doc, n, gram) then (doc, n) —
-    both bounded by document length, never corpus-wide.
+    high ``top1_frac``. ONE corpus pass (r14 — was a 3-way union of
+    per-n explode passes, i.e. three scans of the corpus and four
+    aggregation steps ending in a pivot): the three gram arrays are
+    built in one projection, tagged ``(n, gram)``, flattened and
+    exploded once; the per-(doc, n, gram) count (map-side partial agg)
+    folds straight into the per-doc signal columns with conditional
+    aggregates. Shuffle keys are (doc, n, gram) then (doc) — bounded
+    by document length, never corpus-wide. A k with no grams for a doc
+    simply has no rows; ``coalesce(..., 0)`` restores the explicit
+    zeros the old explode_outer rows carried — outputs are identical
+    (pinned by test_repetition_stats_counts and the exact oracle).
 
     Returns ``(doc_id, n_1, top_1, n_2, top_2, n_3, top_3)`` where
     ``n_k`` is the total k-gram count and ``top_k`` the top k-gram's
     occurrence count (0 for documents shorter than k tokens).
     """
-    parts = []
+    d = docs.select(id_col, text_col)
+
+    def _tag(n_val):
+        # single-arg lambda REQUIRED: F.transform treats a two-arg
+        # lambda as (element, index) — a default-arg closure would
+        # silently receive the array index as n
+        return lambda g: F.struct(F.lit(n_val).alias("n"), g.alias("gram"))
+
+    gram_arrays = []
     for n in (1, 2, 3):
-        g = with_ngrams(docs.select(id_col, text_col), n)
-        parts.append(
-            g.select(
-                id_col,
-                F.lit(n).alias("n"),
-                F.explode_outer(F.col("grams")).alias("gram"),
-            )
-        )
-    exploded = parts[0].unionByName(parts[1]).unionByName(parts[2])
+        d = with_ngrams(d, n, text_col, out_col=f"__g{n}")
+        gram_arrays.append(F.transform(F.col(f"__g{n}"), _tag(n)))
+    # explode_outer keeps token-less documents in the output (one
+    # all-NULL row → every signal coalesces to 0), matching the old
+    # per-n outer explodes
+    exploded = d.select(
+        id_col,
+        F.explode_outer(F.flatten(F.array(*gram_arrays))).alias("e"),
+    ).select(id_col, F.col("e.n").alias("n"), F.col("e.gram").alias("gram"))
     per_gram = exploded.groupBy(id_col, "n", "gram").agg(
         F.count(F.col("gram")).alias("cnt")
     )
-    per_doc = per_gram.groupBy(id_col, "n").agg(
-        F.sum(F.when(F.col("gram").isNotNull(), F.col("cnt")).otherwise(0))
-        .cast("bigint")
-        .alias("total"),
-        F.max(F.when(F.col("gram").isNotNull(), F.col("cnt")).otherwise(0))
-        .cast("bigint")
-        .alias("top"),
-    )
-    pivoted = (
-        per_doc.groupBy(id_col)
-        .pivot("n", [1, 2, 3])
-        .agg(F.first("total").alias("n"), F.first("top").alias("top"))
-    )
-    return pivoted.select(
-        id_col,
-        F.col("1_n").alias("n_1"),
-        F.col("1_top").alias("top_1"),
-        F.col("2_n").alias("n_2"),
-        F.col("2_top").alias("top_2"),
-        F.col("3_n").alias("n_3"),
-        F.col("3_top").alias("top_3"),
-    )
+    aggs = []
+    for n in (1, 2, 3):
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("n") == n, F.col("cnt"))), F.lit(0)
+            ).cast("bigint").alias(f"n_{n}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("cnt"))), F.lit(0)
+            ).cast("bigint").alias(f"top_{n}")
+        )
+    return per_gram.groupBy(id_col).agg(*aggs)
 
 
 # --------------------------------------------------------------- PII

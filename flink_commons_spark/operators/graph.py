@@ -450,33 +450,48 @@ def bfs_distances(
     Unreachable nodes report -1 (a NULL bigint would round-trip as NaN
     through comparison paths). Fixed hop count keeps lineage shallow;
     dedup-style graphs need 2-3."""
-    nodes = nodes.select(F.col(node_col).alias("node"))
-    edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    dist = nodes.join(
-        sources.select(F.col(sources.columns[0]).alias("node")).withColumn(
-            "d", F.lit(0).cast("bigint")
-        ),
-        "node",
-        "left",
-    )
-    for _ in range(max_hops):
-        reached = (
-            edges.join(
-                dist.where(F.col("d").isNotNull()).withColumnRenamed(
-                    "node", "src"
-                ),
-                "src",
+    spark = nodes.sparkSession
+    # constraint propagation off while the unrolled 6-hop plan is
+    # DEFINED: the analyzer cost is quadratic-ish in the join/union
+    # chain (same note as :func:`connected_components`); pure
+    # plan-definition cost, no effect on the executed plan — every
+    # join key here is non-null by construction. Restored in finally.
+    cp_key = "spark.sql.constraintPropagation.enabled"
+    cp_prev = spark.conf.get(cp_key, "true")
+    spark.conf.set(cp_key, "false")
+    try:
+        nodes = nodes.select(F.col(node_col).alias("node"))
+        edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        dist = nodes.join(
+            sources.select(F.col(sources.columns[0]).alias("node")).withColumn(
+                "d", F.lit(0).cast("bigint")
+            ),
+            "node",
+            "left",
+        )
+        for _ in range(max_hops):
+            reached = (
+                edges.join(
+                    dist.where(F.col("d").isNotNull()).withColumnRenamed(
+                        "node", "src"
+                    ),
+                    "src",
+                )
+                .select(
+                    F.col("dst").alias("node"), (F.col("d") + 1).alias("d")
+                )
             )
-            .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+            dist = (
+                dist.unionByName(reached)
+                .groupBy("node")
+                .agg(F.min("d").alias("d"))
+            )
+        return dist.select(
+            "node",
+            F.coalesce(F.col("d"), F.lit(-1)).cast("bigint").alias("hops"),
         )
-        dist = (
-            dist.unionByName(reached)
-            .groupBy("node")
-            .agg(F.min("d").alias("d"))
-        )
-    return dist.select(
-        "node", F.coalesce(F.col("d"), F.lit(-1)).cast("bigint").alias("hops")
-    )
+    finally:
+        spark.conf.set(cp_key, cp_prev)
 
 
 def dup_clusters(
