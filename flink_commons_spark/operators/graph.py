@@ -375,6 +375,58 @@ def connected_components_star(
     )
 
 
+def _graph_small_enough(
+    nodes: DataFrame, edges: DataFrame, cap: int,
+    extra: "DataFrame | None" = None,
+) -> bool:
+    """True when EVERY frame is at or below ``cap`` rows with no null
+    ids — the iterative graph operators' single-task gate (one bounded
+    limit-probe job per frame, same shape as the CC gates). Numeric-id
+    graphs only; callers check the dtype."""
+    frames = [(nodes, nodes.columns[:1]), (edges, edges.columns[:2])]
+    if extra is not None:
+        frames.append((extra, extra.columns[:1]))
+    for df, cols in frames:
+        null_pred = None
+        for c in cols:
+            p = F.col(c).isNull()
+            null_pred = p if null_pred is None else (null_pred | p)
+        probe = df.limit(cap + 1).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(null_pred.cast("int")).alias("nn"),
+        ).first()
+        if int(probe["n"]) > cap or int(probe["nn"] or 0):
+            return False
+    return True
+
+
+def _tagged_single_task(nodes: DataFrame, edges: DataFrame,
+                        extra: "DataFrame | None", fn, out_schema: str,
+                        id_type: str) -> DataFrame:
+    """Ship (nodes ∪ edges [∪ extra]) into ONE task as a tagged union
+    and apply ``fn(pdf) -> pdf`` — the iterative graph operators'
+    small-graph path (single Arrow batch, no per-round scheduling).
+    ``fn`` sees columns (k, a, b): k=0 node rows (a=id), k=1 edge rows
+    (a=src, b=dst), k=2 extra rows (a=id)."""
+    null_b = F.lit(None).cast(id_type).alias("b")
+    tagged = nodes.select(
+        F.lit(0).alias("k"), F.col(nodes.columns[0]).alias("a"), null_b
+    ).unionByName(edges.select(
+        F.lit(1).alias("k"),
+        F.col(edges.columns[0]).alias("a"),
+        F.col(edges.columns[1]).alias("b"),
+    ))
+    if extra is not None:
+        tagged = tagged.unionByName(extra.select(
+            F.lit(2).alias("k"), F.col(extra.columns[0]).alias("a"), null_b
+        ))
+    return (
+        tagged.withColumn("__gr_g", F.lit(0))
+        .groupBy("__gr_g")
+        .applyInPandas(lambda pdf: fn(pdf), out_schema)
+    )
+
+
 def pagerank(
     nodes: DataFrame,
     edges: DataFrame,
@@ -383,6 +435,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 5,
     scale: int = 10**12,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank in exact integer arithmetic.
 
@@ -401,6 +454,61 @@ def pagerank(
     """
     nodes = nodes.select(F.col(node_col).alias("node"))
     edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    from pyspark.sql import types as T
+
+    t = nodes.schema["node"].dataType.simpleString()
+    if local_threshold and isinstance(
+        nodes.schema["node"].dataType, T.NumericType
+    ):
+        # cut the edge lineage BEFORE probing: the gate probe is the
+        # materializing action, so an expensive mined edge list (e.g.
+        # the 4-way trade-graph join) is computed once, not once for
+        # the probe and again for the single-task union
+        edges = edges.localCheckpoint(eager=False)
+    if (
+        local_threshold
+        and isinstance(nodes.schema["node"].dataType, T.NumericType)
+        and _graph_small_enough(nodes, edges, local_threshold)
+    ):
+        # single-task twin (r14): below the gate the 5 rounds of
+        # join + dst-keyed sum are pure per-round plan/scheduler cost.
+        # Bit-identical by construction — the same integer micro-unit
+        # arithmetic on the same frames, order-free (np.add.at sums
+        # int64 exactly; DIV on positive ints == floor division), with
+        # the distributed path's join semantics replicated: edges
+        # whose src is not a node contribute nothing (inner rank
+        # join), dst outside the node set is dropped (left join from
+        # nodes), outdeg counts every edge of a src. Parity is pinned
+        # by test_pagerank_local_matches_distributed.
+        def _pr(pdf):
+            import numpy as np
+            import pandas as pd
+
+            nd = pdf.loc[pdf.k == 0, "a"].to_numpy()
+            es = pdf.loc[pdf.k == 1, "a"].to_numpy()
+            ed = pdf.loc[pdf.k == 1, "b"].to_numpy()
+            n = len(nd)
+            idx = pd.Index(nd)
+            sc = idx.get_indexer(es)
+            dc = idx.get_indexer(ed)
+            keep = sc >= 0
+            outdeg = np.zeros(n, dtype=np.int64)
+            np.add.at(outdeg, sc[keep], 1)
+            s_idx, d_idx = sc[keep], dc[keep]
+            od = outdeg[s_idx]
+            in_nodes = d_idx >= 0
+            base = (scale * 3) // (20 * n)
+            ranks = np.full(n, scale // n, dtype=np.int64)
+            for _ in range(iterations):
+                contrib = ranks[s_idx] // od
+                s = np.zeros(n, dtype=np.int64)
+                np.add.at(s, d_idx[in_nodes], contrib[in_nodes])
+                ranks = base + s * 17 // 20
+            return pd.DataFrame({"node": nd, "rank_micro": ranks})
+
+        return _tagged_single_task(
+            nodes, edges, None, _pr, f"node {t}, rank_micro bigint", t
+        )
     n = nodes.count()
     base = (scale * 3) // (20 * n)  # (1-d)/N in micro-units
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
@@ -441,6 +549,7 @@ def bfs_distances(
     src: str = "src",
     dst: str = "dst",
     max_hops: int = 6,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Multi-hop BFS: minimum hop count from any source node, directed
     edges, fixed ``max_hops`` frontier expansions. All-integer label
@@ -449,7 +558,14 @@ def bfs_distances(
     so one dst-keyed exchange per hop and no driver graph state.
     Unreachable nodes report -1 (a NULL bigint would round-trip as NaN
     through comparison paths). Fixed hop count keeps lineage shallow;
-    dedup-style graphs need 2-3."""
+    dedup-style graphs need 2-3.
+
+    Graphs at or below ``local_threshold`` rows (numeric no-null ids)
+    run the single-task numpy twin (r14) — per-hop min-updates via
+    ``np.minimum.at`` are order-free, so hop counts are identical to
+    the distributed rounds (pinned by
+    test_bfs_local_matches_distributed); ``local_threshold=0`` forces
+    the distributed loop."""
     spark = nodes.sparkSession
     # constraint propagation off while the unrolled 6-hop plan is
     # DEFINED: the analyzer cost is quadratic-ish in the join/union
@@ -462,6 +578,64 @@ def bfs_distances(
     try:
         nodes = nodes.select(F.col(node_col).alias("node"))
         edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        from pyspark.sql import types as T
+
+        t = nodes.schema["node"].dataType.simpleString()
+        if (
+            local_threshold
+            and isinstance(nodes.schema["node"].dataType, T.NumericType)
+            and _graph_small_enough(
+                nodes, edges, local_threshold, extra=sources
+            )
+        ):
+            # replicates the distributed rounds' exact semantics:
+            # sources count only where they are nodes (the left join),
+            # a reached dst ENTERS the output even when it is not in
+            # the node set (the union + min-aggregate does the same),
+            # and an edge whose src is neither node nor any dst can
+            # never fire
+            def _bfs(pdf):
+                import numpy as np
+                import pandas as pd
+
+                nd = pdf.loc[pdf.k == 0, "a"]
+                es = pdf.loc[pdf.k == 1, "a"].to_numpy()
+                ed = pdf.loc[pdf.k == 1, "b"]
+                srcs = pdf.loc[pdf.k == 2, "a"]
+                uni = pd.Index(pd.unique(
+                    pd.concat([nd, ed], ignore_index=True).dropna()
+                ))
+                ABSENT = np.int64(-2)
+                INF = np.int64(2**62)
+                dist = np.full(len(uni), ABSENT, dtype=np.int64)
+                n_codes = uni.get_indexer(nd.to_numpy())
+                dist[n_codes] = -1  # present, unreachable
+                is_node = np.zeros(len(uni), dtype=bool)
+                is_node[n_codes] = True
+                s_codes = uni.get_indexer(srcs.to_numpy())
+                s_codes = s_codes[s_codes >= 0]
+                dist[s_codes[is_node[s_codes]]] = 0
+                sc = uni.get_indexer(es)
+                dc = uni.get_indexer(ed.to_numpy())
+                keep = sc >= 0
+                sc, dc = sc[keep], dc[keep]
+                for _ in range(max_hops):
+                    live = dist[sc] >= 0
+                    if not live.any():
+                        break  # fixpoint — further hops cannot change
+                    work = np.where(dist >= 0, dist, INF)
+                    np.minimum.at(work, dc[live], dist[sc[live]] + 1)
+                    dist = np.where(work < INF, work, dist)
+                mask = dist != ABSENT
+                return pd.DataFrame(
+                    {"node": uni.to_numpy()[mask], "hops": dist[mask]}
+                )
+
+            return _tagged_single_task(
+                nodes, edges,
+                sources.select(F.col(sources.columns[0]).alias("node")),
+                _bfs, f"node {t}, hops bigint", t,
+            )
         dist = nodes.join(
             sources.select(F.col(sources.columns[0]).alias("node")).withColumn(
                 "d", F.lit(0).cast("bigint")

@@ -370,6 +370,53 @@ def test_bfs_distances_chain_and_unreachable(spark):
     got = {r.nation_key if hasattr(r, "nation_key") else r.node: r.hops
            for r in bfs_distances(nodes, edges, sources).collect()}
     assert got == {1: 0, 2: 1, 3: 2, 9: -1}
+    # r14: local_threshold=0 forces the distributed rounds — same map
+    dist = {r.node: r.hops
+            for r in bfs_distances(nodes, edges, sources,
+                                   local_threshold=0).collect()}
+    assert dist == got
+
+
+def test_bfs_local_matches_distributed(spark):
+    """The r14 single-task BFS twin must agree with the distributed
+    rounds on a seeded random directed graph, including the edge case
+    the distributed union creates: a reached dst that is NOT in the
+    node set still gets an output row."""
+    from flink_commons_spark.operators.graph import bfs_distances
+
+    import random
+
+    rng = random.Random(21)
+    edges_py = [(rng.randrange(40), rng.randrange(48)) for _ in range(70)]
+    nodes = spark.createDataFrame([(v,) for v in range(40)], ["node"])
+    edges = spark.createDataFrame(edges_py, ["src", "dst"])
+    sources = spark.createDataFrame([(0,), (7,)], ["node"])
+    local = {r.node: r.hops
+             for r in bfs_distances(nodes, edges, sources).collect()}
+    dist = {r.node: r.hops
+            for r in bfs_distances(nodes, edges, sources,
+                                    local_threshold=0).collect()}
+    assert local == dist
+
+
+def test_pagerank_local_matches_distributed(spark):
+    """The r14 single-task PageRank twin must be bit-identical to the
+    distributed rounds (exact integer micro-units) on a seeded random
+    graph with dangling nodes and edges pointing outside the node
+    set."""
+    from flink_commons_spark.operators.graph import pagerank
+
+    import random
+
+    rng = random.Random(34)
+    edges_py = list({(rng.randrange(30), rng.randrange(34))
+                     for _ in range(60)})
+    nodes = spark.createDataFrame([(v,) for v in range(30)], ["node"])
+    edges = spark.createDataFrame(edges_py, ["src", "dst"])
+    local = {r.node: r.rank_micro for r in pagerank(nodes, edges).collect()}
+    dist = {r.node: r.rank_micro
+            for r in pagerank(nodes, edges, local_threshold=0).collect()}
+    assert local == dist
 
 
 def test_connected_components_non_convergence_raises(spark):
