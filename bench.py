@@ -440,6 +440,21 @@ def main() -> None:
         sorted(((k, v) for k, v in timings.items() if v >= 0),
                key=lambda kv: -kv[1])[:10]
     )
+    # Per-cpu-count detail file (r15, verdict item 7): the driver's
+    # 8-core scaling run previously OVERWROTE the 32-core per-query
+    # detail because both wrote BENCH_DETAIL.json. Each run now ALSO
+    # writes BENCH_DETAIL_c{cpus}.json (additive — a scaling run can no
+    # longer clobber the main run's data) and the stdout line's
+    # "detail" pointer names the per-cpu file; the fixed-name
+    # BENCH_DETAIL.json keeps being written for older tooling. The
+    # full 218-entry per-query map lives in these files (verdict item
+    # 6): it CANNOT ride the stdout JSON line itself — the driver
+    # parses that line from a 2000-char stdout tail (BENCH_r02
+    # recorded `parsed: null` when a 106-entry dict overran it), and a
+    # 218-entry map is ~6 KB.
+    detail_cpu_path = (
+        Path(__file__).resolve().parent / f"BENCH_DETAIL_c{cpus}.json"
+    )
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     detail_path.write_text(json.dumps({
         "metric": "headline_queries_total_runtime",
@@ -468,6 +483,7 @@ def main() -> None:
         # drift is attributable without re-deriving dict order
         "order": {name: i + 1 for i, name in enumerate(HEADLINE)},
     }, indent=1))
+    detail_cpu_path.write_text(detail_path.read_text())
 
     # calibration-normalized quotients: total divided by the fixed
     # microbench legs. Comparable across rounds even when the box
@@ -496,7 +512,11 @@ def main() -> None:
         "drift_flagged_n": len(drift_flagged),
         "drift_flagged": sorted(drift_flagged)[:6],
         "queries": slowest,
-        "detail": detail_path.name,
+        # per-cpu detail file — survives a later scaling run at a
+        # different core count (the fixed-name twin below is still
+        # written for older tooling); holds the FULL per-query map
+        "detail": detail_cpu_path.name,
+        "detail_fixed": detail_path.name,
     }, separators=(",", ":")))
 
     # builder's closing run commits the per-query mins as the same-tree

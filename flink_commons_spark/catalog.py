@@ -165,11 +165,16 @@ def _with_stream_shuffle(n: int = 8):
     while the lightweight stateful aggs (exact UV, sessions) are
     fastest at 8 (state-store open/commit dominates) — so
     ``stream_match_*`` queries pass 16 and the rest keep 8 (one
-    outlier: ``stream_broadcast_rules`` runs at 4). On a real
-    cluster the same knob arrives via the runner's
-    ``SET 'parallelism.default'`` mapping (``conf.py``) and should
-    scale with executor count. Restores the session value afterwards —
-    no conf leak into batch queries.
+    outlier: ``stream_broadcast_rules`` runs at 4).
+
+    The constant is a LOCAL-BOX default only (r15, verdict item 4): a
+    cluster-provided parallelism wins over it — either the dedicated
+    ``spark.flinkcommons.stream.shuffle.partitions`` session conf, or
+    ``spark.default.parallelism`` when the deployment sets it (the
+    runner's ``SET 'parallelism.default'`` maps there, ``conf.py``) —
+    so at 100 TB the stateful operators scale with executor count
+    instead of serializing on a hard-coded 8/16. Restores the session
+    value afterwards — no conf leak into batch queries.
     """
     import functools
 
@@ -177,7 +182,17 @@ def _with_stream_shuffle(n: int = 8):
         @functools.wraps(fn)
         def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
             old = spark.conf.get("spark.sql.shuffle.partitions")
-            spark.conf.set("spark.sql.shuffle.partitions", str(n))
+            eff = n
+            for key in ("spark.flinkcommons.stream.shuffle.partitions",
+                        "spark.default.parallelism"):
+                try:
+                    raw = spark.conf.get(key, "")
+                except Exception:
+                    raw = ""
+                if raw:
+                    eff = int(raw)
+                    break
+            spark.conf.set("spark.sql.shuffle.partitions", str(eff))
             try:
                 return fn(spark, sf_dir)
             finally:
@@ -12005,8 +12020,9 @@ def stream_over_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming has no built-in operator for: per-row running count and
     exact-cents running sum per user, via a keyed
     ``applyInPandasWithState`` that sorts each key's batch slice on
-    (event-time, event_id) and carries two bigints of state (see
-    ``streaming/stateful.py:running_over_rows``). Every input row is
+    (event-time, event_id) and carries the finalized totals plus the
+    watermark-gated row buffer as packed-binary state (layout:
+    ``streaming/stateful.py:OVER_STATE_SCHEMA``). Every input row is
     emitted exactly once → append mode, distributed parquet sink."""
     import os
 

@@ -378,24 +378,38 @@ def connected_components_star(
 def _graph_small_enough(
     nodes: DataFrame, edges: DataFrame, cap: int,
     extra: "DataFrame | None" = None,
+    unique_nodes: bool = False,
 ) -> bool:
     """True when EVERY frame is at or below ``cap`` rows with no null
     ids — the iterative graph operators' single-task gate (one bounded
     limit-probe job per frame, same shape as the CC gates). Numeric-id
-    graphs only; callers check the dtype."""
-    frames = [(nodes, nodes.columns[:1]), (edges, edges.columns[:2])]
+    graphs only; callers check the dtype.
+
+    ``unique_nodes=True`` additionally requires the nodes frame's id
+    column to be DUPLICATE-FREE within the probed window: the PageRank
+    single-task twin indexes nodes with ``pd.Index.get_indexer``, which
+    raises on a non-unique index, while the distributed loop tolerates
+    duplicates — so duplicate-id inputs must fall through to the loop
+    (ADVICE r14). Checked inside the same bounded probe aggregation."""
+    frames = [(nodes, nodes.columns[:1], unique_nodes),
+              (edges, edges.columns[:2], False)]
     if extra is not None:
-        frames.append((extra, extra.columns[:1]))
-    for df, cols in frames:
+        frames.append((extra, extra.columns[:1], False))
+    for df, cols, uniq in frames:
         null_pred = None
         for c in cols:
             p = F.col(c).isNull()
             null_pred = p if null_pred is None else (null_pred | p)
-        probe = df.limit(cap + 1).agg(
+        aggs = [
             F.count(F.lit(1)).alias("n"),
             F.sum(null_pred.cast("int")).alias("nn"),
-        ).first()
+        ]
+        if uniq:
+            aggs.append(F.count_distinct(F.col(cols[0])).alias("nd"))
+        probe = df.limit(cap + 1).agg(*aggs).first()
         if int(probe["n"]) > cap or int(probe["nn"] or 0):
+            return False
+        if uniq and int(probe["nd"] or 0) != int(probe["n"]):
             return False
     return True
 
@@ -407,10 +421,15 @@ def _tagged_single_task(nodes: DataFrame, edges: DataFrame,
     and apply ``fn(pdf) -> pdf`` — the iterative graph operators'
     small-graph path (single Arrow batch, no per-round scheduling).
     ``fn`` sees columns (k, a, b): k=0 node rows (a=id), k=1 edge rows
-    (a=src, b=dst), k=2 extra rows (a=id)."""
-    null_b = F.lit(None).cast(id_type).alias("b")
+    (a=src, b=dst), k=2 extra rows (a=id). Non-edge rows SELF-PAD
+    ``b = a`` instead of NULL: a nullable int64 column converts to
+    float64 on the Arrow→pandas hop, and node ids ≥ 2^53 would then
+    silently lose precision inside the twin while the distributed path
+    keeps them exact (ADVICE r14). ``fn`` never reads ``b`` of k≠1
+    rows, so the pad value is free."""
+    self_b = F.col(nodes.columns[0]).cast(id_type).alias("b")
     tagged = nodes.select(
-        F.lit(0).alias("k"), F.col(nodes.columns[0]).alias("a"), null_b
+        F.lit(0).alias("k"), F.col(nodes.columns[0]).alias("a"), self_b
     ).unionByName(edges.select(
         F.lit(1).alias("k"),
         F.col(edges.columns[0]).alias("a"),
@@ -418,7 +437,9 @@ def _tagged_single_task(nodes: DataFrame, edges: DataFrame,
     ))
     if extra is not None:
         tagged = tagged.unionByName(extra.select(
-            F.lit(2).alias("k"), F.col(extra.columns[0]).alias("a"), null_b
+            F.lit(2).alias("k"),
+            F.col(extra.columns[0]).alias("a"),
+            F.col(extra.columns[0]).cast(id_type).alias("b"),
         ))
     return (
         tagged.withColumn("__gr_g", F.lit(0))
@@ -468,7 +489,12 @@ def pagerank(
     if (
         local_threshold
         and isinstance(nodes.schema["node"].dataType, T.NumericType)
-        and _graph_small_enough(nodes, edges, local_threshold)
+        # unique_nodes: the twin's pd.Index(nd).get_indexer raises on
+        # duplicate node ids where the distributed loop tolerates them
+        # — duplicates fall through to the loop (ADVICE r14)
+        and _graph_small_enough(
+            nodes, edges, local_threshold, unique_nodes=True
+        )
     ):
         # single-task twin (r14): below the gate the 5 rounds of
         # join + dst-keyed sum are pure per-round plan/scheduler cost.
@@ -660,6 +686,15 @@ def bfs_distances(
                 .groupBy("node")
                 .agg(F.min("d").alias("d"))
             )
+            # lazy per-hop checkpoint (r15, mirrors the CC loop): the
+            # unrolled 6-hop lineage otherwise nests every earlier
+            # hop's join+union+agg inside the next one — a 254-node
+            # plan whose tail hop re-plans (and without reuse would
+            # re-scan) the whole prefix. Each hop's plan is now a
+            # shallow scan-of-RDD + join + union + agg, flat in hop
+            # count; eager=False so materialization happens once, at
+            # the caller's action, not as 6 extra jobs here.
+            dist = dist.localCheckpoint(eager=False)
         return dist.select(
             "node",
             F.coalesce(F.col("d"), F.lit(-1)).cast("bigint").alias("hops"),

@@ -55,18 +55,32 @@ BUFFER_STATE_SCHEMA = (
     "ts binary, et array<string>, eid binary, "
     "val binary, nctx int, presorted int"
 )
+#: the BUCKETED twin (r15): one state row per KEY BUCKET — every
+#: member key's buffers concatenated in key order (same per-column
+#: packing), plus the per-key key ids / row offsets / context counts /
+#: sorted flags, all little-endian int64 blobs. See
+#: :func:`stream_match_pattern`'s ``key_buckets`` docstring for the
+#: rationale (per-key-group Arrow framing + state-store row cost
+#: dominates the micro-batch at high key cardinality).
+BUCKET_BUFFER_STATE_SCHEMA = (
+    "ts binary, et array<string>, eid binary, val binary, "
+    "bkeys binary, boffs binary, bnctx binary, bsrt binary"
+)
 
 
 def _pack_i64(vals) -> bytes:
     import numpy as np
 
-    return np.asarray(vals, dtype=np.int64).tobytes()
+    # explicit little-endian ('<i8'): ndarray.tobytes() is otherwise
+    # platform-native, which would make checkpoints silently corrupt
+    # on a different-endian resume host (ADVICE r14)
+    return np.asarray(vals, dtype="<i8").tobytes()
 
 
 def _pack_f64(vals) -> bytes:
     import numpy as np
 
-    return np.asarray(vals, dtype=np.float64).tobytes()
+    return np.asarray(vals, dtype="<f8").tobytes()
 
 
 def _unpack(val, dtype: str) -> list:
@@ -420,6 +434,7 @@ def stream_match_conversions(
     emit: "Any | None" = None,
     output_schema: "str | None" = None,
     ctx_rows: "int | None" = None,
+    key_buckets: "int | None" = None,
 ) -> DataFrame:
     """Watermark-gated streaming CEP for the conversion funnel (or any
     ``pattern`` of quantified ``(event_type, lo, hi)`` variables —
@@ -463,64 +478,48 @@ def stream_match_conversions(
     out_schema = output_schema or MATCH_SCHEMA
     out_cols = [f.strip().split()[0] for f in out_schema.split(",")]
 
-    def fn(
-        key: tuple[Any, ...],
-        batches: Iterator["pd.DataFrame"],
-        state: GroupState,
-    ) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
+    def _make_settle(wm_ms):
+        """Build the PURE per-key settle for one micro-batch's
+        watermark: ``settle_core(key_id, rows, nctx, presorted) ->
+        (matches, keep, cands)`` with ``keep`` a tagged disposition —
+        ``("drop",)`` removes the key's buffer, ``("buf", rows, nctx,
+        sorted_flag)`` retains one — and ``cands`` the timer-candidate
+        milliseconds (callers arm ``min(c for c in cands if c > wm)``).
+        Shared verbatim by the per-key and bucketed executors.
 
-        key_id = int(key[0])
-        wm_ms = state.getCurrentWatermarkMs()
+        The re-armed timer targets the next watermark horizon at
+        which a buffered DECISION can flip — the moment the oldest
+        still-open row becomes closed (more prefix to match: this
+        is what lets a key holding the stream's final event still
+        emit its earlier, decided matches), and under WITHIN the
+        earliest pattern-window close among kept rows (a deferred
+        attempt decides, and expired rows leave state, exactly when
+        their window passes the watermark). Decisions cannot flip
+        between those horizons, so firings track watermark
+        advances that matter, not buffered-row count — the same
+        per-watermark cadence Flink's CEP operator runs at. A
+        fully-closed, within-free buffer has no such horizon; it
+        simply waits for future data — correctly still open.
 
-        def settle(rows, nctx, presorted=False):
-            """Match the watermark-closed prefix; re-buffer the rest.
+        Context rows always sort first: they were closed when
+        consumed (ts < the then-watermark), and every later-
+        arriving row is at/above that watermark.
 
-            The re-armed timer targets the next watermark horizon at
-            which a buffered DECISION can flip — the moment the oldest
-            still-open row becomes closed (more prefix to match: this
-            is what lets a key holding the stream's final event still
-            emit its earlier, decided matches), and under WITHIN the
-            earliest pattern-window close among kept rows (a deferred
-            attempt decides, and expired rows leave state, exactly when
-            their window passes the watermark). Decisions cannot flip
-            between those horizons, so firings track watermark
-            advances that matter, not buffered-row count — the same
-            per-watermark cadence Flink's CEP operator runs at. A
-            fully-closed, within-free buffer has no such horizon; it
-            simply waits for future data — correctly still open.
+        ``presorted`` flags a buffer read back verbatim from state
+        (always stored sorted) — its sort is skipped; and a buffer
+        with NOTHING closed yet (the availableNow first batch for
+        every key: watermark still 0) is kept as-is, skipping
+        sort and scan entirely."""
 
-            Context rows always sort first: they were closed when
-            consumed (ts < the then-watermark), and every later-
-            arriving row is at/above that watermark.
-
-            ``presorted`` flags a buffer read back verbatim from state
-            (always stored sorted) — its sort is skipped; and a buffer
-            with NOTHING closed yet (the availableNow first batch for
-            every key: watermark still 0) is stored as-is, skipping
-            sort and scan entirely."""
+        def settle_core(key_id, rows, nctx, presorted=False):
             if not any(r[0] // 1000 < wm_ms for r in rows):
                 if rows:
-                    state.update((
-                        _pack_i64([r[0] for r in rows]),
-                        [r[1] for r in rows],
-                        _pack_i64([r[2] for r in rows]),
-                        _pack_f64(
-                            [r[3] if len(r) > 3 else 0.0 for r in rows]
-                        ),
-                        nctx,
-                        int(presorted),
-                    ))
                     lo = min(r[0] for r in rows)
                     cand = [lo // 1000 + 1]
                     if within_us is not None:
                         cand.append((lo + within_us) // 1000 + 1)
-                    live = [t for t in cand if t > wm_ms]
-                    if live:
-                        state.setTimeoutTimestamp(min(live))
-                elif state.exists:
-                    state.remove()
-                return []
+                    return [], ("buf", rows, nctx, int(presorted)), cand
+                return [], ("drop",), []
             if not presorted:
                 rows = sorted(rows, key=lambda r: (r[0], r[2]))
             closed = [r for r in rows if r[0] // 1000 < wm_ms]
@@ -547,14 +546,6 @@ def stream_match_conversions(
                 j = len(rows) - len(kept)
                 ctx = rows[max(0, j - ctx_rows) : j] if ctx_rows else []
                 rest = ctx + kept
-                state.update((
-                    _pack_i64([r[0] for r in rest]),
-                    [r[1] for r in rest],
-                    _pack_i64([r[2] for r in rest]),
-                    _pack_f64([r[3] if len(r) > 3 else 0.0 for r in rest]),
-                    len(ctx),
-                    1,  # the kept suffix stays sorted
-                ))
                 cand = [max(r[0] for r in kept) // 1000 + 1]
                 if still_open:
                     cand.append(min(r[0] for r in still_open) // 1000 + 1)
@@ -562,46 +553,281 @@ def stream_match_conversions(
                     cand.append(
                         min((r[0] + within_us) // 1000 for r in kept) + 1
                     )
-                live = [t for t in cand if t > wm_ms]
-                if live:  # Spark rejects timers at/behind the watermark
-                    state.setTimeoutTimestamp(min(live))
-            elif state.exists:
-                state.remove()
-            return matches
+                return matches, ("buf", rest, len(ctx), 1), cand
+            return matches, ("drop",), []
+
+        return settle_core
+
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        key_id = int(key[0])
+        wm_ms = state.getCurrentWatermarkMs()
+        settle_core = _make_settle(wm_ms)
 
         if state.hasTimedOut:
             ts, et, eid, val, nctx, srt = state.get
-            matches = settle(
+            matches, keep, cands = settle_core(
+                key_id,
                 list(zip(
-                    _unpack(ts, "int64"), et,
-                    _unpack(eid, "int64"), _unpack(val, "float64"),
+                    _unpack(ts, "<i8"), et,
+                    _unpack(eid, "<i8"), _unpack(val, "<f8"),
                 )),
                 int(nctx), bool(srt),
             )
-            if matches:
-                yield pd.DataFrame(matches, columns=out_cols)
-            return
-
-        new = pd.concat(list(batches))
-        ts = list(new["ts_us"].astype("int64"))
-        et = list(new["event_type"])
-        eid = list(new["event_id"].astype("int64"))
-        val = (
-            list(new[value_col].astype("float64"))
-            if value_col else [0.0] * len(ts)
-        )
-        nctx = 0
-        if state.exists:
-            pts, pet, peid, pval, pnctx, _srt = state.get
-            ts = _unpack(pts, "int64") + ts
-            et = list(pet) + et
-            eid = _unpack(peid, "int64") + eid
-            val = _unpack(pval, "float64") + val
-            nctx = int(pnctx)
-        matches = settle(list(zip(ts, et, eid, val)), nctx)
+        else:
+            new = pd.concat(list(batches))
+            ts = list(new["ts_us"].astype("int64"))
+            et = list(new["event_type"])
+            eid = list(new["event_id"].astype("int64"))
+            val = (
+                list(new[value_col].astype("float64"))
+                if value_col else [0.0] * len(ts)
+            )
+            nctx = 0
+            if state.exists:
+                pts, pet, peid, pval, pnctx, _srt = state.get
+                ts = _unpack(pts, "<i8") + ts
+                et = list(pet) + et
+                eid = _unpack(peid, "<i8") + eid
+                val = _unpack(pval, "<f8") + val
+                nctx = int(pnctx)
+            matches, keep, cands = settle_core(
+                key_id, list(zip(ts, et, eid, val)), nctx
+            )
+        if keep[0] == "drop":
+            if state.exists:
+                state.remove()
+        else:
+            _, rest, nctx2, srt2 = keep
+            state.update((
+                _pack_i64([r[0] for r in rest]),
+                [r[1] for r in rest],
+                _pack_i64([r[2] for r in rest]),
+                _pack_f64([r[3] if len(r) > 3 else 0.0 for r in rest]),
+                nctx2,
+                srt2,
+            ))
+            live = [t for t in cands if t > wm_ms]
+            if live:  # Spark rejects timers at/behind the watermark
+                state.setTimeoutTimestamp(min(live))
         if matches:
             yield pd.DataFrame(matches, columns=out_cols)
 
+    def fn_bucket(
+        _bkey: tuple[Any, ...],
+        batches: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        wm_ms = state.getCurrentWatermarkMs()
+        settle_core = _make_settle(wm_ms)
+        # ---- decode the bucket's multi-key state
+        s_keys = np.empty(0, dtype=np.int64)
+        s_ts = s_eid = s_val = None
+        s_et: list = []
+        s_offs = s_nctx = s_srt = None
+        if state.exists:
+            bts, bet, beid, bval, bkeys, boffs, bnctx, bsrt = state.get
+            s_ts = np.frombuffer(bts or b"", dtype="<i8")
+            s_et = list(bet or [])
+            s_eid = np.frombuffer(beid or b"", dtype="<i8")
+            s_val = np.frombuffer(bval or b"", dtype="<f8")
+            s_keys = np.frombuffer(bkeys or b"", dtype="<i8")
+            s_offs = np.frombuffer(boffs or b"", dtype="<i8")
+            s_nctx = np.frombuffer(bnctx or b"", dtype="<i8")
+            s_srt = np.frombuffer(bsrt or b"", dtype="<i8")
+        nskeys = len(s_keys)
+        order_keys = [int(k) for k in s_keys]
+        key_index = {k: i for i, k in enumerate(order_keys)}
+        # ---- group this batch's rows per key (stable)
+        new = None
+        new_codes = np.empty(0, dtype=np.int64)
+        if not state.hasTimedOut:
+            new = pd.concat(list(batches))
+            if len(new):
+                codes, uniq = pd.factorize(new[key_col])
+                remap = np.empty(len(uniq), dtype=np.int64)
+                for j, u in enumerate(uniq):
+                    k = int(u)
+                    i = key_index.get(k)
+                    if i is None:
+                        i = len(order_keys)
+                        key_index[k] = i
+                        order_keys.append(k)
+                    remap[j] = i
+                new_codes = remap[codes]
+            else:
+                new = None
+        nuni = len(order_keys)
+        # ---- combined (state rows first, then new rows) columns +
+        # per-row key codes; one stable sort; per-key SLICES
+        parts_codes = []
+        if nskeys:
+            parts_codes.append(np.repeat(
+                np.arange(nskeys, dtype=np.int64), np.diff(s_offs)
+            ))
+        if new is not None:
+            parts_codes.append(new_codes)
+        comb_codes = (
+            np.concatenate(parts_codes) if parts_codes
+            else np.empty(0, dtype=np.int64)
+        )
+        if new is not None:
+            n_ts = new["ts_us"].to_numpy("int64")
+            n_eid = new["event_id"].to_numpy("int64")
+            n_val = (
+                new[value_col].to_numpy("float64")
+                if value_col else np.zeros(len(new))
+            )
+            n_et = new["event_type"].to_numpy()
+        if s_ts is not None and new is not None:
+            c_ts = np.concatenate([s_ts, n_ts])
+            c_eid = np.concatenate([s_eid, n_eid])
+            c_val = np.concatenate([s_val, n_val])
+            c_et = np.concatenate([np.asarray(s_et, dtype=object),
+                                   n_et.astype(object)])
+        elif new is not None:
+            c_ts, c_eid, c_val = n_ts, n_eid, n_val
+            c_et = n_et.astype(object)
+        else:
+            c_ts = s_ts if s_ts is not None else np.empty(0, dtype=np.int64)
+            c_eid = s_eid if s_eid is not None else np.empty(0, dtype=np.int64)
+            c_val = s_val if s_val is not None else np.empty(0)
+            c_et = np.asarray(s_et, dtype=object)
+        order = np.argsort(comb_codes, kind="stable")
+        comb_sorted = comb_codes[order]
+        c_ts, c_eid, c_val = c_ts[order], c_eid[order], c_val[order]
+        c_et = c_et[order] if len(order) else c_et
+        bnds = np.searchsorted(comb_sorted, np.arange(nuni + 1))
+        new_counts = (
+            np.bincount(new_codes, minlength=nuni) if len(new_codes)
+            else np.zeros(nuni, dtype=np.int64)
+        )
+        # ---- BUCKET-WIDE "nothing closed" fast path (r15): every key
+        # would take settle_core's store-as-is branch — skip the
+        # per-key row tuples and packs; one pack per column, vectorized
+        # metadata and timer candidates (byte-equivalent, see the
+        # generic harness's twin)
+        lens_all = np.diff(bnds)
+        if (
+            nuni
+            and not bool((lens_all == 0).any())
+            and not int((c_ts // 1000 < wm_ms).sum())
+        ):
+            nctx_out = np.zeros(nuni, dtype="<i8")
+            srt_out = np.zeros(nuni, dtype="<i8")
+            if nskeys:
+                nctx_out[:nskeys] = s_nctx
+                srt_out[:nskeys] = s_srt * (new_counts[:nskeys] == 0)
+            state.update((
+                c_ts.astype("<i8", copy=False).tobytes(),
+                list(c_et),
+                c_eid.astype("<i8", copy=False).tobytes(),
+                c_val.astype("<f8", copy=False).tobytes(),
+                _pack_i64(order_keys),
+                bnds.astype("<i8").tobytes(),
+                nctx_out.tobytes(),
+                srt_out.tobytes(),
+            ))
+            starts = bnds[:-1]
+            lo_k = np.minimum.reduceat(c_ts, starts)
+            cand = [lo_k // 1000 + 1]
+            if within_us is not None:
+                cand.append((lo_k + within_us) // 1000 + 1)
+            live = np.concatenate(cand)
+            live = live[live > wm_ms]
+            if len(live):
+                state.setTimeoutTimestamp(int(live.min()))
+            return
+        # ---- settle every key in the bucket (idempotent for keys
+        # whose decision horizon has not moved)
+        out_all: list = []
+        kept: list = []  # (key, rows, nctx, srt)
+        all_cands: list = []
+        for ki in range(nuni):
+            a, b = int(bnds[ki]), int(bnds[ki + 1])
+            rows = list(zip(
+                c_ts[a:b].tolist(), c_et[a:b],
+                c_eid[a:b].tolist(), c_val[a:b].tolist(),
+            ))
+            if ki < nskeys:
+                nctx_k = int(s_nctx[ki])
+                srt_k = bool(s_srt[ki]) and not int(new_counts[ki])
+            else:
+                nctx_k, srt_k = 0, False
+            matches, keep, cands = settle_core(
+                order_keys[ki], rows, nctx_k, srt_k
+            )
+            out_all.extend(matches)
+            if keep[0] == "buf":
+                kept.append((order_keys[ki], keep[1], keep[2], keep[3]))
+                all_cands.extend(cands)
+        # ---- re-pack the bucket
+        if kept:
+            flat = [r for e in kept for r in e[1]]
+            lens = [len(e[1]) for e in kept]
+            offs = np.zeros(len(kept) + 1, dtype="<i8")
+            offs[1:] = np.cumsum(lens)
+            state.update((
+                _pack_i64([r[0] for r in flat]),
+                [r[1] for r in flat],
+                _pack_i64([r[2] for r in flat]),
+                _pack_f64([r[3] if len(r) > 3 else 0.0 for r in flat]),
+                _pack_i64([e[0] for e in kept]),
+                offs.tobytes(),
+                _pack_i64([e[2] for e in kept]),
+                _pack_i64([e[3] for e in kept]),
+            ))
+            live = [t for t in all_cands if t > wm_ms]
+            if live:  # Spark rejects timers at/behind the watermark
+                state.setTimeoutTimestamp(min(live))
+        elif state.exists:
+            state.remove()
+        if out_all:
+            yield pd.DataFrame(out_all, columns=out_cols)
+
+    # ---- bucketed-state resolution — same knob and same rationale as
+    # :func:`stream_match_pattern` (see its docstring); the funnel's
+    # key must be integer-typed either way (``key_id = int(key[0])``)
+    spark = sdf.sparkSession
+    if key_buckets is None:
+        raw = spark.conf.get("spark.flinkcommons.stream.match.buckets", "")
+        if raw:
+            key_buckets = int(raw)
+        else:
+            try:
+                key_buckets = 4 * int(
+                    spark.conf.get("spark.sql.shuffle.partitions")
+                )
+            except Exception:
+                key_buckets = 64
+    key_type = {
+        f.name: f.dataType.simpleString() for f in sdf.schema.fields
+    }.get(key_col)
+    if key_buckets and int(key_buckets) > 0 and key_type in (
+        "tinyint", "smallint", "int", "bigint"
+    ):
+        from pyspark.sql import functions as F
+
+        bucket = F.pmod(F.xxhash64(key_col), F.lit(int(key_buckets)))
+        return (
+            sdf.withColumn("__mr_bucket", bucket)
+            .groupBy("__mr_bucket")
+            .applyInPandasWithState(
+                fn_bucket,
+                out_schema,
+                BUCKET_BUFFER_STATE_SCHEMA,
+                "append",
+                GroupStateTimeout.EventTimeTimeout,
+            )
+        )
     return sdf.groupBy(key_col).applyInPandasWithState(
         fn,
         out_schema,
@@ -624,9 +850,9 @@ def stream_match_conversions(
 #: schema); streaming checkpoints are not forward-compatible across
 #: engine upgrades that repack state.
 _BUF_TYPES = {
-    "tinyint": ("binary", "int64"), "smallint": ("binary", "int64"),
-    "int": ("binary", "int64"), "bigint": ("binary", "int64"),
-    "float": ("binary", "float64"), "double": ("binary", "float64"),
+    "tinyint": ("binary", "<i8"), "smallint": ("binary", "<i8"),
+    "int": ("binary", "<i8"), "bigint": ("binary", "<i8"),
+    "float": ("binary", "<f8"), "double": ("binary", "<f8"),
     "string": ("array<string>", None),
 }
 
@@ -641,7 +867,7 @@ def _enc_buf(series, spark_type):
     if np_dt is None:
         return series.tolist()
     if (
-        np_dt == "int64"
+        np_dt == "<i8"
         and series.dtype.kind not in "iu"
         and series.isna().any()
     ):
@@ -652,6 +878,27 @@ def _enc_buf(series, spark_type):
             "column to double) in the source view"
         )
     return series.to_numpy(np_dt).tobytes()
+
+
+def _enc_arr(arr, spark_type):
+    """Array-level twin of :func:`_enc_buf` for the bucketed fast path
+    (one conversion per COLUMN instead of one per key per column), with
+    the same loud NULL-in-integer guard."""
+    import numpy as np
+    import pandas as pd
+
+    np_dt = _BUF_TYPES[spark_type][1]
+    if np_dt is None:
+        return list(arr)
+    a = np.asarray(arr)
+    if np_dt == "<i8" and a.dtype.kind not in "iu" and pd.isna(a).any():
+        raise ValueError(
+            "NULL in integer buffered column — streaming MATCH_RECOGNIZE "
+            "buffers integer columns as packed int64 state and cannot "
+            "represent NULL; filter NULL rows out (or cast the column to "
+            "double) in the source view"
+        )
+    return a.astype(np_dt, copy=False).tobytes()
 
 
 def _dec_buf(val, spark_type):
@@ -685,6 +932,7 @@ def stream_match_pattern(
     max_steps: "int | None" = None,
     pattern_desc: "str | None" = None,
     strict_budget: bool = False,
+    key_buckets: "int | None" = None,
 ) -> DataFrame:
     """GENERIC watermark-gated streaming MATCH_RECOGNIZE — the
     streaming twin of :func:`operators.cep.match_pattern` with the
@@ -692,6 +940,31 @@ def stream_match_pattern(
     backward-looking ``where`` callables over the buffered frame) and
     a ``measures(key, segs)`` callable over zero-copy segment views.
     This is what the SQL front door routes streaming sources to.
+
+    ``key_buckets`` (r15) coarsens the STATE KEY the same way the
+    batch executor's ``group_buckets`` coarsens its shuffle key: the
+    stateful operator groups on ``pmod(xxhash64(key), buckets)`` and
+    each state row holds the PACKED MULTI-KEY buffers of every key in
+    the bucket (per-column concatenated blobs + per-key offsets/ctx/
+    sort-flag/ordinal arrays), while matching still runs strictly per
+    key inside the closure — semantics are identical (per-key timers
+    become the bucket's min; an early settle of an unaffected key is a
+    no-op by construction because verdicts only depend on the
+    watermark, which is bucket-global). Why: the
+    ``applyInPandasWithState`` transport pays a per-KEY-GROUP Arrow
+    framing + state-store row cost of ~0.9-1.3 s per 100k-row
+    micro-batch at 1.5k keys regardless of Python work (r14 profile) —
+    with buckets the protocol cost tracks bucket count. Default: the
+    ``spark.flinkcommons.stream.match.buckets`` session conf, else
+    4 x ``spark.sql.shuffle.partitions`` (scale-adaptive: a real
+    cluster raising its parallelism raises the bucket count with it);
+    0 disables (one state row per key, the pre-r15 layout). Trade
+    documented for 100 TB: a bucket's state is round-tripped whenever
+    ANY of its keys sees data, so idle-key buffers ride along — they
+    are watermark-bounded, and keys-per-bucket stays
+    cardinality/buckets. NOTE: a state-SCHEMA change — checkpoints
+    written by the per-key layout do not restore into the bucketed
+    one (or vice versa).
 
     FORWARD navigation (``NEXT(expr, k)`` — ``Step.next_depth > 0``)
     is sound via PER-STEP frontiers: a forward-navigating step's last
@@ -788,58 +1061,83 @@ def stream_match_pattern(
                 f"type {t!r} — supported: {sorted(_BUF_TYPES)} (cast "
                 "timestamps to epoch micros in the source view)"
             )
-    state_schema = ", ".join(
-        [f"{c} {_BUF_TYPES[t][0]}" for c, t in buffer_cols]
-        + ["nctx int", "presorted int"]
-        + (["nmatch bigint"] if track_no else [])
-    )
     out_cols = [f.strip().split()[0] for f in output_schema.split(",")]
     step_list = list(steps)
     nbuf = len(buffer_cols)
 
-    def fn(key, batches, state):
-        wm_ms = state.getCurrentWatermarkMs()
+    # ---- bucketed-state resolution (see docstring) -------------------
+    spark = sdf.sparkSession
+    if key_buckets is None:
+        raw = spark.conf.get("spark.flinkcommons.stream.match.buckets", "")
+        if raw:
+            key_buckets = int(raw)
+        else:
+            try:
+                key_buckets = 4 * int(
+                    spark.conf.get("spark.sql.shuffle.partitions")
+                )
+            except Exception:
+                key_buckets = 64
+    types_all = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    key_types = [types_all.get(c) for c in key_cols]
+    nkf = len(key_types)
+    bucketed = (
+        bool(key_buckets) and int(key_buckets) > 0
+        and all(t in _BUF_TYPES for t in key_types)
+    )
+    if bucketed:
+        # per-BUCKET multi-key state: the per-column buffers of every
+        # key in the bucket concatenated in key order, the per-key key
+        # values, and the per-key offsets/nctx/sorted-flag (+ ordinal)
+        # arrays — all int64 little-endian packed binary
+        state_schema = ", ".join(
+            [f"{c} {_BUF_TYPES[t][0]}" for c, t in buffer_cols]
+            + [f"__mrk{i} {_BUF_TYPES[t][0]}" for i, t in enumerate(key_types)]
+            + ["__mro binary", "__mrc binary", "__mrs binary"]
+            + (["__mrn binary"] if track_no else [])
+        )
+    else:
+        state_schema = ", ".join(
+            [f"{c} {_BUF_TYPES[t][0]}" for c, t in buffer_cols]
+            + ["nctx int", "presorted int"]
+            + (["nmatch bigint"] if track_no else [])
+        )
 
-        def settle(pdf_all: "pd.DataFrame", nctx: int, presorted: bool,
-                   nmatch: int = 0):
+    def _make_settle(wm_ms):
+        """Build the PURE per-key settle for one micro-batch's
+        watermark: ``settle_core(key, pdf_all, nctx, presorted,
+        nmatch) -> (matches, keep, cands)``. ``keep`` is a tagged
+        disposition — ``("drop",)`` removes the key's buffer,
+        ``("tomb", n)`` keeps a durable-MATCH_NUMBER counter tombstone,
+        ``("buf", rest_pdf, nctx, sorted_flag, nmatch)`` retains a
+        buffer; ``cands`` are the timer-candidate milliseconds (the
+        caller arms ``min(c for c in cands if c > wm)``). Shared
+        verbatim by the per-key and bucketed executors, so their
+        closed-prefix semantics are identical by construction."""
+
+        def settle_core(key, pdf_all: "pd.DataFrame", nctx: int,
+                        presorted: bool, nmatch: int = 0):
             total = len(pdf_all)
             ts_raw = pdf_all[ts_col].to_numpy("int64")
             if not int((ts_raw // 1000 < wm_ms).sum()):
                 # NOTHING closed yet — the availableNow FIRST batch for
                 # every key (watermark still 0) and any key whose rows
                 # all sit at/after the watermark: matching cannot make
-                # progress, so store the buffer AS-IS (order preserved;
+                # progress, so keep the buffer AS-IS (order preserved;
                 # context rows, if any, stay leading — new arrivals are
                 # at/after the watermark, hence never sort before them)
-                # and skip the sort/mask/scan entirely. Profiled at
-                # sf1: per-key pandas fixed costs (sort, mask Series
-                # calls, frame take) dominate the settle, so the
-                # double-pass floor drops to one buffered store.
+                # and skip the sort/mask/scan entirely.
                 if total:
-                    state.update(tuple(
-                        [_enc_buf(pdf_all[c], t) for c, t in buffer_cols]
-                        + [nctx, int(presorted)]
-                        + ([nmatch] if track_no else [])
-                    ))
                     lo = int(ts_raw.min())
-                    cand = [int(ts_raw.max()) // 1000 + 1,
-                            lo // 1000 + 1]
+                    cands = [int(ts_raw.max()) // 1000 + 1, lo // 1000 + 1]
                     if within_us is not None:
-                        cand.append((lo + within_us) // 1000 + 1)
-                    live = [t for t in cand if t > wm_ms]
-                    if live:
-                        state.setTimeoutTimestamp(min(live))
-                elif track_no and durable_match_no and nmatch:
+                        cands.append((lo + within_us) // 1000 + 1)
+                    return [], ("buf", pdf_all, nctx, int(presorted), nmatch), cands
+                if track_no and durable_match_no and nmatch:
                     # counter-only tombstone — MATCH_NUMBER ordinals
                     # survive a full buffer drain (opt-in; no timer)
-                    state.update(tuple(
-                        [_enc_buf(pdf_all.iloc[0:0][c], t)
-                         for c, t in buffer_cols]
-                        + [0, 1, nmatch]
-                    ))
-                elif state.exists:
-                    state.remove()
-                return []
+                    return [], ("tomb", nmatch), []
+                return [], ("drop",), []
             if not presorted:
                 try:
                     order = np.lexsort(tuple(
@@ -913,69 +1211,342 @@ def stream_match_pattern(
             if keep_from < total:
                 ctx_start = max(0, keep_from - ctx_rows)
                 rest = pdf_all.iloc[ctx_start:]
-                state.update(tuple(
-                    [_enc_buf(rest[c], t) for c, t in buffer_cols]
-                    + [keep_from - ctx_start, 1]  # suffix stays sorted
-                    + ([seq[0]] if track_no else [])
-                ))
-                cand = [int(ts[total - 1]) // 1000 + 1]
+                cands = [int(ts[total - 1]) // 1000 + 1]
                 if closed_n < total:
-                    cand.append(int(ts[closed_n]) // 1000 + 1)
+                    cands.append(int(ts[closed_n]) // 1000 + 1)
                 if within_us is not None:
-                    cand.append((int(ts[keep_from]) + within_us) // 1000 + 1)
-                live = [t for t in cand if t > wm_ms]
-                if live:  # Spark rejects timers at/behind the watermark
-                    state.setTimeoutTimestamp(min(live))
-            elif track_no and durable_match_no and seq[0]:
-                # counter-only tombstone — MATCH_NUMBER ordinals
-                # survive a full buffer drain (opt-in; no timer)
-                state.update(tuple(
-                    [_enc_buf(pdf_all.iloc[0:0][c], t)
-                     for c, t in buffer_cols]
-                    + [0, 1, seq[0]]
-                ))
-            elif state.exists:
-                state.remove()
-            return out
+                    cands.append((int(ts[keep_from]) + within_us) // 1000 + 1)
+                return out, ("buf", rest, keep_from - ctx_start, 1, seq[0]), cands
+            if track_no and durable_match_no and seq[0]:
+                return out, ("tomb", seq[0]), []
+            return out, ("drop",), []
 
+        return settle_core
+
+    def fn(key, batches, state):
+        wm_ms = state.getCurrentWatermarkMs()
+        settle_core = _make_settle(wm_ms)
         if state.hasTimedOut:
             vals = state.get
             pdf_all = pd.DataFrame({
                 c: _dec_buf(vals[i], t)
                 for i, (c, t) in enumerate(buffer_cols)
             })
-            matches = settle(
-                pdf_all, int(vals[nbuf]), bool(vals[nbuf + 1]),
+            matches, keep, cands = settle_core(
+                key, pdf_all, int(vals[nbuf]), bool(vals[nbuf + 1]),
                 int(vals[nbuf + 2]) if track_no else 0,
             )
-            if matches:
-                yield (
-                    _assemble_all_rows(matches, out_cols) if all_rows
-                    else pd.DataFrame(matches, columns=out_cols)
-                )
-            return
-
-        new = pd.concat(list(batches))[[c for c, _ in buffer_cols]]
-        nctx = 0
-        presorted = False
-        nmatch = 0
-        if state.exists:
-            vals = state.get
-            prev = pd.DataFrame({
-                c: _dec_buf(vals[i], t)
-                for i, (c, t) in enumerate(buffer_cols)
-            })
-            new = pd.concat([prev, new], ignore_index=True)
-            nctx = int(vals[nbuf])
-            if track_no:
-                nmatch = int(vals[nbuf + 2])
-        matches = settle(new.reset_index(drop=True), nctx, presorted, nmatch)
+        else:
+            new = pd.concat(list(batches))[[c for c, _ in buffer_cols]]
+            nctx = 0
+            nmatch = 0
+            if state.exists:
+                vals = state.get
+                prev = pd.DataFrame({
+                    c: _dec_buf(vals[i], t)
+                    for i, (c, t) in enumerate(buffer_cols)
+                })
+                new = pd.concat([prev, new], ignore_index=True)
+                nctx = int(vals[nbuf])
+                if track_no:
+                    nmatch = int(vals[nbuf + 2])
+            matches, keep, cands = settle_core(
+                key, new.reset_index(drop=True), nctx, False, nmatch
+            )
+        tag = keep[0]
+        if tag == "drop":
+            if state.exists:
+                state.remove()
+        elif tag == "tomb":
+            state.update(tuple(
+                [(b"" if _BUF_TYPES[t][1] else []) for _, t in buffer_cols]
+                + [0, 1, keep[1]]
+            ))
+        else:
+            _, rest, nctx2, srt, nm = keep
+            state.update(tuple(
+                [_enc_buf(rest[c], t) for c, t in buffer_cols]
+                + [nctx2, srt]
+                + ([nm] if track_no else [])
+            ))
+            live = [t for t in cands if t > wm_ms]
+            if live:  # Spark rejects timers at/behind the watermark
+                state.setTimeoutTimestamp(min(live))
         if matches:
             yield (
                 _assemble_all_rows(matches, out_cols) if all_rows
                 else pd.DataFrame(matches, columns=out_cols)
             )
 
+    def _key_scalar(v):
+        """One grouping-key value as the plain Python scalar Spark's
+        per-key grouping would have handed the closure (numpy scalars
+        unboxed, NaN/NaT folded to None so state and new-data keys
+        unify)."""
+        if v is None:
+            return None
+        try:
+            if v != v:  # NaN
+                return None
+        except Exception:
+            pass
+        return v.item() if hasattr(v, "item") else v
+
+    def fn_bucket(_bkey, batches, state):
+        wm_ms = state.getCurrentWatermarkMs()
+        settle_core = _make_settle(wm_ms)
+        # ---- decode the bucket's multi-key state
+        skeys: "list[tuple]" = []
+        s_cols = None
+        s_offs = s_nctx = s_srt = s_nmatch = None
+        if state.exists:
+            vals = state.get
+            s_cols = {
+                c: _dec_buf(vals[i], t)
+                for i, (c, t) in enumerate(buffer_cols)
+            }
+            karrs = [
+                _dec_buf(vals[nbuf + i], kt)
+                for i, kt in enumerate(key_types)
+            ]
+            s_offs = np.frombuffer(vals[nbuf + nkf] or b"", dtype="<i8")
+            s_nctx = np.frombuffer(vals[nbuf + nkf + 1] or b"", dtype="<i8")
+            s_srt = np.frombuffer(vals[nbuf + nkf + 2] or b"", dtype="<i8")
+            if track_no:
+                s_nmatch = np.frombuffer(
+                    vals[nbuf + nkf + 3] or b"", dtype="<i8"
+                )
+            skeys = [
+                tuple(_key_scalar(karrs[i][j]) for i in range(nkf))
+                for j in range(len(s_nctx))
+            ]
+        nskeys = len(skeys)
+        order_keys = list(skeys)
+        key_index = {k: i for i, k in enumerate(order_keys)}
+        # ---- group this batch's rows per key (stable — arrival order
+        # within a key is preserved, exactly the per-key concat order)
+        new = None
+        new_codes = np.empty(0, dtype=np.int64)
+        if not state.hasTimedOut:
+            new = pd.concat(list(batches))
+            if len(new):
+                if nkf == 1:
+                    codes, uniq = pd.factorize(
+                        new[key_cols[0]], use_na_sentinel=False
+                    )
+                    uniq_keys = [(_key_scalar(u),) for u in uniq]
+                else:
+                    codes, uniq = pd.factorize(
+                        pd.Series(
+                            list(zip(*(new[c] for c in key_cols))),
+                            dtype=object,
+                        ),
+                        use_na_sentinel=False,
+                    )
+                    uniq_keys = [
+                        tuple(_key_scalar(x) for x in u) for u in uniq
+                    ]
+                remap = np.empty(len(uniq_keys), dtype=np.int64)
+                for j, k in enumerate(uniq_keys):
+                    i = key_index.get(k)
+                    if i is None:
+                        i = len(order_keys)
+                        key_index[k] = i
+                        order_keys.append(k)
+                    remap[j] = i
+                new_codes = remap[codes]
+            else:
+                new = None
+        nuni = len(order_keys)
+        # ---- one combined (state rows first, then new rows) column
+        # set + per-row key codes; one stable sort; per-key SLICES
+        parts_codes = []
+        if nskeys:
+            parts_codes.append(np.repeat(
+                np.arange(nskeys, dtype=np.int64), np.diff(s_offs)
+            ))
+        if new is not None:
+            parts_codes.append(new_codes)
+        comb_codes = (
+            np.concatenate(parts_codes) if parts_codes
+            else np.empty(0, dtype=np.int64)
+        )
+        arrs = {}
+        for c, t in buffer_cols:
+            parts = []
+            if s_cols is not None:
+                parts.append(np.asarray(s_cols[c]))
+            if new is not None:
+                parts.append(new[c].to_numpy())
+            if not parts:
+                np_dt = _BUF_TYPES[t][1]
+                a = np.empty(0, dtype=(object if np_dt is None else np_dt))
+            elif len(parts) == 1:
+                a = parts[0]
+            else:
+                a = np.concatenate(parts)
+            arrs[c] = a
+        order = np.argsort(comb_codes, kind="stable")
+        comb_sorted = comb_codes[order]
+        arrs = {c: a[order] for c, a in arrs.items()}
+        bnds = np.searchsorted(comb_sorted, np.arange(nuni + 1))
+        new_counts = (
+            np.bincount(new_codes, minlength=nuni) if len(new_codes)
+            else np.zeros(nuni, dtype=np.int64)
+        )
+        # ---- BUCKET-WIDE "nothing closed" fast path (r15): the
+        # availableNow FIRST batch (watermark 0) hits every bucket with
+        # 100 % open rows — every key would take settle_core's
+        # store-as-is branch, so skip the per-key frames and per-key
+        # encodes entirely: one encode per COLUMN over the already
+        # key-grouped arrays, vectorized per-key metadata and timer
+        # candidates. Byte-equivalent to the per-key loop by
+        # construction (same store-as-is values, same candidate set);
+        # zero-row segments (durable-MATCH_NUMBER tombstones) are the
+        # one shape the loop treats specially, so their presence falls
+        # through to it.
+        lens_all = np.diff(bnds)
+        ts_all = arrs[ts_col]
+        if (
+            nuni
+            and not bool((lens_all == 0).any())
+            and not int((ts_all // 1000 < wm_ms).sum())
+        ):
+            blobs = [_enc_arr(arrs[c], t) for c, t in buffer_cols]
+            for i, kt in enumerate(key_types):
+                np_dt = _BUF_TYPES[kt][1]
+                vals_i = [k[i] for k in order_keys]
+                if np_dt is None:
+                    blobs.append(vals_i)
+                else:
+                    if any(v is None for v in vals_i):
+                        raise ValueError(
+                            "NULL numeric partition key in bucketed "
+                            "streaming MATCH_RECOGNIZE — filter NULL keys "
+                            "in the source view or disable bucketing (SET "
+                            "'spark.flinkcommons.stream.match.buckets'"
+                            "='0')"
+                        )
+                    blobs.append(np.asarray(vals_i, dtype=np_dt).tobytes())
+            nctx_out = np.zeros(nuni, dtype="<i8")
+            srt_out = np.zeros(nuni, dtype="<i8")
+            nm_out = np.zeros(nuni, dtype="<i8")
+            if nskeys:
+                nctx_out[:nskeys] = s_nctx
+                srt_out[:nskeys] = s_srt * (new_counts[:nskeys] == 0)
+                if track_no:
+                    nm_out[:nskeys] = s_nmatch
+            state.update(tuple(
+                blobs
+                + [bnds.astype("<i8").tobytes(),
+                   nctx_out.tobytes(), srt_out.tobytes()]
+                + ([nm_out.tobytes()] if track_no else [])
+            ))
+            starts = bnds[:-1]
+            lo_k = np.minimum.reduceat(ts_all, starts)
+            hi_k = np.maximum.reduceat(ts_all, starts)
+            cand = [hi_k // 1000 + 1, lo_k // 1000 + 1]
+            if within_us is not None:
+                cand.append((lo_k + within_us) // 1000 + 1)
+            live = np.concatenate(cand)
+            live = live[live > wm_ms]
+            if len(live):
+                state.setTimeoutTimestamp(int(live.min()))
+            return
+        # ---- settle every key in the bucket (idempotent for keys
+        # whose decision horizon has not moved — verdicts only depend
+        # on the bucket-global watermark)
+        out_all: list = []
+        kept: list = []  # (key, rest_pdf | None-for-tombstone, nctx, srt, nm)
+        all_cands: list = []
+        for ki in range(nuni):
+            a, b = int(bnds[ki]), int(bnds[ki + 1])
+            pdf_k = pd.DataFrame({c: arr[a:b] for c, arr in arrs.items()})
+            if ki < nskeys:
+                nctx_k = int(s_nctx[ki])
+                nm_k = int(s_nmatch[ki]) if track_no else 0
+                srt_k = bool(s_srt[ki]) and not int(new_counts[ki])
+            else:
+                nctx_k, nm_k, srt_k = 0, 0, False
+            matches, keep, cands = settle_core(
+                order_keys[ki], pdf_k, nctx_k, srt_k, nm_k
+            )
+            out_all.extend(matches)
+            tag = keep[0]
+            if tag == "buf":
+                kept.append(
+                    (order_keys[ki], keep[1], keep[2], keep[3], keep[4])
+                )
+                all_cands.extend(cands)
+            elif tag == "tomb":
+                kept.append((order_keys[ki], None, 0, 1, keep[1]))
+        # ---- re-pack the bucket: per-column concatenated blobs +
+        # per-key key values / offsets / nctx / sorted-flag (+ ordinal)
+        if kept:
+            blobs: list = []
+            for c, t in buffer_cols:
+                if _BUF_TYPES[t][1] is None:
+                    lst: list = []
+                    for e in kept:
+                        if e[1] is not None:
+                            lst.extend(_enc_buf(e[1][c], t))
+                    blobs.append(lst)
+                else:
+                    blobs.append(b"".join(
+                        _enc_buf(e[1][c], t) for e in kept if e[1] is not None
+                    ))
+            for i, kt in enumerate(key_types):
+                np_dt = _BUF_TYPES[kt][1]
+                vals_i = [e[0][i] for e in kept]
+                if np_dt is None:
+                    blobs.append(vals_i)
+                else:
+                    if any(v is None for v in vals_i):
+                        raise ValueError(
+                            "NULL numeric partition key in bucketed "
+                            "streaming MATCH_RECOGNIZE — filter NULL keys "
+                            "in the source view or disable bucketing (SET "
+                            "'spark.flinkcommons.stream.match.buckets'"
+                            "='0')"
+                        )
+                    blobs.append(np.asarray(vals_i, dtype=np_dt).tobytes())
+            lens = [(len(e[1]) if e[1] is not None else 0) for e in kept]
+            offs = np.zeros(len(kept) + 1, dtype="<i8")
+            offs[1:] = np.cumsum(lens)
+            state.update(tuple(
+                blobs
+                + [offs.tobytes(),
+                   np.asarray([e[2] for e in kept], dtype="<i8").tobytes(),
+                   np.asarray([e[3] for e in kept], dtype="<i8").tobytes()]
+                + ([np.asarray([e[4] for e in kept], dtype="<i8").tobytes()]
+                   if track_no else [])
+            ))
+            live = [t for t in all_cands if t > wm_ms]
+            if live:  # Spark rejects timers at/behind the watermark
+                state.setTimeoutTimestamp(min(live))
+        elif state.exists:
+            state.remove()
+        if out_all:
+            yield (
+                _assemble_all_rows(out_all, out_cols) if all_rows
+                else pd.DataFrame(out_all, columns=out_cols)
+            )
+
+    if bucketed:
+        from pyspark.sql import functions as F
+
+        bucket = F.pmod(F.xxhash64(*key_cols), F.lit(int(key_buckets)))
+        return (
+            sdf.withColumn("__mr_bucket", bucket)
+            .groupBy("__mr_bucket")
+            .applyInPandasWithState(
+                fn_bucket,
+                output_schema,
+                state_schema,
+                "append",
+                GroupStateTimeout.EventTimeTimeout,
+            )
+        )
     return sdf.groupBy(*key_cols).applyInPandasWithState(
         fn,
         output_schema,

@@ -250,8 +250,17 @@ OVER_STATE_SCHEMA = (
 
 
 def _unpack_i64(val) -> np.ndarray:
-    """Zero-copy (read-only) int64 view of a packed state blob."""
-    return np.frombuffer(val if val is not None else b"", dtype=np.int64)
+    """Zero-copy (read-only) int64 view of a packed state blob.
+
+    Explicit little-endian ('<i8') on both pack and unpack — the
+    platform-native default would silently corrupt packed buffers on a
+    different-endian resume host (ADVICE r14)."""
+    return np.frombuffer(val if val is not None else b"", dtype="<i8")
+
+
+def _pack_i64_arr(arr) -> bytes:
+    """Little-endian packed bytes of an int64 array (see _unpack_i64)."""
+    return np.asarray(arr, dtype="<i8").tobytes()
 
 
 #: output schema of :func:`running_over_range`
@@ -380,9 +389,10 @@ def running_over_range(
             state.remove()
         else:
             state.update((
-                np.asarray(h_ord, dtype=np.int64).tobytes(),
-                np.asarray(h_cents, dtype=np.int64).tobytes(),
-                b_eid.tobytes(), b_ord.tobytes(), b_cents.tobytes(),
+                _pack_i64_arr(h_ord),
+                _pack_i64_arr(h_cents),
+                _pack_i64_arr(b_eid), _pack_i64_arr(b_ord),
+                _pack_i64_arr(b_cents),
             ))
             if len(b_ord):
                 state.setTimeoutTimestamp(
@@ -526,13 +536,15 @@ def running_over_rows(
                 return
             state.update((
                 n, cents, last_ms,
-                b_eid.tobytes(), b_ord.tobytes(), b_cents.tobytes(),
+                _pack_i64_arr(b_eid), _pack_i64_arr(b_ord),
+                _pack_i64_arr(b_cents),
             ))
             state.setTimeoutTimestamp(expiry)
             return
         state.update((
             n, cents, last_ms,
-            b_eid.tobytes(), b_ord.tobytes(), b_cents.tobytes(),
+            _pack_i64_arr(b_eid), _pack_i64_arr(b_ord),
+            _pack_i64_arr(b_cents),
         ))
         if len(b_ord):
             state.setTimeoutTimestamp(max(int(b_ord.min()) // 1000, wm_ms + 1))

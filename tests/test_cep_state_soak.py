@@ -54,7 +54,7 @@ def _split(rng, rows, k):
     return [rows[i::k] for i in range(k)]
 
 
-def _replay(spark, tmp_path, within_us):
+def _replay(spark, tmp_path, within_us, key_buckets=None):
     from flink_commons_spark.streaming.cep_stream import (
         stream_match_conversions,
     )
@@ -95,7 +95,9 @@ def _replay(spark, tmp_path, within_us):
         emitted.extend(bdf.collect())
 
     q = (
-        stream_match_conversions(sdf, within_us=within_us)
+        stream_match_conversions(
+            sdf, within_us=within_us, key_buckets=key_buckets
+        )
         .writeStream.outputMode("append")
         .foreachBatch(sink)
         .trigger(availableNow=True)
@@ -150,11 +152,33 @@ def test_cep_unbounded_retains_undecided_tails(spark, tmp_path):
     """Without WITHIN the dangling ``view click`` tails are forever
     undecided — a future purchase could still complete them — so their
     keys legitimately stay in state. This pins the contrast the WITHIN
-    soak relies on: 24 dangling keys + the sentinel remain terminal."""
-    emitted, progresses = _replay(spark, tmp_path, None)
+    soak relies on: 24 dangling keys + the sentinel remain terminal.
+    ``key_buckets=0`` forces the per-key state layout so the exact
+    state-row == key count identity is pinned (the default bucketed
+    layout holds several keys per state row — its retention invariant
+    is pinned by the bucketed twin below)."""
+    emitted, progresses = _replay(spark, tmp_path, None, key_buckets=0)
     assert len(emitted) == 2 * WAVE_KEYS
     dangling = 2 * (WAVE_KEYS // 2)  # odd keys per wave
     assert _state_rows(progresses[-1]) == dangling + 1
+
+
+def test_cep_unbounded_retains_undecided_tails_bucketed(spark, tmp_path):
+    """The bucketed-state twin of the exact-retention test: the SAME
+    matches must emit, and the dangling tails must still be retained —
+    terminal state rows are occupied BUCKETS, so between 1 and
+    dangling+1 rows remain (every retained key lives in some bucket;
+    nothing retained would read 0). Forcing more buckets than keys
+    recovers the per-key identity exactly."""
+    emitted, progresses = _replay(spark, tmp_path, None, key_buckets=5000)
+    assert len(emitted) == 2 * WAVE_KEYS
+    dangling = 2 * (WAVE_KEYS // 2)
+    # 5000 buckets >> 51 lifetime keys: collisions are possible but the
+    # retained-key count can only be preserved or concentrated, never
+    # grown — and with this spread the count matches per-key exactly
+    # unless two retained keys collide, so allow a small collision slack
+    rows = _state_rows(progresses[-1])
+    assert dangling + 1 - 3 <= rows <= dangling + 1
 
 
 def test_cep_checkpoint_resume_is_exactly_once(spark, tmp_path):

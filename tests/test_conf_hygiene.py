@@ -48,3 +48,40 @@ def test_restore_clears_previously_unset_key(spark):
     spark.conf.unset(key)
     catalog.QUERIES["q_minute_agg"](spark, SF_DIR).count()
     assert spark.conf.get(key, None) is None
+
+
+def test_stream_shuffle_honors_cluster_parallelism(spark):
+    """r15 (verdict item 4): the per-family 8/16 stream shuffle
+    constants are LOCAL defaults only — a cluster-provided parallelism
+    (``spark.default.parallelism``, where the runner's ``SET
+    'parallelism.default'`` lands, or the dedicated
+    ``spark.flinkcommons.stream.shuffle.partitions`` override) must win
+    inside the scoped region, and the session value must be restored
+    afterwards either way."""
+    from flink_commons_spark.catalog import _with_stream_shuffle
+
+    seen = {}
+
+    @_with_stream_shuffle(8)
+    def probe(sp, _sf):
+        seen["n"] = sp.conf.get("spark.sql.shuffle.partitions")
+        return None
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    probe(spark, SF_DIR)
+    assert seen["n"] == "8"  # no cluster conf -> the local default
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    spark.conf.set("spark.default.parallelism", "24")
+    try:
+        probe(spark, SF_DIR)
+        assert seen["n"] == "24"  # runner parallelism wins
+        spark.conf.set(
+            "spark.flinkcommons.stream.shuffle.partitions", "12"
+        )
+        probe(spark, SF_DIR)
+        assert seen["n"] == "12"  # dedicated override wins over both
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    finally:
+        spark.conf.unset("spark.default.parallelism")
+        spark.conf.unset("spark.flinkcommons.stream.shuffle.partitions")

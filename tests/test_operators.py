@@ -419,6 +419,55 @@ def test_pagerank_local_matches_distributed(spark):
     assert local == dist
 
 
+def test_graph_single_task_exact_beyond_2e53(spark):
+    """ADVICE r15: the tagged union used to NULL-pad column b, which
+    float64-ified it on the Arrow→pandas hop and silently rounded node
+    ids ≥ 2^53 inside the single-task twins. With the self-pad, ids in
+    that range must round-trip exactly and match the distributed
+    path."""
+    from flink_commons_spark.operators.graph import bfs_distances, pagerank
+
+    big = 2**53  # 9007199254740992: big+1 is NOT representable in f64
+    ids = [big + 1, big + 3, big + 5]
+    nodes = spark.createDataFrame([(v,) for v in ids], "node long")
+    edges = spark.createDataFrame(
+        [(ids[0], ids[1]), (ids[1], ids[2])], "src long, dst long"
+    )
+    sources = spark.createDataFrame([(ids[0],)], "node long")
+    local = {r.node: r.hops
+             for r in bfs_distances(nodes, edges, sources).collect()}
+    assert local == {ids[0]: 0, ids[1]: 1, ids[2]: 2}
+    dist = {r.node: r.hops
+            for r in bfs_distances(nodes, edges, sources,
+                                   local_threshold=0).collect()}
+    assert local == dist
+    pr_l = {r.node: r.rank_micro for r in pagerank(nodes, edges).collect()}
+    pr_d = {r.node: r.rank_micro
+            for r in pagerank(nodes, edges, local_threshold=0).collect()}
+    assert pr_l == pr_d and set(pr_l) == set(ids)
+
+
+def test_pagerank_duplicate_node_ids_fall_through(spark):
+    """ADVICE r15: duplicate node ids crash the single-task twin's
+    pd.Index path; the gate must detect them and fall through to the
+    distributed loop, so duplicate-id inputs return the loop's answer
+    under the default threshold instead of raising."""
+    from flink_commons_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame(
+        [(1,), (2,), (2,), (3,)], "node long"
+    )
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = sorted(
+        (r.node, r.rank_micro) for r in pagerank(nodes, edges).collect()
+    )
+    want = sorted(
+        (r.node, r.rank_micro)
+        for r in pagerank(nodes, edges, local_threshold=0).collect()
+    )
+    assert got == want
+
+
 def test_connected_components_non_convergence_raises(spark):
     from flink_commons_spark.operators.graph import connected_components
 
