@@ -272,6 +272,10 @@ def test_user_stats_idle_ttl_reclaims_idle_keys(spark, tmp_path):
 
 
 def test_user_stats_default_retains_lifetime_keys(spark, tmp_path):
+    # key_buckets=0 forces the per-key state layout so the exact
+    # state-row == lifetime-key identity is pinned; the default
+    # bucketed layout packs several keys per state row (its retention
+    # invariant is pinned by the bucketed twin below)
     from flink_commons_spark.streaming.stateful import running_user_stats
 
     _, progresses = _replay(
@@ -282,10 +286,41 @@ def test_user_stats_default_retains_lifetime_keys(spark, tmp_path):
                 F.col("cents").cast("double").alias("value"),
                 (F.col("ord_us") / 1_000_000).cast("long").alias("epoch"),
             ),
+            key_buckets=0,
         ),
         output_mode="update",
     )
     assert _state_rows(progresses[-1]) == 2 * WAVE_KEYS + 1
+
+
+def test_user_stats_bucketed_retains_lifetime_keys(spark, tmp_path):
+    """Bucketed-state twin (r15): the no-TTL default still retains
+    every lifetime key — with buckets spread far wider than the key
+    count the terminal row count matches per-key up to hash-collision
+    slack, and the emitted update rows are identical either way."""
+    from flink_commons_spark.streaming.stateful import running_user_stats
+
+    def q(sdf, kb):
+        return running_user_stats(
+            sdf.select(
+                "user_id",
+                F.col("cents").cast("double").alias("value"),
+                (F.col("ord_us") / 1_000_000).cast("long").alias("epoch"),
+            ),
+            key_buckets=kb,
+        )
+
+    emitted_b, progresses = _replay(
+        spark, tmp_path, lambda sdf: q(sdf, 5000), output_mode="update"
+    )
+    rows = _state_rows(progresses[-1])
+    assert 2 * WAVE_KEYS + 1 - 3 <= rows <= 2 * WAVE_KEYS + 1
+    emitted_k, _ = _replay(
+        spark, tmp_path / "perkey", lambda sdf: q(sdf, 0),
+        output_mode="update",
+    )
+    canon = lambda rs: sorted(map(tuple, rs))  # noqa: E731
+    assert canon(emitted_b) == canon(emitted_k)
 
 
 def test_topn_idle_ttl_reclaims_idle_groups(spark, tmp_path):
